@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extras (token counting, quality scoring, language
+  * profiling, content fingerprinting). Reference analogues: the converter's
+  * text statistics (SURVEY §2.4 A3–A5) and the tolerant text readers; the
+  * operators themselves are the north-star additions.
+  *
+  * All are narrow per-row transforms (no shuffle until the final small
+  * aggregation), codegen-friendly (builtin higher-order functions, no UDFs),
+  * and the expressions are written identically in the DuckDB oracle so
+  * doubles stay bit-exact.
+  */
+object Text {
+
+  /** Q20: token statistics per document — whitespace tokenization, unique
+    * counts, char-level stats. At 100 TB this is a pure map stage fused into
+    * whole-stage codegen; final ORDER BY is for oracle determinism only. */
+  private val q20 = GraftQuery(
+    "q20_token_stats",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          (length(replace(col("text"), lit(" "), lit(""))).cast("double") /
+            size(col("toks"))).as("avg_token_len"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+             length(text) AS n_chars_actual,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Q21: document quality scoring — stopword ratio, vocabulary diversity,
+    * length saturation, combined into one score. Mirrors the reference's
+    * runtime data-quality gates (SURVEY §5) as a scored column instead of a
+    * hard filter. Fixed double expression tree => bit-exact across engines. */
+  private val q21 = GraftQuery(
+    "q21_quality_score",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") /
+            col("n_tokens"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+        .withColumn("len_score",
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+        .select(
+          col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("uniq_ratio"), col("len_score"),
+          (lit(0.3) * col("len_score") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * col("uniq_ratio")).as("quality_score"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), f AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+               least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score
+        FROM t
+      )
+      SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, len_score,
+             0.3 * len_score + 0.4 * (1.0 - stop_ratio) + 0.3 * uniq_ratio AS quality_score
+      FROM f
+      ORDER BY doc_id"""),
+    headline = true)
+
+  /** Q22: corpus language profile — per-language doc counts, char volume,
+    * and a marker-based English-likeness signal (n-gram-heuristic language
+    * ID reduced to its deterministic core: marker-token rates). */
+  private val q22 = GraftQuery(
+    "q22_lang_profile",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("has_en_marker",
+          when(col("text").contains("the") || col("text").contains("a"), 1L)
+            .otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("has_en_marker")).as("n_en_marker"))
+        .withColumn("en_marker_rate",
+          col("n_en_marker").cast("double") / col("n_docs"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+             count(DISTINCT source) AS n_sources,
+             sum(CASE WHEN contains(text, 'the') OR contains(text, 'a') THEN 1 ELSE 0 END) AS n_en_marker,
+             CAST(sum(CASE WHEN contains(text, 'the') OR contains(text, 'a') THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS en_marker_rate
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** Q23: content fingerprinting — md5 over the sorted distinct vocabulary
+    * (order-insensitive content hash, the scalable analogue of the
+    * reference's file-hash cache keys F18 `cache_manager.py:78-87`). Docs
+    * sharing a fingerprint are exact bag-of-words duplicates. */
+  private val q23 = GraftQuery(
+    "q23_fingerprint",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("fingerprint",
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("min_doc"),
+    Some("""
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+             count(*) AS n_docs, min(doc_id) AS min_doc
+      FROM documents
+      GROUP BY 1
+      ORDER BY min_doc"""))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23)
+}
