@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * batch (exact dedup lives in Relational q08; here: MinHash+LSH near-dup,
+  * SimHash, and blocked n-gram Jaccard). Reference analogue: the md5
+  * file-hash / processed-trace caches (`converter/cache_manager.py:44-108`)
+  * are exact-dup tech; these are their at-scale generalizations.
+  *
+  * Oracle-parity rules: all hashing is md5-hex (identical strings in both
+  * engines), all jaccard/hamming arithmetic is int-derived (exact in
+  * double), folds are explicit left-folds, and every query ends in a
+  * deterministic ORDER BY.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles; docs with < 3 tokens are excluded (the
+    * sequence() bound would be degenerate, mirrored in the oracle). */
+  private def shingleDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .filter(size(toks) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+        )).as("sh"))
+  }
+
+  private val shingleSql =
+    """s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+               i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
+                              string_split(text,' ')[i+2]))) AS sh
+      FROM documents WHERE len(string_split(text,' ')) >= 3)"""
+
+  /** Q30: MinHash + LSH near-duplicate detection (shingle → 12 minhashes →
+    * 4 bands × 3 rows → bucket self-join → exact-Jaccard verify ≥ 0.5).
+    *
+    * Scale shape: the only shuffles are the (band, sig) bucket join and the
+    * final pair-verify join on doc_id — both keyed, both broadcast-able when
+    * one side is small. The quadratic blowup of naive all-pairs never
+    * happens; candidate volume is bounded by bucket occupancy (cap buckets
+    * at ~1000 docs in production to bound boilerplate-text skew). MinHash
+    * signatures are one narrow map over the scan. */
+  private val q30 = GraftQuery(
+    "q30_minhash_lsh_dedup",
+    (spark, dir) => {
+      val sh = shingleDf(spark, dir)
+      val sigCols = (0 until 12).map(s =>
+        array_min(transform(col("sh"), x => md5(concat(lit(s"$s:"), x)))).as(s"h$s"))
+      val sigs = sh.select(col("doc_id") +: sigCols: _*)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}"))).as(s"b$b"))
+      val bands = sigs.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"b$b")): _*)))
+        .toDF("doc_id", "band", "sig")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+        size(array_union(col("sa.sh"), col("sb.sh")))
+      cand
+        .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val sigExprs = (0 until 12)
+        .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x))) AS h$s")
+        .mkString(", ")
+      val bandExprs = (0 until 4)
+        .map(b => s"md5(h${3 * b} || h${3 * b + 1} || h${3 * b + 2}) AS b$b")
+        .mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS sig FROM band")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $shingleSql,
+      sig AS (SELECT doc_id, $sigExprs FROM s),
+      band AS (SELECT doc_id, $bandExprs FROM sig),
+      rows_ AS ($bandRows),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM rows_ x JOIN rows_ y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+      FROM cand
+      JOIN s sa ON sa.doc_id = doc_a
+      JOIN s sb ON sb.doc_id = doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+      ORDER BY doc_a, doc_b"""
+    },
+    headline = true)
+
+  /** Q31: SimHash near-duplicate pairs. 32-bit fingerprint over word
+    * 3-gram shingles (bit j = sign of the ±1 vote of each shingle's j-th
+    * md5 nibble — shingles, not tokens, so shared vocabulary across
+    * unrelated docs doesn't collapse the signature), blocked on the high
+    * 16 bits, verified with Hamming distance ≤ 3.
+    *
+    * Scale shape: fingerprinting is a narrow map (one md5 per shingle,
+    * nibbles reused across all 32 bits); the self-join is keyed on the
+    * 16-bit block (production: 4 rotated 16-of-64-bit blocks so any
+    * ≤3-bit-different pair shares ≥1 block exactly). */
+  private val q31 = GraftQuery(
+    "q31_simhash_dedup",
+    (spark, dir) => {
+      val bit = (j: Int) =>
+        when(
+          aggregate(col("hs"), lit(0), (acc, h) =>
+            acc + when(substring(h, j + 1, 1) >= "8", 1).otherwise(-1)) > 0,
+          "1").otherwise("0")
+      val fps = shingleDf(spark, dir)
+        .select(col("doc_id"), transform(col("sh"), sh => md5(sh)).as("hs"))
+        .select(col("doc_id"), concat((0 until 32).map(bit): _*).as("fp"))
+        .withColumn("bucket", substring(col("fp"), 1, 16))
+      val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
+        acc + when(col("a.fp").substr(i, lit(1)) =!= col("b.fp").substr(i, lit(1)), 1)
+          .otherwise(0))
+      fps.as("a").join(fps.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          ham.as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val bitExprs = (0 until 32).map(j =>
+        s"""CASE WHEN list_sum(list_transform(hs,
+              h -> CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+            THEN '1' ELSE '0' END""").mkString(" || ")
+      s"""
+      WITH $shingleSql,
+      t AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s),
+      f AS (SELECT doc_id, $bitExprs AS fp FROM t),
+      fb AS (SELECT doc_id, fp, substring(fp, 1, 16) AS bucket FROM f)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             list_sum(list_transform(generate_series(1, 32),
+               i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)
+                    THEN 1 ELSE 0 END)) AS hamming
+      FROM fb a JOIN fb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE list_sum(list_transform(generate_series(1, 32),
+              i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)
+                   THEN 1 ELSE 0 END)) <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
+  /** Q32: blocked character-4-gram Jaccard similarity (exact pairwise
+    * within a `lang` block, threshold 0.6). The blocking key bounds the
+    * quadratic pair count; at 100 TB the block would be (lang, length
+    * bucket) and the join is a keyed shuffle, never a cross join. */
+  private val q32 = GraftQuery(
+    "q32_ngram_jaccard_dedup",
+    (spark, dir) => {
+      val grams = array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 3),
+        i => col("text").substr(i, lit(4))))
+      val g = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("lang"), grams.as("gr"))
+      val jac = size(array_intersect(col("a.gr"), col("b.gr"))).cast("double") /
+        size(array_union(col("a.gr"), col("b.gr")))
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, length(text)-3),
+                 i -> substring(text, i, 4))) AS gr
+        FROM documents WHERE length(text) >= 4)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+               / len(list_distinct(a.gr || b.gr)) AS jaccard
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+              / len(list_distinct(a.gr || b.gr)) >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
+  /** Q33: embedding-cosine near-duplicate pairs, blocked on `label` (the
+    * coarse-quantization cell), cosine ≥ 0.35. Dot products are explicit
+    * left-folds so the doubles are bit-identical to the oracle's
+    * list_reduce. At scale the block join is the IVF pattern: only
+    * same-cell pairs are compared. */
+  private val q33 = GraftQuery(
+    "q33_embedding_neardup",
+    (spark, dir) => {
+      val e = Similarity.normedVectors(spark, dir)
+      val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cos.as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""
+      WITH ${Similarity.normedVectorsSql}
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${Similarity.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${Similarity.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
+      ORDER BY vec_a, vec_b"""))
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33)
+}

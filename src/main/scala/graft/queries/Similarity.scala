@@ -1,0 +1,165 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64 dims): brute-force cosine top-k as the baseline, and
+  * a 4-table × 8-bit random-hyperplane LSH variant as the scale path.
+  *
+  * Bit-exactness contract with the DuckDB oracle: every dot product is a
+  * sequential left-fold over the same element order (Spark `aggregate` ≡
+  * DuckDB `list_reduce`), norms are sqrt of the self-fold, hyperplanes are
+  * ±1 literals computed once on the driver and embedded identically in both
+  * dialects.
+  */
+object Similarity {
+
+  /** Left-fold dot product — Spark side. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Left-fold dot product — DuckDB side (same order, same IEEE ops). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** embeddings as double vectors with precomputed L2 norms (shared by q33
+    * — normalizing once keeps every downstream cosine a single fold). */
+  def normedVectors(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  val normedVectorsSql: String =
+    s"""e AS (
+      SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
+      FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings))"""
+
+  /** Deterministic ±1.0 hyperplanes: component d of plane p is +1 iff the
+    * first hex nibble of md5("p:d") has its high bit set. 32 planes (4 LSH
+    * tables × 8 bits) × 64 dims, computed once here and embedded as
+    * literals in both the Spark plan and the oracle SQL. */
+  private[queries] val hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
+    val mdig = MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until 32).map(p => (0 until 64).map(d =>
+      if (md5hex(s"$p:$d").charAt(0) >= '8') 1.0 else -1.0))
+  }
+
+  /** Q34: brute-force cosine top-5 for the first 20 vectors as queries.
+    * The full candidate scan is the recall=1.0 baseline; at 100 TB the
+    * query side is broadcast and each executor scans its candidate
+    * partition once — still one shuffle (the top-k per query), handled as
+    * partial per-partition heaps by TakeOrdered-style aggregation. */
+  private val q34 = GraftQuery(
+    "q34_knn_bruteforce",
+    (spark, dir) => {
+      val e = normedVectors(spark, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q.as("q")).join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          cos.as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $normedVectorsSql,
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    headline = true)
+
+  /** Q35: LSH-bucketed ANN — 4 hash tables of 8 sign-bits each
+    * (OR-amplification: a pair is a candidate if it collides in ANY table),
+    * exact cosine re-rank of candidates, top-5 per query.
+    *
+    * Scale shape: signatures are a narrow map; the candidate join is keyed
+    * on (table, signature) so work scales with bucket occupancy, not N².
+    * Recall vs q34 is checked in SimilaritySpec. */
+  private val q35 = GraftQuery(
+    "q35_ann_lsh",
+    (spark, dir) => {
+      val e = normedVectors(spark, dir)
+      def sig(t: Int): Column = concat((0 until 8).map { j =>
+        val hp = typedLit(hyperplanes(t * 8 + j))
+        when(dot(col("v"), hp) > 0, "1").otherwise("0")
+      }: _*)
+      val sigs = e.select(col("vec_id") +: (0 until 4).map(t => sig(t).as(s"s$t")): _*)
+        .select(col("vec_id"), posexplode(array((0 until 4).map(t => col(s"s$t")): _*)))
+        .toDF("vec_id", "tbl", "sig")
+      val cand = sigs.as("x").join(sigs.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .filter(col("x.vec_id") < 20)
+        .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+        .distinct()
+      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      cand
+        .join(e.as("q"), col("q.vec_id") === col("query_id"))
+        .join(e.as("c"), col("c.vec_id") === col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      def hpLit(p: Int): String = hyperplanes(p).mkString("[", ", ", "]")
+      def sigSql(t: Int): String = (0 until 8).map { j =>
+        s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+              i -> v[i] * (${hpLit(t * 8 + j)})[i]), (x, y) -> x + y) > 0
+            THEN '1' ELSE '0' END"""
+      }.mkString(" || ")
+      val sigSelect = (0 until 4).map(t => s"${sigSql(t)} AS s$t").mkString(", ")
+      val sigRows = (0 until 4)
+        .map(t => s"SELECT vec_id, $t AS tbl, s$t AS sig FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $normedVectorsSql,
+      sigs AS (SELECT vec_id, $sigSelect FROM e),
+      rows_ AS ($sigRows),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+        FROM rows_ x JOIN rows_ y
+          ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id
+        WHERE x.vec_id < 20),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+        FROM cand
+        JOIN e q ON q.vec_id = query_id
+        JOIN e c ON c.vec_id = neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(q34, q35)
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the dedup + ANN batch on sf0.001 (hash-level
+  * correctness runs against the DuckDB oracle). */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("q30 minhash pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("q30_minhash_lsh_dedup")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("q30 LSH candidates recover all high-jaccard pairs (recall vs exact)") {
+    // Exact all-pairs word-shingle jaccard >= 0.5 on the tiny SF.
+    val toks = split(col("text"), " ")
+    val sh = graft.Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))).as("sh"))
+    val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+      size(array_union(col("a.sh"), col("b.sh")))
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("j"))
+      .filter(col("j") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q30_minhash_lsh_dedup")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands x 3 rows: P(collide) at j=0.5 is ~1-(1-0.125)^4 = 0.41 per pair,
+    // but true near-dups here have j>0.9 => P ~ 1-(1-0.73)^4 > 0.994.
+    val high = exact // all exact pairs in this data are j>0.9 (bimodal)
+    assert(high.subsetOf(lsh), s"LSH missed pairs: ${high -- lsh}")
+  }
+
+  test("q34 brute-force knn returns 5 ranked neighbors per query") {
+    val df = SparkEntry.queries("q34_knn_bruteforce")(spark, sfDir)
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach(r => assert(r.getAs[Long]("count") == 5))
+    // cosine must be within [-1, 1]
+    df.collect().foreach(r => {
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0001 && c <= 1.0001)
+    })
+  }
+
+  test("q35 ANN results are a subset-ranking consistent with brute force") {
+    val bf = SparkEntry.queries("q34_knn_bruteforce")(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = SparkEntry.queries("q35_ann_lsh")(spark, sfDir).collect()
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // every ANN cosine must equal the exact cosine for that pair when the
+      // pair also appears in the brute-force top-5
+      bf.get(key).foreach(exact => assert(exact == r.getAs[Double]("cosine")))
+    }
+    // sanity: ANN produced some candidates
+    assert(ann.nonEmpty)
+  }
+
+  test("q31 simhash emits only low-hamming pairs") {
+    SparkEntry.queries("q31_simhash_dedup")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
+}
