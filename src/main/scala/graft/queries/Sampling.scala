@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators — the reference's core "query semantics"
+  * (SURVEY.md §2.5): uniform pick R1, inverse-frequency weighted sampling
+  * R2 (`Gyrfalcon/problem_type_tree/sampling_manager.py:192-228`), random
+  * truncation R4 (`tree_manager.py:488-527`), difficulty-weighted selection
+  * R5 (`agents/query_synthesis_agent.py:155-186`), probability gates R6.
+  *
+  * Determinism: every random source is a seeded md5-derived 32-bit uniform
+  * (`Rand.u32`) computed identically in Spark and DuckDB, so draws
+  * hash-match the oracle exactly — the rebuild's answer to the reference's
+  * unseeded `random.*` (SURVEY §7 "Nondeterminism"). All comparisons are
+  * integer, never float.
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0, 2^32): base-16 left-fold of the first 8
+    * md5 hex nibbles. */
+  object Rand {
+    def u32(h: Column): Column =
+      aggregate(
+        transform(sequence(lit(1), lit(8)), i => {
+          val a = ascii(h.substr(i, lit(1)))
+          when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+        }),
+        lit(0L), (acc, x) => acc * 16 + x)
+
+    def u32Sql(h: String): String =
+      s"""list_reduce(list_transform(generate_series(1, 8),
+         i -> CAST(CASE WHEN ascii(substring($h, i, 1)) <= 57
+                   THEN ascii(substring($h, i, 1)) - 48
+                   ELSE ascii(substring($h, i, 1)) - 87 END AS BIGINT)),
+         (a, b) -> a * 16 + b)"""
+  }
+
+  private val TwoPow32 = 4294967296L
+
+  /** Q60: inverse-frequency weighted categorical sampling (R2): weight each
+    * brand 1/(count+1)^1.5, draw 100 picks by inverse-CDF over the integer
+    * cumulative weights. The weights table is tiny at any scale (distinct
+    * categories), so the non-equi pick join is a broadcast; the only real
+    * shuffle is the count aggregation. Integer weights (floor ×1e6) make
+    * the CDF engine-exact. */
+  private val q60 = GraftQuery(
+    "q60_weighted_sample",
+    (spark, dir) => {
+      val cnt1 = (col("cnt") + 1).cast("double")
+      val brands = Tables.part(spark, dir)
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w", floor(lit(1000000.0) / (cnt1 * sqrt(cnt1))).cast("long"))
+      val wCum = Window.orderBy("p_brand")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = brands
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("total", sum(col("w")).over(Window.partitionBy()))
+      val draws = spark.range(100).select(col("id").as("draw_id"))
+        .withColumn("u", Rand.u32(md5(concat(lit("draw:"), col("draw_id")))))
+      // (u * total) div 2^32 in pure 64-bit integer math — a double division
+      // here would lose precision above 2^53 and could flip a bucket edge.
+      draws.crossJoin(broadcast(cdf))
+        .withColumn("threshold", expr(s"(u * total) div $TwoPow32"))
+        .filter(col("threshold") >= col("cum") - col("w") && col("threshold") < col("cum"))
+        .select(col("draw_id"), col("p_brand"))
+        .orderBy("draw_id")
+    },
+    Some(s"""
+      WITH brands AS (
+        SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand),
+      wt AS (
+        SELECT p_brand,
+               CAST(floor(1000000.0 / (CAST(cnt + 1 AS DOUBLE) * sqrt(CAST(cnt + 1 AS DOUBLE)))) AS BIGINT) AS w
+        FROM brands),
+      cdf AS (
+        SELECT p_brand, w,
+               sum(w) OVER (ORDER BY p_brand ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(w) OVER () AS total
+        FROM wt),
+      draws AS (
+        SELECT d AS draw_id, ${Rand.u32Sql("md5('draw:' || d)")} AS u
+        FROM generate_series(0, 99) t(d))
+      SELECT draw_id, p_brand
+      FROM draws JOIN cdf
+        ON (u * total) // $TwoPow32 >= cum - w AND (u * total) // $TwoPow32 < cum
+      ORDER BY draw_id"""))
+
+  /** Q61: stratified Bernoulli sampling (R3/R6 generalized): per-language
+    * rates (en 0.5, others 0.2), keep iff hash-uniform < rate. A pure
+    * narrow filter — at 100 TB this IS the sampling operator of choice:
+    * no shuffle, reproducible, push-down-friendly. */
+  private val q61 = GraftQuery(
+    "q61_stratified_sample",
+    (spark, dir) => {
+      val u = Rand.u32(md5(concat(lit("strat:"), col("doc_id"))))
+      val rate = when(col("lang") === "en", lit((0.5 * TwoPow32).toLong))
+        .otherwise(lit((0.2 * TwoPow32).toLong))
+      Tables.documents(spark, dir)
+        .filter(u < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang
+      FROM documents
+      WHERE ${Rand.u32Sql("md5('strat:' || doc_id)")}
+            < CASE WHEN lang = 'en' THEN ${(0.5 * TwoPow32).toLong}
+                   ELSE ${(0.2 * TwoPow32).toLong} END
+      ORDER BY doc_id"""))
+
+  /** Q62: random path truncation (R4): truncate each document's token
+    * array to a hash-chosen depth in [2, n-1] (docs with < 3 tokens are
+    * excluded, mirroring the reference's >= 3-node guard); the tail token
+    * is the "selected problem type". Narrow map, no shuffle. */
+  private val q62 = GraftQuery(
+    "q62_truncate_path",
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      val u = Rand.u32(md5(concat(lit("trunc:"), col("doc_id"))))
+      Tables.documents(spark, dir)
+        .filter(size(toks) >= 3)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("depth", (lit(2) + u % (col("n_tokens") - 2)).cast("int"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("depth"),
+          element_at(toks, col("depth")).as("tail_token"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      d AS (
+        SELECT doc_id, len(toks) AS n_tokens, toks,
+               CAST(2 + ${Rand.u32Sql("md5('trunc:' || doc_id)")} % (len(toks) - 2) AS INTEGER) AS depth
+        FROM t)
+      SELECT doc_id, n_tokens, depth, toks[depth] AS tail_token
+      FROM d
+      ORDER BY doc_id"""))
+
+  /** Q63: difficulty-weighted selection (R5, default dist easy .2 /
+    * medium .5 / hard .3): categorical draw per document via integer
+    * thresholds, then the distribution audit the reference logs (A5). */
+  private val q63 = GraftQuery(
+    "q63_difficulty_select",
+    (spark, dir) => {
+      val u = Rand.u32(md5(concat(lit("diff:"), col("doc_id"))))
+      val easyT = (0.2 * TwoPow32).toLong
+      val medT = (0.7 * TwoPow32).toLong
+      Tables.documents(spark, dir)
+        .withColumn("difficulty",
+          when(u < easyT, "easy").when(u < medT, "medium").otherwise("hard"))
+        .groupBy(col("difficulty"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("difficulty")
+    },
+    Some(s"""
+      SELECT CASE WHEN ${Rand.u32Sql("md5('diff:' || doc_id)")} < ${(0.2 * TwoPow32).toLong}
+                  THEN 'easy'
+                  WHEN ${Rand.u32Sql("md5('diff:' || doc_id)")} < ${(0.7 * TwoPow32).toLong}
+                  THEN 'medium' ELSE 'hard' END AS difficulty,
+             count(*) AS n
+      FROM documents
+      GROUP BY 1
+      ORDER BY difficulty"""))
+
+  /** Q64: uniform k-sample without replacement (R1): rank by hash-uniform,
+    * keep the first 10 — the distributed, reproducible ORDER BY rand()
+    * LIMIT k. At scale: TakeOrdered over per-partition heaps, O(k) driver
+    * memory. */
+  private val q64 = GraftQuery(
+    "q64_uniform_pick",
+    (spark, dir) => {
+      val u = Rand.u32(md5(concat(lit("pick:"), col("doc_id"))))
+      val w = Window.orderBy(col("u"), col("doc_id"))
+      Tables.documents(spark, dir)
+        .withColumn("u", u)
+        .withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= 10)
+        .select(col("sample_rank"), col("doc_id"), col("lang"))
+        .orderBy("sample_rank")
+    },
+    Some(s"""
+      SELECT sample_rank, doc_id, lang
+      FROM (SELECT doc_id, lang,
+                   row_number() OVER (ORDER BY ${Rand.u32Sql("md5('pick:' || doc_id)")}, doc_id) AS sample_rank
+            FROM documents)
+      WHERE sample_rank <= 10
+      ORDER BY sample_rank"""))
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64)
+}
