@@ -1,0 +1,180 @@
+package graft.converter
+
+import java.security.MessageDigest
+
+import graft.core.text.{NexXml, TextOps, XmlValidator}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The converter DAG — spans → ChatCompletion training records
+  * (SURVEY.md §3.3, the reference's core transform `convert_spans_file`
+  * `convert_spans_to_chatcompletion.py:1761-1820`).
+  *
+  * Spark shape: filter(P1,P3) → window(A1 last-gen-per-parent) →
+  * trace-topology join (J2/J3 agent attribution) → record-local map
+  * {F5 strip, F3 extract, J5 pairing, F9 finish_reason} → filter(P2 meta)
+  * → validate(P9/F13). The only shuffles are the A1 window and the
+  * topology groupBy — both keyed on trace_id, so one exchange serves both
+  * at scale; everything downstream is narrow.
+  */
+object SpanConverter extends Serializable {
+
+  final case class ChatMessage(
+      role: String,
+      content: Option[String],
+      tool_calls: Seq[String], // each a serialized ToolCall JSON object
+      tool_call_id: Option[String],
+      name: Option[String])
+
+  final case class ChatRecord(
+      trace_id: String,
+      span_id: String,
+      agent_name: Option[String],
+      messages: Seq[ChatMessage],
+      finish_reason: String,
+      n_tool_calls: Int,
+      valid: Boolean)
+
+  /** Deterministic call ids: call_<md5(trace:span:ordinal)> — the engine's
+    * seeded replacement for the reference's uuid4 (SURVEY §7
+    * "Nondeterminism"). */
+  def callId(traceId: String, spanId: String, ordinal: Int): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$traceId:$spanId:$ordinal".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"call_$hex"
+  }
+
+  /** P1/P3 + A1: keep the chronologically-last generation span per
+    * (trace, parent) group; missing startTime sorts first (epoch), ties
+    * break on span_id for determinism. */
+  def lastGenerations(spans: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("trace_id"), coalesce(col("parentObservationId"), col("span_id")))
+      .orderBy(coalesce(col("startTime"), lit("1970-01-01T00:00:00Z")).desc,
+        col("span_id").desc)
+    spans
+      .filter(col("span_type") === "GENERATION" &&
+        col("span_name").contains(Spans.GenerationMarker) &&
+        size(col("input")) > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** J3: per-trace parent walk — first ancestor SPAN names the agent,
+    * "Sub-agent: " prefix stripped. Topology is collected per trace
+    * (traces are small — a few hundred spans) and broadcast-joined back. */
+  def withAgentNames(spark: SparkSession, gens: DataFrame, allSpans: DataFrame): DataFrame = {
+    val topo = allSpans
+      .groupBy(col("trace_id"))
+      .agg(collect_list(struct(
+        col("span_id"), col("parentObservationId"), col("span_name"), col("span_type")))
+        .as("topo"))
+    val resolve = udf {
+      (parent: String, topo: Seq[org.apache.spark.sql.Row]) =>
+        val byId = topo.map(r => r.getString(0) ->
+          (Option(r.getString(1)), r.getString(2), r.getString(3))).toMap
+        @annotation.tailrec
+        def walk(id: Option[String], hops: Int): Option[String] = id match {
+          case Some(sid) if hops < 32 =>
+            byId.get(sid) match {
+              case Some((p, name, tpe)) =>
+                if (tpe == "SPAN") Some(name.stripPrefix("Sub-agent: ").trim)
+                else walk(p, hops + 1)
+              case None => None
+            }
+          case _ => None
+        }
+        walk(Option(parent), 0).orNull
+    }
+    gens.join(topo, Seq("trace_id"), "left")
+      .withColumn("agent_name", resolve(col("parentObservationId"), col("topo")))
+      .drop("topo")
+  }
+
+  /** The record-local conversion: strip system docs, extract tool calls
+    * from assistant turns, re-role tool results with FIFO/by-name id
+    * pairing (J5 — deliberately a sequential fold so row order inside the
+    * record is preserved), derive finish_reason from the output turn. */
+  def toRecords(spark: SparkSession, gens: DataFrame): Dataset[ChatRecord] = {
+    import spark.implicits._
+    gens.select(
+      col("trace_id"), col("span_id"), col("agent_name"),
+      col("input"), col("output.content").as("out_content"))
+      .as[(String, String, Option[String], Seq[SpanMessage], Option[String])]
+      .map { case (traceId, spanId, agentName, input, outContent) =>
+        var ordinal = 0
+        def nextId(): String = { val id = callId(traceId, spanId, ordinal); ordinal += 1; id }
+
+        // pass 1: per-turn transforms
+        val staged = input.map { m =>
+          m.role match {
+            case "system" =>
+              ChatMessage("system", Some(TextOps.stripSysPromptSections(m.content)),
+                Seq.empty, None, None)
+            case "assistant" =>
+              val (clean, calls) = NexXml.extractToolCalls(m.content, nextId _)
+              ChatMessage("assistant", Some(clean), calls.map(_.toJson), None, None)
+            case _ =>
+              ChatMessage(m.role, Some(m.content), Seq.empty, None, None)
+          }
+        }
+
+        // pass 2: J5 pairing — queue of pending calls, matched by name
+        // first, else FIFO; unmatched results get a fresh id.
+        val pending = scala.collection.mutable.Queue.empty[(String, String)]
+        val IdName = "\"id\": \"([^\"]+)\".*?\"name\": \"([^\"]+)\"".r
+        val paired = staged.flatMap { m =>
+          if (m.role == "assistant" && m.tool_calls.nonEmpty) {
+            m.tool_calls.foreach { tc =>
+              IdName.findFirstMatchIn(tc).foreach(x =>
+                pending.enqueue((x.group(1), x.group(2))))
+            }
+            Seq(m)
+          } else if (m.role == "user" &&
+            m.content.exists(_.startsWith("Tool execution results:"))) {
+            val results = NexXml.parseToolResults(m.content.get)
+            if (results.isEmpty) {
+              val id = if (pending.nonEmpty) pending.dequeue()._1 else nextId()
+              Seq(ChatMessage("tool", Some(
+                m.content.get.replace("Tool execution results:", "").trim),
+                Seq.empty, Some(id), Some("unknown_tool")))
+            } else results.map { case (name, res) =>
+              val idx = pending.indexWhere(_._2 == name)
+              val id =
+                if (idx >= 0) { val e = pending(idx); pending.remove(idx); e._1 }
+                else if (pending.nonEmpty) pending.dequeue()._1
+                else nextId()
+              ChatMessage("tool", Some(res), Seq.empty, Some(id), Some(name))
+            }
+          } else Seq(m)
+        }
+
+        // output turn: extraction + finish_reason (F9)
+        val (outClean, outCalls) = outContent
+          .map(NexXml.extractToolCalls(_, nextId _))
+          .getOrElse(("", Vector.empty))
+        val response = ChatMessage("assistant",
+          if (outClean.nonEmpty) Some(outClean) else None,
+          outCalls.map(_.toJson), None, None)
+        val finishReason = if (outCalls.nonEmpty) "tool_calls" else "stop"
+
+        val allMessages = paired :+ response
+        val valid = input.forall(m =>
+          m.role != "assistant" || XmlValidator.isValid(m.content)) &&
+          outContent.forall(XmlValidator.isValid)
+
+        ChatRecord(traceId, spanId, agentName, allMessages, finishReason,
+          allMessages.map(_.tool_calls.size).sum, valid)
+      }
+  }
+
+  /** Full DAG, P2 meta-drop included. */
+  def convert(spark: SparkSession, spans: DataFrame): Dataset[ChatRecord] = {
+    val gens = withAgentNames(spark, lastGenerations(spans), spans)
+    import spark.implicits._
+    toRecords(spark, gens).filter($"agent_name".isNull || $"agent_name" =!= "meta")
+  }
+}

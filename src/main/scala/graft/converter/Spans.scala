@@ -1,0 +1,126 @@
+package graft.converter
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Span data model: one Langfuse-style observation per row (schema per
+  * FIXTURES.md §A1; behavioral reference `langfuse_utils.py:105-125`).
+  * Explicit StructType + PERMISSIVE corrupt-record handling reproduces the
+  * reference's skip-bad-line tolerance (S1) with columnar pruning.
+  */
+final case class SpanMessage(role: String, content: String)
+
+final case class Span(
+    trace_id: String,
+    span_id: String,
+    span_type: String,
+    span_name: String,
+    model: Option[String],
+    input: Seq[SpanMessage],
+    output: Option[SpanMessage],
+    startTime: Option[String],
+    parentObservationId: Option[String],
+    level: Int)
+
+object Spans extends Serializable {
+
+  val GenerationMarker = "OpenAI-generation"
+
+  val messageType: StructType = StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("trace_id", StringType),
+    StructField("span_id", StringType),
+    StructField("span_type", StringType),
+    StructField("span_name", StringType),
+    StructField("model", StringType),
+    StructField("input", ArrayType(messageType)),
+    StructField("output", messageType),
+    StructField("startTime", StringType),
+    StructField("parentObservationId", StringType),
+    StructField("level", IntegerType),
+    StructField("_corrupt_record", StringType)))
+
+  /** S1: span-per-line JSONL reader, tolerant of bad lines. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+
+  /** Deterministic span synthesis from the `documents` table — the test
+    * corpus for the converter DAG (the driver provides no span parquet).
+    * Each document becomes one trace:
+    *   - an agent SPAN (name "meta" for every 5th doc → exercises the P2
+    *     drop; otherwise "Sub-agent: <lang>_agent" → exercises prefix strip),
+    *   - two GENERATION spans under it with increasing startTime
+    *     (exercises A1 last-per-group),
+    *   - input = [system(with tool docs), user, assistant(tool_use XML),
+    *     user("Tool execution results:...")] (exercises F5/F3/J5),
+    *   - output = assistant content with a tool_use (and a parallel block
+    *     on every 3rd doc) built from the document's own tokens.
+    */
+  def synthesize(spark: SparkSession, dir: String): Dataset[Span] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .flatMap { case (docId, text, lang) =>
+        val toks = text.split(" ")
+        def tok(i: Int): String = toks(i % toks.length)
+        val trace = s"trace_$docId"
+        val agentSpan = s"span_${docId}_agent"
+        val agentName = if (docId % 5 == 0) "meta" else s"Sub-agent: ${lang}_agent"
+
+        val sysPrompt =
+          s"""You are ${lang}_agent, a helpful assistant.
+             |<TOOL_DEFINITIONS_START>
+             |Tool: search — finds ${tok(0)}.
+             |<TOOL_DEFINITIONS_END>
+             |## Available Sub-Agents
+             |- ${lang}_helper
+             |When you use tools or sub-agents, emit NexAU XML.
+             |
+             |IMPORTANT: answer faithfully.""".stripMargin
+        val toolUse =
+          s"""<tool_use>
+             |<tool_name>search</tool_name>
+             |<parameter>
+             |<query>${tok(1)} ${tok(2)}</query>
+             |<limit>5</limit>
+             |</parameter>
+             |</tool_use>""".stripMargin
+        val toolResults =
+          s"""Tool execution results:
+             |<tool_result><tool_name>search</tool_name><result>found ${tok(3)}</result></tool_result>""".stripMargin
+        val parallelBlock =
+          s"""<use_parallel_tool_calls>
+             |<parallel_tool><tool_name>fetch</tool_name><parameter><url>${tok(4)}</url></parameter></parallel_tool>
+             |<parallel_tool><tool_name>rank</tool_name><parameter><k>3</k></parameter></parallel_tool>
+             |</use_parallel_tool_calls>""".stripMargin
+        val outContent =
+          if (docId % 3 == 0) s"Working on ${tok(5)}.\n$parallelBlock"
+          else s"Done: ${tok(5)}.\n$toolUse"
+
+        val input = Seq(
+          SpanMessage("system", sysPrompt),
+          SpanMessage("user", s"Please research: ${toks.take(8).mkString(" ")}"),
+          SpanMessage("assistant", s"Starting.\n$toolUse"),
+          SpanMessage("user", toolResults))
+
+        Seq(
+          Span(trace, agentSpan, "SPAN", agentName, None, Seq.empty, None,
+            Some(f"2025-01-01T00:00:00.${docId % 1000}%03dZ"), None, 0),
+          Span(trace, s"span_${docId}_gen_a", "GENERATION", GenerationMarker,
+            Some("nex-1"), input, Some(SpanMessage("assistant", s"draft ${tok(6)}")),
+            Some("2025-01-01T00:01:00.000Z"), Some(agentSpan), 1),
+          Span(trace, s"span_${docId}_gen_b", "GENERATION", GenerationMarker,
+            Some("nex-1"), input, Some(SpanMessage("assistant", outContent)),
+            Some("2025-01-01T00:02:00.000Z"), Some(agentSpan), 1))
+      }
+  }
+}

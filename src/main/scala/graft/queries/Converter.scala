@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.converter.{SpanConverter, Spans}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The converter DAG exposed through the driver contract. Spans are
+  * synthesized deterministically from `documents` (the driver ships no span
+  * parquet), so results are stable across runs; correctness of the text
+  * semantics is pinned by the ScalaTest suites over graft.core.text — these
+  * registry entries carry rows-only checks (no SQL-expressible oracle).
+  */
+object Converter {
+
+  /** Q40: full spans → ChatCompletion conversion (P1→A1→J3→F5/F3/J5→P2).
+    * One row per converted training record. */
+  private val q40 = GraftQuery(
+    "q40_convert_spans",
+    (spark, dir) => {
+      val records = SpanConverter.convert(spark, Spans.synthesize(spark, dir).toDF)
+      records.select(
+        col("trace_id"), col("span_id"), col("agent_name"),
+        col("finish_reason"), col("n_tool_calls"),
+        size(col("messages")).as("n_messages"), col("valid"))
+        .orderBy("trace_id", "span_id")
+    },
+    None,
+    headline = true)
+
+  /** Q41: agent distribution over converted records (A3,
+    * `convert_spans_to_chatcompletion.py:1857-1877`). */
+  private val q41 = GraftQuery(
+    "q41_agent_distribution",
+    (spark, dir) =>
+      SpanConverter.convert(spark, Spans.synthesize(spark, dir).toDF)
+        .groupBy("agent_name", "finish_reason")
+        .count()
+        .orderBy("agent_name", "finish_reason"),
+    None)
+
+  /** Q42: XML quality gate (P9/F13) over synthesized assistant content —
+    * valid/invalid counts + first error kinds, the A4 stats rollup. */
+  private val q42 = GraftQuery(
+    "q42_xml_validation_stats",
+    (spark, dir) => {
+      TextFunctions.register(spark)
+      Spans.synthesize(spark, dir).toDF
+        .filter(col("output.content").isNotNull)
+        .select(col("trace_id"),
+          expr("xml_valid(output.content)").as("valid"),
+          expr("size(xml_errors(output.content))").as("n_errors"))
+        .groupBy("valid")
+        .agg(count(lit(1)).as("n_spans"), sum(col("n_errors")).as("total_errors"))
+        .orderBy("valid")
+    },
+    None)
+
+  /** Q43: dialect rewriting (F11/F12) — every synthesized assistant output
+    * re-emitted in each target dialect; md5 over the result pins the exact
+    * bytes without storing them. */
+  private val q43 = GraftQuery(
+    "q43_dialect_convert",
+    (spark, dir) => {
+      TextFunctions.register(spark)
+      val dialects = Seq("qwen", "minimax", "glm", "openrouter", "deepseek")
+      Spans.synthesize(spark, dir).toDF
+        .filter(col("span_id").endsWith("_gen_b"))
+        .select(col("trace_id") +:
+          dialects.map(d =>
+            md5(expr(s"convert_dialect(output.content, '$d')")).as(s"${d}_md5")): _*)
+        .orderBy("trace_id")
+    },
+    None)
+
+  /** Q44: difficulty-answer parsing (F16) as a generator — one row per
+    * parsed (difficulty, content) pair from a synthetic LLM response. */
+  private val q44 = GraftQuery(
+    "q44_parse_difficulty",
+    (spark, dir) => {
+      TextFunctions.register(spark)
+      Tables.documents(spark, dir)
+        .withColumn("resp", concat(
+          lit("**EASY:** easy about "), col("doc_id"),
+          lit("\n**MEDIUM:** medium about "), col("lang"),
+          lit("\n**HARD:** hard "), substring(col("text"), 1, 20)))
+        .select(col("doc_id"),
+          explode(expr("parse_difficulty(resp)")).as("q"))
+        .select(col("doc_id"), col("q._1").as("difficulty"), col("q._2").as("content"))
+        .orderBy("doc_id", "difficulty")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44)
+}

@@ -1,0 +1,71 @@
+package graft.converter
+
+import graft.SparkSpec
+
+/** End-to-end checks of the spans → ChatCompletion DAG over the
+  * deterministic synthetic corpus (sf0.001). */
+class SpanConverterSpec extends SparkSpec {
+
+  private lazy val spans = Spans.synthesize(spark, sfDir).toDF.cache()
+  private lazy val records = SpanConverter.convert(spark, spans).cache()
+
+  test("one record per non-meta trace; gen_b (the last generation) wins") {
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    val metaDocs = (0L until docs).count(_ % 5 == 0)
+    assert(records.count() == docs - metaDocs)
+    import spark.implicits._
+    assert(records.map(_.span_id).collect().forall(_.endsWith("_gen_b")),
+      "A1 must keep the chronologically-last generation per parent group")
+  }
+
+  test("agent attribution strips the Sub-agent prefix and drops meta") {
+    import spark.implicits._
+    val agents = records.map(_.agent_name.getOrElse("?")).distinct().collect()
+    assert(agents.forall(a => a.endsWith("_agent") && !a.startsWith("Sub-agent:")))
+    assert(!agents.contains("meta"))
+  }
+
+  test("tool results are re-roled and paired to their call ids") {
+    val rec = records.head()
+    val toolMsgs = rec.messages.filter(_.role == "tool")
+    assert(toolMsgs.nonEmpty)
+    val assistantCallIds = rec.messages
+      .filter(_.role == "assistant")
+      .flatMap(_.tool_calls)
+      .flatMap("\"id\": \"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+    toolMsgs.foreach { tm =>
+      assert(tm.tool_call_id.isDefined)
+      assert(assistantCallIds.contains(tm.tool_call_id.get),
+        "tool_call_id must reference an emitted assistant call")
+      assert(tm.name.contains("search"))
+    }
+  }
+
+  test("finish_reason reflects output tool calls") {
+    import spark.implicits._
+    val byReason = records.map(r => (r.finish_reason, r.span_id)).collect()
+    // every synthesized gen_b output contains a call block => tool_calls
+    assert(byReason.forall(_._1 == "tool_calls"))
+  }
+
+  test("system prompts had their tool docs stripped") {
+    val sys = records.head().messages.find(_.role == "system").get
+    assert(!sys.content.get.contains("TOOL_DEFINITIONS_START"))
+    assert(sys.content.get.contains("helpful assistant"))
+  }
+
+  test("call ids are deterministic across runs") {
+    import spark.implicits._
+    val again = SpanConverter.convert(spark, Spans.synthesize(spark, sfDir).toDF)
+    def callsOf(ds: org.apache.spark.sql.Dataset[SpanConverter.ChatRecord]) =
+      ds.filter($"trace_id" === "trace_1").head().messages.flatMap(_.tool_calls)
+    val a = callsOf(records)
+    val b = callsOf(again)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("validator accepts the synthesized corpus") {
+    import spark.implicits._
+    assert(records.map(_.valid).collect().forall(identity))
+  }
+}
