@@ -52,12 +52,26 @@ object Dedup {
   private val q30 = GraftQuery(
     "q30_minhash_lsh_dedup",
     (spark, dir) => {
-      val sh = shingleDf(spark, dir)
-      val sigCols = (0 until 12).map(s =>
-        array_min(transform(col("sh"), x => md5(concat(lit(s"$s:"), x)))).as(s"h$s"))
-      val sigs = sh.select(col("doc_id") +: sigCols: _*)
+      // Exchange barriers matter here: the minhash/band expressions are
+      // higher-order functions (no codegen) and CollapseProject would
+      // otherwise inline the whole shingle build into each of the 12
+      // signature columns — a 12x recompute. repartition(doc_id)
+      // materializes each stage once; the verify joins below then reuse
+      // the same exchange for both pair sides.
+      val sh = shingleDf(spark, dir).repartition(col("doc_id"))
+      // all 12 minhashes in ONE pass over the shingles: fold with a
+      // 12-slot least() accumulator ("g" sorts after every md5 hex char)
+      val sigsArr = aggregate(
+        col("sh"),
+        array_repeat(lit("g"), 12),
+        (acc, x) => zip_with(acc, sequence(lit(0), lit(11)),
+          (a, j) => least(a, md5(concat(j.cast("string"), lit(":"), x)))))
+      val sigs = sh.select(col("doc_id"), sigsArr.as("sigs"))
+        .repartition(col("doc_id"))
       val bandCols = (0 until 4).map(b =>
-        md5(concat(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}"))).as(s"b$b"))
+        md5(concat(element_at(col("sigs"), 3 * b + 1),
+          element_at(col("sigs"), 3 * b + 2),
+          element_at(col("sigs"), 3 * b + 3))).as(s"b$b"))
       val bands = sigs.select(col("doc_id") +: bandCols: _*)
         .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"b$b")): _*)))
         .toDF("doc_id", "band", "sig")
@@ -119,14 +133,20 @@ object Dedup {
   private val q31 = GraftQuery(
     "q31_simhash_dedup",
     (spark, dir) => {
-      val bit = (j: Int) =>
-        when(
-          aggregate(col("hs"), lit(0), (acc, h) =>
-            acc + when(substring(h, j + 1, 1) >= "8", 1).otherwise(-1)) > 0,
-          "1").otherwise("0")
+      // one fold computes all 32 bit-votes (see q30 for why: higher-order
+      // exprs are interpreted, and per-bit columns would each recompute
+      // the shingle hashes under CollapseProject)
+      val votes = aggregate(
+        col("hs"),
+        array_repeat(lit(0), 32),
+        (acc, h) => zip_with(acc, sequence(lit(1), lit(32)),
+          (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
+      val fp = aggregate(votes, lit(""),
+        (s, v) => concat(s, when(v > 0, "1").otherwise("0")))
       val fps = shingleDf(spark, dir)
         .select(col("doc_id"), transform(col("sh"), sh => md5(sh)).as("hs"))
-        .select(col("doc_id"), concat((0 until 32).map(bit): _*).as("fp"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), fp.as("fp"))
         .withColumn("bucket", substring(col("fp"), 1, 16))
       val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
         acc + when(col("a.fp").substr(i, lit(1)) =!= col("b.fp").substr(i, lit(1)), 1)
