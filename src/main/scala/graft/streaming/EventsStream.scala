@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingest of the `events` table (SURVEY.md §2.9 — the
+  * reference is pure batch; this is the engine's streaming generalization
+  * of its incremental-append + delayed-fetch patterns). The transforms are
+  * the streaming twins of batch queries q13 (hourly windows) and q15
+  * (sessionization), so batch/stream parity is testable.
+  *
+  * Scale shape: the windowed agg shuffles on (window, event_type) with
+  * partial aggregation and watermark-bounded state; sessionization state
+  * is one small record per active user key, dropped via event-time
+  * timeout.
+  */
+object EventsStream {
+
+  final case class EventRow(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      sessionSeq: Long, startUs: Long, lastUs: Long, nEvents: Long)
+
+  final case class SessionOut(
+      user_id: Long, session_seq: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp, closed_by_timeout: Boolean)
+
+  val GapUs: Long = 1800L * 1000000L // 30 min, same gap as batch q15
+
+  /** File-source streaming read over a landing DIRECTORY of events parquet
+    * files (the file source tails a directory; new files become
+    * micro-batches). ns timestamps are read as long then truncated to µs,
+    * as in graft.Tables.events. */
+  def readEvents(spark: SparkSession, landingDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(landingDir).schema
+    spark.readStream.schema(schema)
+      .parquet(landingDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window aggregation with a 1-hour watermark — the
+    * streaming twin of batch q13 (same grouping, same exact integer sum). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_milli"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_milli"))
+
+  /** Gap-based sessionization over a stream: state per user carries the
+    * open session; a > 30 min gap closes it (emitting the closed session),
+    * and an event-time timeout at watermark + gap closes idle sessions.
+    * Emissions are append-mode — each session is output exactly once. */
+  def sessionize(events: Dataset[EventRow]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[EventRow],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def toOut(s: SessionState, timedOut: Boolean) = SessionOut(
+        userId, s.sessionSeq, s.nEvents,
+        new Timestamp(s.startUs / 1000), new Timestamp(s.lastUs / 1000), timedOut)
+
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toOut(_, timedOut = true)).toIterator
+        state.remove()
+        out
+      } else {
+        val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val closed = Vector.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000
+          cur match {
+            case Some(s) if us - s.lastUs <= GapUs =>
+              cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+            case Some(s) =>
+              closed += toOut(s, timedOut = false)
+              cur = Some(SessionState(s.sessionSeq + 1, us, us, 1))
+            case None =>
+              cur = Some(SessionState(1, us, us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close the session once the event-time watermark passes last+gap
+          state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Run the hourly aggregation over all currently-available files into an
+    * in-memory table (Trigger.AvailableNow) and block until done. */
+  def runHourlyToMemory(spark: SparkSession, landingDir: String, tableName: String): Unit = {
+    val q = hourlyAgg(readEvents(spark, landingDir))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
