@@ -1,0 +1,96 @@
+package graft.plans
+
+import graft.core.text.XmlValidator
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ScalaUDF, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the XML quality gate (SURVEY.md §4
+  * "custom Catalyst surface"): unlike the `xml_valid` ScalaUDF, this
+  * participates in whole-stage codegen — the generated Java calls the
+  * static validator directly, with no encoder round-trip per row. The
+  * validator itself (graft.core.text.XmlValidator) is the same pure
+  * function either way, so UDF and native results are identical by
+  * construction.
+  */
+case class XmlValid(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "xml_valid_native"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  // null content is invalid content (false), matching the xml_valid UDF's
+  // null handling — required for RewriteXmlValidUdf to preserve semantics
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && XmlValidator.isValid(v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} = !${c.isNull} &&
+          graft.core.text.XmlValidator.isValid(${c.value}.toString());""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): XmlValid =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: rewrite the registered `xml_valid` ScalaUDF into the
+  * codegen-capable [[XmlValid]] expression wherever it appears. This is the
+  * UDF-to-native pattern: queries keep the portable UDF spelling, the
+  * optimizer upgrades the physical plan.
+  */
+object RewriteXmlValidUdf extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case udf: ScalaUDF if udf.udfName.contains("xml_valid") && udf.children.size == 1 =>
+        XmlValid(udf.children.head)
+    }
+}
+
+/** Session-extension entry point: `spark.sql.extensions=graft.plans.
+  * GraftExtensions` on a cluster, or [[GraftExtensions.install]] on an
+  * already-built session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteXmlValidUdf)
+    ext.injectFunction(GraftExtensions.functionDescription)
+  }
+}
+
+object GraftExtensions {
+
+  private[plans] val functionDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("xml_valid_native"),
+    new ExpressionInfo(classOf[XmlValid].getName, "xml_valid_native"),
+    (children: Seq[Expression]) => XmlValid(children.head))
+
+  /** Imperative install on an existing session. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteXmlValidUdf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteXmlValidUdf
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xml_valid_native", children => XmlValid(children.head), "scala_udf")
+  }
+}

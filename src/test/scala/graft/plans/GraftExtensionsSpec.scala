@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.functions._
+
+/** Native-expression and optimizer-rule checks. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private val samples = Seq(
+    "<tool_use><tool_name>t</tool_name><parameter><a>1</a></parameter></tool_use>",
+    "<tool_use><tool_name>t</tool_name></tool_use>", // missing parameter
+    "plain text, no xml",
+    "<a><b></a>", // mismatch
+    null)
+
+  test("native expression agrees with the UDF on every sample") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    GraftExtensions.install(spark)
+    val df = samples.toDF("content")
+    val both = df.select(
+      expr("xml_valid(content)").as("viaUdf"),
+      expr("xml_valid_native(content)").as("viaNative")).collect()
+    both.foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+
+  test("optimizer rule rewrites the UDF into the codegen expression") {
+    TextFunctions.register(spark)
+    GraftExtensions.install(spark)
+    // a file-backed plan — a LocalRelation would be constant-folded away
+    // before the rewrite is observable
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(concat(lit("<d>"), col("text"), lit("</d>")).as("content"))
+      .filter(expr("xml_valid(content)"))
+    val optimized = df.queryExecution.optimizedPlan
+    def anyExpr(f: org.apache.spark.sql.catalyst.expressions.Expression => Boolean) =
+      optimized.collect { case n => n.expressions.exists(_.exists(f)) }.exists(identity)
+    val hasNative = anyExpr(_.isInstanceOf[XmlValid])
+    val hasUdf = anyExpr {
+      case u: ScalaUDF => u.udfName.contains("xml_valid")
+      case _ => false
+    }
+    assert(hasNative, s"expected XmlValid in:\n$optimized")
+    assert(!hasUdf, s"ScalaUDF should have been rewritten:\n$optimized")
+    // and the rewritten plan still computes the right answer: <d>...</d>
+    // wrapping is balanced unless the text itself contains stray tags
+    val expected = graft.Tables.documents(spark, sfDir)
+      .select(concat(lit("<d>"), col("text"), lit("</d>")).as("content")).collect()
+      .count(r => graft.core.text.XmlValidator.isValid(r.getString(0)))
+    assert(df.count() == expected)
+  }
+
+  test("expression survives whole-stage codegen") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val n = spark.range(200)
+      .select(concat(lit("<a>"), col("id"), lit("</a>")).as("content"))
+      .filter(expr("xml_valid_native(content)"))
+      .count()
+    assert(n == 200)
+  }
+}
