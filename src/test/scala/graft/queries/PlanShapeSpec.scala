@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions — the properties that keep these queries
+  * viable at 100 TB must hold in the plan, not just in intent: filters
+  * reach the parquet scan, dimension joins broadcast, top-k never does a
+  * global sort, and sessionization's two windows + groupBy share one
+  * shuffle.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(name: String): String = plan(name).toString
+
+  /** hash-partitioned shuffles only (the final presentation ORDER BY adds
+    * one range exchange that a sink would not need). */
+  private def countHashShuffles(p: SparkPlan): Int =
+    "Exchange hashpartitioning".r.findAllIn(p.toString).length
+
+  test("q02: predicate and projection are pushed into the parquet scan") {
+    val s = planString("q02_filter_project")
+    assert(s.contains("PushedFilters: ["), s"no pushed filters in:\n$s")
+    assert(s.contains("IsNotNull(event_type)") || s.contains("EqualTo(event_type"),
+      s"event_type filter not pushed:\n$s")
+    // projection pruning: the scan must not read props (unused 6th column)
+    assert(!s.contains("ReadSchema") || !s.split("ReadSchema")(1).take(300).contains("props"),
+      s"props column not pruned:\n$s")
+  }
+
+  test("q04: dimension joins broadcast (no shuffle of the fact side)") {
+    val s = planString("q04_region_suppliers")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$s")
+  }
+
+  test("q09: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val s = planString("q09_top_orders")
+    assert(s.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$s")
+  }
+
+  test("q15: both windows and the groupBy share a single shuffle") {
+    // lag + running-sum windows and the session groupBy all key on
+    // user_id; Catalyst must not re-exchange between them
+    val n = countHashShuffles(plan("q15_sessionize"))
+    assert(n == 1, s"expected exactly 1 hash shuffle, got $n")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val s = planString("q01_pricing_summary")
+    assert(s.contains("HashAggregate"), s)
+    // partial + final pair => the string contains two HashAggregate nodes
+    assert(s.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"expected partial+final aggregation:\n$s")
+  }
+
+  test("q34: the query side is broadcast (brute-force scan stays narrow)") {
+    val s = planString("q34_knn_bruteforce")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"expected the 20-vector query side broadcast:\n$s")
+  }
+}
