@@ -1,0 +1,89 @@
+package graft.gyrfalcon
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Problem-type tree data-plane (SURVEY.md §2.5): the reference keeps a
+  * recursive bilingual taxonomy in JSON (`tree_manager.py:39-171`) guarded
+  * by file locks; here the tree is parsed once on the driver (trees are
+  * tiny — ≤ a few thousand nodes) and flattened into a root→leaf `paths`
+  * DataFrame that every sampling/stats operator runs against. Mutation
+  * (R7 expansion) is epoch-merged instead of lock-reload-save: proposals
+  * are validated with an anti-join and unioned in, which is associative
+  * and therefore safe under any execution order.
+  */
+object Tree extends Serializable {
+
+  final case class Node(id: String, en: String, zh: String, children: Seq[Node])
+
+  final case class PathRow(path_id: String, depth: Int, ids: Seq[String], labels: Seq[String])
+
+  /** S6: parse a `{"framework": ..., "tree": {...}}` document (driver-side
+    * recursion; Jackson ships with Spark). */
+  def parse(json: String): Node = {
+    val root = new ObjectMapper().readTree(json)
+    val tree = if (root.has("tree")) root.get("tree") else root
+    def walk(n: JsonNode): Node = Node(
+      Option(n.get("id")).map(_.asText).getOrElse(""),
+      Option(n.get("en")).map(_.asText).getOrElse(""),
+      Option(n.get("zh")).map(_.asText).getOrElse(""),
+      Option(n.get("children")).map(c =>
+        (0 until c.size).map(i => walk(c.get(i)))).getOrElse(Seq.empty))
+    walk(tree)
+  }
+
+  /** Enumerate every root→leaf path. */
+  def enumeratePaths(root: Node): Seq[PathRow] = {
+    def walk(n: Node, ids: Vector[String], labels: Vector[String]): Seq[PathRow] = {
+      val ids2 = ids :+ n.id
+      val labels2 = labels :+ n.en
+      if (n.children.isEmpty) Seq(PathRow(ids2.mkString("/"), ids2.length, ids2, labels2))
+      else n.children.flatMap(walk(_, ids2, labels2))
+    }
+    walk(root, Vector.empty, Vector.empty)
+  }
+
+  /** Paths as a DataFrame — the sampling/statistics substrate. */
+  def pathsDf(spark: SparkSession, root: Node): DataFrame = {
+    import spark.implicits._
+    enumeratePaths(root).toDF
+  }
+
+  /** A6: tree statistics over the paths frame (single-pass agg; the node
+    * count needs a generator, see [[nodeCount]]). */
+  def stats(paths: DataFrame): DataFrame =
+    paths.agg(
+      count(lit(1)).as("total_paths"),
+      max(col("depth")).as("max_depth"),
+      min(col("depth")).as("min_depth"),
+      sum(col("depth")).cast("double").divide(count(lit(1))).as("avg_depth"))
+
+  /** A6 (node count): distinct nodes across all paths. */
+  def nodeCount(paths: DataFrame): Long =
+    paths.select(explode(col("ids")).as("id")).distinct().count()
+
+  /** A7: associative sampling-stats merge — replaces the reference's
+    * fcntl-locked read-modify-write with `union ++ groupBy.sum`, correct
+    * under any parallel execution order. */
+  def mergeStats(old: DataFrame, deltas: DataFrame): DataFrame =
+    old.unionByName(deltas)
+      .groupBy(col("path_id"))
+      .agg(sum(col("count")).as("count"))
+
+  /** R7 (epoch model): validate expansion proposals (parent must exist,
+    * sibling label must be new — anti-join) and emit the accepted rows;
+    * the caller unions them into the next epoch's tree table. */
+  def validateExpansions(paths: DataFrame, proposals: DataFrame): DataFrame = {
+    val parents = paths.select(explode(col("ids")).as("parent_id")).distinct()
+    val existingLabels = paths
+      .select(explode(arrays_zip(col("ids"), col("labels"))).as("z"))
+      .select(col("z.ids").as("node_id"), col("z.labels").as("label"))
+      .distinct()
+    proposals
+      .join(parents, Seq("parent_id"), "left_semi")
+      .join(existingLabels.withColumnRenamed("label", "en"),
+        Seq("en"), "left_anti")
+      .dropDuplicates("parent_id", "en")
+  }
+}
