@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Converter, Dedup, Multimodal, Relational, Sampling, Similarity, Text, Windows}
+import graft.queries.{Advanced, Converter, Dedup, Multimodal, Relational, Sampling, Similarity, Text, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are declared once as [[GraftQuery]] values in `graft.queries.*`
@@ -11,7 +11,7 @@ import graft.queries.{Converter, Dedup, Multimodal, Relational, Sampling, Simila
 object SparkEntry {
 
   def registry: Seq[GraftQuery] =
-    Relational.all ++ Windows.all ++ Text.all ++ Dedup.all ++
+    Relational.all ++ Windows.all ++ Advanced.all ++ Text.all ++ Dedup.all ++
       Similarity.all ++ Sampling.all ++ Converter.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Set operations, pivot, exact order statistics, skew-safe aggregation,
+  * and sketches — the remaining relational surface plus the scale patterns
+  * (salting, two-phase aggregation) a 100 TB deployment leans on.
+  */
+object Advanced {
+
+  /** Q70: set operations — customers with any order INTERSECT high-balance
+    * customers, EXCEPT recent purchasers. Set ops compile to semi/anti
+    * joins + distinct; keys shuffle once each. */
+  private val q70 = GraftQuery(
+    "q70_set_ops",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey")
+      val highBal = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val recent = c.join(
+        o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        c("c_custkey") === o("o_custkey"), "left_semi").select("c_custkey")
+      withOrders.intersect(highBal).except(recent)
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      ORDER BY c_custkey"""))
+
+  /** Q71: pivot — event counts per user bucket × event_type, spelled as
+    * conditional aggregation so the column set is static (a dynamic pivot
+    * needs a driver-side distinct pass at scale). */
+  private val q71 = GraftQuery(
+    "q71_pivot_events",
+    (spark, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      Tables.events(spark, dir)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy(col("user_bucket"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          types.map(t =>
+            sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+        .orderBy("user_bucket")
+    },
+    Some {
+      val cases = Seq("click", "view", "purchase", "error", "signup")
+        .map(t => s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t")
+        .mkString(", ")
+      s"""
+      SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket, count(*) AS n_total, $cases
+      FROM events
+      GROUP BY 1
+      ORDER BY user_bucket"""
+    })
+
+  /** Q72: exact per-group median by rank (value at ceil(n/2) in sorted
+    * order — identical in both engines, unlike interpolating percentile
+    * implementations). At 100 TB the exact form is a single window pass;
+    * approx_percentile is the cheaper alternative when error is allowed. */
+  private val q72 = GraftQuery(
+    "q72_median_price",
+    (spark, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+        .filter(col("rn") === ((col("n") + 1) / 2).cast("int"))
+        .select(col("o_orderpriority"), col("o_totalprice").as("median_price"),
+          col("n").as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, o_totalprice AS median_price, n AS n_orders
+      FROM (SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders)
+      WHERE rn = CAST((n + 1) // 2 AS INTEGER)
+      ORDER BY o_orderpriority"""))
+
+  /** Q73: two-phase (salted) aggregation — the skew-safe spelling of a
+    * groupBy on a low-cardinality hot key: partial aggregate on
+    * (key, salt), then final on key. Result provably equals the plain
+    * groupBy (the oracle IS the plain groupBy); integer sums make the
+    * equivalence exact. */
+  private val q73 = GraftQuery(
+    "q73_salted_agg",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("salt", (col("event_id") % 16).cast("int"))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(
+          count(lit(1)).as("pn"),
+          sum(floor(col("value") * 1000).cast("long")).as("pmilli"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n_events"), sum(col("pmilli")).as("sum_milli"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_milli
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Q74: distinct-count sketches — exact vs approx_count_distinct (HLL++)
+    * per event_type. The approx column has no cross-engine oracle (HLL
+    * implementations differ), so this entry is rows-only; AdvancedSpec
+    * bounds the relative error against the exact count. */
+  private val q74 = GraftQuery(
+    "q74_distinct_sketch",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74)
+}
