@@ -75,6 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteXmlValidUdf)
     ext.injectFunction(GraftExtensions.functionDescription)
+    ext.injectFunction(GraftExtensions.minhashDescription)
   }
 }
 
@@ -85,6 +86,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[XmlValid].getName, "xml_valid_native"),
     (children: Seq[Expression]) => XmlValid(children.head))
 
+  /** minhash_sigs(shingles, k) — k is a foldable int literal. */
+  private[plans] val minhashDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+    new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+    (children: Seq[Expression]) => mkMinhash(children))
+
+  private def mkMinhash(children: Seq[Expression]): Expression = {
+    require(children.size == 2 && children(1).foldable,
+      "minhash_sigs(shingles, k) requires a literal k")
+    MinHashSigs(children.head,
+      children(1).eval(InternalRow.empty).asInstanceOf[Int])
+  }
+
   /** Imperative install on an existing session. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteXmlValidUdf))
@@ -92,5 +106,7 @@ object GraftExtensions {
         spark.experimental.extraOptimizations :+ RewriteXmlValidUdf
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "xml_valid_native", children => XmlValid(children.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", mkMinhash, "scala_udf")
   }
 }

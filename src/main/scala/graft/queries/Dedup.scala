@@ -18,10 +18,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word 3-gram shingles; docs with < 3 tokens are excluded (the
-    * sequence() bound would be degenerate, mirrored in the oracle). */
+    * sequence() bound would be degenerate, mirrored in the oracle).
+    * The repartition comes FIRST: documents.parquet is one file → one scan
+    * partition, and the shingle build is an interpreted higher-order
+    * expression — building after the exchange spreads it across all
+    * cores (and downstream consumers reuse this one exchange). The
+    * partition count is explicit because AQE would coalesce a
+    * few-megabyte exchange back to one partition, re-serializing the
+    * expensive projection ABOVE it — bytes are the wrong coalesce signal
+    * when the cost lives downstream of the exchange. */
   private def shingleDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val toks = split(col("text"), " ")
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .filter(size(toks) >= 3)
       .select(
         col("doc_id"),
@@ -58,16 +68,14 @@ object Dedup {
       // signature columns — a 12x recompute. repartition(doc_id)
       // materializes each stage once; the verify joins below then reuse
       // the same exchange for both pair sides.
-      val sh = shingleDf(spark, dir).repartition(col("doc_id"))
-      // all 12 minhashes in ONE pass over the shingles: fold with a
-      // 12-slot least() accumulator ("g" sorts after every md5 hex char)
-      val sigsArr = aggregate(
-        col("sh"),
-        array_repeat(lit("g"), 12),
-        (acc, x) => zip_with(acc, sequence(lit(0), lit(11)),
-          (a, j) => least(a, md5(concat(j.cast("string"), lit(":"), x)))))
-      val sigs = sh.select(col("doc_id"), sigsArr.as("sigs"))
-        .repartition(col("doc_id"))
+      graft.plans.GraftExtensions.install(spark)
+      val sh = shingleDf(spark, dir)
+      // all 12 minhashes in one compiled pass (graft.plans.MinHashSigs —
+      // the higher-order-function spelling runs interpreted and was the
+      // bench hotspot; semantics are identical to the oracle's
+      // list_min(list_transform(...)))
+      val sigs = sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       val bandCols = (0 until 4).map(b =>
         md5(concat(element_at(col("sigs"), 3 * b + 1),
           element_at(col("sigs"), 3 * b + 2),
@@ -145,7 +153,7 @@ object Dedup {
         (s, v) => concat(s, when(v > 0, "1").otherwise("0")))
       val fps = shingleDf(spark, dir)
         .select(col("doc_id"), transform(col("sh"), sh => md5(sh)).as("hs"))
-        .repartition(col("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), fp.as("fp"))
         .withColumn("bucket", substring(col("fp"), 1, 16))
       val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
