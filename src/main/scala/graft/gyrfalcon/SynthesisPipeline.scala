@@ -1,0 +1,69 @@
+package graft.gyrfalcon
+
+import graft.core.text.TextOps
+import graft.services.ServiceClient
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Gyrfalcon query-synthesis data plane as one Spark job
+  * (SURVEY.md §3.1): N generation rounds flow as rows through
+  * sample → enrich → LLM (X1, behind [[ServiceClient]]) → parse (F16) →
+  * difficulty-select (R5) → output. The reference forks a process pool and
+  * re-creates all components per worker; here rounds are just rows and the
+  * LLM stage is `mapPartitions` with one client per partition.
+  */
+object SynthesisPipeline extends Serializable {
+
+  final case class Round(round_id: Long, path_id: String, persona: String)
+
+  final case class QueryRecord(
+      round_id: Long,
+      path_id: String,
+      persona: String,
+      difficulty: String,
+      query: String)
+
+  /** Assemble rounds: deterministic path + persona assignment per round
+    * (R1/R3 — hash-uniform picks over broadcast-small path/persona sets). */
+  def rounds(spark: SparkSession, paths: Seq[String], personas: Seq[String], n: Int): Dataset[Round] = {
+    import spark.implicits._
+    val pathsB = spark.sparkContext.broadcast(paths.toIndexedSeq)
+    val persB = spark.sparkContext.broadcast(personas.toIndexedSeq)
+    spark.range(n).map { i =>
+      val u = graft.converter.SpanConverter.callId("round", i.toString, 0)
+      val pIdx = math.abs(u.hashCode) % pathsB.value.size
+      val perIdx = math.abs((u + "p").hashCode) % persB.value.size
+      Round(i, pathsB.value(pIdx), persB.value(perIdx))
+    }
+  }
+
+  /** X1 + F16 + R5 in one partition-local pass: call the (stubbed) LLM once
+    * per round, parse the difficulty-tagged variants, keep the one selected
+    * by the round's seeded categorical draw (.2/.5/.3). */
+  def synthesize(roundsDs: Dataset[Round], client: ServiceClient): Dataset[QueryRecord] = {
+    import roundsDs.sparkSession.implicits._
+    roundsDs.mapPartitions { it =>
+      it.flatMap { r =>
+        val prompt = s"Generate 3 queries for persona [${r.persona}] on topic [${r.path_id}]"
+        val parsed = TextOps.parseDifficultyAnswers(client.complete(prompt))
+        if (parsed.isEmpty) None
+        else {
+          // R5: deterministic categorical draw over easy .2 / medium .5 / hard .3
+          val u = (java.lang.Long.parseLong(
+            graft.converter.SpanConverter.callId("diff", r.round_id.toString, 0)
+              .drop(5).take(8), 16).toDouble) / 4294967296.0
+          val want = if (u < 0.2) "easy" else if (u < 0.7) "medium" else "hard"
+          val pick = parsed.find(_._1 == want).getOrElse(parsed.head)
+          Some(QueryRecord(r.round_id, r.path_id, r.persona, pick._1, pick._2))
+        }
+      }
+    }
+  }
+
+  /** A5: run statistics — difficulty and path distributions. */
+  def statistics(records: Dataset[QueryRecord]): DataFrame =
+    records.toDF
+      .groupBy(col("difficulty"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("path_id")).as("n_paths"))
+      .orderBy("difficulty")
+}

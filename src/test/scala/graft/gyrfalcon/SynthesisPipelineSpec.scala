@@ -1,0 +1,41 @@
+package graft.gyrfalcon
+
+import graft.SparkSpec
+import graft.services.StubServiceClient
+
+/** End-to-end offline synthesis pipeline checks (X1 stubbed). */
+class SynthesisPipelineSpec extends SparkSpec {
+
+  private val paths = Seq("root/a/a1", "root/a/a2", "root/b")
+  private val personas = Seq("nurse", "analyst", "teacher")
+
+  test("100 rounds produce 100 parseable query records, deterministically") {
+    val r = SynthesisPipeline.rounds(spark, paths, personas, 100)
+    val a = SynthesisPipeline.synthesize(r, StubServiceClient).collect().sortBy(_.round_id)
+    assert(a.length == 100)
+    a.foreach { q =>
+      assert(Set("easy", "medium", "hard")(q.difficulty))
+      assert(q.query.nonEmpty)
+      assert(paths.contains(q.path_id) && personas.contains(q.persona))
+    }
+    val b = SynthesisPipeline.synthesize(r, StubServiceClient).collect().sortBy(_.round_id)
+    assert(a.map(_.query).sameElements(b.map(_.query)), "pipeline must be deterministic")
+  }
+
+  test("difficulty selection tracks the .2/.5/.3 distribution") {
+    val r = SynthesisPipeline.rounds(spark, paths, personas, 500)
+    val recs = SynthesisPipeline.synthesize(r, StubServiceClient)
+    val byDiff = recs.collect().groupBy(_.difficulty).view.mapValues(_.length).toMap
+    assert(math.abs(byDiff.getOrElse("medium", 0) / 500.0 - 0.5) < 0.12)
+    assert(math.abs(byDiff.getOrElse("easy", 0) / 500.0 - 0.2) < 0.1)
+    assert(math.abs(byDiff.getOrElse("hard", 0) / 500.0 - 0.3) < 0.1)
+  }
+
+  test("statistics frame aggregates per difficulty") {
+    val r = SynthesisPipeline.rounds(spark, paths, personas, 60)
+    val stats = SynthesisPipeline.statistics(
+      SynthesisPipeline.synthesize(r, StubServiceClient)).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == 60)
+    stats.foreach(row => assert(row.getAs[Long]("n_paths") <= paths.length))
+  }
+}
