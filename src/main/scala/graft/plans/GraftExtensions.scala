@@ -76,6 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteXmlValidUdf)
     ext.injectFunction(GraftExtensions.functionDescription)
     ext.injectFunction(GraftExtensions.minhashDescription)
+    ext.injectFunction(GraftExtensions.dotFoldDescription)
   }
 }
 
@@ -99,6 +100,11 @@ object GraftExtensions {
       children(1).eval(InternalRow.empty).asInstanceOf[Int])
   }
 
+  private[plans] val dotFoldDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("dot_fold"),
+    new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
+    (children: Seq[Expression]) => DotFold(children(0), children(1)))
+
   /** Imperative install on an existing session. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteXmlValidUdf))
@@ -108,5 +114,7 @@ object GraftExtensions {
       "xml_valid_native", children => XmlValid(children.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", mkMinhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_fold", children => DotFold(children(0), children(1)), "scala_udf")
   }
 }

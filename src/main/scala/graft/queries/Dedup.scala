@@ -188,9 +188,13 @@ object Dedup {
     })
 
   /** Q32: blocked character-4-gram Jaccard similarity (exact pairwise
-    * within a `lang` block, threshold 0.6). The blocking key bounds the
-    * quadratic pair count; at 100 TB the block would be (lang, length
-    * bucket) and the join is a keyed shuffle, never a cross join. */
+    * within a `lang` block, threshold 0.6), with EXACT size-ratio pruning
+    * in the join condition: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    * whose distinct-gram counts differ by more than the threshold can
+    * never qualify and are never materialized — this prunes the
+    * quadratic candidate set before any set intersection runs (no false
+    * negatives; the oracle applies the same bound). At 100 TB the block
+    * would be (lang, length bucket) and the join stays a keyed shuffle. */
   private val q32 = GraftQuery(
     "q32_ngram_jaccard_dedup",
     (spark, dir) => {
@@ -199,11 +203,16 @@ object Dedup {
         i => col("text").substr(i, lit(4))))
       val g = Tables.documents(spark, dir)
         .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), grams.as("gr"))
+        .withColumn("ng", size(col("gr")))
       val jac = size(array_intersect(col("a.gr"), col("b.gr"))).cast("double") /
         size(array_union(col("a.gr"), col("b.gr")))
       g.as("a").join(g.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.ng"), col("b.ng")).cast("double") >=
+              lit(0.6) * greatest(col("a.ng"), col("b.ng")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           jac.as("jaccard"))
         .filter(col("jaccard") >= 0.6)
@@ -214,11 +223,14 @@ object Dedup {
         SELECT doc_id, lang,
                list_distinct(list_transform(generate_series(1, length(text)-3),
                  i -> substring(text, i, 4))) AS gr
-        FROM documents WHERE length(text) >= 4)
+        FROM documents WHERE length(text) >= 4),
+      gn AS (SELECT doc_id, lang, gr, len(gr) AS ng FROM g)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
                / len(list_distinct(a.gr || b.gr)) AS jaccard
-      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM gn a JOIN gn b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND CAST(least(a.ng, b.ng) AS DOUBLE) >= 0.6 * greatest(a.ng, b.ng)
       WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
               / len(list_distinct(a.gr || b.gr)) >= 0.6
       ORDER BY doc_a, doc_b"""))

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product — Spark side. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-fold dot product — Spark side. Compiled (graft.plans.DotFold);
+    * the higher-order `aggregate(zip_with(...))` spelling is bit-identical
+    * but runs interpreted, which made pairwise cosines the engine's
+    * hotspot at sf0.1. Callers must have run GraftExtensions.install
+    * (normedVectors does). */
+  def dot(a: Column, b: Column): Column = call_function("dot_fold", a, b)
 
   /** Left-fold dot product — DuckDB side (same order, same IEEE ops). */
   def dotSql(a: String, b: String): String =
@@ -30,9 +33,13 @@ object Similarity {
   /** embeddings as double vectors with precomputed L2 norms (shared by q33
     * — normalizing once keeps every downstream cosine a single fold). */
   def normedVectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
     val v = transform(col("embedding"), x => x.cast("double"))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), v.as("v"))
+      // explicit-count repartition: one source file = one scan partition,
+      // and AQE would coalesce this small exchange (see Dedup.shingleDf)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
