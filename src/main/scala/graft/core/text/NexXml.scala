@@ -120,13 +120,17 @@ object NexXml extends Serializable {
   def extractToolCalls(content: String, newId: () => String): (String, Vector[ToolCall]) = {
     val calls = new VectorBuilder[ToolCall]
 
+    // robust XML first (F2's recovery chain — handles raw markup inside
+    // values, truncated lines, CDATA), regex as the final fallback
     def parseSingleTool(block: String): Option[ToolCall] =
-      ToolName.findFirstMatchIn(block).map { nameM =>
-        val params = ParamBlock.findFirstMatchIn(block)
-          .map(pm => parseParams(pm.group(1).trim))
-          .getOrElse(Vector.empty)
-        ToolCall(newId(), nameM.group(1).trim, Json.obj(params))
-      }
+      RobustXml.parseToolUse(block)
+        .map { case (name, params) => ToolCall(newId(), name, Json.obj(params)) }
+        .orElse(ToolName.findFirstMatchIn(block).map { nameM =>
+          val params = ParamBlock.findFirstMatchIn(block)
+            .map(pm => parseParams(pm.group(1).trim))
+            .getOrElse(Vector.empty)
+          ToolCall(newId(), nameM.group(1).trim, Json.obj(params))
+        })
 
     var out = restoreClosingTags(content)
 
