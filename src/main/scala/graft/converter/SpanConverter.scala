@@ -171,10 +171,42 @@ object SpanConverter extends Serializable {
       }
   }
 
-  /** Full DAG, P2 meta-drop included. */
-  def convert(spark: SparkSession, spans: DataFrame): Dataset[ChatRecord] = {
+  /** NexAU-mode conversion (behavioral reference
+    * `convert_spans_to_chatcompletion_nexau.py:118-202`): tool calls stay
+    * INLINE in assistant content — the only transform is closing-tag
+    * restoration on input assistant turns; no extraction, no tool-result
+    * re-roling, finish_reason always "stop". */
+  def toRecordsNexau(spark: SparkSession, gens: DataFrame): Dataset[ChatRecord] = {
+    import spark.implicits._
+    gens.select(
+      col("trace_id"), col("span_id"), col("agent_name"),
+      col("input"), col("output.content").as("out_content"))
+      .as[(String, String, Option[String], Seq[SpanMessage], Option[String])]
+      .map { case (traceId, spanId, agentName, input, outContent) =>
+        val staged = input.map { m =>
+          val content =
+            if (m.role == "assistant") NexXml.restoreClosingTags(m.content)
+            else m.content
+          ChatMessage(m.role, Some(content), Seq.empty, None, None)
+        }
+        val response =
+          ChatMessage("assistant", Some(outContent.getOrElse("")), Seq.empty, None, None)
+        val allMessages = staged :+ response
+        val valid = input.forall(m =>
+          m.role != "assistant" || XmlValidator.isValid(m.content)) &&
+          outContent.forall(XmlValidator.isValid)
+        ChatRecord(traceId, spanId, agentName, allMessages, "stop", 0, valid)
+      }
+  }
+
+  /** Full DAG, P2 meta-drop included. `nexauMode` keeps tool calls inline
+    * (the reference's per-framework converter override). */
+  def convert(spark: SparkSession, spans: DataFrame,
+      nexauMode: Boolean = false): Dataset[ChatRecord] = {
     val gens = withAgentNames(spark, lastGenerations(spans), spans)
     import spark.implicits._
-    toRecords(spark, gens).filter($"agent_name".isNull || $"agent_name" =!= "meta")
+    val records =
+      if (nexauMode) toRecordsNexau(spark, gens) else toRecords(spark, gens)
+    records.filter($"agent_name".isNull || $"agent_name" =!= "meta")
   }
 }

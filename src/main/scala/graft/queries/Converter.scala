@@ -91,5 +91,20 @@ object Converter {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44)
+  /** Q45: NexAU-mode conversion (tool calls stay inline; restore-only
+    * path, the per-framework converter override). */
+  private val q45 = GraftQuery(
+    "q45_convert_nexau",
+    (spark, dir) =>
+      SpanConverter.convert(spark, Spans.synthesize(spark, dir).toDF, nexauMode = true)
+        .toDF
+        .select(
+          col("trace_id"), col("span_id"), col("agent_name"),
+          col("finish_reason"), size(col("messages")).as("n_messages"),
+          md5(col("messages")(2).getField("content")).as("assistant_md5"),
+          col("valid"))
+        .orderBy("trace_id", "span_id"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q45)
 }

@@ -50,6 +50,73 @@ object Dedup {
                               string_split(text,' ')[i+2]))) AS sh
       FROM documents WHERE len(string_split(text,' ')) >= 3)"""
 
+  /** MinHash+LSH verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
+    * shared by q30 (pair report) and q36 (cluster resolution).
+    *
+    * Exchange barriers matter here: the band expressions reference the
+    * signature array, and CollapseProject would otherwise inline the
+    * signature computation into each; repartition(N, doc_id) materializes
+    * each stage once, and the verify joins reuse the same exchange for
+    * both pair sides. Signatures are one compiled pass
+    * (graft.plans.MinHashSigs — the higher-order spelling runs interpreted
+    * and was the bench hotspot; semantics identical to the oracle's
+    * list_min(list_transform(...))). */
+  private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.plans.GraftExtensions.install(spark)
+    val sh = shingleDf(spark, dir)
+    val sigs = sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val bandCols = (0 until 4).map(b =>
+      md5(concat(element_at(col("sigs"), 3 * b + 1),
+        element_at(col("sigs"), 3 * b + 2),
+        element_at(col("sigs"), 3 * b + 3))).as(s"b$b"))
+    val bands = sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"b$b")): _*)))
+      .toDF("doc_id", "band", "sig")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** The matching DuckDB CTE chain, ending in a `pairs` CTE. */
+  private[queries] val minhashPairsSql: String = {
+    val sigExprs = (0 until 12)
+      .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x))) AS h$s")
+      .mkString(", ")
+    val bandExprs = (0 until 4)
+      .map(b => s"md5(h${3 * b} || h${3 * b + 1} || h${3 * b + 2}) AS b$b")
+      .mkString(", ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, b$b AS sig FROM band")
+      .mkString(" UNION ALL ")
+    s"""$shingleSql,
+      sig AS (SELECT doc_id, $sigExprs FROM s),
+      band AS (SELECT doc_id, $bandExprs FROM sig),
+      rows_ AS ($bandRows),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM rows_ x JOIN rows_ y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) >= 0.5)"""
+  }
+
   /** Q30: MinHash + LSH near-duplicate detection (shingle → 12 minhashes →
     * 4 bands × 3 rows → bucket self-join → exact-Jaccard verify ≥ 0.5).
     *
@@ -57,76 +124,65 @@ object Dedup {
     * final pair-verify join on doc_id — both keyed, both broadcast-able when
     * one side is small. The quadratic blowup of naive all-pairs never
     * happens; candidate volume is bounded by bucket occupancy (cap buckets
-    * at ~1000 docs in production to bound boilerplate-text skew). MinHash
-    * signatures are one narrow map over the scan. */
+    * at ~1000 docs in production to bound boilerplate-text skew). */
   private val q30 = GraftQuery(
     "q30_minhash_lsh_dedup",
-    (spark, dir) => {
-      // Exchange barriers matter here: the minhash/band expressions are
-      // higher-order functions (no codegen) and CollapseProject would
-      // otherwise inline the whole shingle build into each of the 12
-      // signature columns — a 12x recompute. repartition(doc_id)
-      // materializes each stage once; the verify joins below then reuse
-      // the same exchange for both pair sides.
-      graft.plans.GraftExtensions.install(spark)
-      val sh = shingleDf(spark, dir)
-      // all 12 minhashes in one compiled pass (graft.plans.MinHashSigs —
-      // the higher-order-function spelling runs interpreted and was the
-      // bench hotspot; semantics are identical to the oracle's
-      // list_min(list_transform(...)))
-      val sigs = sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      val bandCols = (0 until 4).map(b =>
-        md5(concat(element_at(col("sigs"), 3 * b + 1),
-          element_at(col("sigs"), 3 * b + 2),
-          element_at(col("sigs"), 3 * b + 3))).as(s"b$b"))
-      val bands = sigs.select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"b$b")): _*)))
-        .toDF("doc_id", "band", "sig")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-        size(array_union(col("sa.sh"), col("sb.sh")))
-      cand
-        .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    },
-    Some {
-      val sigExprs = (0 until 12)
-        .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x))) AS h$s")
-        .mkString(", ")
-      val bandExprs = (0 until 4)
-        .map(b => s"md5(h${3 * b} || h${3 * b + 1} || h${3 * b + 2}) AS b$b")
-        .mkString(", ")
-      val bandRows = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS sig FROM band")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH $shingleSql,
-      sig AS (SELECT doc_id, $sigExprs FROM s),
-      band AS (SELECT doc_id, $bandExprs FROM sig),
-      rows_ AS ($bandRows),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM rows_ x JOIN rows_ y
-          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b,
-             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / len(list_distinct(sa.sh || sb.sh)) AS jaccard
-      FROM cand
-      JOIN s sa ON sa.doc_id = doc_a
-      JOIN s sb ON sb.doc_id = doc_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / len(list_distinct(sa.sh || sb.sh)) >= 0.5
-      ORDER BY doc_a, doc_b"""
-    },
+    (spark, dir) => minhashPairs(spark, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $minhashPairsSql
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      ORDER BY doc_a, doc_b"""),
     headline = true)
+
+  /** Q36: duplicate-cluster resolution — the "keep one copy" step that
+    * consumes q30's verified pairs: connected components by iterative
+    * min-label propagation (clusters are shallow, so a handful of rounds
+    * converge; each round is one keyed shuffle — the standard large-graph
+    * pattern, with checkpointing at production scale). Output: every doc
+    * in a duplicate cluster with its canonical (minimum) doc id. */
+  private val q36 = GraftQuery(
+    "q36_dedup_resolve",
+    (spark, dir) => {
+      val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .distinct()
+        .cache()
+      var labels = edges.select(col("doc_a").as("doc_id"))
+        .distinct()
+        .withColumn("canonical", col("doc_id"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val viaNeighbors = edges
+          .join(labels, edges("doc_b") === labels("doc_id"))
+          .select(edges("doc_a").as("doc_id"), col("canonical"))
+        val next = labels.unionByName(viaNeighbors)
+          .groupBy("doc_id")
+          .agg(min(col("canonical")).as("canonical"))
+          .cache()
+        converged = next.join(labels.withColumnRenamed("canonical", "prev"), "doc_id")
+          .filter(col("canonical") =!= col("prev"))
+          .isEmpty
+        labels = next
+        rounds += 1
+      }
+      labels.orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsSql,
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      SELECT s AS doc_id, least(s, min(d)) AS canonical
+      FROM reach
+      GROUP BY s
+      ORDER BY doc_id"""))
 
   /** Q31: SimHash near-duplicate pairs. 32-bit fingerprint over word
     * 3-gram shingles (bit j = sign of the ±1 vote of each shingle's j-th
@@ -260,5 +316,5 @@ object Dedup {
       WHERE ${Similarity.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33)
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q36)
 }

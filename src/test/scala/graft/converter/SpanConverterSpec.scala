@@ -68,4 +68,18 @@ class SpanConverterSpec extends SparkSpec {
     import spark.implicits._
     assert(records.map(_.valid).collect().forall(identity))
   }
+
+  test("nexau mode keeps tool calls inline and restores tags only") {
+    import spark.implicits._
+    val rec = SpanConverter.convert(spark, spans, nexauMode = true)
+      .filter($"trace_id" === "trace_1").head()
+    assert(rec.finish_reason == "stop")
+    assert(rec.n_tool_calls == 0)
+    val assistant = rec.messages.filter(_.role == "assistant")
+    assert(assistant.exists(_.content.exists(_.contains("<tool_use>"))),
+      "tool calls must stay inline in nexau mode")
+    assert(assistant.forall(_.tool_calls.isEmpty))
+    // no tool re-roling: the results stay a user message
+    assert(rec.messages.count(_.role == "tool") == 0)
+  }
 }

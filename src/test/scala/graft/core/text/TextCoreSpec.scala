@@ -204,4 +204,35 @@ class TextCoreSpec extends AnyFunSuite {
         "<tool_result><tool_name>t</tool_name><result>r2</result></tool_result>"
     assert(NexXml.parseToolResults(content) == Vector("s" -> "r1", "t" -> "r2"))
   }
+
+  // ---- ToolDefs (F6) -----------------------------------------------------
+
+  test("tool definition synthesized from a Usage block") {
+    // reference parity: only DIRECT tag pairs inside the Usage block are
+    // parameter candidates — a <parameter>…</parameter> wrapper is itself
+    // matched as one (skipped) pair, consuming its children
+    val desc =
+      """Searches the web for snippets.
+        |Usage: <tool_use>
+        |<tool_name>search</tool_name>
+        |<query>the query text (required, type: string)</query>
+        |<limit>max results (type: integer)</limit>
+        |</tool_use>""".stripMargin
+    val td = ToolDefs.fromDescription("search", desc)
+    assert(td.description == "Searches the web for snippets.")
+    assert(td.params.map(_.name) == Vector("query", "limit"))
+    assert(td.params(0).required && !td.params(1).required)
+    assert(td.params(1).tpe == "integer")
+    assert(td.params(0).description == "the query text")
+    val json = td.toJson
+    assert(json.contains("\"required\": [\"query\"]"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(json).get("function").get("name").asText == "search")
+  }
+
+  test("tool definition without a Usage block has empty parameters") {
+    val td = ToolDefs.fromDescription("noop", "Does nothing useful.")
+    assert(td.params.isEmpty)
+    assert(td.toJson.contains("\"properties\": {}"))
+  }
 }
