@@ -69,6 +69,22 @@ object TextOps extends Serializable {
     if (start == -1 || end <= start) None else Some(body.substring(start, end + 1))
   }
 
+  // ---- F19: word-boundary shortening -------------------------------------
+
+  /** Shorten to at most `width` chars, cutting at a word boundary and
+    * appending an ellipsis placeholder (textwrap.shorten semantics for the
+    * common case: collapse whitespace first). */
+  def shorten(text: String, width: Int, placeholder: String = " [...]"): String = {
+    val collapsed = text.trim.split("\\s+").mkString(" ")
+    if (collapsed.length <= width) collapsed
+    else {
+      val budget = width - placeholder.length
+      val cut = collapsed.lastIndexOf(' ', budget)
+      (if (cut > 0) collapsed.substring(0, cut) else collapsed.take(math.max(budget, 0)))
+        .stripTrailing + placeholder
+    }
+  }
+
   // ---- F14: name sanitization --------------------------------------------
 
   private val Unsafe: Regex = "[^\\w.-]+".r

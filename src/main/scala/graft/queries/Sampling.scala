@@ -86,7 +86,8 @@ object Sampling {
       SELECT draw_id, p_brand
       FROM draws JOIN cdf
         ON (u * total) // $TwoPow32 >= cum - w AND (u * total) // $TwoPow32 < cum
-      ORDER BY draw_id"""))
+      ORDER BY draw_id"""),
+    headline = true)
 
   /** Q61: stratified Bernoulli sampling (R3/R6 generalized): per-language
     * rates (en 0.5, others 0.2), keep iff hash-uniform < rate. A pure

@@ -166,7 +166,8 @@ object Similarity {
       SELECT query_id, neighbor_id, cosine, rank
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""
-    })
+    },
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q34, q35)
 }

@@ -106,7 +106,8 @@ object Windows {
              epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
       FROM s
       GROUP BY user_id, session_seq
-      ORDER BY user_id, session_seq"""))
+      ORDER BY user_id, session_seq"""),
+    headline = true)
 
   /** Q16: as-of join — for each event, the most recent order (by
     * o_orderdate, ties broken by max o_orderkey) of the same customer at or
@@ -137,7 +138,8 @@ object Windows {
               WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
       FROM events e
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id"""),
+    headline = true)
 
   /** Q17: hierarchical rollup over (lang, source) — subtotal and
     * grand-total rows with NULL group keys, explicit NULLS FIRST ordering

@@ -53,4 +53,10 @@ object Sinks {
   /** Read the landed-id set back from a JSONL/parquet landing dir. */
   def landedIds(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).select("trace_id").distinct()
+
+  /** F21: metadata sanitization — drop a nested field (e.g.
+    * "fuzzifier.original_query") from a struct column via a struct
+    * rebuild; no row-level UDF, stays inside codegen. */
+  def dropMetadataField(df: DataFrame, column: String, nestedField: String): DataFrame =
+    df.withColumn(column, col(column).dropFields(nestedField))
 }
