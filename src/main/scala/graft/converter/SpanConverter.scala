@@ -209,4 +209,21 @@ object SpanConverter extends Serializable {
       if (nexauMode) toRecordsNexau(spark, gens) else toRecords(spark, gens)
     records.filter($"agent_name".isNull || $"agent_name" =!= "meta")
   }
+
+  /** A11: progress/quality counters as a query observation — converted
+    * rows, invalid rows, and total extracted calls ride along with
+    * whatever action the caller runs (no second pass, no accumulator
+    * races; `observation.get` after the action). */
+  def convertObserved(spark: SparkSession, spans: DataFrame)
+      : (Dataset[ChatRecord], org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("converter")
+    import spark.implicits._
+    val observed = convert(spark, spans).toDF
+      .observe(obs,
+        count(lit(1)).as("n_records"),
+        sum(when(col("valid"), 0L).otherwise(1L)).as("n_invalid"),
+        sum(col("n_tool_calls")).as("n_calls"))
+      .as[ChatRecord]
+    (observed, obs)
+  }
 }

@@ -71,6 +71,27 @@ object Tree extends Serializable {
       .groupBy(col("path_id"))
       .agg(sum(col("count")).as("count"))
 
+  /** S14: tree statistics report as a self-contained HTML document
+    * (driver-side; the reference ships a D3 visualizer — here the stats
+    * DataFrame renders into a static table, which is the part that
+    * belongs to the engine). */
+  def statsHtml(paths: DataFrame, title: String): String = {
+    val s = stats(paths).head()
+    val rows = paths.orderBy(col("path_id"))
+      .collect()
+      .map(r => s"<tr><td>${r.getAs[String]("path_id")}</td><td>${r.getAs[Int]("depth")}</td></tr>")
+      .mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>$title</title></head><body>
+       |<h1>$title</h1>
+       |<p>paths: ${s.getAs[Long]("total_paths")},
+       | depth: ${s.getAs[Int]("min_depth")}–${s.getAs[Int]("max_depth")}
+       | (avg ${"%.2f".format(s.getAs[Double]("avg_depth"))})</p>
+       |<table border="1"><tr><th>path</th><th>depth</th></tr>
+       |$rows
+       |</table></body></html>""".stripMargin
+  }
+
   /** R7 (epoch model): validate expansion proposals (parent must exist,
     * sibling label must be new — anti-join) and emit the accepted rows;
     * the caller unions them into the next epoch's tree table. */

@@ -82,4 +82,13 @@ class SpanConverterSpec extends SparkSpec {
     // no tool re-roling: the results stay a user message
     assert(rec.messages.count(_.role == "tool") == 0)
   }
+
+  test("observation counters ride along with the conversion action") {
+    val (ds, obs) = SpanConverter.convertObserved(spark, spans)
+    val n = ds.count()
+    val row = obs.get
+    assert(row("n_records") == n)
+    assert(row("n_invalid") == 0L)
+    assert(row("n_calls").asInstanceOf[Long] > 0L)
+  }
 }

@@ -78,4 +78,12 @@ class TreeSpec extends SparkSpec {
     val remaining = graft.sources.Sinks.notYetLanded(spans, landed)
     assert(remaining.select("trace_id").distinct().collect().map(_.getString(0)).toSeq == Seq("t2"))
   }
+
+  test("stats html report renders paths and summary") {
+    val html = Tree.statsHtml(paths, "demo tree")
+    assert(html.contains("<title>demo tree</title>"))
+    assert(html.contains("paths: 3"))
+    assert(html.contains("root/a/a1"))
+    assert(html.contains("(avg 2.67)"))
+  }
 }
