@@ -68,6 +68,9 @@ object Spans extends Serializable {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
       .select("doc_id", "text", "lang")
+      // single-file source = one scan partition; spread the synthesis map
+      // (explicit count so AQE can't coalesce the small exchange)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
       .flatMap { case (docId, text, lang) =>
         val toks = text.split(" ")
