@@ -43,13 +43,16 @@ object Spans extends Serializable {
     StructField("level", IntegerType),
     StructField("_corrupt_record", StringType)))
 
-  /** S1: span-per-line JSONL reader, tolerant of bad lines. */
+  /** S1: span-per-line JSONL reader, tolerant of bad lines. The filter
+    * also requires trace_id (spans are unusable without one), which keeps
+    * the plan legal — Spark refuses queries whose referenced columns are
+    * ONLY the corrupt-record column. */
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .filter(col("_corrupt_record").isNull)
+      .filter(col("_corrupt_record").isNull && col("trace_id").isNotNull)
       .drop("_corrupt_record")
 
   /** Deterministic span synthesis from the `documents` table — the test
