@@ -77,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.functionDescription)
     ext.injectFunction(GraftExtensions.minhashDescription)
     ext.injectFunction(GraftExtensions.dotFoldDescription)
+    ext.injectFunction(GraftExtensions.shinglesDescription)
   }
 }
 
@@ -105,6 +106,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
     (children: Seq[Expression]) => DotFold(children(0), children(1)))
 
+  private def mkShingles(children: Seq[Expression]): Expression = {
+    require(children.size == 2 && children(1).foldable,
+      "word_shingles(text, n) requires a literal n")
+    WordShingles(children.head,
+      children(1).eval(InternalRow.empty).asInstanceOf[Int])
+  }
+
+  private[plans] val shinglesDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => mkShingles(children))
+
   /** Imperative install on an existing session. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteXmlValidUdf))
@@ -116,5 +129,7 @@ object GraftExtensions {
       "minhash_sigs", mkMinhash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_fold", children => DotFold(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", mkShingles, "scala_udf")
   }
 }

@@ -28,18 +28,15 @@ object Dedup {
     * expensive projection ABOVE it — bytes are the wrong coalesce signal
     * when the cost lives downstream of the exchange. */
   private def shingleDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val toks = split(col("text"), " ")
+    graft.plans.GraftExtensions.install(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .filter(size(toks) >= 3)
-      .select(
-        col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
-        )).as("sh"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      // compiled shingle construction (graft.plans.WordShingles) — the
+      // array_distinct(transform(sequence(...))) spelling is semantically
+      // identical but interpreted
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
   }
 
   private val shingleSql =
