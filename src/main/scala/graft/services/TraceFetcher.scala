@@ -1,0 +1,72 @@
+package graft.services
+
+import scala.annotation.tailrec
+import scala.util.{Failure, Success, Try}
+
+/** Edge connector for span-store ingest (S2/S3, behavioral reference
+  * `converter/trace/langfuse_utils.py:84-183` + `get_traces.py:121-209`):
+  * page through an observation API, skip traces without output, retry
+  * transient failures with backoff, and land the results for the S1
+  * reader. Driver-side (or foreachPartition for many traces) — the engine
+  * proper starts at the landing zone; resume is the anti-join in
+  * graft.sources.Sinks.notYetLanded, replacing per-file existence checks.
+  */
+object TraceFetcher {
+
+  /** One observation page; `next` is None on the last page. */
+  final case class Page[A](items: Seq[A], next: Option[Int])
+
+  /** The store boundary: real impls wrap an HTTP client. */
+  trait SpanStore[A] extends Serializable {
+    def fetchPage(traceId: String, page: Int): Page[A]
+  }
+
+  final case class FetchResult[A](spans: Seq[A], attempts: Int)
+
+  /** Fetch every page of one trace, retrying each page up to `maxRetries`
+    * times (reference: 3 attempts, fixed backoff — injectable here so
+    * tests don't sleep). Fails only after the final retry. */
+  def fetchTrace[A](
+      store: SpanStore[A],
+      traceId: String,
+      maxRetries: Int = 3,
+      backoff: Int => Unit = _ => Thread.sleep(5000)): FetchResult[A] = {
+
+    @tailrec
+    def fetchWithRetry(page: Int, attempt: Int, totalAttempts: Int): (Page[A], Int) =
+      Try(store.fetchPage(traceId, page)) match {
+        case Success(p) => (p, totalAttempts + 1)
+        case Failure(e) if attempt < maxRetries =>
+          backoff(attempt)
+          fetchWithRetry(page, attempt + 1, totalAttempts + 1)
+        case Failure(e) => throw e
+      }
+
+    @tailrec
+    def loop(page: Int, acc: Vector[A], attempts: Int): FetchResult[A] = {
+      val (p, att) = fetchWithRetry(page, 1, attempts)
+      val next = acc ++ p.items
+      p.next match {
+        case Some(n) => loop(n, next, att)
+        case None    => FetchResult(next, att)
+      }
+    }
+    loop(0, Vector.empty, 0)
+  }
+
+  /** Batch variant: fetch every not-yet-landed trace, collecting per-trace
+    * failures instead of aborting the batch (the reference logs-and-
+    * continues). */
+  def fetchAll[A](
+      store: SpanStore[A],
+      traceIds: Seq[String],
+      maxRetries: Int = 3,
+      backoff: Int => Unit = _ => Thread.sleep(5000))
+      : (Map[String, Seq[A]], Map[String, String]) = {
+    val results = traceIds.map { id =>
+      id -> Try(fetchTrace(store, id, maxRetries, backoff))
+    }
+    (results.collect { case (id, Success(r)) => id -> r.spans }.toMap,
+      results.collect { case (id, Failure(e)) => id -> e.getMessage }.toMap)
+  }
+}
