@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The compiled expressions exist purely for speed — these tests pin that
+  * each one is value-identical to the interpreted higher-order spelling it
+  * replaced, over the real test tables (the same equivalence the DuckDB
+  * oracle asserts cross-engine, checked here intra-engine). */
+class CompiledExprEquivalenceSpec extends SparkSpec {
+
+  test("word_shingles == array_distinct(transform(sequence(...)))") {
+    GraftExtensions.install(spark)
+    val toks = split(col("text"), " ")
+    val hof = array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    val diff = graft.Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(expr("word_shingles(text, 3)").as("compiled"), hof.as("hof"))
+      .filter(col("compiled") =!= col("hof"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+  }
+
+  test("minhash_sigs == per-seed list-min folds") {
+    GraftExtensions.install(spark)
+    val hofSigs = (0 until 12).map(s =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$s:"), x)))))
+    val diff = graft.Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(expr("word_shingles(text, 3)").as("sh"))
+      .select(expr("minhash_sigs(sh, 12)").as("compiled"), array(hofSigs: _*).as("hof"))
+      .filter(col("compiled") =!= col("hof"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+  }
+
+  test("minhash_sigs of an empty array is the 'g' sentinel vector") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val row = Seq(Seq.empty[String]).toDF("sh")
+      .select(expr("minhash_sigs(sh, 3)")).head()
+    assert(row.getSeq[String](0) == Seq("g", "g", "g"))
+  }
+
+  test("dot_fold == aggregate(zip_with(...)) bit-for-bit") {
+    GraftExtensions.install(spark)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val hof = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), v.as("v"))
+      .select(expr("dot_fold(v, v)").as("compiled"), hof.as("hof"))
+      // bit-exact comparison: the fold orders must match, not just be close
+      .filter(col("compiled") =!= col("hof"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+  }
+
+  test("rand u32 is roughly uniform over [0, 2^32)") {
+    import graft.queries.Sampling.Rand
+    val buckets = graft.Tables.documents(spark, sfDir)
+      .select((Rand.u32(md5(concat(lit("u:"), col("doc_id")))) / lit(429496730L))
+        .cast("int").as("decile"))
+      .groupBy("decile").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet.subsetOf((0 to 9).toSet))
+    // 500 docs over 10 buckets: each within a generous 3-sigma-ish band
+    buckets.values.foreach(n => assert(n > 20 && n < 90, buckets.toString))
+  }
+}
