@@ -60,6 +60,35 @@ object SynthesisPipeline extends Serializable {
     }
   }
 
+  final case class EnrichedQuery(
+      round_id: Long,
+      path_id: String,
+      persona: String,
+      difficulty: String,
+      query: String,
+      suitable: Boolean,
+      final_query: String)
+
+  /** X5: persona-suitability gate + rewrite (behavioral reference
+    * `rewrite_agent.py:49-168`): one evaluation call per record; on
+    * NOT_SUITABLE a second call rewrites the query for the persona. Both
+    * calls stay in the same partition-local pass. */
+  def withSuitability(records: Dataset[QueryRecord], client: ServiceClient): Dataset[EnrichedQuery] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val verdict = client.complete(
+          s"Evaluate suitability of persona [${r.persona}] for:\n${r.query}")
+        val suitable = verdict.startsWith("SUITABLE")
+        val finalQuery =
+          if (suitable) r.query
+          else client.complete(s"Rewrite for persona [${r.persona}]:\n${r.query}")
+        EnrichedQuery(r.round_id, r.path_id, r.persona, r.difficulty, r.query,
+          suitable, finalQuery)
+      }
+    }
+  }
+
   /** A5: run statistics — difficulty and path distributions. */
   def statistics(records: Dataset[QueryRecord]): DataFrame =
     records.toDF

@@ -31,13 +31,22 @@ object StubServiceClient extends ServiceClient {
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Emits the three-difficulty answer format the reference's LLM prompt
-    * requests (`query_generator.py` **EASY/MEDIUM/HARD** markers). */
+  /** Prompt-shaped dispatch: suitability prompts get a SUITABLE /
+    * NOT_SUITABLE verdict (~80/20, hash-decided), rewrite prompts get a
+    * rewritten query, everything else gets the three-difficulty answer
+    * format the reference's synthesis prompt requests
+    * (**EASY/MEDIUM/HARD** markers). */
   override def complete(prompt: String): String = {
     val seed = h(prompt).take(8)
-    s"""**EASY:** easy task $seed
-       |**MEDIUM:** medium task $seed covering ${prompt.take(24).trim}
-       |**HARD:** hard task $seed with multiple constraints""".stripMargin
+    if (prompt.startsWith("Evaluate suitability"))
+      if ((Integer.parseInt(seed.take(4), 16) % 10) < 8) "SUITABLE"
+      else s"NOT_SUITABLE: mismatch $seed"
+    else if (prompt.startsWith("Rewrite"))
+      s"rewritten[$seed] ${prompt.linesIterator.toSeq.last.trim}"
+    else
+      s"""**EASY:** easy task $seed
+         |**MEDIUM:** medium task $seed covering ${prompt.take(24).trim}
+         |**HARD:** hard task $seed with multiple constraints""".stripMargin
   }
 
   override def search(query: String, k: Int): Seq[String] =

@@ -38,4 +38,17 @@ class SynthesisPipelineSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n")).sum == 60)
     stats.foreach(row => assert(row.getAs[Long]("n_paths") <= paths.length))
   }
+
+  test("suitability gate passes most queries and rewrites the rest") {
+    val r = SynthesisPipeline.rounds(spark, paths, personas, 200)
+    val enriched = SynthesisPipeline.withSuitability(
+      SynthesisPipeline.synthesize(r, StubServiceClient), StubServiceClient).collect()
+    assert(enriched.length == 200)
+    val (ok, rewritten) = enriched.partition(_.suitable)
+    assert(ok.nonEmpty && rewritten.nonEmpty, "both branches must be exercised")
+    ok.foreach(e => assert(e.final_query == e.query))
+    rewritten.foreach(e => assert(e.final_query.startsWith("rewritten[")))
+    val rate = ok.length.toDouble / enriched.length
+    assert(rate > 0.6 && rate < 0.95, s"suitable rate $rate far from ~0.8")
+  }
 }
