@@ -131,5 +131,110 @@ object Advanced {
         .orderBy("event_type"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74)
+  /** Q75: correlated-aggregate filter (TPC-H Q17 pattern): lineitems whose
+    * quantity is below 30% of their part's average. Spelled as an
+    * aggregate-then-join (the scalable decorrelation Catalyst would apply
+    * to the subquery form anyway); the per-part averages are exact
+    * decimal-sum / count divisions. */
+  private val q75 = GraftQuery(
+    "q75_below_avg_quantity",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(avgQ, li("l_partkey") === avgQ("p_key"))
+        .filter(col("l_quantity") < lit(0.3) * col("avg_qty"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_below"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_below"))
+        .orderBy("l_partkey")
+    },
+    Some("""
+      WITH a AS (
+        SELECT l_partkey AS p_key,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, count(*) AS n_below,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_below
+      FROM lineitem JOIN a ON l_partkey = p_key
+      WHERE l_quantity < 0.3 * avg_qty
+      GROUP BY l_partkey
+      ORDER BY l_partkey"""))
+
+  /** Q76: the 6-way regional join chain (TPC-H Q5 shape): revenue per
+    * nation for orders shipped by a supplier of the same nation as the
+    * customer. Dimensions broadcast; the two fact joins shuffle on their
+    * keys; at scale this is the plan whose join ORDER Catalyst's
+    * cost-based reorder exists for. */
+  private val q76 = GraftQuery(
+    "q76_regional_revenue",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(s, li("l_suppkey") === s("s_suppkey") &&
+          c("c_nationkey") === s("s_nationkey"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             count(*) AS n_lineitems
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""),
+    headline = true)
+
+  /** Q77: inter-event gap analysis — lag per user, gap stats per event
+    * type. The mean is spelled sum/count explicitly: avg() over bigints
+    * accumulates in double (order-dependent), an exact integer sum with
+    * one final division is not. */
+  private val q77 = GraftQuery(
+    "q77_event_gaps",
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, dir)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          (sum(col("gap_us")).cast("double") / count(lit(1))).as("mean_gap_us"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+      SELECT event_type, count(*) AS n_gaps,
+             min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+             CAST(sum(gap_us) AS DOUBLE) / count(*) AS mean_gap_us
+      FROM g
+      WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77)
 }
