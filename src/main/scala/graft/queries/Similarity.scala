@@ -169,5 +169,72 @@ object Similarity {
     },
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q34, q35)
+  /** Q37: IVF-style ANN — coarse quantization against 8 deterministic
+    * centroids (the first 8 vectors stand in for k-means centers; the
+    * assignment machinery is identical), then exact top-3 within the
+    * query's cell only.
+    *
+    * Scale shape: assignment is a broadcast cross join against the tiny
+    * centroid set + one window per vector; search touches one cell (≈ 1/8
+    * of candidates), which is exactly how IVF indexes trade recall for
+    * scan volume at 100 TB. Production adds n-probe > 1. */
+  private val q37 = GraftQuery(
+    "q37_ivf_ann",
+    (spark, dir) => {
+      val e = normedVectors(spark, dir)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val simToCent = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_sim").desc, col("c_id"))
+      val assign = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"), simToCent.as("c_sim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"))
+      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+      val wRank = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      assign.as("qa").filter(col("qa.vec_id") < 20)
+        .join(assign.as("ca"),
+          col("qa.cell") === col("ca.cell") && col("qa.vec_id") =!= col("ca.vec_id"))
+        .select(col("qa.vec_id").as("query_id"), col("ca.vec_id").as("neighbor_id"))
+        .join(e.as("q"), col("q.vec_id") === col("query_id"))
+        .join(e.as("c"), col("c.vec_id") === col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $normedVectorsSql,
+      cent AS (
+        SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+      assign AS (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT e.vec_id, cent.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id) AS rn
+          FROM e CROSS JOIN cent)
+        WHERE rn = 1),
+      cand AS (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+        FROM assign qa JOIN assign ca
+          ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+        WHERE qa.vec_id < 20),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+        FROM cand
+        JOIN e q ON q.vec_id = query_id
+        JOIN e c ON c.vec_id = neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(q34, q35, q37)
 }
