@@ -236,5 +236,50 @@ object Advanced {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77)
+  /** Q78: CUBE grouping sets — all 4 aggregation levels of
+    * (event_type, user_bucket) in one pass; explicit NULLS FIRST ordering
+    * keeps engine row orders aligned. */
+  private val q78 = GraftQuery(
+    "q78_cube_events",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("user_bucket", (col("user_id") % 4).cast("int"))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_milli"))
+        .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first),
+    Some("""
+      SELECT event_type, CAST(user_id % 4 AS INTEGER) AS user_bucket,
+             count(*) AS n,
+             sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_milli
+      FROM events
+      GROUP BY CUBE (event_type, CAST(user_id % 4 AS INTEGER))
+      ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST"""))
+
+  /** Q79: regex extraction (F15 `regexp_extract` pattern,
+    * `run_end_to_end.py:270-277`): first numeric token per document plus a
+    * has-match rate per language. The pattern stays in the
+    * POSIX-compatible subset where Java and RE2-style engines agree. */
+  private val q79 = GraftQuery(
+    "q79_regex_extract",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("first_num", regexp_extract(col("text"), "([0-9]+)", 1))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("first_num") =!= "", 1L).otherwise(0L)).as("n_with_num"),
+          max(length(col("first_num"))).as("max_num_len"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN coalesce(regexp_extract(text, '([0-9]+)', 1), '') <> ''
+                 THEN 1 ELSE 0 END) AS n_with_num,
+             max(length(coalesce(regexp_extract(text, '([0-9]+)', 1), ''))) AS max_num_len
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }
