@@ -45,7 +45,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses the LAST stdout line as JSON: stop Spark first so no
+    // shutdown logging trails it, and also persist to a file as a fallback
+    // (round 1 lost the perf signal to a warning flood — parsed:null).
     spark.stop()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(json)
   }
 }

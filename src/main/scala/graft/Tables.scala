@@ -35,7 +35,11 @@ object Tables {
     * double-precision loss of `/ 1000` on ~1.7e18 nanos values).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy-nanos switch is only consulted at parquet schema
+    // conversion and has no per-read (DataFrameReader.option) form; guard
+    // the session mutation so repeated loads don't re-write shared conf.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -64,16 +64,19 @@ object SpanConverter extends Serializable {
   }
 
   /** J3: per-trace parent walk — first ancestor SPAN names the agent,
-    * "Sub-agent: " prefix stripped. Topology is collected per trace
-    * (traces are small — a few hundred spans) and broadcast-joined back. */
+    * "Sub-agent: " prefix stripped. The whole trace topology is resolved
+    * ONCE per trace into a span_id→agent map (the UDF runs on the topology
+    * aggregate, not per generation row), and each generation then does a
+    * codegen'd `element_at` lookup — at 100 TB the per-row cost is an O(1)
+    * map probe instead of rebuilding the ancestor index per row. */
   def withAgentNames(spark: SparkSession, gens: DataFrame, allSpans: DataFrame): DataFrame = {
     val topo = allSpans
       .groupBy(col("trace_id"))
       .agg(collect_list(struct(
         col("span_id"), col("parentObservationId"), col("span_name"), col("span_type")))
         .as("topo"))
-    val resolve = udf {
-      (parent: String, topo: Seq[org.apache.spark.sql.Row]) =>
+    val resolveTrace = udf {
+      (topo: Seq[org.apache.spark.sql.Row]) =>
         val byId = topo.map(r => r.getString(0) ->
           (Option(r.getString(1)), r.getString(2), r.getString(3))).toMap
         @annotation.tailrec
@@ -87,11 +90,15 @@ object SpanConverter extends Serializable {
             }
           case _ => None
         }
-        walk(Option(parent), 0).orNull
+        byId.keysIterator
+          .flatMap(sid => walk(Some(sid), 0).map(sid -> _))
+          .toMap
     }
-    gens.join(topo, Seq("trace_id"), "left")
-      .withColumn("agent_name", resolve(col("parentObservationId"), col("topo")))
-      .drop("topo")
+    val agentMaps = topo.select(
+      col("trace_id"), resolveTrace(col("topo")).as("agent_map"))
+    gens.join(agentMaps, Seq("trace_id"), "left")
+      .withColumn("agent_name", element_at(col("agent_map"), col("parentObservationId")))
+      .drop("agent_map")
   }
 
   /** The record-local conversion: strip system docs, extract tool calls

@@ -37,6 +37,23 @@ object SynthesisPipeline extends Serializable {
     }
   }
 
+  /** S5/S7 wiring: assemble rounds from a validated framework config file
+    * and a persona JSONL file — the reference's startup path
+    * (`framework_manager.py:155-202`): config validates or the run refuses
+    * to start; personas load tolerantly (bad lines dropped, counted by the
+    * caller via [[FrameworkLoader.loadPersonas]]'s error column). Persona
+    * sets are config-scale, so collecting them to broadcast matches the
+    * reference's in-memory list. */
+  def roundsFromFiles(spark: SparkSession, paths: Seq[String],
+      configPath: String, personaPath: String, n: Int): Either[Seq[String], Dataset[Round]] =
+    FrameworkLoader.loadConfig(new java.io.File(configPath).getParentFile.getName, configPath)
+      .map { _ =>
+        val personas = FrameworkLoader
+          .validPersonas(FrameworkLoader.loadPersonas(spark, personaPath))
+          .collect().map(_._1).toSeq
+        rounds(spark, paths, personas, n)
+      }
+
   /** X1 + F16 + R5 in one partition-local pass: call the (stubbed) LLM once
     * per round, parse the difficulty-tagged variants, keep the one selected
     * by the round's seeded categorical draw (.2/.5/.3). */

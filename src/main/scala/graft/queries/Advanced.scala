@@ -56,7 +56,7 @@ object Advanced {
     },
     Some {
       val cases = Seq("click", "view", "purchase", "error", "signup")
-        .map(t => s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t")
+        .map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
         .mkString(", ")
       s"""
       SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket, count(*) AS n_total, $cases
@@ -111,7 +111,7 @@ object Advanced {
         .orderBy("event_type"),
     Some("""
       SELECT event_type, count(*) AS n_events,
-             sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_milli
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
       FROM events
       GROUP BY event_type
       ORDER BY event_type"""))
@@ -251,7 +251,7 @@ object Advanced {
     Some("""
       SELECT event_type, CAST(user_id % 4 AS INTEGER) AS user_bucket,
              count(*) AS n,
-             sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_milli
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
       FROM events
       GROUP BY CUBE (event_type, CAST(user_id % 4 AS INTEGER))
       ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST"""))
@@ -273,8 +273,8 @@ object Advanced {
         .orderBy("lang"),
     Some("""
       SELECT lang, count(*) AS n_docs,
-             sum(CASE WHEN coalesce(regexp_extract(text, '([0-9]+)', 1), '') <> ''
-                 THEN 1 ELSE 0 END) AS n_with_num,
+             CAST(sum(CASE WHEN coalesce(regexp_extract(text, '([0-9]+)', 1), '') <> ''
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_num,
              max(length(coalesce(regexp_extract(text, '([0-9]+)', 1), ''))) AS max_num_len
       FROM documents
       GROUP BY lang

@@ -148,23 +148,35 @@ object Dedup {
       var labels = edges.select(col("doc_a").as("doc_id"))
         .distinct()
         .withColumn("canonical", col("doc_id"))
+        .cache()
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
         val viaNeighbors = edges
           .join(labels, edges("doc_b") === labels("doc_id"))
           .select(edges("doc_a").as("doc_id"), col("canonical"))
-        val next = labels.unionByName(viaNeighbors)
+        // Cache each round, unpersist the previous one (round 1 leaked every
+        // round's frame), and localCheckpoint every 4th round to truncate
+        // the lineage — otherwise the plan deepens by one join per round,
+        // a DAG-depth/executor-memory hazard at 100 TB. (Checkpointed RDD
+        // blocks are reclaimed by the ContextCleaner once dereferenced;
+        // unpersist() only frees CacheManager entries.)
+        val grown = labels.unionByName(viaNeighbors)
           .groupBy("doc_id")
           .agg(min(col("canonical")).as("canonical"))
-          .cache()
+        val next =
+          if (rounds % 4 == 3) grown.localCheckpoint(eager = true)
+          else grown.cache()
         converged = next.join(labels.withColumnRenamed("canonical", "prev"), "doc_id")
           .filter(col("canonical") =!= col("prev"))
           .isEmpty
+        labels.unpersist()
         labels = next
         rounds += 1
       }
-      labels.orderBy("doc_id")
+      val out = labels.orderBy("doc_id")
+      edges.unpersist()
+      out
     },
     Some(s"""
       WITH RECURSIVE $minhashPairsSql,
@@ -215,7 +227,7 @@ object Dedup {
       fps.as("a").join(fps.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          ham.as("hamming"))
+          ham.cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     },
@@ -230,9 +242,9 @@ object Dedup {
       f AS (SELECT doc_id, $bitExprs AS fp FROM t),
       fb AS (SELECT doc_id, fp, substring(fp, 1, 16) AS bucket FROM f)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             list_sum(list_transform(generate_series(1, 32),
+             CAST(list_sum(list_transform(generate_series(1, 32),
                i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)
-                    THEN 1 ELSE 0 END)) AS hamming
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
       FROM fb a JOIN fb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
       WHERE list_sum(list_transform(generate_series(1, 32),
               i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)

@@ -245,7 +245,7 @@ object Relational {
         .orderBy("event_type"),
     Some("""
       SELECT event_type, count(*) AS n_total,
-             sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS n_high,
+             CAST(sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
              CAST(sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS high_rate
       FROM events
       GROUP BY event_type
@@ -267,7 +267,7 @@ object Relational {
         .orderBy("event_type"),
     Some("""
       SELECT event_type,
-             sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
              count(CAST(props ->> '$.k' AS BIGINT)) AS n_k,
              CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS DOUBLE) / count(CAST(props ->> '$.k' AS BIGINT)) AS avg_k
       FROM events

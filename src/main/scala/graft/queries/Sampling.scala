@@ -53,11 +53,15 @@ object Sampling {
       val brands = Tables.part(spark, dir)
         .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
         .withColumn("w", floor(lit(1000000.0) / (cnt1 * sqrt(cnt1))).cast("long"))
-      val wCum = Window.orderBy("p_brand")
+      // Constant partition key: the CDF frame is one row per distinct brand
+      // (tiny at any SF), but an EMPTY partition spec would still emit the
+      // "No Partition Defined" WindowExec warning per execution — lit(1)
+      // keeps the plan warning-free with identical semantics.
+      val wCum = Window.partitionBy(lit(1)).orderBy("p_brand")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cdf = brands
         .withColumn("cum", sum(col("w")).over(wCum))
-        .withColumn("total", sum(col("w")).over(Window.partitionBy()))
+        .withColumn("total", sum(col("w")).over(Window.partitionBy(lit(1))))
       val draws = spark.range(100).select(col("id").as("draw_id"))
         .withColumn("u", Rand.u32(md5(concat(lit("draw:"), col("draw_id")))))
       // (u * total) div 2^32 in pure 64-bit integer math — a double division
@@ -176,11 +180,17 @@ object Sampling {
     "q64_uniform_pick",
     (spark, dir) => {
       val u = Rand.u32(md5(concat(lit("pick:"), col("doc_id"))))
-      val w = Window.orderBy(col("u"), col("doc_id"))
-      Tables.documents(spark, dir)
+      // orderBy + limit compiles to TakeOrderedAndProject: per-partition
+      // top-10 heaps, O(k) driver merge — no global sort, no window over
+      // the full table. The rank window afterwards runs on 10 rows only
+      // (constant partition key keeps the WindowExec partitioned).
+      val top = Tables.documents(spark, dir)
         .withColumn("u", u)
+        .orderBy(col("u"), col("doc_id"))
+        .limit(10)
+      val w = Window.partitionBy(lit(1)).orderBy(col("u"), col("doc_id"))
+      top
         .withColumn("sample_rank", row_number().over(w))
-        .filter(col("sample_rank") <= 10)
         .select(col("sample_rank"), col("doc_id"), col("lang"))
         .orderBy("sample_rank")
     },

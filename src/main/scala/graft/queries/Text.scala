@@ -101,9 +101,9 @@ object Text {
           col("n_en_marker").cast("double") / col("n_docs"))
         .orderBy("lang"),
     Some("""
-      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
              count(DISTINCT source) AS n_sources,
-             sum(CASE WHEN contains(text, 'the') OR contains(text, 'a') THEN 1 ELSE 0 END) AS n_en_marker,
+             CAST(sum(CASE WHEN contains(text, 'the') OR contains(text, 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_en_marker,
              CAST(sum(CASE WHEN contains(text, 'the') OR contains(text, 'a') THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS en_marker_rate
       FROM documents
       GROUP BY lang

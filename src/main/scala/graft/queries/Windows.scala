@@ -36,7 +36,7 @@ object Windows {
       SELECT date_trunc('hour', ts) AS hour, event_type,
              count(*) AS n_events,
              count(DISTINCT user_id) AS n_users,
-             sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_milli
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
       FROM events
       GROUP BY 1, 2
       ORDER BY hour, event_type"""),
@@ -60,7 +60,7 @@ object Windows {
     Some("""
       SELECT event_id, user_id,
              row_number() OVER w AS seq,
-             sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS run_milli
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS run_milli
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY event_id"""))
@@ -99,7 +99,7 @@ object Windows {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), s AS (
         SELECT user_id, ts,
-               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+               CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
         FROM b)
       SELECT user_id, session_seq, count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end,
@@ -152,7 +152,7 @@ object Windows {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first),
     Some("""
-      SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents
       GROUP BY ROLLUP (lang, source)
       ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
@@ -182,15 +182,44 @@ object Windows {
       WHERE rank <= 3
       ORDER BY c_mktsegment, rank"""))
 
-  /** Q19: decile statistics over order prices (ntile — global sort window;
-    * at scale replaced by approx_percentile bounds + one pass, kept exact
-    * here for the oracle). Min/max of doubles are exact, no sums. */
+  /** Q19: decile statistics over order prices — EXACT ntile semantics
+    * without the global single-partition sort window (which moves every row
+    * through one task). Scale-safe exact plan:
+    *   1. bucket rows by a pure value function (price banded at 10k) —
+    *      deterministic across jobs, unlike RangePartitioner's sampled
+    *      bounds, so the count pass and the rank pass agree;
+    *   2. tiny per-band count aggregate → driver-side cumulative offsets
+    *      (bounded: one row per price band at any SF), broadcast back;
+    *   3. exact global rank = band offset + intra-band row_number
+    *      (window partitioned on the band — parallel);
+    *   4. ntile arithmetic from the total count (first n%10 deciles get
+    *      one extra row — the SQL-standard tiling DuckDB implements).
+    * Min/max of doubles are exact, no sums. */
   private val q19 = GraftQuery(
     "q19_price_deciles",
     (spark, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(spark, dir)
-        .withColumn("decile", ntile(10).over(w))
+      val ord = Tables.orders(spark, dir)
+        .withColumn("band", floor(col("o_totalprice") / 10000.0).cast("long"))
+      val cnts = ord.groupBy("band").agg(count(lit(1)).as("cnt"))
+        .orderBy("band").collect()
+      val n = cnts.map(_.getLong(1)).sum
+      val offs = cnts.scanLeft(0L)((acc, r) => acc + r.getLong(1)).init
+      val offsDf = broadcast(
+        spark.createDataFrame(
+          cnts.zip(offs).toSeq.map { case (r, o) => (r.getLong(0), o) })
+          .toDF("band", "band_off"))
+      val base = n / 10
+      val rem = n % 10
+      val cut = rem * (base + 1)
+      val wb = Window.partitionBy("band")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord.join(offsDf, "band")
+        .withColumn("rank", col("band_off") + row_number().over(wb))
+        .withColumn("decile",
+          when(col("rank") <= cut,
+            expr(s"CAST((rank - 1) div ${base + 1} AS INT) + 1"))
+            .otherwise(
+              expr(s"CAST(($rem + (rank - $cut - 1) div $base) AS INT) + 1")))
         .groupBy(col("decile"))
         .agg(
           count(lit(1)).as("n_orders"),

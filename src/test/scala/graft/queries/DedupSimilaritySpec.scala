@@ -67,7 +67,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("q31 simhash emits only low-hamming pairs") {
     SparkEntry.queries("q31_simhash_dedup")(spark, sfDir).collect().foreach { r =>
-      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("hamming") <= 3)
     }
   }
 }

@@ -35,6 +35,22 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
         print(f"FAIL {name}: rows {len(got)} != {len(want)}")
         return False
     ok = True
+    # The driver's hash is TYPE-sensitive (DuckDB HUGEINT vs Spark BIGINT sank
+    # 12 round-1 queries while value-equality passed) — fail on dtype drift
+    # before comparing values. Round-1 evidence calibrates the sensitivity:
+    # int32-vs-int64 pairs hashed EQUAL (q14/q18/q20/q34... all passed), while
+    # HUGEINT (object/float64 after fetchdf) failed — so normalize integer
+    # widths to int64 first, then require exact dtype equality.
+    def widen(s):
+        return s.astype(np.int64) if s.dtype in (
+            np.dtype(np.int8), np.dtype(np.int16), np.dtype(np.int32)) else s
+    for c in got.columns:
+        a, b = widen(got[c]), widen(want[c])
+        if a.dtype != b.dtype:
+            print(f"FAIL {name}.{c}: dtype {got[c].dtype} != {want[c].dtype}")
+            ok = False
+    if not ok:
+        return False
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
