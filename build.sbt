@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as the benchmark JSON. Two sbt behaviors break that:
+// the logger prefixes the program's stdout with "[info] ", and sbt
+// appends a "[success] Total time: …" line after the run. Pipe the
+// forked JVM's output through raw and drop the success banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -104,10 +104,29 @@ object FrameworkLoader {
         val toolName = optText(t, "tool_name")
         if (toolName.isEmpty) errs += s"tools[$i].tool_name: required"
         if (optText(t, "description").isEmpty) errs += s"tools[$i].description: required"
+        // The reference's FrameworkTool also requires the YAML config path
+        // and the `module.path:function` binding
+        // (framework_config_schema.py:66-75).
+        if (optText(t, "config_path").isEmpty) errs += s"tools[$i].config_path: required"
+        if (optText(t, "binding").isEmpty) errs += s"tools[$i].binding: required"
         Framework.Tool(toolName.getOrElse(""), optText(t, "description").getOrElse(""))
       }
 
       val workflow = Option(r.get("workflow")).filterNot(_.isNull).toSeq.flatMap { w =>
+        // A workflow block must carry a name; nodes need a unique id and a
+        // type from {agent, tool, mcp} (framework_config_schema.py:78-103).
+        if (optText(w, "name").isEmpty) errs += "workflow.name: required"
+        val nodeIds = seqOf(w, "nodes").zipWithIndex.map { case (nd, i) =>
+          val id = optText(nd, "id")
+          if (id.isEmpty) errs += s"workflow.nodes[$i].id: required"
+          val tpe = optText(nd, "type")
+          if (tpe.isEmpty) errs += s"workflow.nodes[$i].type: required"
+          else if (!Set("agent", "tool", "mcp")(tpe.get))
+            errs += s"workflow.nodes[$i].type: '${tpe.get}' not one of agent|tool|mcp"
+          id.getOrElse("")
+        }
+        nodeIds.diff(nodeIds.distinct).distinct.foreach(dup =>
+          errs += s"workflow.nodes: duplicate id '$dup'")
         seqOf(w, "edges").zipWithIndex.map { case (e, i) =>
           val from = optText(e, "from")
           val to = optText(e, "to")

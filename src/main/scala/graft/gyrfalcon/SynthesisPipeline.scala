@@ -46,7 +46,14 @@ object SynthesisPipeline extends Serializable {
     * reference's in-memory list. */
   def roundsFromFiles(spark: SparkSession, paths: Seq[String],
       configPath: String, personaPath: String, n: Int): Either[Seq[String], Dataset[Round]] =
-    FrameworkLoader.loadConfig(new java.io.File(configPath).getParentFile.getName, configPath)
+    // Framework name = the config's directory name, as in the reference's
+    // per-framework layout; resolve via absolute path so a bare filename
+    // ("config.json") still has a parent to name it after.
+    FrameworkLoader.loadConfig(
+      Option(java.nio.file.Paths.get(configPath).toAbsolutePath.normalize.getParent)
+        .flatMap(p => Option(p.getFileName)).map(_.toString)
+        .getOrElse("framework"),
+      configPath)
       .map { _ =>
         val personas = FrameworkLoader
           .validPersonas(FrameworkLoader.loadPersonas(spark, personaPath))

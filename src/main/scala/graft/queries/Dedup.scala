@@ -167,14 +167,21 @@ object Dedup {
         val next =
           if (rounds % 4 == 3) grown.localCheckpoint(eager = true)
           else grown.cache()
+        // count() (not isEmpty/take(1)) so `next` is FULLY materialized into
+        // its cache before the previous round's frame is released — a
+        // partial take would leave uncached partitions recomputing through
+        // the deepening lineage between checkpoints.
         converged = next.join(labels.withColumnRenamed("canonical", "prev"), "doc_id")
           .filter(col("canonical") =!= col("prev"))
-          .isEmpty
+          .count() == 0
         labels.unpersist()
         labels = next
         rounds += 1
       }
-      val out = labels.orderBy("doc_id")
+      // Detach the result from the loop's cache entries: checkpoint the
+      // final frame eagerly, then release everything the loop pinned.
+      val out = labels.orderBy("doc_id").localCheckpoint(eager = true)
+      labels.unpersist()
       edges.unpersist()
       out
     },
