@@ -18,7 +18,7 @@ run / fork := true
 // forked JVM's output through raw and drop the success banner.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
-Global / excludeLintKeys += outputStrategy
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

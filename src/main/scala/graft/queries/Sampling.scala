@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Single-group window key that survives the optimizer: Spark 4's
+    * EliminateWindowPartitions strips foldable keys (lit(1)) from window
+    * specs, turning them into warn-per-execution global windows. A
+    * zero-length substring of a data column is constant ("") per row but
+    * non-foldable, so the one-partition spec is preserved. Only for frames
+    * already reduced to category scale. */
+  private def oneGroup(c: Column): Column = substring(c, 0, 0)
+
   /** Deterministic uniform in [0, 2^32): base-16 left-fold of the first 8
     * md5 hex nibbles. */
   object Rand {
@@ -54,14 +62,15 @@ object Sampling {
         .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
         .withColumn("w", floor(lit(1000000.0) / (cnt1 * sqrt(cnt1))).cast("long"))
       // Constant partition key: the CDF frame is one row per distinct brand
-      // (tiny at any SF), but an EMPTY partition spec would still emit the
-      // "No Partition Defined" WindowExec warning per execution — lit(1)
-      // keeps the plan warning-free with identical semantics.
-      val wCum = Window.partitionBy(lit(1)).orderBy("p_brand")
+      // (tiny at any SF). A foldable key like lit(1) is stripped by Spark
+      // 4's EliminateWindowPartitions, regenerating the "No Partition
+      // Defined" warning — oneGroup() is non-foldable so the spec survives.
+      val one = oneGroup(col("p_brand"))
+      val wCum = Window.partitionBy(one).orderBy("p_brand")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cdf = brands
         .withColumn("cum", sum(col("w")).over(wCum))
-        .withColumn("total", sum(col("w")).over(Window.partitionBy(lit(1))))
+        .withColumn("total", sum(col("w")).over(Window.partitionBy(one)))
       val draws = spark.range(100).select(col("id").as("draw_id"))
         .withColumn("u", Rand.u32(md5(concat(lit("draw:"), col("draw_id")))))
       // (u * total) div 2^32 in pure 64-bit integer math — a double division
@@ -188,7 +197,7 @@ object Sampling {
         .withColumn("u", u)
         .orderBy(col("u"), col("doc_id"))
         .limit(10)
-      val w = Window.partitionBy(lit(1)).orderBy(col("u"), col("doc_id"))
+      val w = Window.partitionBy(oneGroup(col("doc_id"))).orderBy(col("u"), col("doc_id"))
       top
         .withColumn("sample_rank", row_number().over(w))
         .select(col("sample_rank"), col("doc_id"), col("lang"))
