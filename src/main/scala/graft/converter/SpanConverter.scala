@@ -217,6 +217,35 @@ object SpanConverter extends Serializable {
     records.filter($"agent_name".isNull || $"agent_name" =!= "meta")
   }
 
+  /** F12: record-level dialect conversion — rewrite ONLY system and
+    * assistant message content to the target dialect; user and tool turns
+    * pass through untouched (they are user input / environment output, not
+    * model behavior — behavioral reference
+    * `convert_trace_tool_calls.py:55-96`). A message whose conversion
+    * throws keeps its original content, the reference's keep-original-on-
+    * error semantics. Narrow map: no shuffle, safe at any scale. */
+  def convertRecordsDialect(records: Dataset[ChatRecord], format: String): Dataset[ChatRecord] = {
+    import records.sparkSession.implicits._
+    require(graft.core.text.Dialects.Supported.contains(format.toLowerCase),
+      s"Invalid format: $format")
+    records.map(recordDialect(_, format))
+  }
+
+  /** The per-record form of [[convertRecordsDialect]]. */
+  def recordDialect(r: ChatRecord, format: String): ChatRecord =
+    r.copy(messages = r.messages.map { m =>
+      if ((m.role == "system" || m.role == "assistant") && m.content.exists(_.nonEmpty))
+        try m.copy(content = m.content.map(
+          graft.core.text.Dialects.convertMessage(_, format)))
+        catch { case _: Exception => m }
+      else m
+    })
+
+  /** md5 hex of a UTF-8 string (matches Spark's `md5()` builtin). */
+  def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   /** A11: progress/quality counters as a query observation — converted
     * rows, invalid rows, and total extracted calls ride along with
     * whatever action the caller runs (no second pass, no accumulator

@@ -89,7 +89,34 @@ object Converter {
         .select(col("doc_id"), col("q._1").as("difficulty"), col("q._2").as("content"))
         .orderBy("doc_id", "difficulty")
     },
-    None)
+    // A real parse oracle: DuckDB (RE2) has no lookahead, so instead of the
+    // engine's one-pass `(?=\*\*\w+:\*\*|$)` regex each difficulty is
+    // extracted independently with the NEXT marker as its delimiter —
+    // byte-identical results on this corpus. trim matches Scala's
+    // String.trim (space/tab/newline/CR at both ends).
+    Some("""
+      WITH resp AS (
+        SELECT doc_id,
+               '**EASY:** easy about ' || doc_id || chr(10) ||
+               '**MEDIUM:** medium about ' || lang || chr(10) ||
+               '**HARD:** hard ' || substring(text, 1, 20) AS r
+        FROM documents),
+      parsed AS (
+        SELECT doc_id, 'easy' AS difficulty,
+               regexp_extract(r, '(?s)\*\*EASY:\*\*\s*(.*?)\*\*MEDIUM:\*\*', 1) AS content
+        FROM resp
+        UNION ALL
+        SELECT doc_id, 'medium',
+               regexp_extract(r, '(?s)\*\*MEDIUM:\*\*\s*(.*?)\*\*HARD:\*\*', 1)
+        FROM resp
+        UNION ALL
+        SELECT doc_id, 'hard',
+               regexp_extract(r, '(?s)\*\*HARD:\*\*\s*(.*)$', 1)
+        FROM resp)
+      SELECT doc_id, difficulty,
+             trim(content, ' ' || chr(9) || chr(10) || chr(13)) AS content
+      FROM parsed
+      ORDER BY doc_id, difficulty"""))
 
   /** Q45: NexAU-mode conversion (tool calls stay inline; restore-only
     * path, the per-framework converter override). */
@@ -106,5 +133,30 @@ object Converter {
         .orderBy("trace_id", "span_id"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q45)
+  /** Q46: record-level dialect map (F12) — NexAU-mode records (tool calls
+    * still inline in content) converted per-message with the reference's
+    * role scoping: system/assistant rewritten, user/tool untouched. md5
+    * pins the exact post-conversion bytes per record and dialect. */
+  private val q46 = GraftQuery(
+    "q46_record_dialect",
+    (spark, dir) => {
+      import spark.implicits._
+      val records = SpanConverter.convert(
+        spark, Spans.synthesize(spark, dir).toDF, nexauMode = true)
+      // One narrow pass computes every dialect (vs a per-dialect
+      // self-join that would re-run the whole converter per dialect and
+      // shuffle to re-align rows).
+      val dialects = Seq("qwen", "glm", "deepseek")
+      records.map { r =>
+        val digests = dialects.map { d =>
+          SpanConverter.md5Hex(SpanConverter.recordDialect(r, d)
+            .messages.map(_.content.getOrElse("")).mkString(" "))
+        }
+        (r.trace_id, r.span_id, digests(0), digests(1), digests(2))
+      }.toDF("trace_id", "span_id", "qwen_md5", "glm_md5", "deepseek_md5")
+        .orderBy("trace_id", "span_id")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }

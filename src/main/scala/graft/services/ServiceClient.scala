@@ -17,7 +17,14 @@ trait ServiceClient extends Serializable {
   def complete(prompt: String): String
   /** X2: web search — top-k snippet strings. */
   def search(query: String, k: Int): Seq[String]
+  /** X3: HTTP HEAD probe (url_validator_agent.py:118-175 — retry and
+    * redirect handling live in the implementation, the pipeline only sees
+    * the final verdict). */
+  def head(url: String): HeadResult
 }
+
+/** Outcome of a HEAD probe: terminal status and the validator's verdict. */
+final case class HeadResult(statusCode: Int, accessible: Boolean, error: Option[String])
 
 /** Deterministic offline stub: responses are pure functions of the prompt
   * (md5-seeded), shaped so the downstream parsers (F16 difficulty parse,
@@ -31,11 +38,17 @@ object StubServiceClient extends ServiceClient {
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** First 8 md5 hex digits as a uniform in [0, 2^32) — the same value
+    * DuckDB's `u32Sql` fold computes, so stub decisions are replicable in
+    * oracle SQL. */
+  private def u32(s: String): Long = java.lang.Long.parseLong(h(s).take(8), 16)
+
   /** Prompt-shaped dispatch: suitability prompts get a SUITABLE /
     * NOT_SUITABLE verdict (~80/20, hash-decided), rewrite prompts get a
-    * rewritten query, everything else gets the three-difficulty answer
-    * format the reference's synthesis prompt requests
-    * (**EASY/MEDIUM/HARD** markers). */
+    * rewritten query, URL-pipeline prompts (X3) get the strict-JSON
+    * answers their parsers expect, everything else gets the
+    * three-difficulty answer format the reference's synthesis prompt
+    * requests (**EASY/MEDIUM/HARD** markers). */
   override def complete(prompt: String): String = {
     val seed = h(prompt).take(8)
     if (prompt.startsWith("Evaluate suitability"))
@@ -43,6 +56,12 @@ object StubServiceClient extends ServiceClient {
       else s"NOT_SUITABLE: mismatch $seed"
     else if (prompt.startsWith("Rewrite"))
       s"rewritten[$seed] ${prompt.linesIterator.toSeq.last.trim}"
+    else if (prompt.startsWith("You are a URL extraction expert"))
+      extractionAnswer(prompt)
+    else if (prompt.startsWith("You are a URL repair expert"))
+      repairAnswer(prompt)
+    else if (prompt.startsWith("You are a query rewriting expert"))
+      rewriteAnswer(prompt)
     else
       s"""**EASY:** easy task $seed
          |**MEDIUM:** medium task $seed covering ${prompt.take(24).trim}
@@ -51,4 +70,60 @@ object StubServiceClient extends ServiceClient {
 
   override def search(query: String, k: Int): Seq[String] =
     (0 until k).map(i => s"result $i for ${query.take(32)}: ${h(s"$i:$query").take(12)}")
+
+  /** X3 HEAD stub: ~80% of URLs accessible, md5-decided — replicated in
+    * oracle SQL as `u32(md5('head:' || url)) % 5 != 0`. */
+  override def head(url: String): HeadResult =
+    if (u32(s"head:$url") % 5 != 0) HeadResult(200, accessible = true, None)
+    else HeadResult(404, accessible = false, Some("HTTP 404"))
+
+  private val UrlRe = "https?://[^\\s\"'<>\\)\\]]+".r
+
+  /** Extraction: regex the real URLs out of the prompt's query block
+    * (placeholder URLs with {} or <> excluded), answer in the strict JSON
+    * shape the reference's extractor returns. */
+  private def extractionAnswer(prompt: String): String = {
+    val body = prompt.split("Query:\n", 2).lift(1).map(_.split("\nRequirements")(0))
+      .getOrElse("")
+    val urls = UrlRe.findAllIn(body).toVector.distinct
+      .filterNot(u => u.contains("{") || u.contains("<"))
+    val items = urls.map(u =>
+      s"""{"url": "$u", "description": "stub", "context": "stub"}""")
+    s"""{"urls": [${items.mkString(", ")}]}"""
+  }
+
+  /** Repair: 25% of broken URLs are declared irreparable (md5-decided,
+    * `u32(md5('repair:' || url)) % 4 == 0`); the rest get two fix
+    * candidates `url#fix1` / `url#fix2` on the first attempt. A repeat
+    * call for the same URL (its error line mentions a previous #fix
+    * candidate) answers action=remove — the reference's "agent says the
+    * URL can't be repaired" terminal. */
+  private def repairAnswer(prompt: String): String = {
+    val url = "(?m)^Original URL: (.*)$".r.findFirstMatchIn(prompt)
+      .map(_.group(1).trim).getOrElse("")
+    val error = "(?m)^Error: (.*)$".r.findFirstMatchIn(prompt)
+      .map(_.group(1).trim).getOrElse("")
+    if (u32(s"repair:$url") % 4 == 0 || error.contains("#fix"))
+      """{"repairable": false, "suggested_urls": [], "action": "remove"}"""
+    else
+      s"""{"repairable": true, "suggested_urls": ["$url#fix1", "$url#fix2"],
+         | "reasoning": "stub", "action": "repair"}""".stripMargin
+  }
+
+  /** Rewrite: apply the requested url_changes literally (the reference's
+    * fallback semantics, here as the primary answer) and return the
+    * strict-JSON shape the rewrite parser expects. */
+  private def rewriteAnswer(prompt: String): String = {
+    val query = prompt.split("Query:\n", 2).lift(1).map(_.split("\nChanges:\n")(0).trim)
+      .getOrElse("")
+    val changes = prompt.split("Changes:\n", 2).lift(1).getOrElse("")
+    val rewritten = changes.linesIterator.foldLeft(query) { (acc, line) =>
+      line.split(" -> ", 2) match {
+        case Array(from, to) => acc.replace(from.trim, to.trim)
+        case _               => acc
+      }
+    }
+    val esc = rewritten.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"rewritten_query": "$esc"}"""
+  }
 }

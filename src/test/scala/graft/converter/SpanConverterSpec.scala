@@ -83,6 +83,27 @@ class SpanConverterSpec extends SparkSpec {
     assert(rec.messages.count(_.role == "tool") == 0)
   }
 
+  test("record-level dialect map converts system/assistant only (F12)") {
+    import spark.implicits._
+    val nexau = SpanConverter.convert(spark, spans, nexauMode = true)
+    val converted = SpanConverter.convertRecordsDialect(nexau, "qwen")
+      .filter($"trace_id" === "trace_1").head()
+    val original = nexau.filter($"trace_id" === "trace_1").head()
+    converted.messages.zip(original.messages).foreach { case (c, o) =>
+      assert(c.role == o.role)
+      if (o.role == "user" || o.role == "tool")
+        assert(c.content == o.content, s"${o.role} turns must pass through untouched")
+    }
+    val assistants = converted.messages.filter(_.role == "assistant")
+    assert(assistants.exists(_.content.exists(_.contains("<function="))),
+      "inline NexAU calls in assistant turns must be rewritten to qwen")
+    assert(assistants.forall(_.content.exists(c => !c.contains("<tool_use>"))))
+    // keep-original-on-error: an unsupported dialect throws at plan time
+    intercept[IllegalArgumentException] {
+      SpanConverter.convertRecordsDialect(nexau, "nope")
+    }
+  }
+
   test("observation counters ride along with the conversion action") {
     val (ds, obs) = SpanConverter.convertObserved(spark, spans)
     val n = ds.count()
