@@ -148,5 +148,93 @@ object Services {
       FROM r
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48)
+  /** Q49: the X4 file-provisioning chain at file grain. Synthetic corpus:
+    * every even document is file-dependent with one https URL; every tenth
+    * also plans an http:// URL (exercising the downloader's https-only
+    * rejection) and every fourth a base64 data: URL (the local-decode
+    * branch). Odd documents are classified not-file-dependent and produce
+    * no rows. All stub verdicts are md5-keyed, so statuses, byte counts
+    * and content digests are hash-checked in DuckDB. */
+  private val q49 = GraftQuery(
+    "q49_file_provisioning",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat(
+            lit("Process doc"), col("doc_id"),
+            when(col("doc_id") % 2 === 0, concat(
+              lit(" dataset from https://files.example.org/f"), col("doc_id"), lit(".csv"),
+              when(col("doc_id") % 10 === 0,
+                concat(lit(" and http://insecure.example/x"), col("doc_id"), lit(".bin")))
+                .otherwise(lit("")),
+              when(col("doc_id") % 4 === 0,
+                concat(lit(" and data:text/csv;base64,"),
+                  base64(concat(lit("id,"), col("doc_id")).cast("binary"))))
+                .otherwise(lit(""))))
+              .otherwise(lit(" with no files")))
+            .as("query"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val client = StubServiceClient
+          it.flatMap { case (id, q) =>
+            graft.services.FilePipeline.provision(q, "graft", "english", client)
+              .files.map(f => (id, f.url, f.local_path, f.status,
+                f.error.orNull, f.n_bytes, f.content_md5.orNull))
+          }
+        }
+        .toDF("doc_id", "url", "local_path", "status", "error",
+          "n_bytes", "content_md5")
+        .orderBy("doc_id", "url")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+               'https://files.example.org/f' || doc_id || '.csv' AS https_url,
+               CASE WHEN doc_id % 10 = 0
+                    THEN 'http://insecure.example/x' || doc_id || '.bin' END AS http_url,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'data:text/csv;base64,' || to_base64(encode('id,' || doc_id)) END AS data_url
+        FROM documents WHERE doc_id % 2 = 0),
+      planned AS (
+        SELECT doc_id,
+               unnest(list_filter([
+                 {'url': https_url, 'kind': 'https',
+                  'fname': 'f' || doc_id || '.csv'},
+                 {'url': http_url, 'kind': 'http',
+                  'fname': 'x' || doc_id || '.bin'},
+                 {'url': data_url, 'kind': 'data',
+                  'fname': 'data_' || (CASE WHEN http_url IS NULL THEN 1 ELSE 2 END) || '.csv'}
+               ], s -> s.url IS NOT NULL)) AS f
+        FROM base),
+      rows_out AS (
+        SELECT doc_id, f.url AS url,
+               'downloads/graft/bundle/' || f.fname AS local_path,
+               CASE f.kind
+                 WHEN 'https' THEN CASE WHEN ${U.u32Sql("md5('get:' || f.url)")} % 5 != 0
+                                        THEN 'downloaded' ELSE 'failed' END
+                 WHEN 'http' THEN 'failed'
+                 ELSE 'downloaded' END AS status,
+               CASE f.kind
+                 WHEN 'https' THEN CASE WHEN ${U.u32Sql("md5('get:' || f.url)")} % 5 != 0
+                                        THEN NULL ELSE 'HTTP 404' END
+                 WHEN 'http' THEN 'unsupported URL scheme: http'
+                 ELSE NULL END AS error,
+               CASE f.kind
+                 WHEN 'https' THEN CASE WHEN ${U.u32Sql("md5('get:' || f.url)")} % 5 != 0
+                                        THEN strlen('content:' || f.url) ELSE 0 END
+                 WHEN 'http' THEN 0
+                 ELSE strlen('id,' || doc_id) END AS n_bytes,
+               CASE f.kind
+                 WHEN 'https' THEN CASE WHEN ${U.u32Sql("md5('get:' || f.url)")} % 5 != 0
+                                        THEN md5('content:' || f.url) END
+                 WHEN 'http' THEN NULL
+                 ELSE md5('id,' || doc_id) END AS content_md5
+        FROM planned)
+      SELECT doc_id, url, local_path, status, error,
+             CAST(n_bytes AS INT) AS n_bytes, content_md5
+      FROM rows_out
+      ORDER BY doc_id, url"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49)
 }

@@ -21,10 +21,15 @@ trait ServiceClient extends Serializable {
     * redirect handling live in the implementation, the pipeline only sees
     * the final verdict). */
   def head(url: String): HeadResult
+  /** X4: HTTP GET for file provisioning (file_system_agent.py:215-226). */
+  def fetch(url: String): FetchResult
 }
 
 /** Outcome of a HEAD probe: terminal status and the validator's verdict. */
 final case class HeadResult(statusCode: Int, accessible: Boolean, error: Option[String])
+
+/** Outcome of a GET: body bytes on success, error otherwise. */
+final case class FetchResult(statusCode: Int, content: Option[Array[Byte]], error: Option[String])
 
 /** Deterministic offline stub: responses are pure functions of the prompt
   * (md5-seeded), shaped so the downstream parsers (F16 difficulty parse,
@@ -62,6 +67,10 @@ object StubServiceClient extends ServiceClient {
       repairAnswer(prompt)
     else if (prompt.startsWith("You are a query rewriting expert"))
       rewriteAnswer(prompt)
+    else if (prompt.startsWith("You are a file requirement analyst"))
+      requirementAnswer(prompt)
+    else if (prompt.startsWith("You are a file provisioning planner"))
+      planAnswer(prompt)
     else
       s"""**EASY:** easy task $seed
          |**MEDIUM:** medium task $seed covering ${prompt.take(24).trim}
@@ -76,6 +85,14 @@ object StubServiceClient extends ServiceClient {
   override def head(url: String): HeadResult =
     if (u32(s"head:$url") % 5 != 0) HeadResult(200, accessible = true, None)
     else HeadResult(404, accessible = false, Some("HTTP 404"))
+
+  /** X4 GET stub: same 80% success draw as HEAD but keyed on 'get:', so a
+    * URL's HEAD and GET verdicts are independent; body bytes are the
+    * deterministic string "content:<url>" (oracle: `md5('content:'||url)`). */
+  override def fetch(url: String): FetchResult =
+    if (u32(s"get:$url") % 5 != 0)
+      FetchResult(200, Some(s"content:$url".getBytes("UTF-8")), None)
+    else FetchResult(404, None, Some("HTTP 404"))
 
   private val UrlRe = "https?://[^\\s\"'<>\\)\\]]+".r
 
@@ -108,6 +125,31 @@ object StubServiceClient extends ServiceClient {
     else
       s"""{"repairable": true, "suggested_urls": ["$url#fix1", "$url#fix2"],
          | "reasoning": "stub", "action": "repair"}""".stripMargin
+  }
+
+  private def queryBlock(prompt: String): String =
+    prompt.split("Query:\n", 2).lift(1)
+      .map(b => b.split("\nReturn")(0).split("\nRequired items:")(0).trim)
+      .getOrElse("")
+
+  /** X4 classify: a query is file-dependent iff it mentions a dataset —
+    * deterministic and mirrored by the oracle's corpus construction. */
+  private def requirementAnswer(prompt: String): String = {
+    val q = queryBlock(prompt)
+    if (q.contains("dataset"))
+      """{"requires_files": true, "reason": "mentions a dataset",
+        | "required_items": ["dataset"]}""".stripMargin
+    else """{"requires_files": false, "reason": "", "required_items": []}"""
+  }
+
+  private val AnySchemeUrlRe = "(?:https?://|data:)[^\\s\"'<>\\)\\]]+".r
+
+  /** X4 plan: every URL in the query (any scheme — the DOWNLOADER enforces
+    * https-only, not the planner) becomes one file entry, in order. */
+  private def planAnswer(prompt: String): String = {
+    val urls = AnySchemeUrlRe.findAllIn(queryBlock(prompt)).toVector.distinct
+    val items = urls.map(u => s"""{"url": "$u", "description": "stub file"}""")
+    s"""{"directory_name": null, "files": [${items.mkString(", ")}]}"""
   }
 
   /** Rewrite: apply the requested url_changes literally (the reference's

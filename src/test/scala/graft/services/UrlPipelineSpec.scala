@@ -27,6 +27,8 @@ class UrlPipelineSpec extends AnyFunSuite {
       else ""
     }
     override def search(q: String, k: Int): Seq[String] = Seq.empty
+    override def fetch(url: String): FetchResult =
+      FetchResult(200, Some(Array.emptyByteArray), None)
     override def head(url: String): HeadResult = {
       heads += url
       if (accessible(url)) HeadResult(200, accessible = true, None)
