@@ -241,6 +241,16 @@ object SpanConverter extends Serializable {
       else m
     })
 
+  /** F10 as a record-level job: normalize every serialized tool call's
+    * `function.arguments` from a JSON string to the object it encodes
+    * (unparseable → {}), leaving everything else untouched. Narrow map. */
+  def normalizeArgumentsJob(records: Dataset[ChatRecord]): Dataset[ChatRecord] = {
+    import records.sparkSession.implicits._
+    records.map(r => r.copy(messages = r.messages.map(m =>
+      if (m.tool_calls.isEmpty) m
+      else m.copy(tool_calls = m.tool_calls.map(NexXml.normalizeArguments)))))
+  }
+
   /** md5 hex of a UTF-8 string (matches Spark's `md5()` builtin). */
   def md5Hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -55,6 +55,59 @@ object Spans extends Serializable {
       .filter(col("_corrupt_record").isNull && col("trace_id").isNotNull)
       .drop("_corrupt_record")
 
+  /** P4 + S1: tolerant JSONL reader for REAL span dumps, where `output`
+    * arrives as either a single message object or a list of them (the
+    * reference normalizes list → first element,
+    * `convert_spans_to_chatcompletion.py:1526-1532`). A static schema
+    * can't union the two shapes, so `output` is re-extracted from the raw
+    * line and parsed per shape — the dispatch keys on the JSON text's
+    * first character, the columnar spelling of the reference's
+    * isinstance check. (A plain `coalesce` of the two parses would be
+    * wrong: `from_json` with a struct schema over array text yields a
+    * struct of NULLs, not NULL.) */
+  def readJsonlNormalized(spark: SparkSession, path: String): DataFrame = {
+    val withoutOutput = StructType(schema.fields.filterNot(_.name == "output"))
+    spark.read.textFile(path).toDF("value")
+      .select(
+        from_json(col("value"), withoutOutput).as("s"),
+        get_json_object(col("value"), "$.output").as("output_raw"))
+      .select(col("s.*"),
+        when(ltrim(col("output_raw")).startsWith("["),
+          // get() not element_at(): NULL (not an ANSI error) for output: []
+          get(from_json(col("output_raw"), ArrayType(messageType)), lit(0)))
+          .otherwise(from_json(col("output_raw"), messageType))
+          .as("output"))
+      .filter(col("_corrupt_record").isNull && col("trace_id").isNotNull)
+      .drop("_corrupt_record")
+      // keep the canonical column order regardless of parse shape
+      .select(schema.fieldNames.filterNot(_ == "_corrupt_record")
+        .map(col).toIndexedSeq: _*)
+  }
+
+  /** S4 + P7: query JSONL reader with framework filter — load the query
+    * table, keep only target frameworks, drop blank queries (behavioral
+    * reference `run_end_to_end.py:159-184` + the empty-query guard
+    * `:827-830`). An empty `frameworks` list means no framework filter,
+    * as in the reference. */
+  val querySchema: StructType = StructType(Seq(
+    StructField("query", StringType),
+    StructField("framework", StringType),
+    StructField("trace_id", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  def readQueries(spark: SparkSession, path: String,
+      frameworks: Seq[String] = Seq.empty): DataFrame = {
+    val base = spark.read.schema(querySchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .filter(col("_corrupt_record").isNull &&
+        length(trim(col("query"))) > 0)
+      .drop("_corrupt_record")
+    if (frameworks.isEmpty) base
+    else base.filter(col("framework").isin(frameworks: _*))
+  }
+
   /** Deterministic span synthesis from the `documents` table — the test
     * corpus for the converter DAG (the driver provides no span parquet).
     * Each document becomes one trace:

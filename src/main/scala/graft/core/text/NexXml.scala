@@ -46,6 +46,35 @@ object NexXml extends Serializable {
       fields.map { case (k, v) => s"${str(k)}: $v" }.mkString("{", ", ", "}")
   }
 
+  /** F10: tool-call arguments normalization (behavioral reference
+    * `convert_spans_to_chatcompletion.py:1729-1744`): a string-typed
+    * `function.arguments` is parsed into the JSON value it encodes —
+    * leniently, control characters allowed, like python's
+    * `json.loads(strict=False)` — and inlined as a real object; an
+    * unparseable string becomes `{}`. Already-object arguments, calls
+    * without a function block, and unparseable call JSON pass through
+    * unchanged. */
+  def normalizeArguments(toolCallJson: String): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mapper = new ObjectMapper()
+    val lenient = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_UNESCAPED_CONTROL_CHARS)
+      .build()
+    scala.util.Try {
+      val root = mapper.readTree(toolCallJson)
+      Option(root.get("function")).collect { case fn: ObjectNode => fn } match {
+        case Some(fn) if Option(fn.get("arguments")).exists(_.isTextual) =>
+          val parsed = scala.util.Try(lenient.readTree(fn.get("arguments").asText))
+            .toOption.filter(n => n != null && !n.isMissingNode)
+            .getOrElse(mapper.createObjectNode())
+          fn.set[ObjectNode]("arguments", parsed)
+          mapper.writeValueAsString(root)
+        case _ => toolCallJson
+      }
+    }.getOrElse(toolCallJson)
+  }
+
   private val TagPairs: Seq[(String, String)] = Seq(
     "tool_use", "sub-agent", "parallel_tool", "parallel_agent",
     "use_parallel_tool_calls", "use_parallel_sub_agents", "use_batch_agent"

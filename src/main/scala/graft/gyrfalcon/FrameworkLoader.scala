@@ -37,7 +37,8 @@ object FrameworkLoader {
       description: String,
       entranceAgent: Option[String],
       llmConfigs: Seq[LlmConfig],
-      config: Framework.Config)
+      config: Framework.Config,
+      mcpServerUrls: Map[String, String] = Map.empty)
 
   // YAML is a superset of JSON: one mapper reads both config.json and
   // config.yaml (snakeyaml + jackson-dataformat-yaml ship with Spark).
@@ -142,7 +143,7 @@ object FrameworkLoader {
         if (optText(s, "url").isEmpty) errs += s"mcp_servers[$i].url: required"
       }
       val mcpServers = seqOf(r, "mcp_servers")
-        .flatMap(s => optText(s, "name"))
+        .flatMap(s => optText(s, "name").map(_ -> optText(s, "url").getOrElse("")))
 
       val entrance = optText(r, "framework_entrance_agent")
       entrance.foreach { e =>
@@ -160,12 +161,24 @@ object FrameworkLoader {
         Framework.Config(
           tools,
           agents.map(_._1),
-          // Tool lists per MCP server attach later (S15 fetch/cache);
-          // the loader records the declared servers with empty tool sets.
-          mcpServers.map(_ -> Seq.empty[Framework.Tool]).toMap,
-          workflow)))
+          // Tool lists per MCP server attach later (S15 fetch/cache via
+          // [[attachMcpTools]]); the loader records the declared servers
+          // with empty tool sets.
+          mcpServers.map(_._1 -> Seq.empty[Framework.Tool]).toMap,
+          workflow),
+        mcpServers.toMap))
     }
   }
+
+  /** S15 wiring: resolve every declared MCP server's tool list through the
+    * catalog (md5-cached fetch) and attach it to the config — the step the
+    * reference runs in its preloader before conversion starts. The result
+    * is what callers broadcast. */
+  def attachMcpTools(loaded: Loaded, catalog: McpCatalog): Loaded =
+    loaded.copy(config = loaded.config.copy(
+      mcpServerTools = loaded.mcpServerUrls.map { case (serverName, url) =>
+        serverName -> (if (url.isEmpty) Seq.empty else catalog.toolsFor(url))
+      }))
 
   /** Load + validate a framework config file (JSON or YAML). */
   def loadConfig(name: String, path: String): Either[Seq[String], Loaded] = {

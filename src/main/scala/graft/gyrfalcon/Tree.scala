@@ -92,6 +92,113 @@ object Tree extends Serializable {
        |</table></body></html>""".stripMargin
   }
 
+  final case class Proposal(round_id: Long, parent_id: String, id: String,
+      en: String, zh: String)
+
+  /** R7+X7 end-to-end expansion epoch (behavioral reference
+    * `tree_manager.py:400-486` + `sampling_manager.py:335-491`): each
+    * gated round samples a path and a non-root parent on it, asks the LLM
+    * for a distinct sibling `{id,en,zh}` (sibling labels in the prompt as
+    * constraints), extracts the embedded JSON (F17), prefixes the id with
+    * the parent's (the reference's uniqueness rule) — then the whole
+    * proposal batch is validated in one shot ([[validateExpansions]]:
+    * parent exists, label is new, intra-batch dedup) and unioned into the
+    * next epoch's paths. The reference's lock-reload-save cycle becomes an
+    * associative epoch merge: no locks, any execution order.
+    *
+    * Returns (accepted proposals, next epoch's paths). Draws are
+    * md5-seeded (`seed` + round), so epochs are reproducible. */
+  def expansionEpoch(spark: SparkSession, root: Node,
+      client: graft.services.ServiceClient, nRounds: Int, p: Double,
+      seed: String = "epoch"): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val allPaths = enumeratePaths(root).toVector
+    // Trees are config-scale (≤ a few thousand nodes — they ride to
+    // executors as one broadcast, exactly how the reference holds the
+    // whole tree in memory per worker).
+    val pathsB = spark.sparkContext.broadcast(allPaths)
+    // children per node (sibling context for the generation prompt)
+    val childrenB = spark.sparkContext.broadcast {
+      val m = scala.collection.mutable.Map.empty[String, Vector[(String, String)]]
+      def walk(n: Node): Unit = {
+        m(n.id) = n.children.map(c => (c.en, c.zh)).toVector
+        n.children.foreach(walk)
+      }
+      walk(root)
+      m.toMap
+    }
+    val labelsB = spark.sparkContext.broadcast {
+      def collect(n: Node): Map[String, (String, String)] =
+        n.children.map(collect).foldLeft(Map(n.id -> ((n.en, n.zh))))(_ ++ _)
+      collect(root)
+    }
+
+    def u32(s: String): Long = java.lang.Long.parseLong(
+      graft.converter.SpanConverter.callId(seed, s, 0).drop(5).take(8), 16)
+
+    val proposals = spark.range(nRounds).flatMap { round =>
+      // R6 gate, then R1-style uniform path + non-root parent pick
+      if (u32(s"gate:$round").toDouble / 4294967296.0 >= p) None
+      else {
+        val paths = pathsB.value
+        val path = paths((u32(s"path:$round") % paths.size).toInt)
+        val nonRoot = path.ids.drop(1)
+        if (nonRoot.isEmpty) None
+        else {
+          val parentId = nonRoot((u32(s"parent:$round") % nonRoot.size).toInt)
+          val (parentEn, parentZh) = labelsB.value(parentId)
+          val siblings = childrenB.value.getOrElse(parentId, Vector.empty)
+          val prompt =
+            s"""You are a taxonomy expansion expert. Propose ONE new problem-type category as a child of the given parent, distinct from every existing sibling.
+               |
+               |Parent: $parentEn / $parentZh
+               |Existing siblings: ${siblings.map(_._1).mkString(", ")}
+               |Round: $round
+               |
+               |Return JSON {"id", "en", "zh"} embedded anywhere in your answer.""".stripMargin
+          for {
+            json <- graft.core.text.TextOps.extractJsonObject(client.complete(prompt))
+            node <- scala.util.Try(
+              new ObjectMapper().readTree(json)).toOption
+            id <- Option(node.get("id")).map(_.asText).filter(_.nonEmpty)
+            en <- Option(node.get("en")).map(_.asText).filter(_.nonEmpty)
+            zh <- Option(node.get("zh")).map(_.asText).filter(_.nonEmpty)
+          } yield Proposal(round, parentId, s"${parentId}_$id", en, zh)
+        }
+      }
+    }.toDF
+
+    val paths = allPaths.toDF
+    // Deterministic intra-batch dedup: the earliest round wins a
+    // (parent, label) collision (dropDuplicates alone keeps an arbitrary
+    // row, which would make epochs run-order-dependent).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("parent_id", "en").orderBy("round_id")
+    val firstPerLabel = proposals
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val accepted = validateExpansions(paths, firstPerLabel)
+
+    // Materialize the accepted batch into new leaf paths: parent prefix +
+    // the new node. The prefix map is tree-scale, broadcast like the tree.
+    val prefixB = spark.sparkContext.broadcast {
+      val m = scala.collection.mutable.Map.empty[String, (Vector[String], Vector[String])]
+      allPaths.foreach { pr =>
+        pr.ids.indices.foreach { i =>
+          m.getOrElseUpdate(pr.ids(i),
+            (pr.ids.take(i + 1).toVector, pr.labels.take(i + 1).toVector))
+        }
+      }
+      m.toMap
+    }
+    val newPaths = accepted.select("parent_id", "id", "en").as[(String, String, String)]
+      .map { case (parentId, id, en) =>
+        val (ids, labels) = prefixB.value(parentId)
+        val ids2 = ids :+ id
+        PathRow(ids2.mkString("/"), ids2.length, ids2, labels :+ en)
+      }.toDF
+    (accepted, paths.unionByName(newPaths))
+  }
+
   /** R7 (epoch model): validate expansion proposals (parent must exist,
     * sibling label must be new — anti-join) and emit the accepted rows;
     * the caller unions them into the next epoch's tree table. */

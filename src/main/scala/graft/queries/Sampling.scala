@@ -211,5 +211,29 @@ object Sampling {
       WHERE sample_rank <= 10
       ORDER BY sample_rank"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64)
+  /** Q65: the R7+X7 dynamic tree-expansion epoch end-to-end over a demo
+    * taxonomy — gated rounds propose LLM-generated siblings (stubbed X7),
+    * F17-parse, validate (parent exists, label new, first round wins a
+    * collision) and union into the next epoch. Output: the accepted
+    * proposal batch. Rows-only check (the chain hangs off md5-seeded
+    * prompt digests that SQL can't replay); determinism is pinned by
+    * TreeSpec. */
+  private val q65 = GraftQuery(
+    "q65_tree_expansion",
+    (spark, dir) => {
+      import graft.gyrfalcon.Tree
+      val root = Tree.Node("root", "Root", "根", Seq(
+        Tree.Node("sci", "Science", "科学", Seq(
+          Tree.Node("sci_phy", "Physics", "物理", Nil),
+          Tree.Node("sci_bio", "Biology", "生物", Nil))),
+        Tree.Node("eng", "Engineering", "工程", Seq(
+          Tree.Node("eng_sw", "Software", "软件", Nil))),
+        Tree.Node("art", "Arts", "艺术", Nil)))
+      val (accepted, _) = Tree.expansionEpoch(
+        spark, root, graft.services.StubServiceClient, nRounds = 500, p = 0.1)
+      accepted.orderBy("round_id")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64, q65)
 }

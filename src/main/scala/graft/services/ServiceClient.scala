@@ -23,6 +23,9 @@ trait ServiceClient extends Serializable {
   def head(url: String): HeadResult
   /** X4: HTTP GET for file provisioning (file_system_agent.py:215-226). */
   def fetch(url: String): FetchResult
+  /** S15: raw `tools/list` answer from an MCP server (the reference shells
+    * out to `mcp dev <url> --method tools/list`, mcp_preloader.py:160-176). */
+  def mcpToolsList(url: String): String
 }
 
 /** Outcome of a HEAD probe: terminal status and the validator's verdict. */
@@ -71,6 +74,12 @@ object StubServiceClient extends ServiceClient {
       requirementAnswer(prompt)
     else if (prompt.startsWith("You are a file provisioning planner"))
       planAnswer(prompt)
+    else if (prompt.startsWith("You are a taxonomy expansion expert"))
+      // X7: bilingual tag proposal wrapped in prose, so the caller's
+      // embedded-JSON extraction (F17) is genuinely exercised.
+      s"""Sure, here is a new category proposal:
+         |{"id": "tag_$seed", "en": "topic $seed", "zh": "主题 $seed"}
+         |Let me know if you need another.""".stripMargin
     else
       s"""**EASY:** easy task $seed
          |**MEDIUM:** medium task $seed covering ${prompt.take(24).trim}
@@ -93,6 +102,15 @@ object StubServiceClient extends ServiceClient {
     if (u32(s"get:$url") % 5 != 0)
       FetchResult(200, Some(s"content:$url".getBytes("UTF-8")), None)
     else FetchResult(404, None, Some("HTTP 404"))
+
+  /** S15 stub: 1–3 deterministic tools per server, keyed on the url. */
+  override def mcpToolsList(url: String): String = {
+    val seed = h(s"mcp:$url").take(8)
+    val n = 1 + (u32(s"mcp:$url") % 3).toInt
+    val tools = (0 until n).map(i =>
+      s"""{"name": "${seed}_tool_$i", "description": "stub tool $i of $url"}""")
+    s"""{"tools": [${tools.mkString(", ")}]}"""
+  }
 
   private val UrlRe = "https?://[^\\s\"'<>\\)\\]]+".r
 

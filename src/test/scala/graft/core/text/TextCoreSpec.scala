@@ -235,4 +235,31 @@ class TextCoreSpec extends AnyFunSuite {
     assert(td.params.isEmpty)
     assert(td.toJson.contains("\"properties\": {}"))
   }
+
+  test("F10: string arguments normalize to the object they encode; garbage to {}") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def argsOf(json: String) =
+      mapper.readTree(json).get("function").get("arguments")
+
+    val good = NexXml.normalizeArguments(
+      NexXml.ToolCall("call_1", "search", """{"query": "x", "limit": 5}""").toJson)
+    assert(argsOf(good).isObject)
+    assert(argsOf(good).get("query").asText == "x")
+    assert(argsOf(good).get("limit").asInt == 5)
+
+    // unparseable string arguments -> {}
+    val bad = NexXml.normalizeArguments(
+      NexXml.ToolCall("call_2", "search", "not { json").toJson)
+    assert(argsOf(bad).isObject && argsOf(bad).isEmpty)
+
+    // lenient parse: a raw control character inside a string survives
+    val ctl = NexXml.normalizeArguments(
+      NexXml.ToolCall("call_3", "search", "{\"q\": \"ab\"}").toJson)
+    assert(argsOf(ctl).get("q").asText == "ab")
+
+    // idempotent: already-object arguments pass through unchanged
+    assert(NexXml.normalizeArguments(good) == good)
+    // non-JSON input passes through untouched
+    assert(NexXml.normalizeArguments("<not json>") == "<not json>")
+  }
 }

@@ -117,6 +117,30 @@ class FrameworkLoaderSpec extends SparkSpec {
     assert(errs.exists(_.contains("'ghost' is not a defined agent")))
   }
 
+  test("S15: MCP tool catalog fetches once per URL, caches by md5, persists") {
+    import graft.services.StubServiceClient
+    val cacheFile = Files.createTempDirectory("mcp").resolve("mcp_tools_cache.json")
+    val catalog = new McpCatalog(StubServiceClient, Some(cacheFile))
+    val loaded = FrameworkLoader.parseConfig("deep_research", goodConfig).toOption.get
+    assert(loaded.mcpServerUrls == Map("docs" -> "http://localhost:9/sse"))
+
+    val wired = FrameworkLoader.attachMcpTools(loaded, catalog)
+    val docsTools = wired.config.mcpServerTools("docs")
+    assert(docsTools.nonEmpty && catalog.fetches == 1)
+    // J4 now surfaces the MCP tools on the agent that declares the server
+    val tools = Framework.agentTools(wired.config)
+    docsTools.foreach(t => assert(tools("planner").exists(_.name == t.name)))
+
+    // second resolution: cache hit, no new fetch
+    FrameworkLoader.attachMcpTools(loaded, catalog)
+    assert(catalog.fetches == 1)
+
+    // a NEW catalog warm-started from the persisted file never fetches
+    val warm = new McpCatalog(StubServiceClient, Some(cacheFile))
+    assert(warm.toolsFor("http://localhost:9/sse") == docsTools)
+    assert(warm.fetches == 0)
+  }
+
   test("persona JSONL loads tolerantly: bad lines counted, not fatal") {
     val f = Files.createTempFile("personas", ".jsonl")
     Files.write(f,

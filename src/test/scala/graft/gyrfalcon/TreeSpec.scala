@@ -64,6 +64,36 @@ class TreeSpec extends SparkSpec {
     assert(accepted.head.getAs[String]("en") == "Alpha Three")
   }
 
+  test("expansion epoch end-to-end: proposals survive validation and land in the next epoch") {
+    import graft.services.StubServiceClient
+    val (accepted, nextPaths) =
+      Tree.expansionEpoch(spark, root, StubServiceClient, nRounds = 300, p = 0.2)
+    val acc = accepted.collect()
+    assert(acc.nonEmpty, "a 0.2 gate over 300 rounds must accept something")
+    // the gate: far fewer proposals than rounds
+    assert(acc.length < 150)
+    acc.foreach { r =>
+      val parent = r.getAs[String]("parent_id")
+      assert(parent != "root", "parents are picked from non-root path nodes")
+      assert(r.getAs[String]("id").startsWith(parent + "_"),
+        "new ids carry the parent prefix (the reference's uniqueness rule)")
+      assert(r.getAs[String]("zh").nonEmpty)
+    }
+    // no (parent, label) collisions survived
+    val keys = acc.map(r => (r.getAs[String]("parent_id"), r.getAs[String]("en")))
+    assert(keys.distinct.length == keys.length)
+    // every accepted proposal became a leaf path in the next epoch
+    val nextIds = nextPaths.select(explode(col("ids")).as("id"))
+      .distinct().collect().map(_.getString(0)).toSet
+    acc.foreach(r => assert(nextIds.contains(r.getAs[String]("id"))))
+    assert(nextPaths.count() == paths.count() + acc.length)
+    // reproducible: same seed, same epoch
+    val (again, _) =
+      Tree.expansionEpoch(spark, root, StubServiceClient, nRounds = 300, p = 0.2)
+    assert(again.orderBy("round_id").collect().map(_.toString).toSeq ==
+      accepted.orderBy("round_id").collect().map(_.toString).toSeq)
+  }
+
   test("sinks: enhancement and anti-join resume") {
     import spark.implicits._
     val spans = Seq(("t1", "s1"), ("t1", "s2"), ("t2", "s3"))

@@ -22,6 +22,7 @@ class FilePipelineSpec extends AnyFunSuite {
       else ""
     }
     override def search(q: String, k: Int): Seq[String] = Seq.empty
+    override def mcpToolsList(url: String): String = """{"tools": []}"""
     override def head(url: String): HeadResult = HeadResult(200, accessible = true, None)
     override def fetch(url: String): FetchResult =
       if (fetchOk(url)) FetchResult(200, Some(s"body:$url".getBytes("UTF-8")), None)

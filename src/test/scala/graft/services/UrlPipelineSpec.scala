@@ -27,6 +27,7 @@ class UrlPipelineSpec extends AnyFunSuite {
       else ""
     }
     override def search(q: String, k: Int): Seq[String] = Seq.empty
+    override def mcpToolsList(url: String): String = """{"tools": []}"""
     override def fetch(url: String): FetchResult =
       FetchResult(200, Some(Array.emptyByteArray), None)
     override def head(url: String): HeadResult = {
