@@ -92,6 +92,64 @@ object Tree extends Serializable {
        |</table></body></html>""".stripMargin
   }
 
+  /** S14: full tree visualization as ONE self-contained HTML document —
+    * a tidy-tree SVG (depth → column, DFS leaf order → row, internal
+    * nodes centered over their children) with bilingual labels, plus the
+    * A6 stats banner. The reference renders the same structure with a
+    * 650-line D3 page (`visualizer.py:37-88`); computing the layout
+    * driver-side and emitting static SVG keeps the report dependency-free
+    * and byte-deterministic. Trees are config-scale, so driver rendering
+    * is the right plane. */
+  def visualizationHtml(root: Node, title: String): String = {
+    val colW = 220; val rowH = 34; val r = 5
+    var nextLeaf = 0
+    final case class Pos(x: Int, y: Double, n: Node)
+    val nodes = Vector.newBuilder[Pos]
+    val edges = Vector.newBuilder[(Pos, Pos)]
+    def layout(n: Node, depth: Int): Pos = {
+      val pos =
+        if (n.children.isEmpty) {
+          val y = nextLeaf * rowH + rowH / 2.0; nextLeaf += 1
+          Pos(depth * colW + 20, y, n)
+        } else {
+          val kids = n.children.map(layout(_, depth + 1))
+          val p = Pos(depth * colW + 20, kids.map(_.y).sum / kids.size, n)
+          kids.foreach(k => edges += (p -> k))
+          p
+        }
+      nodes += pos
+      pos
+    }
+    layout(root, 0)
+    val all = nodes.result()
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val maxDepth = all.map(_.x).max
+    val width = maxDepth + colW
+    val height = math.max(nextLeaf, 1) * rowH + rowH
+    val svgEdges = edges.result().map { case (p, c) =>
+      f"""<path d="M ${p.x + r} ${p.y}%.1f C ${p.x + colW / 2} ${p.y}%.1f, ${p.x + colW / 2} ${c.y}%.1f, ${c.x - r} ${c.y}%.1f" class="edge"/>"""
+    }.mkString("\n")
+    val svgNodes = all.map { p =>
+      f"""<circle cx="${p.x}" cy="${p.y}%.1f" r="$r" class="${if (p.n.children.isEmpty) "leaf" else "branch"}"/>
+         |<text x="${p.x + r + 4}" y="${p.y + 4}%.1f">${esc(p.n.en)}<tspan class="zh"> ${esc(p.n.zh)}</tspan></text>""".stripMargin
+    }.mkString("\n")
+    val paths = enumeratePaths(root)
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>
+       | body { font: 13px sans-serif; }
+       | .edge { fill: none; stroke: #bbb; stroke-width: 1.2; }
+       | circle.branch { fill: #4a7ebb; } circle.leaf { fill: #7fbf7f; }
+       | text { dominant-baseline: auto; } .zh { fill: #888; }
+       |</style></head><body>
+       |<h1>${esc(title)}</h1>
+       |<p>${paths.size} paths, depth ${paths.map(_.depth).min}–${paths.map(_.depth).max}, ${all.size} nodes (${nextLeaf} leaves)</p>
+       |<svg width="$width" height="$height" xmlns="http://www.w3.org/2000/svg">
+       |$svgEdges
+       |$svgNodes
+       |</svg></body></html>""".stripMargin
+  }
+
   final case class Proposal(round_id: Long, parent_id: String, id: String,
       en: String, zh: String)
 

@@ -109,6 +109,23 @@ class TreeSpec extends SparkSpec {
     assert(remaining.select("trace_id").distinct().collect().map(_.getString(0)).toSeq == Seq("t2"))
   }
 
+  test("tree visualization renders every node and edge as self-contained SVG") {
+    val html = Tree.visualizationHtml(root, "demo taxonomy")
+    assert(html.contains("<svg"))
+    // every node appears with both labels; no external scripts
+    Seq("Root", "Alpha", "Alpha One", "Alpha Two", "Beta").foreach(l =>
+      assert(html.contains(s">$l<"), s"missing label $l"))
+    assert(html.contains("甲一") && html.contains("根"))
+    assert(!html.contains("<script"))
+    // n-1 edges for n nodes
+    assert("class=\"edge\"".r.findAllIn(html).length == 4)
+    assert("<circle".r.findAllIn(html).length == 5)
+    assert(html.contains("3 paths, depth 2–3, 5 nodes (3 leaves)"))
+    // XML-unsafe labels are escaped
+    val spiky = Tree.Node("r", "a<b & c", "", Seq(Tree.Node("c1", "leaf", "", Nil)))
+    assert(Tree.visualizationHtml(spiky, "t").contains("a&lt;b &amp; c"))
+  }
+
   test("stats html report renders paths and summary") {
     val html = Tree.statsHtml(paths, "demo tree")
     assert(html.contains("<title>demo tree</title>"))
