@@ -61,6 +61,40 @@ object SynthesisPipeline extends Serializable {
         rounds(spark, paths, personas, n)
       }
 
+  /** F22: difficulty-distribution config parse ("easy:0.2,medium:0.5,
+    * hard:0.3") with the reference's validation rules
+    * (`Gyrfalcon/main.py:58-124`): known labels only, all three present,
+    * each probability in [0,1], total within 0.001 of 1.0. Left = the
+    * first validation error, like the reference's fail-fast ValueError. */
+  def parseDifficultyDistribution(s: String): Either[String, Map[String, Double]] = {
+    val required = Set("easy", "medium", "hard")
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (part <- s.split(",", -1)) {
+      if (!part.contains(":"))
+        return Left(s"Invalid format for part '$part'. Expected format: 'difficulty:probability'")
+      val Array(d0, p0) = part.trim.split(":", 2)
+      val d = d0.trim.toLowerCase
+      if (!required(d))
+        return Left(s"Invalid difficulty level '$d'. Must be one of: easy, medium, hard")
+      val p =
+        try p0.trim.toDouble
+        catch { case _: NumberFormatException =>
+          return Left(s"Invalid probability '${p0.trim}' for '$d'")
+        }
+      if (p < 0 || p > 1)
+        return Left(s"Probability for '$d' must be between 0 and 1, got $p")
+      acc(d) = p
+    }
+    if (acc.keySet != required) {
+      val missing = required -- acc.keySet
+      return Left(s"Missing difficulties: ${missing.toSeq.sorted.mkString(", ")}")
+    }
+    val total = acc.values.sum
+    if (math.abs(total - 1.0) > 0.001)
+      Left(f"Probabilities must sum to 1.0, got $total%.4f")
+    else Right(acc.toMap)
+  }
+
   /** X1 + F16 + R5 in one partition-local pass: call the (stubbed) LLM once
     * per round, parse the difficulty-tagged variants, keep the one selected
     * by the round's seeded categorical draw (.2/.5/.3). */

@@ -54,6 +54,15 @@ object TraceFetcher {
     loop(0, Vector.empty, 0)
   }
 
+  /** P6: drop unusable trace listings — rows missing id, name, or output
+    * (`get_traces.py:138-144`); the reference skips them before spending a
+    * download on them. Pushdown-friendly null filters. */
+  def usableTraces(traces: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    traces.filter(col("trace_id").isNotNull && col("name").isNotNull &&
+      col("output").isNotNull)
+  }
+
   /** Batch variant: fetch every not-yet-landed trace, collecting per-trace
     * failures instead of aborting the batch (the reference logs-and-
     * continues). */

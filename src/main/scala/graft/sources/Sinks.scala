@@ -59,4 +59,29 @@ object Sinks {
     * rebuild; no row-level UDF, stays inside codegen. */
   def dropMetadataField(df: DataFrame, column: String, nestedField: String): DataFrame =
     df.withColumn(column, col(column).dropFields(nestedField))
+
+  /** S16: failure side-log — split a converted frame on its validity
+    * flag, append the rejects to a dedicated JSONL dir (the reference
+    * appends malformed responses to a failure log,
+    * `fuzzifier_agent.py:234-246`), and return the clean rows. One pass
+    * over a cached split, so the input isn't recomputed per branch. */
+  def writeFailureSideLog(records: DataFrame, failureDir: String,
+      validCol: String = "valid"): DataFrame = {
+    val cached = records.cache()
+    appendJsonl(cached.filter(!col(validCol)), failureDir)
+    // eager checkpoint so the returned frame owns its data and the
+    // cache entry can be released immediately
+    val valid = cached.filter(col(validCol)).localCheckpoint(eager = true)
+    cached.unpersist(blocking = false)
+    valid
+  }
+
+  /** S13: per-query log sink — one structured log row per query/trace,
+    * written partitioned by the query key so each query's history lands
+    * in its own directory (the engine-scope equivalent of the reference's
+    * per-query log files, `run_end_to_end.py:736-799` — at 100 TB,
+    * partitioned columnar logs beat a million tiny files). */
+  def writePerQueryLogs(logs: DataFrame, dir: String,
+      keyCol: String = "trace_id"): Unit =
+    logs.write.mode(SaveMode.Append).partitionBy(keyCol).json(dir)
 }

@@ -39,6 +39,20 @@ class SynthesisPipelineSpec extends SparkSpec {
     stats.foreach(row => assert(row.getAs[Long]("n_paths") <= paths.length))
   }
 
+  test("F22: difficulty-distribution strings parse with full validation") {
+    import SynthesisPipeline.parseDifficultyDistribution
+    assert(parseDifficultyDistribution("easy:0.2,medium:0.5,hard:0.3") ==
+      Right(Map("easy" -> 0.2, "medium" -> 0.5, "hard" -> 0.3)))
+    // whitespace + case tolerance, float rounding tolerance
+    assert(parseDifficultyDistribution(" EASY : 0.333 , medium:0.333, hard:0.334").isRight)
+    assert(parseDifficultyDistribution("easy:0.2,medium:0.5").left.exists(_.contains("Missing difficulties: hard")))
+    assert(parseDifficultyDistribution("easy:0.2,medium:0.5,extreme:0.3").left.exists(_.contains("Invalid difficulty level 'extreme'")))
+    assert(parseDifficultyDistribution("easy=0.2").left.exists(_.contains("Invalid format")))
+    assert(parseDifficultyDistribution("easy:0.2,medium:0.5,hard:0.9").left.exists(_.contains("must sum to 1.0")))
+    assert(parseDifficultyDistribution("easy:1.5,medium:0.5,hard:0.3").left.exists(_.contains("between 0 and 1")))
+    assert(parseDifficultyDistribution("easy:x,medium:0.5,hard:0.3").left.exists(_.contains("Invalid probability")))
+  }
+
   test("suitability gate passes most queries and rewrites the rest") {
     val r = SynthesisPipeline.rounds(spark, paths, personas, 200)
     val enriched = SynthesisPipeline.withSuitability(
