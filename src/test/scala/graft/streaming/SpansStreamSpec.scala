@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.converter.{SpanConverter, Spans}
+
+/** Streaming converter ingest: batch/stream parity and exactly-once
+  * resume across restarts. */
+class SpansStreamSpec extends SparkSpec {
+
+  test("streamed conversion matches the batch converter; restarts don't double-convert") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("spans_stream")
+    val inDir = base.resolve("in").toString
+    val outDir = base.resolve("out").toString
+    val ckDir = base.resolve("ck").toString
+    Files.createDirectories(base.resolve("in"))
+
+    val spans = Spans.synthesize(spark, sfDir).toDF.cache()
+    val batchRecords = SpanConverter.convert(spark, spans)
+    val expected = batchRecords.count()
+
+    // land the corpus as two JSONL files, whole traces per file
+    val half = spans.filter($"trace_id".substr(7, 10).cast("long") % 2 === 0)
+    val other = spans.filter($"trace_id".substr(7, 10).cast("long") % 2 =!= 0)
+    half.coalesce(1).write.mode("append").json(inDir)
+    SpansStream.runOnce(spark, inDir, outDir, ckDir)
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0 && afterFirst < expected)
+
+    // second landing + restart: only the NEW file converts
+    other.coalesce(1).write.mode("append").json(inDir)
+    SpansStream.runOnce(spark, inDir, outDir, ckDir)
+    val streamed = spark.read.parquet(outDir)
+    assert(streamed.count() == expected, "no duplicates, no losses across restarts")
+
+    // parity with the batch DAG, record by record
+    val batchDf = batchRecords.toDF
+      .select($"trace_id", $"span_id", $"agent_name", $"finish_reason", $"n_tool_calls")
+    val streamDf = streamed
+      .select($"trace_id", $"span_id", $"agent_name", $"finish_reason", $"n_tool_calls")
+    assert(batchDf.exceptAll(streamDf).isEmpty && streamDf.exceptAll(batchDf).isEmpty)
+    spans.unpersist()
+  }
+}
