@@ -54,6 +54,10 @@ object Services {
             concat(lit(" and https://mirror.example.net/d"), col("doc_id")))
             .otherwise(lit("")),
           lit(" please")).as("query"))
+      // the single-file test source scans as ONE partition; the chain is
+      // service-bound per row in production, so spread it explicitly
+      // (bounded per-partition concurrency × many partitions)
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Q47: per-URL chain verdicts — kept / repaired / removed, the URL that
     * replaces it, and how many repair consultations it took. */
@@ -174,6 +178,8 @@ object Services {
                 .otherwise(lit(""))))
               .otherwise(lit(" with no files")))
             .as("query"))
+        // same single-partition-source consideration as syntheticQueries
+        .repartition(spark.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .mapPartitions { it =>
           val client = StubServiceClient
