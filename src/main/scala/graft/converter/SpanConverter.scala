@@ -4,19 +4,18 @@ import java.security.MessageDigest
 
 import graft.core.text.{NexXml, TextOps, XmlValidator}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The converter DAG — spans → ChatCompletion training records
   * (SURVEY.md §3.3, the reference's core transform `convert_spans_file`
   * `convert_spans_to_chatcompletion.py:1761-1820`).
   *
-  * Spark shape: filter(P1,P3) → window(A1 last-gen-per-parent) →
-  * trace-topology join (J2/J3 agent attribution) → record-local map
-  * {F5 strip, F3 extract, J5 pairing, F9 finish_reason} → filter(P2 meta)
-  * → validate(P9/F13). The only shuffles are the A1 window and the
-  * topology groupBy — both keyed on trace_id, so one exchange serves both
-  * at scale; everything downstream is narrow.
+  * Spark shape: project(pruned) → ONE shuffle keyed on trace_id →
+  * per-trace group {P1/P3 filter, A1 last-gen-per-parent, J1–J3 agent
+  * attribution, record-local map: F5 strip, F3 extract, J5 pairing, F9
+  * finish_reason, P2 meta drop, P9/F13 validate}. Traces are bounded
+  * (≤ a few hundred spans — the reference processes each wholly in
+  * memory), so the group materialization is small and skew-free.
   */
 object SpanConverter extends Serializable {
 
@@ -46,136 +45,120 @@ object SpanConverter extends Serializable {
     s"call_$hex"
   }
 
-  /** P1/P3 + A1: keep the chronologically-last generation span per
-    * (trace, parent) group; missing startTime sorts first (epoch), ties
-    * break on span_id for determinism. */
-  def lastGenerations(spans: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(col("trace_id"), coalesce(col("parentObservationId"), col("span_id")))
-      .orderBy(coalesce(col("startTime"), lit("1970-01-01T00:00:00Z")).desc,
-        col("span_id").desc)
-    spans
-      .filter(col("span_type") === "GENERATION" &&
-        col("span_name").contains(Spans.GenerationMarker) &&
-        size(col("input")) > 0)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+  /** The pruned per-span projection the conversion needs — everything
+    * else is dropped before the one shuffle. */
+  final case class SpanLite(
+      trace_id: String,
+      span_id: String,
+      span_type: String,
+      span_name: String,
+      parentObservationId: Option[String],
+      startTime: Option[String],
+      input: Seq[SpanMessage],
+      out_content: Option[String])
 
-  /** J3: per-trace parent walk — first ancestor SPAN names the agent,
-    * "Sub-agent: " prefix stripped. The whole trace topology is resolved
-    * ONCE per trace into a span_id→agent map (the UDF runs on the topology
-    * aggregate, not per generation row), and each generation then does a
-    * codegen'd `element_at` lookup — at 100 TB the per-row cost is an O(1)
-    * map probe instead of rebuilding the ancestor index per row. */
-  def withAgentNames(spark: SparkSession, gens: DataFrame, allSpans: DataFrame): DataFrame = {
-    val topo = allSpans
-      .groupBy(col("trace_id"))
-      .agg(collect_list(struct(
-        col("span_id"), col("parentObservationId"), col("span_name"), col("span_type")))
-        .as("topo"))
-    val resolveTrace = udf {
-      (topo: Seq[org.apache.spark.sql.Row]) =>
-        val byId = topo.map(r => r.getString(0) ->
-          (Option(r.getString(1)), r.getString(2), r.getString(3))).toMap
-        @annotation.tailrec
-        def walk(id: Option[String], hops: Int): Option[String] = id match {
-          case Some(sid) if hops < 32 =>
-            byId.get(sid) match {
-              case Some((p, name, tpe)) =>
-                if (tpe == "SPAN") Some(name.stripPrefix("Sub-agent: ").trim)
-                else walk(p, hops + 1)
-              case None => None
-            }
-          case _ => None
+  /** P1/P3 + A1, trace-locally: generation spans with input, reduced to
+    * the chronologically-last per (parent) group; missing startTime sorts
+    * first (epoch), ties break on span_id — identical semantics to the
+    * windowed spelling, computed inside one trace's spans. */
+  def lastGenerationsLocal(spans: Seq[SpanLite]): Seq[SpanLite] =
+    spans
+      .filter(s => s.span_type == "GENERATION" &&
+        s.span_name.contains(Spans.GenerationMarker) &&
+        s.input != null && s.input.nonEmpty)
+      .groupBy(s => s.parentObservationId.getOrElse(s.span_id))
+      .valuesIterator
+      .map(_.maxBy(s =>
+        (s.startTime.getOrElse("1970-01-01T00:00:00Z"), s.span_id)))
+      .toVector
+
+  /** J1/J2/J3, trace-locally: walk parents until an agent-named SPAN,
+    * "Sub-agent: " prefix stripped; bounded at 32 hops. */
+  def resolveAgent(byId: Map[String, SpanLite], start: Option[String]): Option[String] = {
+    @annotation.tailrec
+    def walk(id: Option[String], hops: Int): Option[String] = id match {
+      case Some(sid) if hops < 32 =>
+        byId.get(sid) match {
+          case Some(s) =>
+            if (s.span_type == "SPAN")
+              Some(s.span_name.stripPrefix("Sub-agent: ").trim)
+            else walk(s.parentObservationId, hops + 1)
+          case None => None
         }
-        byId.keysIterator
-          .flatMap(sid => walk(Some(sid), 0).map(sid -> _))
-          .toMap
+      case _ => None
     }
-    val agentMaps = topo.select(
-      col("trace_id"), resolveTrace(col("topo")).as("agent_map"))
-    gens.join(agentMaps, Seq("trace_id"), "left")
-      .withColumn("agent_name", element_at(col("agent_map"), col("parentObservationId")))
-      .drop("agent_map")
+    walk(start, 0)
   }
 
   /** The record-local conversion: strip system docs, extract tool calls
     * from assistant turns, re-role tool results with FIFO/by-name id
     * pairing (J5 — deliberately a sequential fold so row order inside the
     * record is preserved), derive finish_reason from the output turn. */
-  def toRecords(spark: SparkSession, gens: DataFrame): Dataset[ChatRecord] = {
-    import spark.implicits._
-    gens.select(
-      col("trace_id"), col("span_id"), col("agent_name"),
-      col("input"), col("output.content").as("out_content"))
-      .as[(String, String, Option[String], Seq[SpanMessage], Option[String])]
-      .map { case (traceId, spanId, agentName, input, outContent) =>
-        var ordinal = 0
-        def nextId(): String = { val id = callId(traceId, spanId, ordinal); ordinal += 1; id }
+  def recordOf(traceId: String, spanId: String, agentName: Option[String],
+      input: Seq[SpanMessage], outContent: Option[String]): ChatRecord = {
+    var ordinal = 0
+    def nextId(): String = { val id = callId(traceId, spanId, ordinal); ordinal += 1; id }
 
-        // pass 1: per-turn transforms
-        val staged = input.map { m =>
-          m.role match {
-            case "system" =>
-              ChatMessage("system", Some(TextOps.stripSysPromptSections(m.content)),
-                Seq.empty, None, None)
-            case "assistant" =>
-              val (clean, calls) = NexXml.extractToolCalls(m.content, nextId _)
-              ChatMessage("assistant", Some(clean), calls.map(_.toJson), None, None)
-            case _ =>
-              ChatMessage(m.role, Some(m.content), Seq.empty, None, None)
-          }
-        }
-
-        // pass 2: J5 pairing — queue of pending calls, matched by name
-        // first, else FIFO; unmatched results get a fresh id.
-        val pending = scala.collection.mutable.Queue.empty[(String, String)]
-        val IdName = "\"id\": \"([^\"]+)\".*?\"name\": \"([^\"]+)\"".r
-        val paired = staged.flatMap { m =>
-          if (m.role == "assistant" && m.tool_calls.nonEmpty) {
-            m.tool_calls.foreach { tc =>
-              IdName.findFirstMatchIn(tc).foreach(x =>
-                pending.enqueue((x.group(1), x.group(2))))
-            }
-            Seq(m)
-          } else if (m.role == "user" &&
-            m.content.exists(_.startsWith("Tool execution results:"))) {
-            val results = NexXml.parseToolResults(m.content.get)
-            if (results.isEmpty) {
-              val id = if (pending.nonEmpty) pending.dequeue()._1 else nextId()
-              Seq(ChatMessage("tool", Some(
-                m.content.get.replace("Tool execution results:", "").trim),
-                Seq.empty, Some(id), Some("unknown_tool")))
-            } else results.map { case (name, res) =>
-              val idx = pending.indexWhere(_._2 == name)
-              val id =
-                if (idx >= 0) { val e = pending(idx); pending.remove(idx); e._1 }
-                else if (pending.nonEmpty) pending.dequeue()._1
-                else nextId()
-              ChatMessage("tool", Some(res), Seq.empty, Some(id), Some(name))
-            }
-          } else Seq(m)
-        }
-
-        // output turn: extraction + finish_reason (F9)
-        val (outClean, outCalls) = outContent
-          .map(NexXml.extractToolCalls(_, nextId _))
-          .getOrElse(("", Vector.empty))
-        val response = ChatMessage("assistant",
-          if (outClean.nonEmpty) Some(outClean) else None,
-          outCalls.map(_.toJson), None, None)
-        val finishReason = if (outCalls.nonEmpty) "tool_calls" else "stop"
-
-        val allMessages = paired :+ response
-        val valid = input.forall(m =>
-          m.role != "assistant" || XmlValidator.isValid(m.content)) &&
-          outContent.forall(XmlValidator.isValid)
-
-        ChatRecord(traceId, spanId, agentName, allMessages, finishReason,
-          allMessages.map(_.tool_calls.size).sum, valid)
+    // pass 1: per-turn transforms
+    val staged = input.map { m =>
+      m.role match {
+        case "system" =>
+          ChatMessage("system", Some(TextOps.stripSysPromptSections(m.content)),
+            Seq.empty, None, None)
+        case "assistant" =>
+          val (clean, calls) = NexXml.extractToolCalls(m.content, nextId _)
+          ChatMessage("assistant", Some(clean), calls.map(_.toJson), None, None)
+        case _ =>
+          ChatMessage(m.role, Some(m.content), Seq.empty, None, None)
       }
+    }
+
+    // pass 2: J5 pairing — queue of pending calls, matched by name
+    // first, else FIFO; unmatched results get a fresh id.
+    val pending = scala.collection.mutable.Queue.empty[(String, String)]
+    val IdName = "\"id\": \"([^\"]+)\".*?\"name\": \"([^\"]+)\"".r
+    val paired = staged.flatMap { m =>
+      if (m.role == "assistant" && m.tool_calls.nonEmpty) {
+        m.tool_calls.foreach { tc =>
+          IdName.findFirstMatchIn(tc).foreach(x =>
+            pending.enqueue((x.group(1), x.group(2))))
+        }
+        Seq(m)
+      } else if (m.role == "user" &&
+        m.content.exists(_.startsWith("Tool execution results:"))) {
+        val results = NexXml.parseToolResults(m.content.get)
+        if (results.isEmpty) {
+          val id = if (pending.nonEmpty) pending.dequeue()._1 else nextId()
+          Seq(ChatMessage("tool", Some(
+            m.content.get.replace("Tool execution results:", "").trim),
+            Seq.empty, Some(id), Some("unknown_tool")))
+        } else results.map { case (name, res) =>
+          val idx = pending.indexWhere(_._2 == name)
+          val id =
+            if (idx >= 0) { val e = pending(idx); pending.remove(idx); e._1 }
+            else if (pending.nonEmpty) pending.dequeue()._1
+            else nextId()
+          ChatMessage("tool", Some(res), Seq.empty, Some(id), Some(name))
+        }
+      } else Seq(m)
+    }
+
+    // output turn: extraction + finish_reason (F9)
+    val (outClean, outCalls) = outContent
+      .map(NexXml.extractToolCalls(_, nextId _))
+      .getOrElse(("", Vector.empty))
+    val response = ChatMessage("assistant",
+      if (outClean.nonEmpty) Some(outClean) else None,
+      outCalls.map(_.toJson), None, None)
+    val finishReason = if (outCalls.nonEmpty) "tool_calls" else "stop"
+
+    val allMessages = paired :+ response
+    val valid = input.forall(m =>
+      m.role != "assistant" || XmlValidator.isValid(m.content)) &&
+      outContent.forall(XmlValidator.isValid)
+
+    ChatRecord(traceId, spanId, agentName, allMessages, finishReason,
+      allMessages.map(_.tool_calls.size).sum, valid)
   }
 
   /** NexAU-mode conversion (behavioral reference
@@ -183,38 +166,58 @@ object SpanConverter extends Serializable {
     * INLINE in assistant content — the only transform is closing-tag
     * restoration on input assistant turns; no extraction, no tool-result
     * re-roling, finish_reason always "stop". */
-  def toRecordsNexau(spark: SparkSession, gens: DataFrame): Dataset[ChatRecord] = {
-    import spark.implicits._
-    gens.select(
-      col("trace_id"), col("span_id"), col("agent_name"),
-      col("input"), col("output.content").as("out_content"))
-      .as[(String, String, Option[String], Seq[SpanMessage], Option[String])]
-      .map { case (traceId, spanId, agentName, input, outContent) =>
-        val staged = input.map { m =>
-          val content =
-            if (m.role == "assistant") NexXml.restoreClosingTags(m.content)
-            else m.content
-          ChatMessage(m.role, Some(content), Seq.empty, None, None)
-        }
-        val response =
-          ChatMessage("assistant", Some(outContent.getOrElse("")), Seq.empty, None, None)
-        val allMessages = staged :+ response
-        val valid = input.forall(m =>
-          m.role != "assistant" || XmlValidator.isValid(m.content)) &&
-          outContent.forall(XmlValidator.isValid)
-        ChatRecord(traceId, spanId, agentName, allMessages, "stop", 0, valid)
-      }
+  def recordOfNexau(traceId: String, spanId: String, agentName: Option[String],
+      input: Seq[SpanMessage], outContent: Option[String]): ChatRecord = {
+    val staged = input.map { m =>
+      val content =
+        if (m.role == "assistant") NexXml.restoreClosingTags(m.content)
+        else m.content
+      ChatMessage(m.role, Some(content), Seq.empty, None, None)
+    }
+    val response =
+      ChatMessage("assistant", Some(outContent.getOrElse("")), Seq.empty, None, None)
+    val allMessages = staged :+ response
+    val valid = input.forall(m =>
+      m.role != "assistant" || XmlValidator.isValid(m.content)) &&
+      outContent.forall(XmlValidator.isValid)
+    ChatRecord(traceId, spanId, agentName, allMessages, "stop", 0, valid)
   }
 
   /** Full DAG, P2 meta-drop included. `nexauMode` keeps tool calls inline
-    * (the reference's per-framework converter override). */
+    * (the reference's per-framework converter override).
+    *
+    * Scale shape: ONE wide edge. A window+topology-join spelling needs the
+    * source twice (column pruning makes the two subtrees non-identical, so
+    * ReuseExchange can't dedup them) and pays three shuffles; instead the
+    * pruned spans shuffle ONCE on trace_id and everything downstream —
+    * A1 last-per-parent, J1–J3 agent resolution, the record-local message
+    * transform, the P2 meta drop — runs inside the group. Traces are at
+    * most a few hundred spans (the reference holds each wholly in memory,
+    * file-at-a-time), so per-trace materialization is bounded and skew-
+    * free by construction. */
   def convert(spark: SparkSession, spans: DataFrame,
       nexauMode: Boolean = false): Dataset[ChatRecord] = {
-    val gens = withAgentNames(spark, lastGenerations(spans), spans)
     import spark.implicits._
-    val records =
-      if (nexauMode) toRecordsNexau(spark, gens) else toRecords(spark, gens)
-    records.filter($"agent_name".isNull || $"agent_name" =!= "meta")
+    spans.select(
+      col("trace_id"), col("span_id"), col("span_type"), col("span_name"),
+      col("parentObservationId"), col("startTime"), col("input"),
+      col("output.content").as("out_content"))
+      .as[SpanLite]
+      .groupByKey(_.trace_id)
+      .flatMapGroups { (traceId, it) =>
+        val all = it.toVector
+        val byId = all.iterator.map(s => s.span_id -> s).toMap
+        lastGenerationsLocal(all)
+          .sortBy(_.span_id)
+          .iterator
+          .flatMap { g =>
+            val agent = resolveAgent(byId, g.parentObservationId)
+            if (agent.contains("meta")) None // P2
+            else Some(
+              if (nexauMode) recordOfNexau(traceId, g.span_id, agent, g.input, g.out_content)
+              else recordOf(traceId, g.span_id, agent, g.input, g.out_content))
+          }
+      }
   }
 
   /** F12: record-level dialect conversion — rewrite ONLY system and
