@@ -64,4 +64,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
       s"expected the 20-vector query side broadcast:\n$s")
   }
+
+  test("q40: the converter is ONE keyed shuffle, no join, single source pass") {
+    // the whole spans→records DAG must cluster once on trace_id and do
+    // everything else trace-locally; a window+topology-join regression
+    // would re-read the source and add joins/exchanges
+    val s = planString("q40_convert_spans")
+    val n = countHashShuffles(plan("q40_convert_spans"))
+    assert(n == 1, s"expected exactly 1 hash shuffle in the converter, got $n:\n$s")
+    assert(!s.contains("Join"), s"converter must not join:\n$s")
+    assert("Scan parquet".r.findAllIn(s).length == 1,
+      s"source must be read exactly once:\n$s")
+  }
 }
