@@ -118,6 +118,54 @@ object SynthesisPipeline extends Serializable {
     }
   }
 
+  final case class ResearchedRound(
+      round_id: Long,
+      path_id: String,
+      persona: String,
+      search_queries: Seq[String],
+      search_results: Seq[String],
+      search_used: Boolean)
+
+  /** X2 + R6 + A9/A10: the web-research enrichment stage (behavioral
+    * reference `web_research_agent.py:80-160`): a probability gate decides
+    * per round; enabled rounds build ≤2 candidate queries (problem type,
+    * shortened-persona + problem type) with ordered dedup, run each
+    * through the search client, tag results with their query, and keep
+    * the first `maxResults`. Per-round failures would be collected, not
+    * thrown (the stub client cannot fail). The produced context feeds
+    * [[Prompts.searchContextBlock]] in the synthesis prompt. */
+  def withSearchContext(roundsDs: Dataset[Round], client: ServiceClient,
+      p: Double, maxResults: Int = 5): Dataset[ResearchedRound] = {
+    import roundsDs.sparkSession.implicits._
+    roundsDs.mapPartitions { it =>
+      it.map { r =>
+        val u = java.lang.Long.parseLong(
+          graft.converter.SpanConverter.callId("web", r.round_id.toString, 0)
+            .drop(5).take(8), 16).toDouble / 4294967296.0
+        if (u >= p) ResearchedRound(r.round_id, r.path_id, r.persona,
+          Seq.empty, Seq.empty, search_used = false)
+        else {
+          val problemType = r.path_id.split("/").last.trim
+          val queries = buildSearchQueries(r.persona, problemType)
+          val aggregated = queries.flatMap(q =>
+            client.search(q, maxResults).map(res => s"[$q] $res"))
+          ResearchedRound(r.round_id, r.path_id, r.persona,
+            queries, aggregated.take(maxResults), search_used = true)
+        }
+      }
+    }
+  }
+
+  /** Candidate search queries with ordered dedup (A9) — problem type
+    * alone, then the 80-char persona fragment plus problem type. */
+  def buildSearchQueries(persona: String, problemType: String): Seq[String] = {
+    val fragment = TextOps.shorten(persona, 80, "").trim
+    val candidates = Seq(problemType, s"$fragment $problemType".trim)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    candidates.filter(_.nonEmpty).foreach(seen += _)
+    if (seen.isEmpty) Seq(problemType) else seen.toSeq
+  }
+
   final case class EnrichedQuery(
       round_id: Long,
       path_id: String,

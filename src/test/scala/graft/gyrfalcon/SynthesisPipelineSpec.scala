@@ -39,6 +39,36 @@ class SynthesisPipelineSpec extends SparkSpec {
     stats.foreach(row => assert(row.getAs[Long]("n_paths") <= paths.length))
   }
 
+  test("web research stage: gated, ordered-deduped queries, truncated tagged results") {
+    val r = SynthesisPipeline.rounds(spark, paths, personas, 400)
+    val researched = SynthesisPipeline
+      .withSearchContext(r, StubServiceClient, p = 0.3).collect()
+    assert(researched.length == 400)
+    val used = researched.filter(_.search_used)
+    assert(math.abs(used.length / 400.0 - 0.3) < 0.1, s"gate rate ${used.length / 400.0}")
+    researched.filterNot(_.search_used).foreach(x =>
+      assert(x.search_queries.isEmpty && x.search_results.isEmpty))
+    used.foreach { x =>
+      // problem type first; persona+type second; ordered dedup keeps ≤ 2
+      assert(x.search_queries.nonEmpty && x.search_queries.size <= 2)
+      assert(x.search_queries.head == x.path_id.split("/").last)
+      assert(x.search_queries == x.search_queries.distinct)
+      assert(x.search_results.size <= 5)
+      // results carry their originating query tag
+      x.search_results.foreach(res => assert(res.startsWith("[")))
+    }
+    // the context renders into the F20 prompt block
+    val sample = used.head
+    val block = Prompts.searchContextBlock(
+      sample.search_queries,
+      sample.search_results.map(s => Prompts.SearchResult(s, "", "", "")))
+    assert(block.contains("- Recent Findings from Web Search:"))
+    // deterministic across runs
+    val again = SynthesisPipeline
+      .withSearchContext(r, StubServiceClient, p = 0.3).collect()
+    assert(again.map(_.toString).sorted.sameElements(researched.map(_.toString).sorted))
+  }
+
   test("F22: difficulty-distribution strings parse with full validation") {
     import SynthesisPipeline.parseDifficultyDistribution
     assert(parseDifficultyDistribution("easy:0.2,medium:0.5,hard:0.3") ==
