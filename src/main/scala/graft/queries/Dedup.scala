@@ -203,13 +203,19 @@ object Dedup {
   /** Q31: SimHash near-duplicate pairs. 32-bit fingerprint over word
     * 3-gram shingles (bit j = sign of the ±1 vote of each shingle's j-th
     * md5 nibble — shingles, not tokens, so shared vocabulary across
-    * unrelated docs doesn't collapse the signature), blocked on the high
-    * 16 bits, verified with Hamming distance ≤ 3.
+    * unrelated docs doesn't collapse the signature), candidate-blocked on
+    * FOUR 8-bit fingerprint blocks, verified with Hamming distance ≤ 3.
+    *
+    * The 4-block OR-index is pigeonhole-COMPLETE at this radius: 3
+    * differing bits can dirty at most 3 of the 4 blocks, so every
+    * qualifying pair shares at least one exact block key — zero false
+    * negatives, unlike a single-block key whose straddling diffs silently
+    * drop pairs (recall pinned at 1.0 in DedupSimilaritySpec).
     *
     * Scale shape: fingerprinting is a narrow map (one md5 per shingle,
-    * nibbles reused across all 32 bits); the self-join is keyed on the
-    * 16-bit block (production: 4 rotated 16-of-64-bit blocks so any
-    * ≤3-bit-different pair shares ≥1 block exactly). */
+    * nibbles reused across all 32 bits); candidates come from a keyed
+    * self-join on (block index, block value) — occupancy-bounded buckets,
+    * never all-pairs — deduped before the exact verify. */
   private val q31 = GraftQuery(
     "q31_simhash_dedup",
     (spark, dir) => {
@@ -227,14 +233,19 @@ object Dedup {
         .select(col("doc_id"), transform(col("sh"), sh => md5(sh)).as("hs"))
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), fp.as("fp"))
-        .withColumn("bucket", substring(col("fp"), 1, 16))
+      val keyed = fps.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(i => struct(
+          lit(i).as("blk"),
+          substring(col("fp"), i * 8 + 1, 8).as("bits"))): _*)).as("k"))
       val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
-        acc + when(col("a.fp").substr(i, lit(1)) =!= col("b.fp").substr(i, lit(1)), 1)
+        acc + when(col("fpa").substr(i, lit(1)) =!= col("fpb").substr(i, lit(1)), 1)
           .otherwise(0))
-      fps.as("a").join(fps.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          ham.cast("long").as("hamming"))
+          col("a.fp").as("fpa"), col("b.fp").as("fpb"))
+        .distinct() // a close pair can collide in several blocks
+        .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     },
@@ -247,14 +258,20 @@ object Dedup {
       WITH $shingleSql,
       t AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s),
       f AS (SELECT doc_id, $bitExprs AS fp FROM t),
-      fb AS (SELECT doc_id, fp, substring(fp, 1, 16) AS bucket FROM f)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      k AS (SELECT doc_id, fp, i AS blk, substring(fp, i * 8 + 1, 8) AS bits
+            FROM f, generate_series(0, 3) g(i)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp AS fpa, b.fp AS fpb
+        FROM k a JOIN k b
+          ON a.blk = b.blk AND a.bits = b.bits AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
              CAST(list_sum(list_transform(generate_series(1, 32),
-               i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)
+               i -> CASE WHEN substring(fpa, i, 1) <> substring(fpb, i, 1)
                     THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-      FROM fb a JOIN fb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      FROM cand
       WHERE list_sum(list_transform(generate_series(1, 32),
-              i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)
+              i -> CASE WHEN substring(fpa, i, 1) <> substring(fpb, i, 1)
                    THEN 1 ELSE 0 END)) <= 3
       ORDER BY doc_a, doc_b"""
     })

@@ -70,4 +70,35 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("hamming") <= 3)
     }
   }
+
+  test("q31 4-block index is pigeonhole-complete: recall 1.0 vs all-pairs hamming") {
+    // brute-force: recompute every fingerprint on the driver and compare
+    // the blocked result against the full quadratic hamming scan
+    val toks = split(col("text"), " ")
+    val shingles = graft.Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    def md5hex(s: String) = graft.converter.SpanConverter.md5Hex(s)
+    val fps = shingles.map { case (id, sh) =>
+      val hs = sh.map(md5hex)
+      id -> (0 until 32).map { j =>
+        val vote = hs.map(h => if (h.charAt(j) >= '8') 1 else -1).sum
+        if (vote > 0) '1' else '0'
+      }.mkString
+    }
+    val exact = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      ham = fa.zip(fb).count { case (x, y) => x != y } if ham <= 3
+    } yield (a, b)).toSet
+    val blocked = SparkEntry.queries("q31_simhash_dedup")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == exact,
+      s"missed: ${exact -- blocked}; extra: ${blocked -- exact}")
+    assert(exact.nonEmpty, "the corpus must contain at least one near-dup pair")
+  }
 }
