@@ -171,13 +171,15 @@ object Similarity {
 
   /** Q37: IVF-style ANN — coarse quantization against 8 deterministic
     * centroids (the first 8 vectors stand in for k-means centers; the
-    * assignment machinery is identical), then exact top-3 within the
-    * query's cell only.
+    * assignment machinery is identical), then exact top-3 over the
+    * query's TWO nearest cells (n-probe = 2; database vectors live in
+    * exactly one cell).
     *
     * Scale shape: assignment is a broadcast cross join against the tiny
-    * centroid set + one window per vector; search touches one cell (≈ 1/8
-    * of candidates), which is exactly how IVF indexes trade recall for
-    * scan volume at 100 TB. Production adds n-probe > 1. */
+    * centroid set + one window per vector; search touches n-probe cells
+    * (≈ 2/8 of candidates here), which is exactly how IVF indexes trade
+    * recall for scan volume at 100 TB — single-probe drops neighbors
+    * whose cell boundary passes between query and neighbor. */
   private val q37 = GraftQuery(
     "q37_ivf_ann",
     (spark, dir) => {
@@ -187,14 +189,16 @@ object Similarity {
       val simToCent = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("c_sim").desc, col("c_id"))
-      val assign = e.crossJoin(broadcast(cent))
+      val rankedCells = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("c_id"), simToCent.as("c_sim"))
         .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val assign = rankedCells.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"))
+      val probes = rankedCells.filter(col("rn") <= 2)
         .select(col("vec_id"), col("c_id").as("cell"))
       val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
       val wRank = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      assign.as("qa").filter(col("qa.vec_id") < 20)
+      probes.as("qa").filter(col("qa.vec_id") < 20)
         .join(assign.as("ca"),
           col("qa.cell") === col("ca.cell") && col("qa.vec_id") =!= col("ca.vec_id"))
         .select(col("qa.vec_id").as("query_id"), col("ca.vec_id").as("neighbor_id"))
@@ -209,16 +213,16 @@ object Similarity {
       WITH $normedVectorsSql,
       cent AS (
         SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
-      assign AS (
-        SELECT vec_id, c_id AS cell FROM (
-          SELECT e.vec_id, cent.c_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${dotSql("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id) AS rn
-          FROM e CROSS JOIN cent)
-        WHERE rn = 1),
+      ranked_cells AS (
+        SELECT e.vec_id, cent.c_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${dotSql("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id) AS rn
+        FROM e CROSS JOIN cent),
+      assign AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+      probes AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= 2),
       cand AS (
         SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
-        FROM assign qa JOIN assign ca
+        FROM probes qa JOIN assign ca
           ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
         WHERE qa.vec_id < 20),
       scored AS (
