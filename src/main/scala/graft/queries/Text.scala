@@ -129,5 +129,43 @@ object Text {
       GROUP BY 1
       ORDER BY min_doc"""))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23)
+  /** Q24: BPE-style tokenization + rolling-hash fingerprint. The
+    * tokenizer is the GPT-2 pre-tokenizer's regex core (contraction
+    * suffixes, space-prefixed letter/digit/punctuation runs) — the
+    * standard way to count "model tokens" without shipping a merges
+    * table; the fingerprint is a 31-ary polynomial rolling hash over the
+    * raw characters mod 1e9+7 (pure integer math, bit-exact across
+    * engines, order-SENSITIVE — complementing q23's order-insensitive
+    * bag-of-words hash). Both are narrow per-row transforms. */
+  private val q24 = GraftQuery(
+    "q24_bpe_tokens",
+    (spark, dir) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+      val toks = expr(s"regexp_extract_all(text, \"$pat\", 0)")
+      val roll = aggregate(
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31 + c) % 1000000007L)
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_uniq_bpe"),
+          roll.as("rolling_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS INT) AS n_bpe_tokens,
+             CAST(len(list_distinct(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0))) AS INT) AS n_uniq_bpe,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, length(text)),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24)
 }
