@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -167,5 +168,77 @@ object Text {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24)
+  /** Q25: n-gram language identification, the classic profile method as
+    * pure relational ops: learn each language's top-20 character trigrams
+    * from an 80% hash split, score held-out documents by distinct-trigram
+    * overlap with each profile, predict the best-scoring language
+    * (deterministic ties: score desc, language asc), and report the
+    * confusion matrix.
+    *
+    * Scale shape: profile building is groupBy(lang, trigram) with partial
+    * aggregation; profiles are tiny (languages × 20) and broadcast to the
+    * scoring join; the only wide edges key on (doc, lang) pairs. Held-out
+    * docs matching NO profile trigram drop out (inner-join semantics,
+    * mirrored in the oracle). */
+  private val q25 = GraftQuery(
+    "q25_lang_id",
+    (spark, dir) => {
+      val tg = transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))
+      val docs = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), tg.as("tg"))
+      val profile = docs.filter(col("doc_id") % 10 < 8)
+        .select(col("lang"), explode(col("tg")).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("t"))))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("profile_lang"), col("t"))
+      val scores = docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(col("tg"))).as("t"))
+        .join(broadcast(profile), "t")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(count(lit(1)).as("score"))
+      scores.withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("profile_lang"))))
+        .filter(col("rk") === 1)
+        .groupBy(col("lang"), col("profile_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               list_transform(generate_series(1, length(text) - 2),
+                 i -> substring(text, i, 3)) AS tg
+        FROM documents WHERE length(text) >= 3),
+      tr AS (SELECT lang, unnest(tg) AS t FROM d WHERE doc_id % 10 < 8),
+      cnt AS (SELECT lang, t, count(*) AS n FROM tr GROUP BY lang, t),
+      prof AS (
+        SELECT lang AS profile_lang, t FROM (
+          SELECT lang, t,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, t) AS rk
+          FROM cnt)
+        WHERE rk <= 20),
+      te AS (
+        SELECT doc_id, lang, unnest(list_distinct(tg)) AS t
+        FROM d WHERE doc_id % 10 >= 8),
+      sc AS (
+        SELECT doc_id, lang, profile_lang, count(*) AS score
+        FROM te JOIN prof USING (t)
+        GROUP BY doc_id, lang, profile_lang),
+      pred AS (
+        SELECT doc_id, lang, profile_lang FROM (
+          SELECT sc.*,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, profile_lang) AS rk
+          FROM sc)
+        WHERE rk = 1)
+      SELECT lang, profile_lang AS predicted, count(*) AS n_docs
+      FROM pred
+      GROUP BY lang, profile_lang
+      ORDER BY lang, predicted"""))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25)
 }
