@@ -125,7 +125,10 @@ object FilePipeline extends Serializable {
           Try(java.util.Base64.getDecoder.decode(body)).toEither.left
             .map(e => s"invalid base64 data URL: ${e.getMessage}")
         else
-          Right(java.net.URLDecoder.decode(body, "UTF-8").getBytes("UTF-8"))
+          // URLDecoder throws on malformed %-escapes — a hostile data URL
+          // must become a failed download record, not a task failure
+          Try(java.net.URLDecoder.decode(body, "UTF-8").getBytes("UTF-8"))
+            .toEither.left.map(e => s"invalid data URL encoding: ${e.getMessage}")
       case _ => Left("malformed data URL")
     }
 
