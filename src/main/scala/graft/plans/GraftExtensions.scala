@@ -118,6 +118,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => mkShingles(children))
 
+  private def mkCharNgrams(children: Seq[Expression]): Expression = {
+    require(children.size == 3 && children(1).foldable && children(2).foldable,
+      "char_ngrams(text, n, distinct) requires literal n and distinct")
+    CharNgrams(children.head,
+      children(1).eval(InternalRow.empty).asInstanceOf[Int],
+      children(2).eval(InternalRow.empty).asInstanceOf[Boolean])
+  }
+
   /** Imperative install on an existing session. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteXmlValidUdf))
@@ -131,5 +139,7 @@ object GraftExtensions {
       "dot_fold", children => DotFold(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkShingles, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", mkCharNgrams, "scala_udf")
   }
 }

@@ -150,7 +150,8 @@ object Services {
                coalesce(url2, chr(1)),
                coalesce(repl2, '[URL removed]')) AS processed_query
       FROM r
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   /** Q49: the X4 file-provisioning chain at file grain. Synthetic corpus:
     * every even document is file-dependent with one https URL; every tenth

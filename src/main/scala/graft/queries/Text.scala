@@ -183,20 +183,23 @@ object Text {
   private val q25 = GraftQuery(
     "q25_lang_id",
     (spark, dir) => {
-      val tg = transform(sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3)))
+      // compiled trigram expression: the profile build walks every char of
+      // the corpus, and the interpreted transform(sequence(...)) lambda
+      // was ~all of q25's runtime (see plans/CharNgrams)
+      graft.plans.GraftExtensions.install(spark)
       val docs = Tables.documents(spark, dir)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), tg.as("tg"))
+        .select(col("doc_id"), col("lang"), col("text"))
       val profile = docs.filter(col("doc_id") % 10 < 8)
-        .select(col("lang"), explode(col("tg")).as("t"))
+        .select(col("lang"), explode(expr("char_ngrams(text, 3, false)")).as("t"))
         .groupBy("lang", "t").agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("lang").orderBy(col("n").desc, col("t"))))
         .filter(col("rk") <= 20)
         .select(col("lang").as("profile_lang"), col("t"))
       val scores = docs.filter(col("doc_id") % 10 >= 8)
-        .select(col("doc_id"), col("lang"), explode(array_distinct(col("tg"))).as("t"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("char_ngrams(text, 3, true)")).as("t"))
         .join(broadcast(profile), "t")
         .groupBy("doc_id", "lang", "profile_lang")
         .agg(count(lit(1)).as("score"))
@@ -238,7 +241,8 @@ object Text {
       SELECT lang, profile_lang AS predicted, count(*) AS n_docs
       FROM pred
       GROUP BY lang, profile_lang
-      ORDER BY lang, predicted"""))
+      ORDER BY lang, predicted"""),
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25)
 }

@@ -23,6 +23,23 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
     assert(diff.isEmpty, diff.take(1).mkString)
   }
 
+  test("char_ngrams == transform(sequence(...)) with and without distinct") {
+    GraftExtensions.install(spark)
+    val hof = transform(sequence(lit(1), length(col("text")) - 2),
+      i => col("text").substr(i, lit(3)))
+    val diff = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 3)
+      .select(
+        expr("char_ngrams(text, 3, false)").as("c_all"), hof.as("h_all"),
+        expr("char_ngrams(text, 3, true)").as("c_d"), array_distinct(hof).as("h_d"))
+      .filter(col("c_all") =!= col("h_all") || col("c_d") =!= col("h_d"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+    // short texts: empty array, not an error
+    import spark.implicits._
+    assert(Seq("ab").toDF("text")
+      .select(expr("char_ngrams(text, 3, false)")).head().getSeq[String](0).isEmpty)
+  }
+
   test("minhash_sigs == per-seed list-min folds") {
     GraftExtensions.install(spark)
     val hofSigs = (0 until 12).map(s =>
