@@ -141,5 +141,7 @@ object GraftExtensions {
       "word_shingles", mkShingles, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", mkCharNgrams, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", children => RollingHash(children.head), "scala_udf")
   }
 }

@@ -141,13 +141,13 @@ object Text {
   private val q24 = GraftQuery(
     "q24_bpe_tokens",
     (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
       val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
       val toks = expr(s"regexp_extract_all(text, \"$pat\", 0)")
-      val roll = aggregate(
-        transform(sequence(lit(1), length(col("text"))),
-          i => ascii(col("text").substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (h, c) => (h * 31 + c) % 1000000007L)
+      // compiled per-char fold (plans/RollingHash) — the interpreted
+      // aggregate(transform(sequence(...))) spelling walks every character
+      // through a lambda per step
+      val roll = expr("rolling_hash(text)")
       Tables.documents(spark, dir)
         .select(
           col("doc_id"),

@@ -40,6 +40,22 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
       .select(expr("char_ngrams(text, 3, false)")).head().getSeq[String](0).isEmpty)
   }
 
+  test("rolling_hash == aggregate(transform(sequence(...))) char fold") {
+    GraftExtensions.install(spark)
+    val hof = aggregate(
+      transform(sequence(lit(1), length(col("text"))),
+        i => ascii(col("text").substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31 + c) % 1000000007L)
+    val diff = graft.Tables.documents(spark, sfDir)
+      .select(expr("rolling_hash(text)").as("compiled"), hof.as("hof"))
+      .filter(col("compiled") =!= col("hof"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+    import spark.implicits._
+    assert(Seq("").toDF("text")
+      .select(expr("rolling_hash(text)")).head().getLong(0) == 0L)
+  }
+
   test("minhash_sigs == per-seed list-min folds") {
     GraftExtensions.install(spark)
     val hofSigs = (0 until 12).map(s =>
