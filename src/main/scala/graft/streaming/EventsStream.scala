@@ -104,6 +104,17 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch hash-groupBy
+    * exact dedup (q08): re-deliveries of an already-seen key are dropped,
+    * with state bounded by the watermark (an id's dedup state is released
+    * once the watermark passes its event time, so an at-least-once source
+    * can run forever without state growth — the property a raw
+    * dropDuplicates lacks). */
+  def dedupe(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run the hourly aggregation over all currently-available files into an
     * in-memory table (Trigger.AvailableNow) and block until done. */
   def runHourlyToMemory(spark: SparkSession, landingDir: String, tableName: String): Unit = {

@@ -38,6 +38,32 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops re-deliveries; state released past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.EventRow]
+    val query = EventsStream.dedupe(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    val base = 1700000000000L
+    def ev(id: Long, minute: Long) = EventsStream.EventRow(
+      id, new Timestamp(base + minute * 60000L), 1L, "click", 1.0)
+
+    // batch 1: two distinct events + an in-batch duplicate
+    input.addData(ev(1, 0), ev(2, 1), ev(1, 0))
+    query.processAllAvailable()
+    assert(spark.table("dedup_stream").count() == 2)
+
+    // batch 2: cross-batch re-delivery of id 1 (still within watermark)
+    input.addData(ev(1, 0), ev(3, 2))
+    query.processAllAvailable()
+    assert(spark.table("dedup_stream").count() == 3)
+    assert(spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    query.stop()
+  }
+
   test("sessionization closes sessions on gaps across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
