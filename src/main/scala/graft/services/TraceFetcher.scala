@@ -63,6 +63,17 @@ object TraceFetcher {
       col("output").isNotNull)
   }
 
+  /** S3 wired end-to-end: the fetch worklist — usable listings (P6) minus
+    * already-landed traces (J7 anti-join), as a bounded, deterministic id
+    * batch for [[fetchAll]]. The limit caps one fetch round (the
+    * reference's --max-queries staging); remaining traces surface on the
+    * next call because landing is resume-safe. */
+  def pendingTraceIds(listing: org.apache.spark.sql.DataFrame,
+      landedIds: org.apache.spark.sql.DataFrame, limit: Int = 10000): Seq[String] =
+    graft.sources.Sinks.notYetLanded(usableTraces(listing), landedIds)
+      .select("trace_id").distinct().orderBy("trace_id").limit(limit)
+      .collect().map(_.getString(0)).toSeq
+
   /** Batch variant: fetch every not-yet-landed trace, collecting per-trace
     * failures instead of aborting the batch (the reference logs-and-
     * continues). */
