@@ -34,5 +34,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: local[32] at sf0.1 runs 32 concurrent tasks through shuffle-heavy
+  // plans (q40's whole-trace groups, q30's signature join) — 8g left too
+  // little headroom and late bench queries paid it in GC (BENCH_r03).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

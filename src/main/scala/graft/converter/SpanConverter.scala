@@ -255,8 +255,13 @@ object SpanConverter extends Serializable {
   }
 
   /** md5 hex of a UTF-8 string (matches Spark's `md5()` builtin). */
-  def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+  def md5Hex(s: String): String = md5Hex(s.getBytes("UTF-8"))
+
+  /** md5 hex of raw bytes — the integrity-hash form: never round-trip
+    * binary payloads through a String (invalid UTF-8 collapses to U+FFFD
+    * and distinct payloads can collide). */
+  def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
   /** A11: progress/quality counters as a query observation — converted

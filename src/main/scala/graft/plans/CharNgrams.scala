@@ -41,17 +41,29 @@ case class CharNgrams(child: Expression, n: Int, distinct: Boolean)
 
 object CharNgrams {
   def compute(text: String, n: Int, distinct: Boolean): ArrayData = {
-    val last = text.length - n
+    // Boundaries by CODE POINT, not UTF-16 unit — Spark's substring/length
+    // and the DuckDB oracle both count code points, so a UTF-16 walk would
+    // split surrogate pairs on non-BMP text (emoji, rare CJK).
+    val len = text.length
+    val bounds = new Array[Int](text.codePointCount(0, len) + 1)
+    var i = 0
+    var cps = 0
+    while (i < len) { bounds(cps) = i; i += Character.charCount(text.codePointAt(i)); cps += 1 }
+    bounds(cps) = len
+    val last = cps - n
     if (last < 0) return new GenericArrayData(Array.empty[Any])
     if (distinct) {
       val seen = mutable.LinkedHashSet.empty[String]
-      var i = 0
-      while (i <= last) { seen += text.substring(i, i + n); i += 1 }
+      var j = 0
+      while (j <= last) { seen += text.substring(bounds(j), bounds(j + n)); j += 1 }
       new GenericArrayData(seen.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
     } else {
       val out = new Array[Any](last + 1)
-      var i = 0
-      while (i <= last) { out(i) = UTF8String.fromString(text.substring(i, i + n)); i += 1 }
+      var j = 0
+      while (j <= last) {
+        out(j) = UTF8String.fromString(text.substring(bounds(j), bounds(j + n)))
+        j += 1
+      }
       new GenericArrayData(out)
     }
   }

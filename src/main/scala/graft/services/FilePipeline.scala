@@ -152,9 +152,10 @@ object FilePipeline extends Serializable {
           }
         }
       fetched match {
+        // md5 of the FETCHED BYTES — a String round-trip would replace
+        // invalid UTF-8 with U+FFFD and stop being an integrity digest
         case Right(bytes) => FileRecord(url, desc, localPath, "downloaded", None,
-          bytes.length, Some(graft.converter.SpanConverter.md5Hex(
-            new String(bytes, "UTF-8"))))
+          bytes.length, Some(graft.converter.SpanConverter.md5Hex(bytes)))
         case Left(err) => FileRecord(url, desc, localPath, "failed", Some(err), 0, None)
       }
     }.toVector

@@ -76,12 +76,19 @@ object Sinks {
     valid
   }
 
-  /** S13: per-query log sink — one structured log row per query/trace,
-    * written partitioned by the query key so each query's history lands
-    * in its own directory (the engine-scope equivalent of the reference's
-    * per-query log files, `run_end_to_end.py:736-799` — at 100 TB,
-    * partitioned columnar logs beat a million tiny files). */
+  /** S13: per-query log sink — one structured log row per query/trace
+    * (the engine-scope equivalent of the reference's per-query log files,
+    * `run_end_to_end.py:736-799`). Partitioning by the RAW key would mint
+    * one directory + one tiny file per trace per append — the exact
+    * million-tiny-files failure this sink exists to avoid — so the layout
+    * key is a bounded hash bucket of it; the key itself stays an ordinary
+    * column (still predicate-pushable: a point lookup prunes to one
+    * bucket's directory via the same crc32 expression). The repartition
+    * lands ONE file per bucket per append. */
   def writePerQueryLogs(logs: DataFrame, dir: String,
-      keyCol: String = "trace_id"): Unit =
-    logs.write.mode(SaveMode.Append).partitionBy(keyCol).json(dir)
+      keyCol: String = "trace_id", nBuckets: Int = 64): Unit =
+    logs
+      .withColumn("log_bucket", pmod(crc32(col(keyCol).cast("string")), lit(nBuckets)))
+      .repartition(col("log_bucket"))
+      .write.mode(SaveMode.Append).partitionBy("log_bucket").json(dir)
 }

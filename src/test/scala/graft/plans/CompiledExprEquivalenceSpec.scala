@@ -38,6 +38,18 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
     import spark.implicits._
     assert(Seq("ab").toDF("text")
       .select(expr("char_ngrams(text, 3, false)")).head().getSeq[String](0).isEmpty)
+    // non-BMP text: code-point boundaries, never split surrogate pairs
+    // (each emoji below is one code point = two UTF-16 units)
+    val nonBmp = Seq("a😀b🤖c", "😀😁😂x")
+      .toDF("text")
+      .select(
+        expr("char_ngrams(text, 3, false)").as("c_all"), hof.as("h_all"),
+        expr("char_ngrams(text, 3, true)").as("c_d"), array_distinct(hof).as("h_d"))
+      .filter(col("c_all") =!= col("h_all") || col("c_d") =!= col("h_d"))
+    assert(nonBmp.isEmpty, nonBmp.take(1).mkString)
+    assert(Seq("a😀b").toDF("text")
+      .select(expr("char_ngrams(text, 3, false)")).head()
+      .getSeq[String](0) == Seq("a😀b"))
   }
 
   test("rolling_hash == aggregate(transform(sequence(...))) char fold") {

@@ -41,6 +41,15 @@ class SpansStreamSpec extends SparkSpec {
     val streamDf = streamed
       .select($"trace_id", $"span_id", $"agent_name", $"finish_reason", $"n_tool_calls")
     assert(batchDf.exceptAll(streamDf).isEmpty && streamDf.exceptAll(batchDf).isEmpty)
+
+    // crash-replay idempotence: re-running a batch with the SAME batchId
+    // (what a failure between parquet write and checkpoint commit causes)
+    // overwrites its own directory — counts don't change
+    val replayBatch = spark.read.schema(Spans.schema).json(inDir)
+    SpansStream.writeBatch(spark, replayBatch, batchId = 0L, outDir = outDir)
+    SpansStream.writeBatch(spark, replayBatch, batchId = 0L, outDir = outDir)
+    assert(spark.read.parquet(outDir).filter($"batch_id" === 0L).count() == expected,
+      "a replayed batch must not duplicate records")
     spans.unpersist()
   }
 }
