@@ -240,5 +240,65 @@ object Similarity {
       FROM ranked WHERE rank <= 3
       ORDER BY query_id, rank"""))
 
-  val all: Seq[GraftQuery] = Seq(q34, q35, q37)
+  /** Q38: int8 scalar-quantized cosine search — the memory-bandwidth
+    * scale path. Each 64-dim float vector compresses to 64 signed bytes
+    * plus one per-vector scale (127 / max|x|): an 8× reduction that turns
+    * a 100 TB embedding store into something executors can hold in page
+    * cache, with integer dot products ranking the candidates. Composed
+    * with q37's IVF cells this is the standard IVF-SQ index; here the
+    * quantized scan is kept full so SimilaritySpec can measure recall
+    * against q34's exact ranking in isolation.
+    *
+    * Oracle bit-exactness: quantized components are small EXACT integers
+    * (|q| ≤ 127) carried as doubles, so every product and the sequential
+    * sum are representable exactly and identical in DuckDB. The quantizer
+    * is `floor(x·scale + 0.5)` in both dialects — never `round()`, whose
+    * half-case semantics are engine-specific. */
+  private val q38 = GraftQuery(
+    "q38_quantized_ann",
+    (spark, dir) => {
+      val e = normedVectors(spark, dir)
+      val qz = e
+        .withColumn("scale",
+          lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
+        .withColumn("qv",
+          transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("double")))
+        .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
+        .select(col("vec_id"), col("qv"), col("qnrm"))
+      val q = qz.filter(col("vec_id") < 20)
+      val score = dot(col("q.qv"), col("c.qv")) / (col("q.qnrm") * col("c.qnrm"))
+      val w = Window.partitionBy("query_id").orderBy(col("qcosine").desc, col("neighbor_id"))
+      broadcast(q.as("q")).join(qz.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          score.as("qcosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $normedVectorsSql,
+      sc AS (
+        SELECT vec_id, v,
+               127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) AS scale
+        FROM e),
+      qz AS (
+        SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS qv
+        FROM sc),
+      qn AS (
+        SELECT vec_id, qv, sqrt(${dotSql("qv", "qv")}) AS qnrm FROM qz),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ${dotSql("q.qv", "c.qv")} / (q.qnrm * c.qnrm) AS qcosine
+        FROM qn q JOIN qn c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT query_id, neighbor_id, qcosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, qcosine, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38)
 }

@@ -130,6 +130,70 @@ object Text {
       GROUP BY 1
       ORDER BY min_doc"""))
 
+  /** Q26: PII redaction — e-mail / phone / IPv4 scrubbing, the standard
+    * pre-training compliance pass over raw text. The synthetic corpus
+    * carries no PII, so the query plants deterministic doc_id-derived
+    * contact strings in 6 of every 7 documents (built identically in the
+    * oracle; the 7th exercises the no-match path) and then redacts them.
+    * The operator under test is the regex-replace chain — a pure narrow
+    * map in whole-stage codegen, embarrassingly parallel at 100 TB. Match
+    * counts are taken pre-redaction; the redacted text ships as md5 so
+    * the byte-exact comparison doesn't haul full rows. The patterns stay
+    * inside the syntax both Java regex and RE2 treat identically (char
+    * classes, bounded quantifiers — no lookaround, which RE2 lacks). */
+  private val q26 = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+    GraftQuery(
+      "q26_redact_pii",
+      (spark, dir) => {
+        val planted = Tables.documents(spark, dir)
+          .withColumn("raw",
+            when(col("doc_id") % 7 === 6, col("text"))
+              .otherwise(concat(
+                col("text"),
+                lit(" contact user"), col("doc_id").cast("string"),
+                lit("@mail.example.com or +1-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" at 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))))
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>"))
+        planted.select(
+          col("doc_id"),
+          regexp_count(col("raw"), lit(emailRe)).as("n_email"),
+          regexp_count(col("raw"), lit(phoneRe)).as("n_phone"),
+          regexp_count(col("raw"), lit(ipRe)).as("n_ip"),
+          md5(redacted).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 6 THEN text
+                      ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@mail.example.com or +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 END AS raw
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '$emailRe')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(raw, '$phoneRe')) AS INTEGER) AS n_phone,
+               CAST(len(regexp_extract_all(raw, '$ipRe')) AS INTEGER) AS n_ip,
+               md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                   '$emailRe', '<EMAIL>', 'g'),
+                   '$phoneRe', '<PHONE>', 'g'),
+                   '$ipRe', '<IP>', 'g')) AS redacted_md5
+        FROM planted
+        ORDER BY doc_id"""))
+  }
+
   /** Q24: BPE-style tokenization + rolling-hash fingerprint. The
     * tokenizer is the GPT-2 pre-tokenizer's regex core (contraction
     * suffixes, space-prefixed letter/digit/punctuation runs) — the
@@ -244,5 +308,5 @@ object Text {
       ORDER BY lang, predicted"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25)
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26)
 }

@@ -65,6 +65,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("q38 int8 quantization preserves the exact top-5 ranking (recall vs q34)") {
+    val exact = SparkEntry.queries("q34_knn_bruteforce")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SparkEntry.queries("q38_quantized_ann")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 over 64 dims: quantization noise is ~0.4% of cosine — at most a
+    // boundary neighbor swap. Require recall@5 >= 0.9 overall.
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@5 = $recall")
+    // and the quantized scores stay true cosines
+    SparkEntry.queries("q38_quantized_ann")(spark, sfDir).collect().foreach { r =>
+      val c = r.getAs[Double]("qcosine")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
   test("q31 simhash emits only low-hamming pairs") {
     SparkEntry.queries("q31_simhash_dedup")(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[Long]("hamming") <= 3)
