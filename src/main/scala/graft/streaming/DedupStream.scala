@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash near-dup detection — documents arriving on a stream
+  * are checked against the accumulated corpus WITHOUT re-scanning it: the
+  * stateful streaming twin of batch q30 (SURVEY §2.9 generalization; the
+  * reference is pure batch).
+  *
+  * Same sketch as the batch path (word 3-shingles → 12 minhash signatures
+  * via the compiled `minhash_sigs` pass → 4 bands × 3 rows, md5 bucket
+  * keys), so a pair that collides in a batch band collides in exactly the
+  * same streaming bucket. The banded bucket key is ALSO the state shard
+  * key: each `flatMapGroupsWithState` group holds only its bucket's
+  * signatures (a few docs — banding makes buckets sparse by construction),
+  * so state is tiny per key and the shuffle is the same keyed exchange the
+  * batch join does.
+  *
+  * A new document emits one candidate pair per stored bucket-mate whose
+  * signature agreement clears `minAgree` (est. Jaccard = agree/12 — the
+  * standard MinHash estimator; exact verification, if required, joins the
+  * pair stream back to a shingle store downstream). Pairs can surface in
+  * more than one band, as in batch LSH — dedup them downstream (the batch
+  * path's `distinct()`), where it's a bounded set per window instead of
+  * unbounded global state here.
+  *
+  * Scale bounds, both load-bearing at 100 TB:
+  *   - `maxPerBucket` caps bucket occupancy — boilerplate text (empty
+  *     pages, licence headers) otherwise concentrates in one bucket and
+  *     its state + per-arrival pair fan-out grow without bound. Arrivals
+  *     beyond the cap still emit pairs against the capped set but are not
+  *     added (the batch docs make the same skew note on q30).
+  *   - for sources that re-deliver, run the exact-dedup stage
+  *     (EventsStream.dedupe) upstream; re-seen doc_ids are also dropped
+  *     here per-bucket before emitting — but only STORED docs are
+  *     recognizable, so a beyond-cap doc's re-delivery re-emits its pairs
+  *     (at-least-once for the overflow tail, exactly-once within the cap).
+  */
+object DedupStream {
+
+  final case class BandRow(band: Int, bucket: String, doc_id: Long, sigs: Seq[String])
+  final case class BucketState(docs: List[(Long, Seq[String])])
+  final case class Candidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Narrow map: (doc_id, text) → 12 minhash signatures. Works on batch
+    * and streaming frames alike (pure deterministic expressions). */
+  def signatures(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.install(docs.sparkSession)
+    val toks = split(col("text"), " ")
+    docs
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
+  }
+
+  /** Explode each signature vector into its 4 banded bucket rows — md5 of
+    * 3 consecutive signatures per band, byte-identical to the batch q30
+    * banding. */
+  def bandRows(sigs: DataFrame): Dataset[BandRow] = {
+    import sigs.sparkSession.implicits._
+    val bandCols = (0 until 4).map(b =>
+      md5(concat(
+        element_at(col("sigs"), 3 * b + 1),
+        element_at(col("sigs"), 3 * b + 2),
+        element_at(col("sigs"), 3 * b + 3))))
+    sigs
+      .select(col("doc_id"), col("sigs"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "sigs", "band", "bucket")
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id"), col("sigs"))
+      .as[BandRow]
+  }
+
+  /** The stateful core: per (band, bucket) key, compare arrivals against
+    * the bucket's stored signatures, emit agreeing pairs, store the
+    * arrival (up to `maxPerBucket`). */
+  def candidates(rows: Dataset[BandRow], minAgree: Int = 6,
+      maxPerBucket: Int = 64): Dataset[Candidate] = {
+    import rows.sparkSession.implicits._
+
+    def fn(key: (Int, String), it: Iterator[BandRow],
+        state: GroupState[BucketState]): Iterator[Candidate] = {
+      var docs = state.getOption.map(_.docs).getOrElse(Nil)
+      val out = Vector.newBuilder[Candidate]
+      // deterministic intra-batch order so replays emit identical pairs
+      it.toVector.sortBy(_.doc_id).foreach { r =>
+        if (!docs.exists(_._1 == r.doc_id)) {
+          docs.foreach { case (id, sigs) =>
+            val agree = sigs.iterator.zip(r.sigs.iterator).count { case (a, b) => a == b }
+            if (agree >= minAgree)
+              out += Candidate(math.min(id, r.doc_id), math.max(id, r.doc_id),
+                agree / 12.0)
+          }
+          if (docs.sizeIs < maxPerBucket) docs = (r.doc_id, r.sigs) :: docs
+        }
+      }
+      state.update(BucketState(docs))
+      out.result().iterator
+    }
+
+    rows
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Full pipeline over a streaming (doc_id, text) frame. */
+  def nearDupCandidates(docs: DataFrame, minAgree: Int = 6,
+      maxPerBucket: Int = 64): Dataset[Candidate] =
+    candidates(bandRows(signatures(docs)), minAgree, maxPerBucket)
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming MinHash near-dup: parity with the batch q30 path when the
+  * corpus arrives incrementally. */
+class DedupStreamSpec extends SparkSpec {
+
+  test("streamed candidates cover every batch-verified near-dup pair across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val query = DedupStream
+      .nearDupCandidates(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append")
+      .start()
+
+    // two micro-batches: near-dup pairs that STRADDLE the split only
+    // surface if bucket state persists across batches
+    val (first, second) = docs.partition(_._1 % 2 == 0)
+    input.addData(first: _*)
+    query.processAllAvailable()
+    input.addData(second: _*)
+    query.processAllAvailable()
+
+    val streamed = spark.table("neardup_stream")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch q30 = banding + EXACT jaccard >= 0.5 verification; streaming
+    // emits estimate-filtered candidates from the same banding, so every
+    // batch pair must appear (true pairs here are j > 0.9 => est 11-12/12)
+    val batch = SparkEntry.queries("q30_minhash_lsh_dedup")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.subsetOf(streamed), s"streaming missed: ${batch -- streamed}")
+
+    // emitted pairs are ordered and estimates are valid MinHash fractions
+    spark.table("neardup_stream").collect().foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.5 && e <= 1.0)
+    }
+    query.stop()
+  }
+
+  test("re-delivered documents within the cap do not re-emit pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = DedupStream
+      .nearDupCandidates(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode("append")
+      .start()
+
+    input.addData(near: _*)
+    query.processAllAvailable()
+    val afterFirst = spark.table("neardup_redeliver").count()
+    assert(afterFirst > 0)
+
+    // same docs again: both were stored, so per-bucket doc_id dedup
+    // suppresses re-emission (beyond-cap docs are documented
+    // at-least-once — they are never stored, so they can't be recognized)
+    input.addData(near: _*)
+    query.processAllAvailable()
+    assert(spark.table("neardup_redeliver").count() == afterFirst)
+    query.stop()
+  }
+
+  test("bucket occupancy cap: overflow docs emit against the stored set but are not stored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val query = DedupStream
+      .nearDupCandidates(input.toDF().toDF("doc_id", "text"), maxPerBucket = 1)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append")
+      .start()
+
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"))
+    query.processAllAvailable()
+    // cap=1: doc 2 was compared against stored doc 1 but NOT added, so a
+    // third near-dup still pairs only with the stored one
+    input.addData((3L, "alpha beta gamma delta epsilon theta"))
+    query.processAllAvailable()
+    val rows = spark.table("neardup_cap")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 2L)))
+    assert(!rows.contains((2L, 3L)), "capped bucket must not have stored doc 2")
+    query.stop()
+  }
+}
