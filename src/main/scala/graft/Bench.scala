@@ -35,11 +35,13 @@ object Bench {
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
-    // Min of two timed passes per query: the box is shared, and a single
-    // sample conflates the query's cost with whatever else (GC, page
-    // cache eviction, a sibling process) hit during it — the min is the
-    // standard low-noise estimator of steady-state cost. Cache + GC reset
-    // between queries keeps one query's leftovers out of the next's time.
+    // Median of >=3 timed passes per query: the box is shared, and rounds
+    // 4-6 proved a single (or min-of-two) sample can swing 5x on a
+    // byte-identical binary — wider than the regression criterion itself.
+    // The median discards one-sided outliers in either direction, and the
+    // reported spread (max-min across passes) makes the noise floor
+    // visible so a future delta can be judged against it. Cache reset
+    // between passes keeps one pass's leftovers out of the next's time.
     def timed(q: GraftQuery): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -47,13 +49,23 @@ object Bench {
       catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = headline.map { q => q.name -> math.min(timed(q), timed(q)) }
+    val passes = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val results = headline.map { q =>
+      val samples = Seq.fill(passes)(timed(q)).sorted
+      val median =
+        if (samples.length % 2 == 1) samples(samples.length / 2)
+        else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
+      (q.name, median, samples.last - samples.head)
+    }
     val qs = results
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val spreads = results
+      .map { case (k, _, s) => "\"" + k + f"\":$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir"}"""
     // The driver parses the LAST stdout line as JSON: stop Spark first so no
     // shutdown logging trails it, and also persist to a file as a fallback
     // (round 1 lost the perf signal to a warning flood — parsed:null).

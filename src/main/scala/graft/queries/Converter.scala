@@ -164,7 +164,8 @@ object Converter {
                 ELSE 'Done: ' || t5 || '.' || chr(10) || ${singleEmit(d)} END) AS ${d}_md5""")
           .mkString(",\n        ")}
       FROM tok
-      ORDER BY trace_id"""))
+      ORDER BY trace_id"""),
+    headline = true)
 
   /** Q44: difficulty-answer parsing (F16) as a generator — one row per
     * parsed (difficulty, content) pair from a synthetic LLM response. */
@@ -241,7 +242,8 @@ object Converter {
              true AS valid
       FROM tok JOIN documents USING (doc_id)
       WHERE doc_id % 5 != 0
-      ORDER BY trace_id, span_id"""))
+      ORDER BY trace_id, span_id"""),
+    headline = true)
 
   /** Q46: record-level dialect map (F12) — NexAU-mode records (tool calls
     * still inline in content) converted per-message with the reference's
@@ -307,7 +309,8 @@ object Converter {
       FROM tok JOIN tok2 USING (doc_id) JOIN documents USING (doc_id)
       WHERE doc_id % 5 != 0
       ORDER BY trace_id, span_id"""
-    })
+    },
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }

@@ -198,7 +198,8 @@ object Dedup {
       SELECT s AS doc_id, least(s, min(d)) AS canonical
       FROM reach
       GROUP BY s
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   /** Q31: SimHash near-duplicate pairs. 32-bit fingerprint over word
     * 3-gram shingles (bit j = sign of the ±1 vote of each shingle's j-th
@@ -274,32 +275,51 @@ object Dedup {
               i -> CASE WHEN substring(fpa, i, 1) <> substring(fpb, i, 1)
                    THEN 1 ELSE 0 END)) <= 3
       ORDER BY doc_a, doc_b"""
-    })
+    },
+    headline = true)
 
-  /** Q32: blocked character-4-gram Jaccard similarity (exact pairwise
-    * within a `lang` block, threshold 0.6), with EXACT size-ratio pruning
-    * in the join condition: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
-    * whose distinct-gram counts differ by more than the threshold can
-    * never qualify and are never materialized — this prunes the
-    * quadratic candidate set before any set intersection runs (no false
-    * negatives; the oracle applies the same bound). At 100 TB the block
-    * would be (lang, length bucket) and the join stays a keyed shuffle. */
+  /** Q32: blocked character-4-gram Jaccard similarity (threshold 0.6),
+    * blocked on `(lang, length-bucket)` with adjacent-bucket joins, plus
+    * EXACT size-ratio pruning in the join condition:
+    * J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|).
+    *
+    * The length bucket is `floor(ln(ng) / ln(1/0.59))`: a qualifying pair
+    * has size ratio ≥ 0.6, i.e. ln-distance ≤ ln(1/0.6) < ln(1/0.59) =
+    * one bucket width, so its buckets differ by AT MOST 1 — strictly
+    * inside the width so an ulp of log noise on a ratio-exactly-0.6 pair
+    * can't push it two buckets apart (no false negatives). Side `a` is
+    * exploded into its own and both neighbor buckets; side `b` keeps its
+    * own bucket; `d = bucket_b - bucket_a` is unique per pair, so every
+    * qualifying pair matches EXACTLY once and no distinct() is needed.
+    *
+    * Scale shape: the join key is (lang, bucket) — a dominant language no
+    * longer forms one O(n²) block; shuffle cardinality is bounded by
+    * bucket occupancy, and the ratio bound still prunes within a bucket.
+    * The oracle keeps the plain lang-block + ratio-bound spelling: the
+    * bucketing provably never drops a qualifying pair, so results are
+    * identical — which is exactly what the hash check proves. */
   private val q32 = GraftQuery(
     "q32_ngram_jaccard_dedup",
     (spark, dir) => {
       val grams = array_distinct(transform(
         sequence(lit(1), length(col("text")) - 3),
         i => col("text").substr(i, lit(4))))
+      val bucketWidth = math.log(1.0 / 0.59)
       val g = Tables.documents(spark, dir)
         .filter(length(col("text")) >= 4)
         .select(col("doc_id"), col("lang"), col("text"))
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), grams.as("gr"))
         .withColumn("ng", size(col("gr")))
+        .withColumn("bucket", floor(log(col("ng").cast("double")) / bucketWidth))
+      val probe = g.select(col("doc_id"), col("lang"), col("gr"), col("ng"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+          .as("bucket"))
       val jac = size(array_intersect(col("a.gr"), col("b.gr"))).cast("double") /
         size(array_union(col("a.gr"), col("b.gr")))
-      g.as("a").join(g.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+      probe.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id") &&
             least(col("a.ng"), col("b.ng")).cast("double") >=
               lit(0.6) * greatest(col("a.ng"), col("b.ng")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -322,7 +342,8 @@ object Dedup {
        AND CAST(least(a.ng, b.ng) AS DOUBLE) >= 0.6 * greatest(a.ng, b.ng)
       WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
               / len(list_distinct(a.gr || b.gr)) >= 0.6
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""),
+    headline = true)
 
   /** Q33: embedding-cosine near-duplicate pairs, blocked on `label` (the
     * coarse-quantization cell), cosine ≥ 0.35. Dot products are explicit

@@ -241,7 +241,8 @@ object Services {
       SELECT doc_id, url, local_path, status, error,
              CAST(n_bytes AS INT) AS n_bytes, content_md5
       FROM rows_out
-      ORDER BY doc_id, url"""))
+      ORDER BY doc_id, url"""),
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q47, q48, q49)
 }

@@ -238,7 +238,8 @@ object Similarity {
         FROM scored)
       SELECT query_id, neighbor_id, cosine, rank
       FROM ranked WHERE rank <= 3
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""),
+    headline = true)
 
   /** Q38: int8 scalar-quantized cosine search — the memory-bandwidth
     * scale path. Each 64-dim float vector compresses to 64 signed bytes
@@ -298,7 +299,8 @@ object Similarity {
         FROM scored)
       SELECT query_id, neighbor_id, qcosine, rank
       FROM ranked WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""),
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38)
 }

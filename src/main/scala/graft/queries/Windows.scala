@@ -234,7 +234,8 @@ object Windows {
                    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
             FROM orders)
       GROUP BY decile
-      ORDER BY decile"""))
+      ORDER BY decile"""),
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q18, q19)
 }

@@ -65,6 +65,18 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the 20-vector query side broadcast:\n$s")
   }
 
+  test("q32: the self-join keys on (lang, length-bucket), not lang alone") {
+    // a dominant language must not form one O(n²) block: the join key has
+    // to carry the length bucket so shuffle cardinality is bounded by
+    // bucket occupancy (adjacent buckets covered by the explode side)
+    val s = planString("q32_ngram_jaccard_dedup")
+    val joinKeys =
+      "(?s)(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*\\]".r.findAllIn(s).toList
+    assert(joinKeys.nonEmpty, s"expected an equi-join in:\n$s")
+    assert(joinKeys.exists(k => k.contains("lang") && k.contains("bucket")),
+      s"join keys must include the length bucket, got: $joinKeys")
+  }
+
   test("q40: the converter is ONE keyed shuffle, no join, single source pass") {
     // the whole spans→records DAG must cluster once on trace_id and do
     // everything else trace-locally; a window+topology-join regression
