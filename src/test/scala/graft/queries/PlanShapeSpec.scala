@@ -65,16 +65,28 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the 20-vector query side broadcast:\n$s")
   }
 
-  test("q32: the self-join keys on (lang, length-bucket), not lang alone") {
-    // a dominant language must not form one O(n²) block: the join key has
-    // to carry the length bucket so shuffle cardinality is bounded by
-    // bucket occupancy (adjacent buckets covered by the explode side)
+  test("q32: candidates come from the prefix-gram index, never a lang-only block") {
+    // the candidate self-join must key on the prefix GRAM (plus lang) so
+    // shuffle cardinality tracks rare-gram occupancy, not language
+    // population — a lang-only key would be one O(n²) block per language.
+    // Any equi-join flavor is fine — at the tiny test fixture the stats
+    // legitimately pick BroadcastHashJoin; what must hold at every scale
+    // is the KEY LIST, not the exchange strategy.
     val s = planString("q32_ngram_jaccard_dedup")
     val joinKeys =
-      "(?s)(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*\\]".r.findAllIn(s).toList
+      "(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\]"
+        .r.findAllIn(s).toList
     assert(joinKeys.nonEmpty, s"expected an equi-join in:\n$s")
-    assert(joinKeys.exists(k => k.contains("lang") && k.contains("bucket")),
-      s"join keys must include the length bucket, got: $joinKeys")
+    assert(joinKeys.exists(k => k.contains("gram") && k.contains("lang")),
+      s"candidate join must key on (gram, lang), got: $joinKeys")
+    assert(!joinKeys.exists(k => k.contains("lang") && !k.contains("gram")
+        && !k.contains("doc_")),
+      s"found a lang-only block join: $joinKeys")
+    // the gram array must be built once: exactly one char_ngrams call in
+    // the whole plan (the round-7 defect was InferFilters re-expanding it
+    // into the scan filter, doubling the most expensive expression)
+    val nGramBuilds = "char_ngrams".r.findAllIn(s).length
+    assert(nGramBuilds == 1, s"char_ngrams computed $nGramBuilds times:\n$s")
   }
 
   test("q40: the converter is ONE keyed shuffle, no join, single source pass") {
