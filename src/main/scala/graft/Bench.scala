@@ -35,13 +35,16 @@ object Bench {
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
-    // Median of >=3 timed passes per query: the box is shared, and rounds
-    // 4-6 proved a single (or min-of-two) sample can swing 5x on a
-    // byte-identical binary — wider than the regression criterion itself.
-    // The median discards one-sided outliers in either direction, and the
-    // reported spread (max-min across passes) makes the noise floor
-    // visible so a future delta can be judged against it. Cache reset
-    // between passes keeps one pass's leftovers out of the next's time.
+    // Median of >=3 timed passes per query, PASS-MAJOR: run the whole
+    // suite `passes` times and take each query's median ACROSS suite runs.
+    // Query-major (Seq.fill(passes)(timed(q))) samples one query's passes
+    // back-to-back, so a box transient (GC storm, noisy neighbor) poisons
+    // ALL samples of that query — round 8's q30 swung 0.56→3.68 s on
+    // byte-identical code. Interleaving spreads a transient across
+    // different queries' single samples, which the per-query median then
+    // discards. The reported spread (max-min across runs) keeps the noise
+    // floor visible. Cache reset between runs keeps one pass's leftovers
+    // out of the next's time.
     def timed(q: GraftQuery): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -49,9 +52,13 @@ object Bench {
       catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    val passes = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-    val results = headline.map { q =>
-      val samples = Seq.fill(passes)(timed(q)).sorted
+    val passes = math.max(3, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt).getOrElse(3))
+    val samplesByQuery: Seq[Seq[Double]] = {
+      val runs = Seq.fill(passes)(headline.map(timed))
+      headline.indices.map(i => runs.map(_(i)).sorted)
+    }
+    val results = headline.zip(samplesByQuery).map { case (q, samples) =>
       val median =
         if (samples.length % 2 == 1) samples(samples.length / 2)
         else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0

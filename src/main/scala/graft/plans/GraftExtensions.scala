@@ -78,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashDescription)
     ext.injectFunction(GraftExtensions.dotFoldDescription)
     ext.injectFunction(GraftExtensions.shinglesDescription)
+    ext.injectFunction(GraftExtensions.sortedIntersectDescription)
   }
 }
 
@@ -118,6 +119,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => mkShingles(children))
 
+  private[plans] val sortedIntersectDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+
   private def mkCharNgrams(children: Seq[Expression]): Expression = {
     require(children.size == 3 && children(1).foldable && children(2).foldable,
       "char_ngrams(text, n, distinct) requires literal n and distinct")
@@ -143,5 +149,8 @@ object GraftExtensions {
       "char_ngrams", mkCharNgrams, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", children => RollingHash(children.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      children => SortedIntersectCount(children(0), children(1)), "scala_udf")
   }
 }

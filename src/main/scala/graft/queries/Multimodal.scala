@@ -35,8 +35,13 @@ object Multimodal {
       ORDER BY media_id"""))
 
   /** Q51: batched stub-decode features aggregated per format — the
-    * mapPartitions pipeline exercised end-to-end (rows-only check;
-    * per-value semantics pinned in BinaryOpsSpec). */
+    * mapPartitions pipeline exercised end-to-end. The stub codec is
+    * deterministic integer math over the payload bytes, so the oracle
+    * mirrors it in SQL (the q65-style md5-replay idea, arithmetic
+    * flavor): n_frames = bytes div 256, thumbnail length = ⌈bytes/4⌉,
+    * and histogram bucket 6 (high nibble 0x6) counts exactly the ASCII
+    * characters `` ` ``–`o` — UTF-8 multibyte sequences only use bytes
+    * ≥ 0x80, so a regex over characters reproduces the byte-level count. */
   private val q51 = GraftQuery(
     "q51_media_features",
     (spark, dir) => {
@@ -52,7 +57,16 @@ object Multimodal {
           sum(element_at(col("histogram"), 7)).as("bucket6_total"))
         .orderBy("format")
     },
-    None)
+    Some("""
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+             count(*) AS n_media,
+             CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+             CAST(sum(strlen(text) // 256) AS BIGINT) AS total_frames,
+             CAST(sum((strlen(text) + 3) // 4) AS BIGINT) AS total_thumb_bytes,
+             CAST(sum(length(regexp_replace(text, '[^`a-o]', '', 'g'))) AS BIGINT) AS bucket6_total
+      FROM documents
+      GROUP BY 1
+      ORDER BY format"""))
 
   val all: Seq[GraftQuery] = Seq(q50, q51)
 }

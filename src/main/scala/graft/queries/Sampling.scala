@@ -215,9 +215,18 @@ object Sampling {
     * taxonomy — gated rounds propose LLM-generated siblings (stubbed X7),
     * F17-parse, validate (parent exists, label new, first round wins a
     * collision) and union into the next epoch. Output: the accepted
-    * proposal batch. Rows-only check (the chain hangs off md5-seeded
-    * prompt digests that SQL can't replay); determinism is pinned by
-    * TreeSpec. */
+    * proposal batch.
+    *
+    * The oracle replays the WHOLE chain in SQL — the q47–q49 md5-replay
+    * technique: every draw is `first8hex(md5('epoch:<kind>:<round>:0'))`
+    * ([[graft.gyrfalcon.Tree.expansionEpoch]]'s u32 via
+    * `SpanConverter.callId`), the demo tree's 4 paths / 6 non-root nodes
+    * are inlined as VALUES, the generation prompt is rebuilt
+    * byte-identically with chr(10) newlines, and the stub's proposal is
+    * `tag_<first8hex(md5(prompt))>` ([[graft.services.StubServiceClient]]
+    * taxonomy branch) — so gate, path pick, parent pick, prompt digest,
+    * JSON fields, dedup window and label anti-join are all hash-checked,
+    * not just row-counted. */
   private val q65 = GraftQuery(
     "q65_tree_expansion",
     (spark, dir) => {
@@ -231,9 +240,62 @@ object Sampling {
         Tree.Node("art", "Arts", "艺术", Nil)))
       val (accepted, _) = Tree.expansionEpoch(
         spark, root, graft.services.StubServiceClient, nRounds = 500, p = 0.1)
-      accepted.orderBy("round_id")
+      accepted
+        .select("round_id", "parent_id", "id", "en", "zh")
+        .orderBy("round_id")
     },
-    None)
+    Some {
+      def u32(kind: String) = Rand.u32Sql(s"md5('epoch:$kind:' || r || ':0')")
+      s"""
+      WITH rounds AS (SELECT unnest(generate_series(0, 499)) AS r),
+      gated AS (
+        SELECT r,
+               ${u32("path")} % 4 AS path_idx,
+               ${u32("parent")} AS parent_draw
+        FROM rounds
+        WHERE CAST(${u32("gate")} AS DOUBLE) / 4294967296.0 < 0.1),
+      paths(path_idx, non_root) AS (VALUES
+        (0, ['sci', 'sci_phy']),
+        (1, ['sci', 'sci_bio']),
+        (2, ['eng', 'eng_sw']),
+        (3, ['art'])),
+      nodes(node_id, n_en, n_zh, siblings) AS (VALUES
+        ('sci',     'Science',     '科学', 'Physics, Biology'),
+        ('sci_phy', 'Physics',     '物理', ''),
+        ('sci_bio', 'Biology',     '生物', ''),
+        ('eng',     'Engineering', '工程', 'Software'),
+        ('eng_sw',  'Software',    '软件', ''),
+        ('art',     'Arts',        '艺术', '')),
+      sel AS (
+        SELECT g.r,
+               p.non_root[CAST(g.parent_draw % len(p.non_root) AS INT) + 1] AS parent_id
+        FROM gated g JOIN paths p ON p.path_idx = g.path_idx),
+      prompts AS (
+        SELECT s.r AS round_id, s.parent_id,
+               'You are a taxonomy expansion expert. Propose ONE new problem-type category as a child of the given parent, distinct from every existing sibling.'
+                 || chr(10) || chr(10)
+                 || 'Parent: ' || n.n_en || ' / ' || n.n_zh || chr(10)
+                 || 'Existing siblings: ' || n.siblings || chr(10)
+                 || 'Round: ' || s.r || chr(10) || chr(10)
+                 || 'Return JSON {"id", "en", "zh"} embedded anywhere in your answer.'
+                 AS prompt
+        FROM sel s JOIN nodes n ON n.node_id = s.parent_id),
+      props AS (
+        SELECT round_id, parent_id, substring(md5(prompt), 1, 8) AS seed
+        FROM prompts),
+      dedup AS (
+        SELECT round_id, parent_id,
+               parent_id || '_tag_' || seed AS id,
+               'topic ' || seed AS en,
+               '主题 ' || seed AS zh,
+               row_number() OVER (PARTITION BY parent_id, seed ORDER BY round_id) AS rn
+        FROM props)
+      SELECT round_id, parent_id, id, en, zh
+      FROM dedup
+      WHERE rn = 1 AND en NOT IN
+        ('Root', 'Science', 'Physics', 'Biology', 'Engineering', 'Software', 'Arts')
+      ORDER BY round_id"""
+    })
 
   val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64, q65)
 }

@@ -34,15 +34,50 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     added (the batch docs make the same skew note on q30).
   *   - for sources that re-deliver, run the exact-dedup stage
   *     (EventsStream.dedupe) upstream; re-seen doc_ids are also dropped
-  *     here per-bucket before emitting — but only STORED docs are
-  *     recognizable, so a beyond-cap doc's re-delivery re-emits its pairs
-  *     (at-least-once for the overflow tail, exactly-once within the cap).
+  *     here per-bucket before emitting. Stored docs are recognized
+  *     exactly; beyond-cap docs are remembered in a per-bucket Bloom
+  *     filter that only materializes on first overflow (512 B, 4096 bits,
+  *     2 hashes — non-overflowing buckets, the overwhelming majority under
+  *     banding, carry zero extra state). A Bloom false positive silently
+  *     drops a genuinely-new overflow doc (~0.6% at 164 remembered ids),
+  *     which matches the cap's intent: an overflowing bucket is degenerate
+  *     boilerplate whose extra pairs are the lowest-value in the stream.
+  *     Net: exactly-once everywhere, modulo that documented FP drop.
   */
 object DedupStream {
 
   final case class BandRow(band: Int, bucket: String, doc_id: Long, sigs: Seq[String])
-  final case class BucketState(docs: List[(Long, Seq[String])])
+  final case class BucketState(docs: List[(Long, Seq[String])], overflowBits: Array[Long])
   final case class Candidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  private val BloomBits = 4096
+  private val BloomWords = BloomBits / 64
+
+  /** splitmix64 finalizer — the standard public-domain mixer. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def bloomIdx(id: Long): (Int, Int) = {
+    val i1 = ((mix(id) & Long.MaxValue) % BloomBits).toInt
+    val i2 = ((mix(id ^ 0x5DEECE66DL) & Long.MaxValue) % BloomBits).toInt
+    (i1, i2)
+  }
+
+  private def bloomContains(bits: Array[Long], id: Long): Boolean = {
+    val (i1, i2) = bloomIdx(id)
+    (bits(i1 >> 6) & (1L << (i1 & 63))) != 0 &&
+      (bits(i2 >> 6) & (1L << (i2 & 63))) != 0
+  }
+
+  private def bloomAdd(bits: Array[Long], id: Long): Unit = {
+    val (i1, i2) = bloomIdx(id)
+    bits(i1 >> 6) |= 1L << (i1 & 63)
+    bits(i2 >> 6) |= 1L << (i2 & 63)
+  }
 
   /** Narrow map: (doc_id, text) → 12 minhash signatures. Works on batch
     * and streaming frames alike (pure deterministic expressions). */
@@ -83,10 +118,13 @@ object DedupStream {
     def fn(key: (Int, String), it: Iterator[BandRow],
         state: GroupState[BucketState]): Iterator[Candidate] = {
       var docs = state.getOption.map(_.docs).getOrElse(Nil)
+      var bits = state.getOption.map(_.overflowBits).orNull
       val out = Vector.newBuilder[Candidate]
       // deterministic intra-batch order so replays emit identical pairs
       it.toVector.sortBy(_.doc_id).foreach { r =>
-        if (!docs.exists(_._1 == r.doc_id)) {
+        val seen = docs.exists(_._1 == r.doc_id) ||
+          (bits != null && bloomContains(bits, r.doc_id))
+        if (!seen) {
           docs.foreach { case (id, sigs) =>
             val agree = sigs.iterator.zip(r.sigs.iterator).count { case (a, b) => a == b }
             if (agree >= minAgree)
@@ -94,9 +132,15 @@ object DedupStream {
                 agree / 12.0)
           }
           if (docs.sizeIs < maxPerBucket) docs = (r.doc_id, r.sigs) :: docs
+          else {
+            // beyond-cap: not stored, but remembered so a re-delivery
+            // doesn't re-emit its pairs (see the scale-bounds scaladoc)
+            if (bits == null) bits = new Array[Long](BloomWords)
+            bloomAdd(bits, r.doc_id)
+          }
         }
       }
-      state.update(BucketState(docs))
+      state.update(BucketState(docs, bits))
       out.result().iterator
     }
 

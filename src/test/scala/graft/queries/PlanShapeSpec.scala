@@ -82,11 +82,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!joinKeys.exists(k => k.contains("lang") && !k.contains("gram")
         && !k.contains("doc_")),
       s"found a lang-only block join: $joinKeys")
-    // the gram array must be built once: exactly one char_ngrams call in
-    // the whole plan (the round-7 defect was InferFilters re-expanding it
-    // into the scan filter, doubling the most expensive expression)
+    // the gram build is materialized once via localCheckpoint, so the
+    // join DAG must contain ZERO char_ngrams calls — round 8's repartition
+    // "barrier" left 6 copies of the gram subtree (18 evaluations, some in
+    // the parquet scan filter via InferFiltersFromGenerate)
     val nGramBuilds = "char_ngrams".r.findAllIn(s).length
-    assert(nGramBuilds == 1, s"char_ngrams computed $nGramBuilds times:\n$s")
+    assert(nGramBuilds == 0,
+      s"char_ngrams leaked into the join DAG $nGramBuilds times:\n$s")
+  }
+
+  test("q32 gram stage: one char_ngrams call, never inside a filter") {
+    // the stage that IS allowed to compute grams: exactly one call, in a
+    // Project, never in a Filter (the round-7 defect was constraint
+    // inference re-expanding the call into the scan filter, tripling the
+    // most expensive expression's per-row cost)
+    val gp = Dedup.q32Grams(spark, sfDir).queryExecution.executedPlan.toString
+    val n = "char_ngrams".r.findAllIn(gp).length
+    assert(n == 1, s"expected exactly one gram build, got $n:\n$gp")
+    val filterLines = gp.linesIterator.filter(l =>
+      l.contains("Filter") || l.contains("PushedFilters") || l.contains("DataFilters"))
+    assert(filterLines.forall(!_.contains("char_ngrams")),
+      s"char_ngrams inside a filter:\n$gp")
   }
 
   test("q40: the converter is ONE keyed shuffle, no join, single source pass") {

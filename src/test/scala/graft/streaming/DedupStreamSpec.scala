@@ -71,11 +71,49 @@ class DedupStreamSpec extends SparkSpec {
     assert(afterFirst > 0)
 
     // same docs again: both were stored, so per-bucket doc_id dedup
-    // suppresses re-emission (beyond-cap docs are documented
-    // at-least-once — they are never stored, so they can't be recognized)
+    // suppresses re-emission
     input.addData(near: _*)
     query.processAllAvailable()
     assert(spark.table("neardup_redeliver").count() == afterFirst)
+    query.stop()
+  }
+
+  test("re-delivered BEYOND-CAP documents do not re-emit pairs (overflow Bloom)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val query = DedupStream
+      .nearDupCandidates(input.toDF().toDF("doc_id", "text"), maxPerBucket = 1)
+      .writeStream.format("memory").queryName("neardup_cap_redeliver")
+      .outputMode("append")
+      .start()
+
+    // identical text => identical signatures => every band bucket shared,
+    // so collisions (and hence emissions) are deterministic, not
+    // minhash-probabilistic. doc 1 fills the cap=1 bucket; doc 2
+    // overflows (emits (1,2), not stored).
+    val text = "alpha beta gamma delta epsilon zeta"
+    input.addData((1L, text), (2L, text))
+    query.processAllAvailable()
+    val afterFirst = spark.table("neardup_cap_redeliver").count()
+    assert(afterFirst > 0)
+
+    // re-deliver the OVERFLOW doc: round-6..8 behavior re-emitted (1,2);
+    // the per-bucket overflow Bloom must now recognize and drop it
+    input.addData((2L, text))
+    query.processAllAvailable()
+    assert(spark.table("neardup_cap_redeliver").count() == afterFirst,
+      "beyond-cap re-delivery re-emitted its pairs")
+
+    // a genuinely NEW overflow doc still emits against the stored set
+    input.addData((3L, text))
+    query.processAllAvailable()
+    val rows = spark.table("neardup_cap_redeliver")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 3L)), "new overflow doc must still emit")
+    assert(!rows.contains((2L, 3L)), "overflow doc 2 must not have been stored")
     query.stop()
   }
 
