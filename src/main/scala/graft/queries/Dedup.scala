@@ -201,11 +201,12 @@ object Dedup {
       ORDER BY doc_id"""),
     headline = true)
 
-  /** Q31: SimHash near-duplicate pairs. 32-bit fingerprint over word
-    * 3-gram shingles (bit j = sign of the ±1 vote of each shingle's j-th
-    * md5 nibble — shingles, not tokens, so shared vocabulary across
-    * unrelated docs doesn't collapse the signature), candidate-blocked on
-    * FOUR 8-bit fingerprint blocks, verified with Hamming distance ≤ 3.
+  /** Q31: SimHash near-duplicate pairs. 64-bit fingerprint over word
+    * 3-gram shingles (bit j = sign of the ±1 vote of the j-th nibble of
+    * the shingle's md5 — bits 33–64 from a second, 'b:'-salted md5
+    * stream; shingles, not tokens, so shared vocabulary across unrelated
+    * docs doesn't collapse the signature), candidate-blocked on FOUR
+    * 16-bit fingerprint blocks, verified with Hamming distance ≤ 3.
     *
     * The 4-block OR-index is pigeonhole-COMPLETE at this radius: 3
     * differing bits can dirty at most 3 of the 4 blocks, so every
@@ -213,32 +214,45 @@ object Dedup {
     * negatives, unlike a single-block key whose straddling diffs silently
     * drop pairs (recall pinned at 1.0 in DedupSimilaritySpec).
     *
-    * Scale shape: fingerprinting is a narrow map (one md5 per shingle,
-    * nibbles reused across all 32 bits); candidates come from a keyed
+    * WHY 64/16 and not 32/8 (rounds 5–8): the block keyspace bounds the
+    * candidate volume. An 8-bit block has 256 possible keys, so bucket
+    * occupancy is n/256 per block index and candidate pairs grow as
+    * O(n²/256) — the round-9 scale probe measured 2.1 s → 6.9 s → 54.6 s
+    * at 1×/3×/10× (exponent ≈ 1.7, SCALING.md): a scale-killer at 100 TB.
+    * 16-bit blocks give 65 536 keys (occupancy n/65 536), and the wider
+    * fingerprint also makes Hamming ≤ 3 a sharper near-dup predicate.
+    *
+    * Scale shape: fingerprinting is a narrow map (two md5s per shingle,
+    * nibbles reused across all 64 bits); candidates come from a keyed
     * self-join on (block index, block value) — occupancy-bounded buckets,
     * never all-pairs — deduped before the exact verify. */
   private val q31 = GraftQuery(
     "q31_simhash_dedup",
     (spark, dir) => {
-      // one fold computes all 32 bit-votes (see q30 for why: higher-order
-      // exprs are interpreted, and per-bit columns would each recompute
-      // the shingle hashes under CollapseProject)
-      val votes = aggregate(
-        col("hs"),
-        array_repeat(lit(0), 32),
-        (acc, h) => zip_with(acc, sequence(lit(1), lit(32)),
-          (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
-      val fp = aggregate(votes, lit(""),
-        (s, v) => concat(s, when(v > 0, "1").otherwise("0")))
+      // one fold per 32-bit half computes its bit-votes (see q30 for why:
+      // higher-order exprs are interpreted, and per-bit columns would
+      // each recompute the shingle hashes under CollapseProject)
+      def fp32(hashes: Column) = {
+        val votes = aggregate(
+          hashes,
+          array_repeat(lit(0), 32),
+          (acc, h) => zip_with(acc, sequence(lit(1), lit(32)),
+            (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
+        aggregate(votes, lit(""),
+          (s, v) => concat(s, when(v > 0, "1").otherwise("0")))
+      }
       val fps = shingleDf(spark, dir)
-        .select(col("doc_id"), transform(col("sh"), sh => md5(sh)).as("hs"))
+        .select(col("doc_id"),
+          transform(col("sh"), sh => md5(sh)).as("hs"),
+          transform(col("sh"), sh => md5(concat(lit("b:"), sh))).as("hs2"))
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"),
+          concat(fp32(col("hs")), fp32(col("hs2"))).as("fp"))
       val keyed = fps.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(i => struct(
           lit(i).as("blk"),
-          substring(col("fp"), i * 8 + 1, 8).as("bits"))): _*)).as("k"))
-      val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
+          substring(col("fp"), i * 16 + 1, 16).as("bits"))): _*)).as("k"))
+      val ham = aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
         acc + when(col("fpa").substr(i, lit(1)) =!= col("fpb").substr(i, lit(1)), 1)
           .otherwise(0))
       keyed.as("a").join(keyed.as("b"),
@@ -251,15 +265,16 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some {
-      val bitExprs = (0 until 32).map(j =>
-        s"""CASE WHEN list_sum(list_transform(hs,
+      def bitExprs(hcol: String) = (0 until 32).map(j =>
+        s"""CASE WHEN list_sum(list_transform($hcol,
               h -> CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
             THEN '1' ELSE '0' END""").mkString(" || ")
       s"""
       WITH $shingleSql,
-      t AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s),
-      f AS (SELECT doc_id, $bitExprs AS fp FROM t),
-      k AS (SELECT doc_id, fp, i AS blk, substring(fp, i * 8 + 1, 8) AS bits
+      t AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs,
+                   list_transform(sh, x -> md5('b:' || x)) AS hs2 FROM s),
+      f AS (SELECT doc_id, ${bitExprs("hs")} || ${bitExprs("hs2")} AS fp FROM t),
+      k AS (SELECT doc_id, fp, i AS blk, substring(fp, i * 16 + 1, 16) AS bits
             FROM f, generate_series(0, 3) g(i)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -267,11 +282,11 @@ object Dedup {
         FROM k a JOIN k b
           ON a.blk = b.blk AND a.bits = b.bits AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b,
-             CAST(list_sum(list_transform(generate_series(1, 32),
+             CAST(list_sum(list_transform(generate_series(1, 64),
                i -> CASE WHEN substring(fpa, i, 1) <> substring(fpb, i, 1)
                     THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
       FROM cand
-      WHERE list_sum(list_transform(generate_series(1, 32),
+      WHERE list_sum(list_transform(generate_series(1, 64),
               i -> CASE WHEN substring(fpa, i, 1) <> substring(fpb, i, 1)
                    THEN 1 ELSE 0 END)) <= 3
       ORDER BY doc_a, doc_b"""

@@ -101,6 +101,32 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
     assert(diff.isEmpty, diff.take(1).mkString)
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted gram arrays") {
+    GraftExtensions.install(spark)
+    // the q32 verify kernel: over every adjacent-doc pair of the real
+    // corpus, the merge count must equal the hash-set spelling exactly
+    val g = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"),
+        array_sort(expr("char_ngrams(text, 4, true)")).as("gr"))
+    val pairs = g.as("a").join(g.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+    val diff = pairs
+      .select(
+        expr("sorted_intersect_count(a.gr, b.gr)").as("merged"),
+        size(array_intersect(col("a.gr"), col("b.gr"))).as("hashed"))
+      .filter(col("merged") =!= col("hashed"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+    // edge shapes: empty vs non-empty, identical, disjoint
+    import spark.implicits._
+    val edges = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "c", "e"), Seq("b", "c", "d", "e", "f"))).toDF("x", "y")
+    val got = edges.select(expr("sorted_intersect_count(x, y)")).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(0, 3, 0, 2), got.mkString(","))
+  }
+
   test("rand u32 is roughly uniform over [0, 2^32)") {
     import graft.queries.Sampling.Rand
     val buckets = graft.Tables.documents(spark, sfDir)

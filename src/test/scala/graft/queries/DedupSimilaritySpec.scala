@@ -101,12 +101,13 @@ class DedupSimilaritySpec extends SparkSpec {
           element_at(toks, i + 2)))).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
     def md5hex(s: String) = graft.converter.SpanConverter.md5Hex(s)
+    def half(hs: Seq[String]): String = (0 until 32).map { j =>
+      val vote = hs.map(h => if (h.charAt(j) >= '8') 1 else -1).sum
+      if (vote > 0) '1' else '0'
+    }.mkString
+    // 64-bit fingerprint: second 'b:'-salted md5 stream for bits 33-64
     val fps = shingles.map { case (id, sh) =>
-      val hs = sh.map(md5hex)
-      id -> (0 until 32).map { j =>
-        val vote = hs.map(h => if (h.charAt(j) >= '8') 1 else -1).sum
-        if (vote > 0) '1' else '0'
-      }.mkString
+      id -> (half(sh.map(md5hex)) + half(sh.map(s => md5hex("b:" + s))))
     }
     val exact = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
