@@ -376,8 +376,10 @@ object Dedup {
       // per-(gram, lang) order is consistent across every compared pair
       // (all the correctness argument needs), and prefixes hold grams
       // rare in THEIR language — global counts let one language's heavy
-      // grams pollute another's ordering. Measured at sf0.1: match
-      // events 17.2 M → 5.4 M, identical output.
+      // grams pollute another's ordering. On THIS corpus it's volume-
+      // neutral (events 5.51 M → 5.43 M at sf0.1; the big cut below is
+      // the positional filter's, 17.2 M → 5.5 M) — it matters when
+      // language sizes are skewed, which a real multilingual corpus is.
       val freq = toks.groupBy("gram", "lang").agg(count(lit(1)).as("freq"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("freq", "gram")

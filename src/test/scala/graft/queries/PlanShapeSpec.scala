@@ -105,6 +105,19 @@ class PlanShapeSpec extends SparkSpec {
       s"char_ngrams inside a filter:\n$gp")
   }
 
+  test("q31: candidate blocking slices 16-bit fingerprint blocks, not 8-bit") {
+    // the block keyspace bounds candidate volume: 8-bit blocks (256 keys)
+    // made pair count O(n²/256) — measured super-linear at the round-9
+    // 10x scale probe (SCALING.md). 16-bit slices = 65 536 keys per block.
+    val s = planString("q31_simhash_dedup")
+    assert("substring\\(fp#\\d+, \\d+, 16\\)".r.findAllIn(s).nonEmpty,
+      s"expected 16-bit fingerprint block slices:\n$s")
+    assert("substring\\(fp#\\d+, \\d+, 8\\)".r.findAllIn(s).isEmpty,
+      s"found 8-bit block slices (the quadratic round-8 shape):\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q31 candidates must come from an equi-join on block keys:\n$s")
+  }
+
   test("q40: the converter is ONE keyed shuffle, no join, single source pass") {
     // the whole spans→records DAG must cluster once on trace_id and do
     // everything else trace-locally; a window+topology-join regression
