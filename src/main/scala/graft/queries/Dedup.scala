@@ -436,7 +436,12 @@ object Dedup {
     * coarse-quantization cell), cosine ≥ 0.35. Dot products are explicit
     * left-folds so the doubles are bit-identical to the oracle's
     * list_reduce. At scale the block join is the IVF pattern: only
-    * same-cell pairs are compared. */
+    * same-cell pairs are compared — with the q31 caveat (SCALING.md):
+    * per-cell pair volume is occupancy², so the quantizer's cell count
+    * must GROW with the corpus (k ∝ √n is the usual IVF rule); a fixed
+    * label set would make this join quadratic exactly like q31's 8-bit
+    * blocks were. Here `label` comes from the source table; the scaling
+    * contract belongs to whoever quantizes. */
   private val q33 = GraftQuery(
     "q33_embedding_neardup",
     (spark, dir) => {
