@@ -105,6 +105,35 @@ class PlanShapeSpec extends SparkSpec {
       s"char_ngrams inside a filter:\n$gp")
   }
 
+  test("q30: candidates come from a keyed (band, sig) bucket join, never all-pairs") {
+    val s = planString("q30_minhash_lsh_dedup")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q30 degraded to an all-pairs join:\n$s")
+    val joinKeys =
+      "(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\]"
+        .r.findAllIn(s).toList
+    assert(joinKeys.exists(k => k.contains("band") && k.contains("sig")),
+      s"bucket join must key on (band, sig), got: $joinKeys")
+  }
+
+  test("q64: uniform pick compiles to TakeOrderedAndProject (O(k) driver memory)") {
+    val s = planString("q64_uniform_pick")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps, not a global sort:\n$s")
+  }
+
+  test("q19: exact deciles rank inside band partitions, never one global window") {
+    // the scale contract: rank = driver-broadcast band offset + a window
+    // PARTITIONED on the price band — a WindowExec with an empty
+    // partition spec would move every order through one task
+    val s = planString("q19_price_deciles")
+    val windows = "(?s)Window \\[[^\\]]*\\], \\[[^\\]]*band[^\\]]*\\]".r.findAllIn(s).toList
+    assert(windows.nonEmpty,
+      s"expected the rank window partitioned by the price band:\n$s")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"decile pipeline must not funnel rows through one partition:\n$s")
+  }
+
   test("q31: candidate blocking slices 16-bit fingerprint blocks, not 8-bit") {
     // the block keyspace bounds candidate volume: 8-bit blocks (256 keys)
     // made pair count O(n²/256) — measured super-linear at the round-9
