@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFoldDescription)
     ext.injectFunction(GraftExtensions.shinglesDescription)
     ext.injectFunction(GraftExtensions.sortedIntersectDescription)
+    ext.injectFunction(GraftExtensions.windowHashesDescription)
   }
 }
 
@@ -124,6 +125,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
     (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
+  private def mkWindowHashes(children: Seq[Expression]): Expression = {
+    require(children.size == 2 && children(1).foldable,
+      "window_hashes(text, w) requires a literal w")
+    WindowHashes(children.head,
+      children(1).eval(InternalRow.empty).asInstanceOf[Int])
+  }
+
+  private[plans] val windowHashesDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("window_hashes"),
+    new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+    (children: Seq[Expression]) => mkWindowHashes(children))
+
   private def mkCharNgrams(children: Seq[Expression]): Expression = {
     require(children.size == 3 && children(1).foldable && children(2).foldable,
       "char_ngrams(text, n, distinct) requires literal n and distinct")
@@ -152,5 +165,7 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       children => SortedIntersectCount(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_hashes", mkWindowHashes, "scala_udf")
   }
 }

@@ -114,6 +114,86 @@ object Dedup {
                  / len(list_distinct(sa.sh || sb.sh)) >= 0.5)"""
   }
 
+  /** Q27: exact SUBSTRING-level duplication via WINNOWING fingerprints
+    * (Schleimer et al., SIGMOD'03 — the MOSS algorithm; public
+    * literature, no reference analogue) — the training-data operator
+    * behind "deduplicate documents sharing long verbatim runs" (Lee et
+    * al., ACL'22 motivates it for LLM corpora): for every document, hash
+    * all 48-char windows with one compiled rolling pass
+    * (graft.plans.WindowHashes, O(len)), then per sliding window of K=8
+    * consecutive hashes select the leftmost minimum — the winnowing
+    * guarantee: any verbatim run of ≥ W+K−1 = 55 chars shared by two
+    * documents yields the SAME selected fingerprint in both (a hash
+    * window fully inside the run picks the same relative position).
+    * Selected fingerprints carry their 48-char snippet, so the verify is
+    * snippet equality IN the join condition — hash collisions (mod 1e9+7)
+    * add no false pairs and no join-back to the corpus is needed.
+    *
+    * Scale shape: fingerprint density is ~2/(K+1) of window count (a
+    * bounded fraction of corpus size); the self-join keys on
+    * (hash, snippet) — an unbounded keyspace, so occupancy tracks true
+    * duplication, never a fixed-cardinality block (the q31 lesson); the
+    * pair count aggregates with map-side partial agg. Docs shorter than
+    * W+K−1 cannot complete a winnow window and are filtered identically
+    * in both engines. */
+  private val q27 = GraftQuery(
+    "q27_substring_dedup",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
+      val (w, k) = (48, 8)
+      val fp = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= w + k - 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("hs", expr(s"window_hashes(text, $w)"))
+        // the CASE guard makes the expression TOTAL: InferFiltersFromGenerate
+        // re-evaluates it below the length filter (the q32 round-7 lesson),
+        // where short rows would otherwise walk sequence(1, negative)
+        // descending through slice(hs, 0, ...)
+        .withColumn("ps", expr(
+          s"""CASE WHEN size(hs) >= $k THEN
+                array_distinct(transform(sequence(1, size(hs) - ${k - 1}),
+                  i -> CAST(i - 1 + array_position(slice(hs, i, $k),
+                                                   array_min(slice(hs, i, $k))) AS INT)))
+              ELSE CAST(array() AS array<int>) END"""))
+        .select(col("doc_id"), col("text"), col("hs"), explode(col("ps")).as("p"))
+        .select(col("doc_id"),
+          element_at(col("hs"), col("p")).as("hash"),
+          expr(s"substring(text, p, $w)").as("snippet"))
+        .distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.hash") === col("b.hash") && col("a.snippet") === col("b.snippet") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(countDistinct(col("a.snippet")).as("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, text,
+               list_transform(generate_series(1, length(text) - 48 + 1),
+                 i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(1, 48),
+                            j -> CAST(ascii(substring(text, i + j - 1, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        FROM documents WHERE length(text) >= 55),
+      sel AS (
+        SELECT doc_id, text, hs,
+               list_distinct(list_transform(generate_series(1, len(hs) - 7),
+                 i -> i - 1 + list_position(hs[i:i+7], list_min(hs[i:i+7])))) AS ps
+        FROM h),
+      fp AS (
+        SELECT DISTINCT doc_id, hs[p] AS hash, substring(text, p, 48) AS snippet
+        FROM sel, unnest(ps) AS u(p))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(DISTINCT a.snippet) AS BIGINT) AS n_shared
+      FROM fp a JOIN fp b
+        ON a.hash = b.hash AND a.snippet = b.snippet AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY doc_a, doc_b"""),
+    headline = true)
+
   /** Q30: MinHash + LSH near-duplicate detection (shingle → 12 minhashes →
     * 4 bands × 3 rows → bucket self-join → exact-Jaccard verify ≥ 0.5).
     *
@@ -462,5 +542,5 @@ object Dedup {
       WHERE ${Similarity.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q36)
+  val all: Seq[GraftQuery] = Seq(q27, q30, q31, q32, q33, q36)
 }

@@ -101,6 +101,23 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
     assert(diff.isEmpty, diff.take(1).mkString)
   }
 
+  test("window_hashes == transform(rolling_hash(substring(...))) per window") {
+    GraftExtensions.install(spark)
+    // the O(len) rolling recurrence must equal the O(len·W) per-window
+    // restart, window by window, over the real corpus
+    val diff = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 48)
+      .select(
+        expr("window_hashes(text, 48)").as("compiled"),
+        expr("transform(sequence(1, length(text) - 47), i -> rolling_hash(substring(text, i, 48)))").as("hof"))
+      .filter(col("compiled") =!= col("hof"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+    // short text: empty array, not an error
+    import spark.implicits._
+    assert(Seq("short").toDF("text")
+      .select(expr("window_hashes(text, 48)")).head().getSeq[Long](0).isEmpty)
+  }
+
   test("sorted_intersect_count == size(array_intersect) on sorted gram arrays") {
     GraftExtensions.install(spark)
     // the q32 verify kernel: over every adjacent-doc pair of the real

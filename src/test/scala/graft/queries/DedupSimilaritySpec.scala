@@ -7,6 +7,37 @@ import org.apache.spark.sql.functions._
   * correctness runs against the DuckDB oracle). */
 class DedupSimilaritySpec extends SparkSpec {
 
+  test("q27 winnowing detects every pair sharing a >= 55-char verbatim run") {
+    // the winnowing guarantee (W=48, K=8): any shared substring of length
+    // >= W+K-1 yields a shared selected fingerprint — verified against a
+    // brute-force driver-side scan for common 55-char substrings
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val L = 55
+    val bySub = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, t) =>
+      (0 to t.length - L).foreach { i =>
+        bySub.getOrElseUpdate(t.substring(i, i + L), scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val exact = (for {
+      ids <- bySub.valuesIterator if ids.size > 1
+      s = ids.toSeq.sorted
+      a <- s; b <- s if a < b
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("q27_substring_dedup")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(got), s"winnowing missed: ${exact -- got}")
+    assert(exact.nonEmpty, "corpus must contain at least one long verbatim run")
+    // and every reported pair shares at least one exact 48-char window
+    SparkEntry.queries("q27_substring_dedup")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+  }
+
   test("q30 minhash pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q30_minhash_lsh_dedup")(spark, sfDir).collect()
     rows.foreach { r =>
