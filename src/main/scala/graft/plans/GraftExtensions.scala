@@ -80,6 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shinglesDescription)
     ext.injectFunction(GraftExtensions.sortedIntersectDescription)
     ext.injectFunction(GraftExtensions.windowHashesDescription)
+    ext.injectFunction(GraftExtensions.winnowDescription)
   }
 }
 
@@ -137,6 +138,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
     (children: Seq[Expression]) => mkWindowHashes(children))
 
+  private def mkWinnow(children: Seq[Expression]): Expression = {
+    require(children.size == 2 && children(1).foldable,
+      "winnow_positions(hs, k) requires a literal k")
+    WinnowPositions(children.head,
+      children(1).eval(InternalRow.empty).asInstanceOf[Int])
+  }
+
+  private[plans] val winnowDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_positions"),
+    new ExpressionInfo(classOf[WinnowPositions].getName, "winnow_positions"),
+    (children: Seq[Expression]) => mkWinnow(children))
+
   private def mkCharNgrams(children: Seq[Expression]): Expression = {
     require(children.size == 3 && children(1).foldable && children(2).foldable,
       "char_ngrams(text, n, distinct) requires literal n and distinct")
@@ -167,5 +180,7 @@ object GraftExtensions {
       children => SortedIntersectCount(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "window_hashes", mkWindowHashes, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_positions", mkWinnow, "scala_udf")
   }
 }

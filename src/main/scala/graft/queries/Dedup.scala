@@ -146,16 +146,12 @@ object Dedup {
         .select(col("doc_id"), col("text"))
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("hs", expr(s"window_hashes(text, $w)"))
-        // the CASE guard makes the expression TOTAL: InferFiltersFromGenerate
-        // re-evaluates it below the length filter (the q32 round-7 lesson),
-        // where short rows would otherwise walk sequence(1, negative)
-        // descending through slice(hs, 0, ...)
-        .withColumn("ps", expr(
-          s"""CASE WHEN size(hs) >= $k THEN
-                array_distinct(transform(sequence(1, size(hs) - ${k - 1}),
-                  i -> CAST(i - 1 + array_position(slice(hs, i, $k),
-                                                   array_min(slice(hs, i, $k))) AS INT)))
-              ELSE CAST(array() AS array<int>) END"""))
+        // compiled monotonic-deque selection (graft.plans.WinnowPositions):
+        // the transform(slice/array_min) spelling copies two k-slices per
+        // window interpreted — 34 s of the sf0.1 runtime. Total on short
+        // arrays by construction, so InferFiltersFromGenerate can
+        // re-evaluate it below the length filter (the q32 round-7 lesson).
+        .withColumn("ps", expr(s"winnow_positions(hs, $k)"))
         .select(col("doc_id"), col("text"), col("hs"), explode(col("ps")).as("p"))
         .select(col("doc_id"),
           element_at(col("hs"), col("p")).as("hash"),
@@ -193,6 +189,52 @@ object Dedup {
       GROUP BY 1, 2
       ORDER BY doc_a, doc_b"""),
     headline = true)
+
+  /** Q29: benchmark DECONTAMINATION — flag training documents that share
+    * an 8-token n-gram with any document of a held-out benchmark set (the
+    * published train-test-overlap rule: GPT-3 used 13-grams, PaLM
+    * 8-grams; public papers, no reference analogue). The benchmark here
+    * is the deterministic `doc_id % 20 == 7` slice standing in for an
+    * eval set; output is every (contaminated doc, benchmark doc) pair
+    * with the count of distinct shared grams.
+    *
+    * Scale shape: one compiled shingle pass (graft.plans.WordShingles,
+    * n=8) feeds both sides; the benchmark side is eval-set-sized — tiny
+    * relative to the corpus at any real scale, so the gram join
+    * broadcasts it and the corpus side never shuffles; the pair counter
+    * is a partial-agg groupBy. A fixed benchmark means contamination
+    * screening is a single corpus pass at 100 TB. */
+  private val q29 = GraftQuery(
+    "q29_decontaminate",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
+      val grams = Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 8)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("gram"))
+      val bench = grams.filter(col("doc_id") % 20 === 7)
+      val corpus = grams.filter(col("doc_id") % 20 =!= 7)
+      corpus.as("c").join(broadcast(bench.as("b")), col("c.gram") === col("b.gram"))
+        .groupBy(col("c.doc_id").as("doc_id"), col("b.doc_id").as("benchmark_id"))
+        .agg(countDistinct(col("c.gram")).as("n_shared"))
+        .orderBy("doc_id", "benchmark_id")
+    },
+    Some("""
+      WITH sp AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                     t[i+4], t[i+5], t[i+6], t[i+7])))) AS gram
+        FROM sp)
+      SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+             CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared
+      FROM g c JOIN g b
+        ON c.gram = b.gram AND b.doc_id % 20 = 7 AND c.doc_id % 20 <> 7
+      GROUP BY 1, 2
+      ORDER BY doc_id, benchmark_id"""))
 
   /** Q30: MinHash + LSH near-duplicate detection (shingle → 12 minhashes →
     * 4 bands × 3 rows → bucket self-join → exact-Jaccard verify ≥ 0.5).
@@ -542,5 +584,5 @@ object Dedup {
       WHERE ${Similarity.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[GraftQuery] = Seq(q27, q30, q31, q32, q33, q36)
+  val all: Seq[GraftQuery] = Seq(q27, q29, q30, q31, q32, q33, q36)
 }

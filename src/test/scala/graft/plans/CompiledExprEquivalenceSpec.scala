@@ -118,6 +118,31 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
       .select(expr("window_hashes(text, 48)")).head().getSeq[Long](0).isEmpty)
   }
 
+  test("winnow_positions == array_distinct(transform(slice/array_min)) per window") {
+    GraftExtensions.install(spark)
+    // the monotonic-deque selection must equal the per-window
+    // leftmost-min spelling (including its first-match tie-break) over
+    // the real corpus's window-hash arrays
+    val diff = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 55)
+      .select(expr("window_hashes(text, 48)").as("hs"))
+      .select(
+        expr("winnow_positions(hs, 8)").as("compiled"),
+        expr("""array_distinct(transform(sequence(1, size(hs) - 7),
+                 i -> CAST(i - 1 + array_position(slice(hs, i, 8),
+                                                  array_min(slice(hs, i, 8))) AS INT)))""").as("hof"))
+      .filter(col("compiled") =!= col("hof"))
+    assert(diff.isEmpty, diff.take(1).mkString)
+    // shorter than k: selects nothing, not an error
+    import spark.implicits._
+    assert(Seq("a" * 50).toDF("text")
+      .select(expr("winnow_positions(window_hashes(text, 48), 8)"))
+      .head().getSeq[Int](0).isEmpty)
+    // ties: equal minima select the LEFTMOST occurrence per window
+    assert(Seq(Tuple1(Seq(5L, 3L, 3L, 9L))).toDF("hs")
+      .select(expr("winnow_positions(hs, 3)")).head().getSeq[Int](0) == Seq(2))
+  }
+
   test("sorted_intersect_count == size(array_intersect) on sorted gram arrays") {
     GraftExtensions.install(spark)
     // the q32 verify kernel: over every adjacent-doc pair of the real
