@@ -136,27 +136,34 @@ object Dedup {
     * pair count aggregates with map-side partial agg. Docs shorter than
     * W+K−1 cannot complete a winnow window and are filtered identically
     * in both engines. */
+  /** Shared winnowing-fingerprint stage for q27/q28: one row per SELECTED
+    * window — (doc_id, p, hash, snippet), p 1-based by code point. */
+  private def winnowFingerprints(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.plans.GraftExtensions.install(spark)
+    val (w, k) = (48, 8)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= w + k - 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("hs", expr(s"window_hashes(text, $w)"))
+      // compiled monotonic-deque selection (graft.plans.WinnowPositions):
+      // the transform(slice/array_min) spelling copies two k-slices per
+      // window interpreted — 34 s of the sf0.1 runtime. Total on short
+      // arrays by construction, so InferFiltersFromGenerate can
+      // re-evaluate it below the length filter (the q32 round-7 lesson).
+      .withColumn("ps", expr(s"winnow_positions(hs, $k)"))
+      .select(col("doc_id"), col("text"), col("hs"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p"),
+        element_at(col("hs"), col("p")).as("hash"),
+        expr(s"substring(text, p, $w)").as("snippet"))
+  }
+
   private val q27 = GraftQuery(
     "q27_substring_dedup",
     (spark, dir) => {
-      graft.plans.GraftExtensions.install(spark)
-      val (w, k) = (48, 8)
-      val fp = Tables.documents(spark, dir)
-        .filter(length(col("text")) >= w + k - 1)
-        .select(col("doc_id"), col("text"))
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .withColumn("hs", expr(s"window_hashes(text, $w)"))
-        // compiled monotonic-deque selection (graft.plans.WinnowPositions):
-        // the transform(slice/array_min) spelling copies two k-slices per
-        // window interpreted — 34 s of the sf0.1 runtime. Total on short
-        // arrays by construction, so InferFiltersFromGenerate can
-        // re-evaluate it below the length filter (the q32 round-7 lesson).
-        .withColumn("ps", expr(s"winnow_positions(hs, $k)"))
-        .select(col("doc_id"), col("text"), col("hs"), explode(col("ps")).as("p"))
-        .select(col("doc_id"),
-          element_at(col("hs"), col("p")).as("hash"),
-          expr(s"substring(text, p, $w)").as("snippet"))
-        .distinct()
+      val fp = winnowFingerprints(spark, dir)
+        .select("doc_id", "hash", "snippet").distinct()
       fp.as("a").join(fp.as("b"),
           col("a.hash") === col("b.hash") && col("a.snippet") === col("b.snippet") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -189,6 +196,88 @@ object Dedup {
       GROUP BY 1, 2
       ORDER BY doc_a, doc_b"""),
     headline = true)
+
+  /** Q28: duplicated-SPAN extraction — the actionable half of substring
+    * dedup (Lee et al., ACL'22 removes the duplicated text, not the
+    * document): for every document, the char ranges covered by verbatim
+    * runs whose content FIRST appeared in an earlier document
+    * (keep-first policy; intra-document repeats are not flagged). A
+    * fingerprint occurrence is duplicated iff its (hash, snippet) has
+    * min(doc_id) below this doc; duplicated positions then merge into
+    * maximal spans by gap-sessionization (new span when the gap exceeds
+    * the window width — inside a shared run winnowing selects at least
+    * every K windows, so one run is always one span). Span bounds are
+    * winnowing-granular: [first selected window, last selected window
+    * end], a conservative core of the true duplicated run.
+    *
+    * Scale shape: the firsts table is a partial-agg groupBy on the
+    * unbounded (hash, snippet) keyspace; the span merge is the q15
+    * sessionization idiom — lag + running sum windows and the groupBy
+    * all partitioned on doc_id, one shuffle. */
+  private val q28 = GraftQuery(
+    "q28_dup_spans",
+    (spark, dir) => {
+      val fpp = winnowFingerprints(spark, dir)
+      val firsts = fpp.groupBy("hash", "snippet")
+        .agg(min(col("doc_id")).as("first_doc"))
+      val dup = fpp.join(firsts, Seq("hash", "snippet"))
+        .filter(col("doc_id") > col("first_doc"))
+        .select("doc_id", "p")
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      dup
+        .withColumn("new_span",
+          when(col("p") - lag(col("p"), 1).over(byDoc) <= 47, 0).otherwise(1))
+        .withColumn("span_id", sum(col("new_span")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(
+          min(col("p")).cast("long").as("span_start"),
+          (max(col("p")) + 47).cast("long").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, text,
+               list_transform(generate_series(1, length(text) - 48 + 1),
+                 i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(1, 48),
+                            j -> CAST(ascii(substring(text, i + j - 1, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        FROM documents WHERE length(text) >= 55),
+      sel AS (
+        SELECT doc_id, text, hs,
+               list_distinct(list_transform(generate_series(1, len(hs) - 7),
+                 i -> i - 1 + list_position(hs[i:i+7], list_min(hs[i:i+7])))) AS ps
+        FROM h),
+      fpp AS (
+        SELECT doc_id, p, hs[p] AS hash, substring(text, p, 48) AS snippet
+        FROM sel, unnest(ps) AS u(p)),
+      firsts AS (
+        SELECT hash, snippet, min(doc_id) AS first_doc FROM fpp GROUP BY 1, 2),
+      dup AS (
+        SELECT f.doc_id, f.p
+        FROM fpp f JOIN firsts x ON f.hash = x.hash AND f.snippet = x.snippet
+        WHERE f.doc_id > x.first_doc),
+      marked AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 47
+                    THEN 0 ELSE 1 END AS new_span
+        FROM dup),
+      spans AS (
+        SELECT doc_id, p,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM marked)
+      SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+             CAST(max(p) + 47 AS BIGINT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM spans
+      GROUP BY doc_id, span_id
+      ORDER BY doc_id, span_start"""))
 
   /** Q29: benchmark DECONTAMINATION — flag training documents that share
     * an 8-token n-gram with any document of a held-out benchmark set (the
@@ -584,5 +673,5 @@ object Dedup {
       WHERE ${Similarity.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[GraftQuery] = Seq(q27, q29, q30, q31, q32, q33, q36)
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36)
 }

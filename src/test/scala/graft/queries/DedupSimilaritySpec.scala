@@ -38,6 +38,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q28 duplicated spans are well-formed and cover exactly q27's later docs") {
+    val spans = SparkEntry.queries("q28_dup_spans")(spark, sfDir).collect()
+    assert(spans.nonEmpty)
+    // well-formed, and non-overlapping per doc (gap-merge guarantees it)
+    spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("span_start"))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("span_start") >= 1)
+        assert(r.getAs[Long]("span_end") > r.getAs[Long]("span_start"))
+        assert(r.getAs[Long]("n_windows") >= 1)
+      }
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1).getAs[Long]("span_start") > pair(0).getAs[Long]("span_end"),
+          s"overlapping spans: ${pair(0)} / ${pair(1)}")
+      }
+    }
+    // keep-first policy: a doc has duplicated spans iff it is the LATER
+    // side of at least one q27 pair
+    val q28Docs = spans.map(_.getAs[Long]("doc_id")).toSet
+    val q27Later = SparkEntry.queries("q27_substring_dedup")(spark, sfDir)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(q28Docs == q27Later,
+      s"q28-only: ${q28Docs -- q27Later}; q27-only: ${q27Later -- q28Docs}")
+  }
+
   test("q30 minhash pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q30_minhash_lsh_dedup")(spark, sfDir).collect()
     rows.foreach { r =>
