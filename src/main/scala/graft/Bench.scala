@@ -10,8 +10,58 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst prune the projection and undercount the
   * real work). One untimed warmup pass amortizes JIT + file-listing so the
   * timed numbers reflect steady-state executor throughput.
+  *
+  * FAILURE-HONEST: a query that throws mid-pass is recorded as failed —
+  * its value renders as -1, it is excluded from the total, and its name
+  * lands in the "errors" list. Round 9's harness swallowed exceptions, so
+  * a query breaking after 0.1 s looked like a 0.1 s speedup — the exact
+  * inversion a regression harness exists to prevent.
   */
 object Bench {
+
+  /** The heavy dedup family gets extra timed passes: at 3 passes their
+    * box-noise spreads (±4 s on q32 in round 9) made round-over-round
+    * deltas unjudgeable at the ±25% level. */
+  private[graft] val heavyExtraPasses = 2
+  private[graft] val heavy = Set("q27_substring_dedup", "q28_dup_spans",
+    "q29_decontaminate", "q30_minhash_lsh_dedup", "q31_simhash_dedup",
+    "q32_ngram_jaccard_dedup", "q36_dedup_resolve")
+
+  /** Times one run of `f`; never masks a failure as a fast success. */
+  private[graft] def timeOne(f: => Unit): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val ok =
+      try { f; true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}")
+          false
+      }
+    ((System.nanoTime() - t0) / 1e9, ok)
+  }
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** results = (name, samples, anyPassFailed), in headline order. */
+  private[graft] def renderJson(
+      results: Seq[(String, Seq[Double], Boolean)],
+      passes: Int, sfDir: String): String = {
+    val qs = results.map { case (k, samples, failed) =>
+      "\"" + k + "\":" + (if (failed) "-1" else f"${median(samples)}%.3f")
+    }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, samples, _) =>
+      "\"" + k + f"\":${samples.max - samples.min}%.3f"
+    }.mkString("{", ",", "}")
+    val errors = results.filter(_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.filterNot(_._3).map(r => median(r._2)).sum
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errors,"passes":$passes,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,8 +85,9 @@ object Bench {
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
-    // Median of >=3 timed passes per query, PASS-MAJOR: run the whole
-    // suite `passes` times and take each query's median ACROSS suite runs.
+    // Median of the timed passes per query, PASS-MAJOR: run the whole
+    // suite `passes` times (plus `heavyExtraPasses` more for the heavy
+    // dedup family) and take each query's median ACROSS suite runs.
     // Query-major (Seq.fill(passes)(timed(q))) samples one query's passes
     // back-to-back, so a box transient (GC storm, noisy neighbor) poisons
     // ALL samples of that query — round 8's q30 swung 0.56→3.68 s on
@@ -45,34 +96,21 @@ object Bench {
     // discards. The reported spread (max-min across runs) keeps the noise
     // floor visible. Cache reset between runs keeps one pass's leftovers
     // out of the next's time.
-    def timed(q: GraftQuery): Double = {
+    def timed(q: GraftQuery): (Double, Boolean) = {
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try runOnce(q)
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      timeOne(runOnce(q))
     }
     val passes = math.max(3, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt).getOrElse(3))
-    val samplesByQuery: Seq[Seq[Double]] = {
-      val runs = Seq.fill(passes)(headline.map(timed))
-      headline.indices.map(i => runs.map(_(i)).sorted)
+    val baseRuns = (1 to passes).map(_ => headline.map(q => q.name -> timed(q)).toMap)
+    val heavyQueries = headline.filter(q => heavy(q.name))
+    val heavyRuns = (1 to heavyExtraPasses).map(_ =>
+      heavyQueries.map(q => q.name -> timed(q)).toMap)
+    val results = headline.map { q =>
+      val samples = (baseRuns ++ heavyRuns).flatMap(_.get(q.name))
+      (q.name, samples.map(_._1), samples.exists(s => !s._2))
     }
-    val results = headline.zip(samplesByQuery).map { case (q, samples) =>
-      val median =
-        if (samples.length % 2 == 1) samples(samples.length / 2)
-        else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
-      (q.name, median, samples.last - samples.head)
-    }
-    val qs = results
-      .map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val spreads = results
-      .map { case (k, _, s) => "\"" + k + f"\":$s%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir"}"""
+    val json = renderJson(results, passes, sfDir)
     // The driver parses the LAST stdout line as JSON: stop Spark first so no
     // shutdown logging trails it, and also persist to a file as a fallback
     // (round 1 lost the perf signal to a warning flood — parsed:null).

@@ -81,6 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedIntersectDescription)
     ext.injectFunction(GraftExtensions.windowHashesDescription)
     ext.injectFunction(GraftExtensions.winnowDescription)
+    ext.injectFunction(GraftExtensions.sortedHash64Description)
+    ext.injectFunction(GraftExtensions.sortedLongJaccardGeDescription)
   }
 }
 
@@ -121,10 +123,39 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => mkShingles(children))
 
+  private def mkSortedIntersect(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"sorted_intersect_count(a, b) takes exactly 2 arguments, got ${children.size}")
+    SortedIntersectCount(children(0), children(1))
+  }
+
   private[plans] val sortedIntersectDescription = (
     org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
     new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+    (children: Seq[Expression]) => mkSortedIntersect(children))
+
+  private def mkSortedHash64(children: Seq[Expression]): Expression = {
+    require(children.size == 1,
+      s"sorted_hash64(arr) takes exactly 1 argument, got ${children.size}")
+    SortedHash64(children.head)
+  }
+
+  private[plans] val sortedHash64Description = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_hash64"),
+    new ExpressionInfo(classOf[SortedHash64].getName, "sorted_hash64"),
+    (children: Seq[Expression]) => mkSortedHash64(children))
+
+  private def mkSortedLongJaccardGe(children: Seq[Expression]): Expression = {
+    require(children.size == 3 && children(2).foldable,
+      "sorted_long_jaccard_ge(a, b, t) requires a literal double threshold")
+    SortedLongJaccardGe(children(0), children(1),
+      children(2).eval(InternalRow.empty).asInstanceOf[Double])
+  }
+
+  private[plans] val sortedLongJaccardGeDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_long_jaccard_ge"),
+    new ExpressionInfo(classOf[SortedLongJaccardGe].getName, "sorted_long_jaccard_ge"),
+    (children: Seq[Expression]) => mkSortedLongJaccardGe(children))
 
   private def mkWindowHashes(children: Seq[Expression]): Expression = {
     require(children.size == 2 && children(1).foldable,
@@ -176,11 +207,14 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", children => RollingHash(children.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      children => SortedIntersectCount(children(0), children(1)), "scala_udf")
+      "sorted_intersect_count", mkSortedIntersect, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "window_hashes", mkWindowHashes, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_positions", mkWinnow, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_hash64", mkSortedHash64, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_long_jaccard_ge", mkSortedLongJaccardGe, "scala_udf")
   }
 }

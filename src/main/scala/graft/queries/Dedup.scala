@@ -136,9 +136,10 @@ object Dedup {
     * pair count aggregates with map-side partial agg. Docs shorter than
     * W+K−1 cannot complete a winnow window and are filtered identically
     * in both engines. */
-  /** Shared winnowing-fingerprint stage for q27/q28: one row per SELECTED
-    * window — (doc_id, p, hash, snippet), p 1-based by code point. */
-  private def winnowFingerprints(
+  /** Winnow-selection stage (pre-explode), exposed for the plan pin: one
+    * `window_hashes` pass and one `winnow_positions` pass per document,
+    * never inside a Filter. */
+  private[queries] def winnowStage(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.plans.GraftExtensions.install(spark)
     val (w, k) = (48, 8)
@@ -149,10 +150,27 @@ object Dedup {
       .withColumn("hs", expr(s"window_hashes(text, $w)"))
       // compiled monotonic-deque selection (graft.plans.WinnowPositions):
       // the transform(slice/array_min) spelling copies two k-slices per
-      // window interpreted — 34 s of the sf0.1 runtime. Total on short
-      // arrays by construction, so InferFiltersFromGenerate can
-      // re-evaluate it below the length filter (the q32 round-7 lesson).
+      // window interpreted — 34 s of the sf0.1 runtime.
       .withColumn("ps", expr(s"winnow_positions(hs, $k)"))
+  }
+
+  /** Shared winnowing-fingerprint stage for q27/q28: one row per SELECTED
+    * window — (doc_id, p, hash, snippet), p 1-based by code point.
+    *
+    * The selection stage is MATERIALIZED (localCheckpoint) before the
+    * explode — the q32 lesson applied to this family: with the explode in
+    * the same plan segment, InferFiltersFromGenerate re-expanded
+    * `winnow_positions(window_hashes(...))` into the parquet scan filter
+    * (twice: size + isnotnull), and the two self-join sides each carried
+    * their own copy of the whole subtree — ~6 evaluations of the rolling
+    * pass per document per corpus pass (round-10 plan pin caught it).
+    * With the barrier, the expensive expressions run exactly once per
+    * document; everything downstream reads materialized columns. */
+  private def winnowFingerprints(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (w, _) = (48, 8)
+    winnowStage(spark, dir)
+      .localCheckpoint(eager = true)
       .select(col("doc_id"), col("text"), col("hs"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p"),
         element_at(col("hs"), col("p")).as("hash"),
@@ -277,7 +295,8 @@ object Dedup {
              CAST(count(*) AS BIGINT) AS n_windows
       FROM spans
       GROUP BY doc_id, span_id
-      ORDER BY doc_id, span_start"""))
+      ORDER BY doc_id, span_start"""),
+    headline = true)
 
   /** Q29: benchmark DECONTAMINATION — flag training documents that share
     * an 8-token n-gram with any document of a held-out benchmark set (the
@@ -287,24 +306,30 @@ object Dedup {
     * eval set; output is every (contaminated doc, benchmark doc) pair
     * with the count of distinct shared grams.
     *
-    * Scale shape: one compiled shingle pass (graft.plans.WordShingles,
-    * n=8) feeds both sides; the benchmark side is eval-set-sized — tiny
-    * relative to the corpus at any real scale, so the gram join
-    * broadcasts it and the corpus side never shuffles; the pair counter
-    * is a partial-agg groupBy. A fixed benchmark means contamination
-    * screening is a single corpus pass at 100 TB. */
+    * Scale shape: the benchmark gram table is MATERIALIZED to its own
+    * frame (localCheckpoint — in a real deployment the benchmark is its
+    * own tiny table, read once), so the corpus is scanned exactly ONCE
+    * and never shuffles on the gram key. The join carries no broadcast
+    * hint: the `doc_id % 20` slice here is corpus-proportional (a test
+    * stand-in for a fixed eval set), so a forced broadcast would grow
+    * with the corpus and break at scale — AQE sees the materialized
+    * side's true size and broadcasts exactly when it is actually small.
+    * The pair counter is a partial-agg groupBy. */
   private val q29 = GraftQuery(
     "q29_decontaminate",
     (spark, dir) => {
       graft.plans.GraftExtensions.install(spark)
-      val grams = Tables.documents(spark, dir)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
         .filter(size(split(col("text"), " ")) >= 8)
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("gram"))
-      val bench = grams.filter(col("doc_id") % 20 === 7)
-      val corpus = grams.filter(col("doc_id") % 20 =!= 7)
-      corpus.as("c").join(broadcast(bench.as("b")), col("c.gram") === col("b.gram"))
-        .groupBy(col("c.doc_id").as("doc_id"), col("b.doc_id").as("benchmark_id"))
+      val docs = Tables.documents(spark, dir)
+      val bench = grams(docs.filter(col("doc_id") % 20 === 7))
+        .withColumnRenamed("doc_id", "benchmark_id")
+        .localCheckpoint(eager = true)
+      val corpus = grams(docs.filter(col("doc_id") % 20 =!= 7))
+      corpus.as("c").join(bench.as("b"), col("c.gram") === col("b.gram"))
+        .groupBy(col("c.doc_id").as("doc_id"), col("benchmark_id"))
         .agg(countDistinct(col("c.gram")).as("n_shared"))
         .orderBy("doc_id", "benchmark_id")
     },
@@ -323,7 +348,8 @@ object Dedup {
       FROM g c JOIN g b
         ON c.gram = b.gram AND b.doc_id % 20 = 7 AND c.doc_id % 20 <> 7
       GROUP BY 1, 2
-      ORDER BY doc_id, benchmark_id"""))
+      ORDER BY doc_id, benchmark_id"""),
+    headline = true)
 
   /** Q30: MinHash + LSH near-duplicate detection (shingle → 12 minhashes →
     * 4 bands × 3 rows → bucket self-join → exact-Jaccard verify ≥ 0.5).
@@ -348,10 +374,19 @@ object Dedup {
     * converge; each round is one keyed shuffle — the standard large-graph
     * pattern, with checkpointing at production scale). Output: every doc
     * in a duplicate cluster with its canonical (minimum) doc id. */
-  private val q36 = GraftQuery(
-    "q36_dedup_resolve",
-    (spark, dir) => {
-      val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+  /** Min-label propagation over an undirected pair list — q36's engine,
+    * exposed (package-private) so the convergence guard is testable with
+    * a synthetic deep chain. Rounds needed = the longest min-label
+    * distance in any cluster; on `maxRounds` exhaustion this THROWS
+    * rather than silently emitting wrong canonical labels — at 100 TB a
+    * boilerplate mega-cluster can chain deeper than any fixed cap, and a
+    * truncated propagation is a correctness bug, not a performance one
+    * (the round-9 verdict's "correctness time-bomb"). Callers hitting the
+    * guard should raise maxRounds (cost is one keyed shuffle per round)
+    * or pre-contract obvious mega-clusters. */
+  private[queries] def resolveClusters(
+      pairs: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 20): org.apache.spark.sql.DataFrame = {
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .distinct()
@@ -362,7 +397,7 @@ object Dedup {
         .cache()
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
+      while (!converged && rounds < maxRounds) {
         val viaNeighbors = edges
           .join(labels, edges("doc_b") === labels("doc_id"))
           .select(edges("doc_a").as("doc_id"), col("canonical"))
@@ -389,13 +424,25 @@ object Dedup {
         labels = next
         rounds += 1
       }
+      if (!converged) {
+        labels.unpersist()
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"cluster resolution did not converge within $maxRounds rounds — " +
+            "a duplicate cluster chains deeper than the cap; raise maxRounds " +
+            "(one keyed shuffle per round) instead of trusting truncated labels")
+      }
       // Detach the result from the loop's cache entries: checkpoint the
       // final frame eagerly, then release everything the loop pinned.
       val out = labels.orderBy("doc_id").localCheckpoint(eager = true)
       labels.unpersist()
       edges.unpersist()
       out
-    },
+  }
+
+  private val q36 = GraftQuery(
+    "q36_dedup_resolve",
+    (spark, dir) => resolveClusters(minhashPairs(spark, dir).select("doc_a", "doc_b")),
     Some(s"""
       WITH RECURSIVE $minhashPairsSql,
       edges AS (
@@ -510,10 +557,18 @@ object Dedup {
     * BEFORE the gram build so the most expensive expression in the engine
     * (graft.plans.CharNgrams; the array_distinct(transform(...)) spelling
     * is interpreted) is spread across all cores, not computed inside the
-    * single-file scan partition. Grams come out SORTED (array_sort =
-    * UTF8String binary order) so the verify kernel can merge instead of
-    * hash — sorting changes no set cardinality. */
-  private[queries] def q32Grams(
+    * single-file scan partition.
+    *
+    * The HEAVY path carries HASHED grams: `sorted_hash64` maps the
+    * distinct gram strings to sorted 64-bit longs (length-preserving, so
+    * `ng` is exact), and everything downstream — frequency groupBy, rank
+    * window, prefix candidate join, verify merge — moves 8-byte longs
+    * instead of UTF8Strings: half the row width, one-instruction
+    * compares. Hash collisions can only INFLATE an intersection (equal
+    * strings always hash equal), so every hash-side filter is a
+    * zero-false-negative prune; the final answer is re-verified on exact
+    * strings for the surviving handful (see q32). */
+  private[queries] def q32HashGrams(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.plans.GraftExtensions.install(spark)
     Tables.documents(spark, dir)
@@ -521,8 +576,8 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
-        array_sort(expr("char_ngrams(text, 4, true)")).as("gr"))
-      .withColumn("ng", size(col("gr")))
+        expr("sorted_hash64(char_ngrams(text, 4, true))").as("hg"))
+      .withColumn("ng", size(col("hg")))
   }
 
   /** Q32: character-4-gram Jaccard similarity join (threshold 0.6) via
@@ -552,9 +607,9 @@ object Dedup {
     * loss, a scratch-parquet write is the fault-tolerant spelling of the
     * same materialization.
     *
-    * Two more PPJoin facets carry the cost at candidate volume (round-9
+    * Three more facets carry the cost at candidate volume (round-9
     * probe: 5000 short same-vocabulary docs → 17.2 M prefix matches,
-    * 1.96 M distinct pairs, 79 survivors — prefixes alone cannot be
+    * 1.48 M distinct pairs, 79 survivors — prefixes alone cannot be
     * selective when "rare" grams still hit hundreds of docs):
     *   - POSITIONAL filter: the min-rank match of a qualifying pair IS
     *     its globally-smallest shared gram (rank ma in a, mb in b — both
@@ -563,11 +618,18 @@ object Dedup {
     *     nb−mb). J ≥ 0.6 needs overlap ≥ ⌈3(na+nb)/8⌉ (t/(1+t) with
     *     t=3/5); pairs whose bound can't reach it die before verify.
     *     Integer math throughout: (3·(na+nb)+7) div 8.
-    *   - MERGE verify: grams are kept sorted, so exact |A∩B| is the
-    *     compiled sorted_intersect_count merge (graft.plans, zero
-    *     allocation) and |A∪B| = na + nb − inter; the former
-    *     size(array_intersect(...)) built a hash set per pair — 25 of
-    *     q32's 43 bench seconds at 2 M pairs.
+    *   - HASHED heavy path (round 10): every stage between the gram build
+    *     and the final verify operates on sorted 64-bit gram hashes
+    *     (q32HashGrams) — half the bytes, long compares instead of
+    *     byte-wise string compares, and a prune that provably drops no
+    *     qualifying pair because collisions only inflate intersections.
+    *   - EARLY-EXIT verify in the join condition: the compiled
+    *     sorted_long_jaccard_ge merge (graft.plans) aborts a pair the
+    *     moment `seen + min(remaining)` cannot reach the required count —
+    *     PPJoin+'s suffix-filter idea (same paper) as an exact incremental
+    *     bound — and, sitting in the join CONDITION, below-threshold
+    *     pairs die inside the join: the 1.48 M-pair × two-fat-arrays
+    *     intermediate that dominated rounds 8–9 is never materialized.
     *
     * Remaining shuffles are keyed and linear: gram-frequency count
     * (partial-agg), per-doc rank window on doc_id, candidate join on
@@ -575,14 +637,26 @@ object Dedup {
     * one shuffle — then a per-pair partial-aggregating groupBy, verify
     * joins on doc_id. ⌈0.6·ng⌉ is pure integer math ((6·ng+9) div 10).
     * The oracle keeps the naive lang-block + ratio-bound spelling: prefix
-    * + positional filtering provably drop no qualifying pair, so results
-    * are identical — which is exactly what the hash check proves. */
-  private val q32 = GraftQuery(
-    "q32_ngram_jaccard_dedup",
-    (spark, dir) => {
-      val g = q32Grams(spark, dir).localCheckpoint(eager = true)
+    * + positional + hash filtering provably drop no qualifying pair, and
+    * the reported jaccard is re-computed on exact string sets for the
+    * surviving handful — results identical, which is exactly what the
+    * hash check proves. */
+  /** Q32 intermediate frames, exposed for plan-shape pins: `cand` is the
+    * lazy candidate-join frame (must key on (gram, lang), no gram builds
+    * in its DAG), `hashVerify` the lazy hash-prune frame (the early-exit
+    * Jaccard kernel must sit in the join CONDITION so pruned pairs are
+    * never materialized). Constructing the stages runs the checkpointed
+    * pipeline eagerly. */
+  private[queries] case class Q32Stages(
+      cand: org.apache.spark.sql.DataFrame,
+      hashVerify: org.apache.spark.sql.DataFrame,
+      result: org.apache.spark.sql.DataFrame)
+
+  private[queries] def q32Stages(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Q32Stages = {
+      val g = q32HashGrams(spark, dir).localCheckpoint(eager = true)
       val toks = g.select(col("doc_id"), col("lang"), col("ng"),
-        explode(col("gr")).as("gram"))
+        explode(col("hg")).as("gram"))
       // Frequency is LANG-LOCAL: pairs only form within a language, so a
       // per-(gram, lang) order is consistent across every compared pair
       // (all the correctness argument needs), and prefixes hold grams
@@ -616,15 +690,47 @@ object Dedup {
           expr("(3 * (x.ng + y.ng) + 7) div 8"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val inter = expr("sorted_intersect_count(a.gr, b.gr)").cast("double")
-      val jac = inter / (col("a.ng") + col("b.ng") - inter)
-      cand
+      // Hash-prune verify: the early-exit merge kernel lives IN the join
+      // condition, so the ~1.5 M below-threshold pairs (sf0.1) die inside
+      // the join probe — no wide (pair, array, array) row is ever copied
+      // out; only jaccard-qualified survivors (dozens) exit. Collisions
+      // can only inflate the hash intersection, so no qualifying pair is
+      // dropped (see q32HashGrams).
+      val hashVerify = cand
         .join(g.as("a"), col("a.doc_id") === col("doc_a"))
-        .join(g.as("b"), col("b.doc_id") === col("doc_b"))
+        .join(g.as("b"), col("b.doc_id") === col("doc_b") &&
+          expr("sorted_long_jaccard_ge(a.hg, b.hg, CAST(0.6 AS DOUBLE))"))
+        .select(col("doc_a"), col("doc_b"))
+      val surv = hashVerify.localCheckpoint(eager = true)
+      // Exact re-verify on the survivors: re-derive STRING grams for only
+      // the docs appearing in a surviving pair (keyed semi-join fetch —
+      // at 100 TB this is a second, survivor-pruned pass, not a full
+      // rescan) and compute the published Jaccard on exact string sets.
+      val ids = surv.select(col("doc_a").as("doc_id"))
+        .unionByName(surv.select(col("doc_b").as("doc_id")))
+        .distinct()
+      // ng is spelled size(gr) at use site (not a projected column):
+      // CollapseProject would otherwise inline the gram build into every
+      // consumer expression — size + projection + inferred filters each
+      // re-evaluating char_ngrams (6 copies in the pre-fix plan)
+      val sg = Tables.documents(spark, dir)
+        .join(ids, "doc_id")
+        .select(col("doc_id"),
+          array_sort(expr("char_ngrams(text, 4, true)")).as("gr"))
+      val inter = expr("sorted_intersect_count(a.gr, b.gr)").cast("double")
+      val jac = inter / (size(col("a.gr")) + size(col("b.gr")) - inter)
+      val result = surv
+        .join(sg.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(sg.as("b"), col("b.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.6)
         .orderBy("doc_a", "doc_b")
-    },
+      Q32Stages(cand, hashVerify, result)
+  }
+
+  private val q32 = GraftQuery(
+    "q32_ngram_jaccard_dedup",
+    (spark, dir) => q32Stages(spark, dir).result,
     Some("""
       WITH g AS (
         SELECT doc_id, lang,
@@ -652,13 +758,17 @@ object Dedup {
     * must GROW with the corpus (k ∝ √n is the usual IVF rule); a fixed
     * label set would make this join quadratic exactly like q31's 8-bit
     * blocks were. Here `label` comes from the source table; the scaling
-    * contract belongs to whoever quantizes. */
+    * contract belongs to whoever quantizes — but the ENGINE now checks it
+    * (round-10): an `observe` node piggybacks (n, ≈distinct labels) onto
+    * the main pass at zero extra cost, and a QueryExecutionListener warns
+    * when cells² < n — the occupancy at which per-cell pair volume stops
+    * tracking the corpus linearly. */
   private val q33 = GraftQuery(
     "q33_embedding_neardup",
     (spark, dir) => {
       val e = Similarity.normedVectors(spark, dir)
       val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-      e.as("a").join(e.as("b"),
+      CellContract.observed(spark, e).as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           cos.as("cosine"))
@@ -674,4 +784,54 @@ object Dedup {
       ORDER BY vec_a, vec_b"""))
 
   val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36)
+}
+
+/** Engine-side enforcement of q33's documented scaling contract: the
+  * quantizer's cell count must grow ~√n with the corpus or the blocked
+  * self-join's per-cell pair volume goes quadratic (the q31
+  * fixed-keyspace lesson generalized to IVF cells). `observed` wraps the
+  * input in a zero-cost `observe` node; the registered
+  * QueryExecutionListener reads the metrics after each successful
+  * execution and warns (log + inspectable queue) when cells² < n. A
+  * warning, not a throw: unlike q36's truncated propagation this is a
+  * performance cliff, not silent wrong answers. */
+private[queries] object CellContract {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  final val MetricName = "q33_cell_contract"
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  val warnings = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val installed = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[SparkSession])
+
+  def observed(spark: SparkSession, df: DataFrame): DataFrame = {
+    install(spark)
+    df.observe(MetricName,
+      count(lit(1)).as("n"),
+      approx_count_distinct(col("label")).as("cells"))
+  }
+
+  private def install(spark: SparkSession): Unit =
+    if (installed.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.get(MetricName).foreach { row =>
+              val n = row.getLong(row.fieldIndex("n"))
+              val cells = row.getLong(row.fieldIndex("cells"))
+              if (cells.toDouble * cells.toDouble < n.toDouble) {
+                val msg = s"q33 cell contract violated: ~$cells distinct " +
+                  s"labels for $n vectors — cells must grow ~sqrt(n) or the " +
+                  "blocked join's per-cell pair volume is quadratic"
+                warnings.add(msg)
+                log.warn(msg)
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
 }

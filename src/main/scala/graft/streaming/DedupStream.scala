@@ -43,6 +43,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     which matches the cap's intent: an overflowing bucket is degenerate
   *     boilerplate whose extra pairs are the lowest-value in the stream.
   *     Net: exactly-once everywhere, modulo that documented FP drop.
+  *
+  * STATE-SCHEMA COMPATIBILITY: adding `overflowBits` to [[BucketState]]
+  * (round 9) broke deserialization of checkpoints written by the earlier
+  * one-field state — an operator resuming an existing checkpoint dir
+  * fails at restore rather than silently degrading. Start a NEW
+  * checkpoint directory when upgrading across this boundary (the
+  * standard Spark contract for stateful-schema evolution; Spark's own
+  * state-schema-validation rejects the mismatch explicitly).
   */
 object DedupStream {
 

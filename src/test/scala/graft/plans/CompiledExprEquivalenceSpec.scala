@@ -169,6 +169,68 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
     assert(got.toSeq == Seq(0, 3, 0, 2), got.mkString(","))
   }
 
+  test("sorted_hash64: sorted, length-preserving, order-independent, equality-faithful") {
+    GraftExtensions.install(spark)
+    val g = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 4)
+      .select(expr("char_ngrams(text, 4, true)").as("gr"))
+      .select(col("gr"),
+        expr("sorted_hash64(gr)").as("hg"),
+        // order-independence: hashing the sorted strings yields the same
+        // sorted longs as hashing the scan order
+        expr("sorted_hash64(array_sort(gr))").as("hg_sorted"))
+    val bad = g.filter(
+      size(col("hg")) =!= size(col("gr")) ||
+        col("hg") =!= array_sort(col("hg")) ||
+        col("hg") =!= col("hg_sorted"))
+    assert(bad.isEmpty, bad.take(1).mkString)
+    // equality-faithful on the real corpus: the number of distinct hashes
+    // equals the number of distinct grams (no collisions on the fixture;
+    // collisions would only INFLATE intersections — prune-safe — but the
+    // test corpus must be clean so oracle parity is exact)
+    val grams = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 4)
+      .select(explode(expr("char_ngrams(text, 4, true)")).as("gram"))
+      .select(col("gram"), expr("sorted_hash64(array(gram))")(0).as("h"))
+    val nGrams = grams.select("gram").distinct().count()
+    val nHashes = grams.select("h").distinct().count()
+    assert(nGrams == nHashes, s"$nGrams grams but $nHashes hashes")
+  }
+
+  test("sorted_long_jaccard_ge == declarative double-division threshold") {
+    GraftExtensions.install(spark)
+    // the q32 hash-prune kernel: over adjacent-doc pairs of the real
+    // corpus, the early-exit merge verdict must equal the naive
+    // inter/(na+nb-inter) >= t comparison at several thresholds,
+    // including degenerate ones
+    val g = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"),
+        expr("sorted_hash64(char_ngrams(text, 4, true))").as("hg"))
+    val pairs = g.as("a").join(g.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.hg").as("x"), col("b.hg").as("y"))
+    for (t <- Seq(0.0, 0.3, 0.6, 1.0)) {
+      val diff = pairs.select(
+          expr(s"sorted_long_jaccard_ge(x, y, CAST($t AS DOUBLE))").as("kernel"),
+          (size(array_intersect(col("x"), col("y"))).cast("double") /
+            (size(col("x")) + size(col("y")) -
+              size(array_intersect(col("x"), col("y")))) >= t).as("naive"))
+        .filter(col("kernel") =!= col("naive"))
+      assert(diff.isEmpty, s"t=$t: ${diff.take(1).mkString}")
+    }
+    // identical arrays pass any t <= 1; disjoint fail any t > 0
+    import spark.implicits._
+    val edges = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L, 2L)))
+      .toDF("x", "y")
+    val got = edges.select(
+      expr("sorted_long_jaccard_ge(x, y, CAST(0.6 AS DOUBLE))")).collect()
+      .map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, false, false), got.mkString(","))
+  }
+
   test("rand u32 is roughly uniform over [0, 2^32)") {
     import graft.queries.Sampling.Rand
     val buckets = graft.Tables.documents(spark, sfDir)

@@ -18,6 +18,10 @@ class PlanShapeSpec extends SparkSpec {
 
   private def planString(name: String): String = plan(name).toString
 
+  /** An executed AdaptiveSparkPlan prints Final + Initial sections; for
+    * occurrence-count pins, keep only the final (actually-run) plan. */
+  private def finalPlan(s: String): String = s.split("== Initial Plan ==").head
+
   /** hash-partitioned shuffles only (the final presentation ORDER BY adds
     * one range exchange that a sink would not need). */
   private def countHashShuffles(p: SparkPlan): Int =
@@ -72,7 +76,8 @@ class PlanShapeSpec extends SparkSpec {
     // Any equi-join flavor is fine — at the tiny test fixture the stats
     // legitimately pick BroadcastHashJoin; what must hold at every scale
     // is the KEY LIST, not the exchange strategy.
-    val s = planString("q32_ngram_jaccard_dedup")
+    val stages = Dedup.q32Stages(spark, sfDir)
+    val s = stages.cand.queryExecution.executedPlan.toString
     val joinKeys =
       "(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\]"
         .r.findAllIn(s).toList
@@ -83,26 +88,96 @@ class PlanShapeSpec extends SparkSpec {
         && !k.contains("doc_")),
       s"found a lang-only block join: $joinKeys")
     // the gram build is materialized once via localCheckpoint, so the
-    // join DAG must contain ZERO char_ngrams calls — round 8's repartition
+    // join DAG must contain ZERO gram builds — round 8's repartition
     // "barrier" left 6 copies of the gram subtree (18 evaluations, some in
     // the parquet scan filter via InferFiltersFromGenerate)
-    val nGramBuilds = "char_ngrams".r.findAllIn(s).length
+    val nGramBuilds = "char_ngrams|sorted_hash64".r.findAllIn(s).length
     assert(nGramBuilds == 0,
-      s"char_ngrams leaked into the join DAG $nGramBuilds times:\n$s")
+      s"gram builds leaked into the candidate DAG $nGramBuilds times:\n$s")
   }
 
-  test("q32 gram stage: one char_ngrams call, never inside a filter") {
-    // the stage that IS allowed to compute grams: exactly one call, in a
-    // Project, never in a Filter (the round-7 defect was constraint
-    // inference re-expanding the call into the scan filter, tripling the
-    // most expensive expression's per-row cost)
-    val gp = Dedup.q32Grams(spark, sfDir).queryExecution.executedPlan.toString
-    val n = "char_ngrams".r.findAllIn(gp).length
-    assert(n == 1, s"expected exactly one gram build, got $n:\n$gp")
-    val filterLines = gp.linesIterator.filter(l =>
+  test("q32: the early-exit jaccard kernel sits in the hash-verify join, and the " +
+      "final plan re-derives strings for survivors only") {
+    val stages = Dedup.q32Stages(spark, sfDir)
+    // the hash-prune must run INSIDE the verify join (as its condition) so
+    // below-threshold pairs are never materialized into a wide
+    // (pair, array, array) intermediate
+    val hv = finalPlan(stages.hashVerify.queryExecution.executedPlan.toString)
+    assert("sorted_long_jaccard_ge".r.findAllIn(hv).length == 1,
+      s"expected exactly one early-exit kernel in the hash verify:\n$hv")
+    val joinLines = hv.linesIterator.filter(l =>
+      l.contains("Join")).toList
+    assert(joinLines.exists(_.contains("sorted_long_jaccard_ge")),
+      s"the jaccard kernel must be a join condition, not a post-join filter:\n$hv")
+    // the result plan starts from the checkpointed survivors: the heavy
+    // pipeline is absent; char_ngrams appears exactly twice (the two
+    // string re-derivation sides), never in a filter
+    val rp = finalPlan(stages.result.queryExecution.executedPlan.toString)
+    assert("char_ngrams".r.findAllIn(rp).length == 2,
+      s"expected exactly two survivor-side gram builds:\n$rp")
+    assert("sorted_hash64".r.findAllIn(rp).length == 0,
+      s"hashed-gram pipeline must be checkpointed out of the result plan:\n$rp")
+    val filterLines = rp.linesIterator.filter(l =>
       l.contains("Filter") || l.contains("PushedFilters") || l.contains("DataFilters"))
     assert(filterLines.forall(!_.contains("char_ngrams")),
-      s"char_ngrams inside a filter:\n$gp")
+      s"char_ngrams inside a filter:\n$rp")
+  }
+
+  test("q32 gram stage: one gram build, never inside a filter") {
+    // the stage that IS allowed to compute grams: exactly one
+    // char_ngrams (feeding one sorted_hash64), in a Project, never in a
+    // Filter (the round-7 defect was constraint inference re-expanding
+    // the call into the scan filter, tripling the most expensive
+    // expression's per-row cost)
+    val gp = Dedup.q32HashGrams(spark, sfDir).queryExecution.executedPlan.toString
+    val n = "char_ngrams".r.findAllIn(gp).length
+    assert(n == 1, s"expected exactly one gram build, got $n:\n$gp")
+    assert("sorted_hash64".r.findAllIn(gp).length == 1,
+      s"expected exactly one hash pass:\n$gp")
+    val filterLines = gp.linesIterator.filter(l =>
+      l.contains("Filter") || l.contains("PushedFilters") || l.contains("DataFilters"))
+    assert(filterLines.forall(l => !l.contains("char_ngrams") && !l.contains("sorted_hash64")),
+      s"gram build inside a filter:\n$gp")
+  }
+
+  test("q27/q28: winnowing fingerprints never re-expand into a scan filter") {
+    // the q32 round-7 lesson asserted for the winnowing family: the
+    // selection stage is checkpointed before the explode, so the join
+    // DAG must contain ZERO winnowing expressions (before the round-10
+    // barrier, InferFiltersFromGenerate re-expanded them into the scan
+    // filter and each self-join side carried its own subtree copy — ~6
+    // rolling passes per document)
+    for (name <- Seq("q27_substring_dedup", "q28_dup_spans")) {
+      val s = finalPlan(planString(name))
+      assert("window_hashes|winnow_positions".r.findAllIn(s).isEmpty,
+        s"$name: winnowing expressions leaked into the join DAG:\n$s")
+    }
+  }
+
+  test("q27/q28 winnow stage: one rolling pass, one selection pass, never in a filter") {
+    val gp = Dedup.winnowStage(spark, sfDir).queryExecution.executedPlan.toString
+    assert("window_hashes".r.findAllIn(gp).length == 1,
+      s"expected exactly one rolling-hash pass:\n$gp")
+    assert("winnow_positions".r.findAllIn(gp).length == 1,
+      s"expected exactly one selection pass:\n$gp")
+    val filterLines = gp.linesIterator.filter(l =>
+      l.contains("Filter") || l.contains("PushedFilters") || l.contains("DataFilters"))
+    assert(filterLines.forall(l =>
+      !l.contains("window_hashes") && !l.contains("winnow_positions")),
+      s"winnowing expression inside a filter:\n$gp")
+  }
+
+  test("q29: one corpus scan; the benchmark side reads its own materialized frame") {
+    // decontamination must stay a SINGLE corpus pass: the benchmark gram
+    // table is checkpointed (its own frame — in production its own tiny
+    // table), so the plan scans parquet exactly once and joins against
+    // the materialized RDD without a forced broadcast hint (AQE decides
+    // from the true runtime size)
+    val s = planString("q29_decontaminate")
+    assert("Scan parquet".r.findAllIn(s).length == 1,
+      s"q29 must scan the corpus exactly once:\n$s")
+    assert(s.contains("Scan ExistingRDD") || s.contains("LogicalRDD"),
+      s"benchmark side must come from the materialized frame:\n$s")
   }
 
   test("q30: candidates come from a keyed (band, sig) bucket join, never all-pairs") {
