@@ -112,10 +112,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => DotFold(children(0), children(1)))
 
   private def mkShingles(children: Seq[Expression]): Expression = {
-    require(children.size == 2 && children(1).foldable,
-      "word_shingles(text, n) requires a literal n")
+    require((children.size == 2 || children.size == 3) && children(1).foldable,
+      "word_shingles(text, n[, distinct]) requires a literal n")
+    val distinct = children.size < 3 || {
+      require(children(2).foldable,
+        "word_shingles(text, n, distinct) requires a literal distinct flag")
+      children(2).eval(InternalRow.empty).asInstanceOf[Boolean]
+    }
     WordShingles(children.head,
-      children(1).eval(InternalRow.empty).asInstanceOf[Int])
+      children(1).eval(InternalRow.empty).asInstanceOf[Int], distinct)
   }
 
   private[plans] val shinglesDescription = (

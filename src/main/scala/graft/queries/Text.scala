@@ -308,5 +308,104 @@ object Text {
       ORDER BY lang, predicted"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26)
+  /** Q39: Gopher/MassiveText REPETITION filters (Rae et al. 2021, arXiv
+    * 2112.11446, Table A1 — public paper; the document-level companion
+    * to the cross-document dedup batch): per document, the fraction of
+    * characters attributable to (a) the single most frequent word
+    * 2-gram, (b) the most frequent 3-gram, and (c) all 5-grams occurring
+    * more than once; a document `keep`s when all three sit under the
+    * published thresholds (0.20 / 0.18 / 0.15). The synthetic corpus is
+    * single-line, so Gopher's duplicate-line rules are vacuous here; the
+    * n-gram family is the load-bearing one (and q21 already covers the
+    * non-repetition quality signals).
+    *
+    * Scale shape: one compiled NON-DISTINCT shingle pass per n
+    * (graft.plans.WordShingles with distinct=false — occurrence counts
+    * need every gram; never an interpreted HOF), partial-agg groupBys on
+    * the unbounded (doc, gram) keyspace, then per-doc left joins on
+    * doc_id. Char attributions are integer products (count × gram
+    * length); only the final fraction divides — bit-exact vs the
+    * oracle's identical spelling. */
+  private val q39 = GraftQuery(
+    "q39_repetition_filters",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("tl"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      def counts(n: Int) = docs
+        .filter(size(split(col("text"), " ")) >= n)
+        .select(col("doc_id"), col("tl"),
+          explode(expr(s"word_shingles(text, $n, false)")).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(max(col("tl")).as("tl"), count(lit(1)).as("c"))
+      def top(n: Int, alias: String) = counts(n).groupBy("doc_id")
+        .agg((max(col("c") * length(col("gram"))).cast("double") /
+          max(col("tl"))).as(alias))
+      val dup5 = counts(5).groupBy("doc_id")
+        .agg((sum(when(col("c") > 1, col("c") * length(col("gram"))).otherwise(0))
+          .cast("double") / max(col("tl"))).as("frac_dup5"))
+      docs.select(col("doc_id"))
+        .join(top(2, "frac_top2"), Seq("doc_id"), "left")
+        .join(top(3, "frac_top3"), Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("frac_top2"), lit(0.0)).as("frac_top2"),
+          coalesce(col("frac_top3"), lit(0.0)).as("frac_top3"),
+          coalesce(col("frac_dup5"), lit(0.0)).as("frac_dup5"))
+        .withColumn("keep",
+          col("frac_top2") <= 0.2 && col("frac_top3") <= 0.18 &&
+            col("frac_dup5") <= 0.15)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, length(text) AS tl, string_split(text, ' ') AS t
+        FROM documents),
+      g2 AS (
+        SELECT doc_id, tl,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1]))) AS gram
+        FROM d WHERE len(t) >= 2),
+      c2 AS (SELECT doc_id, gram, max(tl) AS tl, count(*) AS c
+             FROM g2 GROUP BY 1, 2),
+      t2 AS (SELECT doc_id,
+                    CAST(max(c * length(gram)) AS DOUBLE) / max(tl) AS frac_top2
+             FROM c2 GROUP BY 1),
+      g3 AS (
+        SELECT doc_id, tl,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        FROM d WHERE len(t) >= 3),
+      c3 AS (SELECT doc_id, gram, max(tl) AS tl, count(*) AS c
+             FROM g3 GROUP BY 1, 2),
+      t3 AS (SELECT doc_id,
+                    CAST(max(c * length(gram)) AS DOUBLE) / max(tl) AS frac_top3
+             FROM c3 GROUP BY 1),
+      g5 AS (
+        SELECT doc_id, tl,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gram
+        FROM d WHERE len(t) >= 5),
+      c5 AS (SELECT doc_id, gram, max(tl) AS tl, count(*) AS c
+             FROM g5 GROUP BY 1, 2),
+      d5 AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
+                      AS DOUBLE) / max(tl) AS frac_dup5
+             FROM c5 GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(t2.frac_top2, 0.0) AS frac_top2,
+             coalesce(t3.frac_top3, 0.0) AS frac_top3,
+             coalesce(d5.frac_dup5, 0.0) AS frac_dup5,
+             (coalesce(t2.frac_top2, 0.0) <= 0.2
+               AND coalesce(t3.frac_top3, 0.0) <= 0.18
+               AND coalesce(d5.frac_dup5, 0.0) <= 0.15) AS keep
+      FROM d
+      LEFT JOIN t2 USING (doc_id)
+      LEFT JOIN t3 USING (doc_id)
+      LEFT JOIN d5 USING (doc_id)
+      ORDER BY doc_id"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q39)
 }

@@ -12,14 +12,18 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
   test("word_shingles == array_distinct(transform(sequence(...)))") {
     GraftExtensions.install(spark)
     val toks = split(col("text"), " ")
-    val hof = array_distinct(transform(
+    val hofAll = transform(
       sequence(lit(1), size(toks) - 2),
       i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
     val diff = graft.Tables.documents(spark, sfDir)
       .filter(size(toks) >= 3)
-      .select(expr("word_shingles(text, 3)").as("compiled"), hof.as("hof"))
-      .filter(col("compiled") =!= col("hof"))
+      .select(
+        expr("word_shingles(text, 3)").as("compiled"),
+        array_distinct(hofAll).as("hof"),
+        // non-distinct mode (q39 occurrence counting): every gram, in order
+        expr("word_shingles(text, 3, false)").as("c_all"), hofAll.as("h_all"))
+      .filter(col("compiled") =!= col("hof") || col("c_all") =!= col("h_all"))
     assert(diff.isEmpty, diff.take(1).mkString)
   }
 

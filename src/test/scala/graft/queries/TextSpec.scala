@@ -40,4 +40,24 @@ class TextSpec extends SparkSpec {
       .head().getAs[String]("clean")
     assert(sample == "some text body contact <EMAIL> or <PHONE> at <IP>")
   }
+
+  test("q39 repetition filters: full coverage, consistent keep flag, sane fractions") {
+    val rows = graft.SparkEntry.queries("q39_repetition_filters")(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one verdict row per document")
+    rows.foreach { r =>
+      val (f2, f3, f5) = (r.getAs[Double]("frac_top2"),
+        r.getAs[Double]("frac_top3"), r.getAs[Double]("frac_dup5"))
+      // overlapping occurrences can attribute a char more than once, so
+      // fractions are non-negative but not capped at 1
+      assert(f2 >= 0 && f3 >= 0 && f5 >= 0, r.toString)
+      assert(r.getAs[Boolean]("keep") == (f2 <= 0.2 && f3 <= 0.18 && f5 <= 0.15),
+        s"keep flag inconsistent with thresholds: $r")
+    }
+    // the synthetic corpus draws from a small vocabulary: short docs
+    // repeat 2-grams heavily, so the filter must actually separate
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate verdict: $kept of ${rows.length} kept")
+  }
 }
