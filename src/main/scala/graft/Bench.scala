@@ -85,6 +85,15 @@ object Bench {
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
+    // The heavy dedup family needs a SECOND warmup: their compiled merge
+    // kernels JIT across two executions (q32's first post-warmup pass
+    // measured 11.8 s vs 3.9 s steady-state), and a single cold sample
+    // would dominate the reported spread.
+    headline.filter(q => heavy(q.name)).foreach { q =>
+      try runOnce(q)
+      catch { case _: Throwable => () // already reported above
+      }
+    }
     // Median of the timed passes per query, PASS-MAJOR: run the whole
     // suite `passes` times (plus `heavyExtraPasses` more for the heavy
     // dedup family) and take each query's median ACROSS suite runs.
