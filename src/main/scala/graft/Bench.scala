@@ -25,7 +25,7 @@ object Bench {
   private[graft] val heavyExtraPasses = 2
   private[graft] val heavy = Set("q27_substring_dedup", "q28_dup_spans",
     "q29_decontaminate", "q30_minhash_lsh_dedup", "q31_simhash_dedup",
-    "q32_ngram_jaccard_dedup", "q36_dedup_resolve")
+    "q32_ngram_jaccard_dedup", "q36_dedup_resolve", "q52_strip_dup_spans")
 
   /** Times one run of `f`; never masks a failure as a fast success. */
   private[graft] def timeOne(f: => Unit): (Double, Boolean) = {

@@ -232,9 +232,10 @@ object Dedup {
     * unbounded (hash, snippet) keyspace; the span merge is the q15
     * sessionization idiom — lag + running sum windows and the groupBy
     * all partitioned on doc_id, one shuffle. */
-  private val q28 = GraftQuery(
-    "q28_dup_spans",
-    (spark, dir) => {
+  /** Shared duplicated-span frame for q28 (report) and q52 (apply):
+    * (doc_id, span_start, span_end, n_windows), un-ordered. */
+  private def dupSpans(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
       val fpp = winnowFingerprints(spark, dir)
       val firsts = fpp.groupBy("hash", "snippet")
         .agg(min(col("doc_id")).as("first_doc"))
@@ -254,10 +255,11 @@ object Dedup {
           (max(col("p")) + 47).cast("long").as("span_end"),
           count(lit(1)).as("n_windows"))
         .select("doc_id", "span_start", "span_end", "n_windows")
-        .orderBy("doc_id", "span_start")
-    },
-    Some("""
-      WITH h AS (
+  }
+
+  /** The matching DuckDB CTE chain, ending in a `sp` CTE with
+    * (doc_id, span_start, span_end, n_windows). */
+  private val dupSpansSql = """h AS (
         SELECT doc_id, text,
                list_transform(generate_series(1, length(text) - 48 + 1),
                  i -> list_reduce(
@@ -289,13 +291,108 @@ object Dedup {
         SELECT doc_id, p,
                sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
                                    ROWS UNBOUNDED PRECEDING) AS span_id
-        FROM marked)
-      SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-             CAST(max(p) + 47 AS BIGINT) AS span_end,
-             CAST(count(*) AS BIGINT) AS n_windows
-      FROM spans
-      GROUP BY doc_id, span_id
+        FROM marked),
+      sp AS (
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + 47 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM spans
+        GROUP BY doc_id, span_id)"""
+
+  private val q28 = GraftQuery(
+    "q28_dup_spans",
+    (spark, dir) => dupSpans(spark, dir).orderBy("doc_id", "span_start"),
+    Some(s"""
+      WITH $dupSpansSql
+      SELECT doc_id, span_start, span_end, n_windows
+      FROM sp
       ORDER BY doc_id, span_start"""),
+    headline = true)
+
+  /** Q52: duplicated-span REMOVAL — the apply step that consumes q28's
+    * extraction and emits the cleaned corpus (Lee et al., ACL'22: cut the
+    * duplicated text, keep the document). Each doc's kept text is the
+    * concatenation of the segments between its (non-overlapping, sorted —
+    * q28's gap-merge guarantees both) duplicated spans, rebuilt as
+    * SEGMENT ROWS: a window `lag` turns spans into (prev_end, span_start)
+    * gaps, one tail segment follows the last span, and an ordered
+    * string_agg reassembles — no per-document higher-order splice loop,
+    * and every step shuffles on doc_id only (the q15 sessionization
+    * shuffle, reused). Docs with no duplicated span pass through intact
+    * via the left join.
+    *
+    * Output: (doc_id, clean_text, n_spans, dropped_chars) for EVERY
+    * document — the frame a 100 TB pipeline would write back as the
+    * training corpus. */
+  private val q52 = GraftQuery(
+    "q52_strip_dup_spans",
+    (spark, dir) => {
+      val spans = dupSpans(spark, dir)
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("span_start")
+      val spl = spans
+        .withColumn("prev_end",
+          coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
+      val gapSegs = spl.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), struct(
+          col("span_start").as("ord"),
+          expr("substring(text, CAST(prev_end + 1 AS INT), " +
+            "CAST(span_start - prev_end - 1 AS INT))").as("seg")).as("s"))
+      val agg = spans.groupBy("doc_id")
+        .agg(max(col("span_end")).as("maxe"),
+          count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start") + 1).as("dropped"))
+      val tailSegs = agg.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), struct(
+          lit(2147483647L).as("ord"),
+          expr("substring(text, CAST(maxe + 1 AS INT))").as("seg")).as("s"))
+      val clean = gapSegs.unionByName(tailSegs)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("s"))), x => x.getField("seg")),
+          "").as("clean_text"))
+      docs
+        .join(clean, Seq("doc_id"), "left")
+        .join(agg.select("doc_id", "n_spans", "dropped"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), col("text")).as("clean_text"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dropped"), lit(0L)).as("dropped_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $dupSpansSql,
+      spl AS (
+        SELECT doc_id, span_start, span_end,
+               coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                 ORDER BY span_start), 0) AS prev_end
+        FROM sp),
+      agg AS (
+        SELECT doc_id, max(span_end) AS maxe,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS dropped
+        FROM sp GROUP BY doc_id),
+      segs AS (
+        SELECT s.doc_id, s.span_start AS ord,
+               substring(d.text, CAST(s.prev_end + 1 AS INT),
+                         CAST(s.span_start - s.prev_end - 1 AS INT)) AS seg
+        FROM spl s JOIN documents d USING (doc_id)
+        UNION ALL
+        SELECT a.doc_id, 2147483647 AS ord,
+               substring(d.text, CAST(a.maxe + 1 AS INT)) AS seg
+        FROM agg a JOIN documents d USING (doc_id)),
+      clean AS (
+        SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+        FROM segs GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(c.clean_text, d.text) AS clean_text,
+             coalesce(a.n_spans, 0) AS n_spans,
+             coalesce(a.dropped, 0) AS dropped_chars
+      FROM documents d
+      LEFT JOIN clean c USING (doc_id)
+      LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
     headline = true)
 
   /** Q29: benchmark DECONTAMINATION — flag training documents that share
@@ -796,7 +893,7 @@ object Dedup {
       WHERE ${Similarity.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36)
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52)
 }
 
 /** Engine-side enforcement of q33's documented scaling contract: the

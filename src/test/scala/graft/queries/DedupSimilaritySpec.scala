@@ -63,6 +63,42 @@ class DedupSimilaritySpec extends SparkSpec {
       s"q28-only: ${q28Docs -- q27Later}; q27-only: ${q27Later -- q28Docs}")
   }
 
+  test("q52 strips exactly the q28 spans: char accounting, pass-through, no residual runs") {
+    val cleaned = SparkEntry.queries("q52_strip_dup_spans")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("dropped_chars")))
+      .sortBy(_._1)
+    val orig = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned.length == orig.size, "every document must come through")
+    cleaned.foreach { case (id, ct, nSpans, dropped) =>
+      assert(orig(id).length - ct.length == dropped,
+        s"doc $id: dropped_chars=$dropped but lengths differ by ${orig(id).length - ct.length}")
+      if (nSpans == 0) assert(ct == orig(id), s"doc $id altered without spans")
+      else assert(dropped > 0, s"doc $id claims $nSpans spans but dropped 0 chars")
+    }
+    // keep-first policy, end to end: after stripping, no cleaned document
+    // shares a >= 55-char verbatim run with any EARLIER original document
+    // (the winnowing guarantee says any such run would have produced a
+    // flagged fingerprint, hence a span covering its core)
+    val L = 55
+    val earlier = scala.collection.mutable.Map.empty[String, Long]
+    cleaned.foreach { case (id, ct, _, _) =>
+      (0 to ct.length - L).foreach { i =>
+        val s = ct.substring(i, i + L)
+        val hit = earlier.get(s)
+        assert(hit.isEmpty,
+          s"doc $id still shares a 55-char run with earlier doc ${hit.getOrElse(-1L)}")
+      }
+      val t = orig(id)
+      (0 to t.length - L).foreach { i =>
+        val s = t.substring(i, i + L)
+        if (!earlier.contains(s)) earlier(s) = id
+      }
+    }
+  }
+
   test("q30 minhash pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q30_minhash_lsh_dedup")(spark, sfDir).collect()
     rows.foreach { r =>
