@@ -27,13 +27,16 @@ object Bench {
     "q29_decontaminate", "q30_minhash_lsh_dedup", "q31_simhash_dedup",
     "q32_ngram_jaccard_dedup", "q36_dedup_resolve", "q52_strip_dup_spans")
 
-  /** Times one run of `f`; never masks a failure as a fast success. */
+  /** Times one run of `f`; never masks a failure as a fast success.
+    * Only NON-fatal failures are recorded-and-continued: a fatal error
+    * (OutOfMemoryError etc.) rethrows, because every sample taken on a
+    * heap-exhausted JVM afterwards would be a clean-looking lie. */
   private[graft] def timeOne(f: => Unit): (Double, Boolean) = {
     val t0 = System.nanoTime()
     val ok =
       try { f; true }
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] query failed: ${e.getMessage}")
           false
       }

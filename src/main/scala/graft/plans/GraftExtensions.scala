@@ -111,16 +111,28 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
     (children: Seq[Expression]) => DotFold(children(0), children(1)))
 
+  /** Evaluate a foldable literal argument to the expected type with a
+    * diagnosable error — a bare asInstanceOf would surface registered-
+    * function misuse as an anonymous ClassCastException. */
+  private def literalAs[T](fn: String, arg: String, e: Expression)(
+      pf: PartialFunction[Any, T]): T = {
+    require(e.foldable, s"$fn requires a literal $arg")
+    val v = e.eval(InternalRow.empty)
+    pf.applyOrElse(v, (other: Any) => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal of the expected type, got " +
+        s"${if (other == null) "NULL" else other.getClass.getSimpleName}: $other"))
+  }
+
   private def mkShingles(children: Seq[Expression]): Expression = {
-    require((children.size == 2 || children.size == 3) && children(1).foldable,
-      "word_shingles(text, n[, distinct]) requires a literal n")
-    val distinct = children.size < 3 || {
-      require(children(2).foldable,
-        "word_shingles(text, n, distinct) requires a literal distinct flag")
-      children(2).eval(InternalRow.empty).asInstanceOf[Boolean]
-    }
+    require(children.size == 2 || children.size == 3,
+      "word_shingles(text, n[, distinct]) takes 2 or 3 arguments")
+    val distinct = children.size < 3 ||
+      literalAs("word_shingles", "distinct flag", children(2)) {
+        case b: Boolean => b
+      }
     WordShingles(children.head,
-      children(1).eval(InternalRow.empty).asInstanceOf[Int], distinct)
+      literalAs("word_shingles", "n", children(1)) { case i: Int => i },
+      distinct)
   }
 
   private[plans] val shinglesDescription = (
@@ -151,10 +163,16 @@ object GraftExtensions {
     (children: Seq[Expression]) => mkSortedHash64(children))
 
   private def mkSortedLongJaccardGe(children: Seq[Expression]): Expression = {
-    require(children.size == 3 && children(2).foldable,
-      "sorted_long_jaccard_ge(a, b, t) requires a literal double threshold")
+    require(children.size == 3,
+      "sorted_long_jaccard_ge(a, b, t) takes exactly 3 arguments")
     SortedLongJaccardGe(children(0), children(1),
-      children(2).eval(InternalRow.empty).asInstanceOf[Double])
+      literalAs("sorted_long_jaccard_ge", "threshold t", children(2)) {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      })
   }
 
   private[plans] val sortedLongJaccardGeDescription = (

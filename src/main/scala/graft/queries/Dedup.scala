@@ -327,7 +327,11 @@ object Dedup {
   private val q52 = GraftQuery(
     "q52_strip_dup_spans",
     (spark, dir) => {
-      val spans = dupSpans(spark, dir)
+      // materialized: spans feed two independent subtrees (the gap-segment
+      // window and the per-doc aggregate) — without the barrier the whole
+      // extraction pipeline plans twice (the q32 prefix lesson; ReuseExchange
+      // does not unify a window-side exchange with a partial-agg-side one)
+      val spans = dupSpans(spark, dir).localCheckpoint(eager = true)
       val docs = Tables.documents(spark, dir).select("doc_id", "text")
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("span_start")
@@ -909,10 +913,17 @@ private[queries] object CellContract {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
   final val MetricName = "q33_cell_contract"
+  /** Bounded: a pipeline hammering q33 with a degenerate quantizer must
+    * not grow driver memory one warning at a time. */
+  final val MaxWarnings = 64
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   val warnings = new java.util.concurrent.ConcurrentLinkedQueue[String]
-  private val installed = java.util.Collections.synchronizedSet(
-    new java.util.HashSet[SparkSession])
+  // weak keys: this registry must not be the thing that pins a stopped
+  // SparkSession in memory (the listener itself dies with the session's
+  // own listener manager)
+  private val installed = java.util.Collections.newSetFromMap(
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
   def observed(spark: SparkSession, df: DataFrame): DataFrame = {
     install(spark)
@@ -936,6 +947,7 @@ private[queries] object CellContract {
                   s"labels for $n vectors — cells must grow ~sqrt(n) or the " +
                   "blocked join's per-cell pair volume is quadratic"
                 warnings.add(msg)
+                while (warnings.size > MaxWarnings) warnings.poll()
                 log.warn(msg)
               }
             }

@@ -311,25 +311,35 @@ object Text {
   /** Q39: Gopher/MassiveText REPETITION filters (Rae et al. 2021, arXiv
     * 2112.11446, Table A1 — public paper; the document-level companion
     * to the cross-document dedup batch): per document, the fraction of
-    * characters attributable to (a) the single most frequent word
-    * 2-gram, (b) the most frequent 3-gram, and (c) all 5-grams occurring
-    * more than once; a document `keep`s when all three sit under the
-    * published thresholds (0.20 / 0.18 / 0.15). The synthetic corpus is
-    * single-line, so Gopher's duplicate-line rules are vacuous here; the
-    * n-gram family is the load-bearing one (and q21 already covers the
-    * non-repetition quality signals).
+    * characters attributable to (a) the single MOST FREQUENT word 2-gram
+    * (ties broken toward the longest gram; attribution = occurrences ×
+    * gram length, matching the published implementations — pathological
+    * overlap can push it past 1), (b) the most frequent 3-gram, and
+    * (c) all 5-grams occurring more than once, where each character is
+    * counted AT MOST ONCE (interval union over the duplicated
+    * occurrences — the paper's "fraction of characters contained in
+    * duplicate n-grams", always ≤ 1). A document `keep`s when all three
+    * sit under the published thresholds (0.20 / 0.18 / 0.15). The
+    * synthetic corpus is single-line, so Gopher's duplicate-line rules
+    * are vacuous here; the n-gram family is the load-bearing one (and
+    * q21 already covers the non-repetition quality signals).
     *
     * Scale shape: one compiled NON-DISTINCT shingle pass per n
     * (graft.plans.WordShingles with distinct=false — occurrence counts
-    * need every gram; never an interpreted HOF), partial-agg groupBys on
-    * the unbounded (doc, gram) keyspace, then per-doc left joins on
-    * doc_id. Char attributions are integer products (count × gram
-    * length); only the final fraction divides — bit-exact vs the
-    * oracle's identical spelling. */
+    * need every gram; never an interpreted corpus-walk HOF), partial-agg
+    * groupBys on the unbounded (doc, gram) keyspace; the top-gram
+    * arg-max is a lexicographic struct max (same semantics both
+    * engines); dup-5-gram coverage is the q15/q28 interval idiom — token
+    * char offsets from one prefix-sum window, duplicated occurrences
+    * joined on (doc, token index), union length from a running-max
+    * window, everything partitioned on doc_id. Char attributions are
+    * integer products; only the final fraction divides — bit-exact vs
+    * the oracle's identical spelling. */
   private val q39 = GraftQuery(
     "q39_repetition_filters",
     (spark, dir) => {
       graft.plans.GraftExtensions.install(spark)
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"), length(col("text")).as("tl"))
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -339,11 +349,42 @@ object Text {
           explode(expr(s"word_shingles(text, $n, false)")).as("gram"))
         .groupBy(col("doc_id"), col("gram"))
         .agg(max(col("tl")).as("tl"), count(lit(1)).as("c"))
+      // arg-max by (count, gram length): the most frequent gram, longest
+      // among equally-frequent — struct max is lexicographic in BOTH
+      // engines, so the oracle agrees on every tie
       def top(n: Int, alias: String) = counts(n).groupBy("doc_id")
-        .agg((max(col("c") * length(col("gram"))).cast("double") /
-          max(col("tl"))).as(alias))
-      val dup5 = counts(5).groupBy("doc_id")
-        .agg((sum(when(col("c") > 1, col("c") * length(col("gram"))).otherwise(0))
+        .agg(max(struct(col("c"), length(col("gram")).as("l"))).as("m"),
+          max(col("tl")).as("tl"))
+        .select(col("doc_id"),
+          ((col("m.c") * col("m.l")).cast("double") / col("tl")).as(alias))
+      // duplicated-5-gram coverage, each char once: token offsets by
+      // prefix sum, occurrence intervals [start, start+len-1], union
+      // length via running max of interval ends
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      val wTok = Window.partitionBy("doc_id").orderBy("i")
+      val starts = toks.withColumn("start",
+          lit(1) + coalesce(sum(length(col("tok")) + 1)
+            .over(wTok.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("doc_id", "i", "start")
+      val occ5 = docs
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), col("tl"),
+          posexplode(expr("word_shingles(text, 5, false)")).as(Seq("i", "gram")))
+      val dupGrams = occ5.groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select("doc_id", "gram")
+      val intervals = occ5.join(dupGrams, Seq("doc_id", "gram"))
+        .join(starts, Seq("doc_id", "i"))
+        .select(col("doc_id"), col("tl"), col("start"),
+          (col("start") + length(col("gram")) - 1).as("e"))
+      val wCov = Window.partitionBy("doc_id").orderBy("start")
+      val dup5 = intervals
+        .withColumn("prev_e", coalesce(max(col("e"))
+          .over(wCov.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .groupBy("doc_id")
+        .agg((sum(greatest(lit(0L),
+            col("e") - greatest(col("start") - 1, col("prev_e"))))
           .cast("double") / max(col("tl"))).as("frac_dup5"))
       docs.select(col("doc_id"))
         .join(top(2, "frac_top2"), Seq("doc_id"), "left")
@@ -370,7 +411,9 @@ object Text {
       c2 AS (SELECT doc_id, gram, max(tl) AS tl, count(*) AS c
              FROM g2 GROUP BY 1, 2),
       t2 AS (SELECT doc_id,
-                    CAST(max(c * length(gram)) AS DOUBLE) / max(tl) AS frac_top2
+                    CAST((max(struct_pack(c := c, l := length(gram)))).c *
+                         (max(struct_pack(c := c, l := length(gram)))).l
+                      AS DOUBLE) / max(tl) AS frac_top2
              FROM c2 GROUP BY 1),
       g3 AS (
         SELECT doc_id, tl,
@@ -380,19 +423,45 @@ object Text {
       c3 AS (SELECT doc_id, gram, max(tl) AS tl, count(*) AS c
              FROM g3 GROUP BY 1, 2),
       t3 AS (SELECT doc_id,
-                    CAST(max(c * length(gram)) AS DOUBLE) / max(tl) AS frac_top3
+                    CAST((max(struct_pack(c := c, l := length(gram)))).c *
+                         (max(struct_pack(c := c, l := length(gram)))).l
+                      AS DOUBLE) / max(tl) AS frac_top3
              FROM c3 GROUP BY 1),
+      toks AS (
+        SELECT doc_id, i, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM d)),
+      starts AS (
+        SELECT doc_id, i,
+               1 + coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id
+                 ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS start
+        FROM toks),
       g5 AS (
-        SELECT doc_id, tl,
-               unnest(list_transform(generate_series(1, len(t) - 4),
-                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gram
-        FROM d WHERE len(t) >= 5),
-      c5 AS (SELECT doc_id, gram, max(tl) AS tl, count(*) AS c
-             FROM g5 GROUP BY 1, 2),
-      d5 AS (SELECT doc_id,
-                    CAST(sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
-                      AS DOUBLE) / max(tl) AS frac_dup5
-             FROM c5 GROUP BY 1)
+        SELECT doc_id, tl, i,
+               concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+        FROM (SELECT doc_id, tl, t, unnest(generate_series(1, len(t) - 4)) AS i
+              FROM d WHERE len(t) >= 5)),
+      dupg AS (
+        SELECT doc_id, gram
+        FROM (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2)
+        WHERE c > 1),
+      iv AS (
+        SELECT g.doc_id, g.tl, s.start,
+               s.start + length(g.gram) - 1 AS e
+        FROM g5 g
+        JOIN dupg USING (doc_id, gram)
+        JOIN starts s ON s.doc_id = g.doc_id AND s.i = g.i),
+      cov AS (
+        SELECT doc_id, tl, start, e,
+               coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
+        FROM iv),
+      d5 AS (
+        SELECT doc_id,
+               CAST(sum(greatest(0, e - greatest(start - 1, prev_e)))
+                 AS DOUBLE) / max(tl) AS frac_dup5
+        FROM cov GROUP BY 1)
       SELECT d.doc_id,
              coalesce(t2.frac_top2, 0.0) AS frac_top2,
              coalesce(t3.frac_top3, 0.0) AS frac_top3,

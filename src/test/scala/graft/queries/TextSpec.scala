@@ -48,9 +48,11 @@ class TextSpec extends SparkSpec {
     rows.foreach { r =>
       val (f2, f3, f5) = (r.getAs[Double]("frac_top2"),
         r.getAs[Double]("frac_top3"), r.getAs[Double]("frac_dup5"))
-      // overlapping occurrences can attribute a char more than once, so
-      // fractions are non-negative but not capped at 1
+      // top-gram attribution counts every occurrence (overlap can push it
+      // past 1, matching the published implementations); dup coverage
+      // counts each char at most once, so it is a true fraction
       assert(f2 >= 0 && f3 >= 0 && f5 >= 0, r.toString)
+      assert(f5 <= 1.0, s"dup coverage must count each char once: $r")
       assert(r.getAs[Boolean]("keep") == (f2 <= 0.2 && f3 <= 0.18 && f5 <= 0.15),
         s"keep flag inconsistent with thresholds: $r")
     }
