@@ -297,5 +297,141 @@ object Sampling {
       ORDER BY round_id"""
     })
 
-  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64, q65)
+  /** Q53: training-sequence packing — the concat-and-chunk step every
+    * GPT-style pipeline runs between cleaning and tokenized shards:
+    * documents are concatenated in a stable order and the token stream is
+    * cut into fixed 256-token sequences, documents spanning chunk
+    * boundaries (no padding, no document shuffling). Emitted per
+    * (source, sequence): how many documents touch it and how many tokens
+    * it holds (256 except each source's final partial).
+    *
+    * Scale shape: packing needs a PER-STREAM prefix sum, so the stream key
+    * is `source` — `Window.partitionBy(source).orderBy(doc_id)` is one
+    * shuffle on source and parallelism = #streams. That is the right
+    * granularity at 100 TB (real pipelines pack within a domain/shard so
+    * sequence membership is reproducible per shard); a single mega-source
+    * would serialize its partition, and the documented fix is sharding the
+    * stream key to (source, hash(doc_id) % k) — boundaries then differ per
+    * k, which packing tolerates (chunk identity is shard-local anyway).
+    * The boundary-span explode emits ~n_tokens/256 + 1 rows per doc
+    * (bounded fan-out); everything downstream is integer math partitioned
+    * on the same key, so no second shuffle until the tiny final sort. */
+  private val q53 = {
+    val seqLen = 256
+    GraftQuery(
+      "q53_pack_sequences",
+      (spark, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        docs
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("start_tok", col("cum") - col("n_tok"))
+          .withColumn("first_seq", floor(col("start_tok") / seqLen))
+          .withColumn("last_seq", floor((col("cum") - 1) / seqLen))
+          .select(col("source"), col("start_tok"), col("cum"),
+            explode(sequence(col("first_seq"), col("last_seq"))).as("seq"))
+          .groupBy(col("source"), col("seq"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(least(col("cum"), (col("seq") + 1) * seqLen) -
+              greatest(col("start_tok"), col("seq") * seqLen)).as("n_tok"))
+          .orderBy("source", "seq")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT source, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM d),
+        spans AS (
+          SELECT source, cum - n_tok AS start_tok, cum,
+                 unnest(generate_series((cum - n_tok) // $seqLen,
+                                        (cum - 1) // $seqLen)) AS seq
+          FROM c)
+        SELECT source, seq, count(*) AS n_docs,
+               CAST(sum(least(cum, (seq + 1) * $seqLen)
+                   - greatest(start_tok, seq * $seqLen)) AS BIGINT) AS n_tok
+        FROM spans
+        GROUP BY source, seq
+        ORDER BY source, seq"""),
+      headline = true)
+  }
+
+  /** Q56: temperature-reweighted mixture sampling — the multilingual /
+    * multi-domain rebalancing rule (Conneau & Lample 2019, arXiv
+    * 1901.07291 §3.1 — public paper; also GPT-3's dataset-mixture
+    * weighting): sample stream g with probability ∝ (its token share)^α,
+    * α = 0.5, so heavy domains are down-weighted and light domains
+    * up-weighted relative to natural frequency. The target budget is 20%
+    * of corpus tokens; each document's acceptance rate is
+    * min(1, budget · p_g / tok_g), gated by the repo-standard md5
+    * uniform so the draw is engine-exact (integer compare against a
+    * floored threshold — never a float comparison on the random side).
+    *
+    * Scale shape: the rates table is one row per stream (tiny at any
+    * scale) built by one partial-agg pass; it broadcast-joins back onto
+    * the corpus, so the whole operator is scan + broadcast + narrow
+    * filter — no corpus shuffle at 100 TB. The threshold doubles are
+    * computed by the identical expression tree in both engines (sqrt /
+    * mul / div in the same order), so the floor is bit-stable. */
+  private val q56 = GraftQuery(
+    "q56_mixture_sample",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val byG = docs.groupBy("source").agg(sum("n_tok").as("tok_g"))
+      // z is a float sum over the (tiny) stream table: a plain sum() would
+      // add in partition order and drift a ULP from the oracle — fold over
+      // the SORTED value list instead so both engines add identically
+      val tot = byG.agg(
+        sum("tok_g").as("tok_total"),
+        aggregate(array_sort(collect_list(sqrt(col("tok_g").cast("double")))),
+          lit(0.0), (a, x) => a + x).as("z"))
+      val rates = byG.crossJoin(broadcast(tot))
+        .withColumn("rate",
+          least(lit(1.0),
+            lit(0.2) * col("tok_total").cast("double") *
+              sqrt(col("tok_g").cast("double")) / col("z") /
+              col("tok_g").cast("double")))
+        .withColumn("thr", floor(col("rate") * TwoPow32).cast("long"))
+        .select(col("source"), col("rate"), col("thr"))
+      docs.join(broadcast(rates), "source")
+        .filter(Rand.u32(md5(concat(lit("mix:"), col("doc_id").cast("string")))) <
+          col("thr"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("rate"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      g AS (SELECT source, sum(n_tok) AS tok_g FROM d GROUP BY source),
+      t AS (SELECT sum(tok_g) AS tok_total,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(list(sqrt(CAST(tok_g AS DOUBLE))))),
+                     (a, b) -> a + b) AS z
+            FROM g),
+      rates AS (
+        SELECT source,
+               least(1.0, 0.2 * CAST(tok_total AS DOUBLE)
+                 * sqrt(CAST(tok_g AS DOUBLE)) / z
+                 / CAST(tok_g AS DOUBLE)) AS rate,
+               CAST(floor(least(1.0, 0.2 * CAST(tok_total AS DOUBLE)
+                 * sqrt(CAST(tok_g AS DOUBLE)) / z
+                 / CAST(tok_g AS DOUBLE)) * 4294967296) AS BIGINT) AS thr
+        FROM g CROSS JOIN t)
+      SELECT doc_id, d.source, n_tok, rate
+      FROM d JOIN rates ON d.source = rates.source
+      WHERE ${Rand.u32Sql("md5('mix:' || CAST(doc_id AS VARCHAR))")} < thr
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q53, q56, q60, q61, q62, q63, q64, q65)
 }

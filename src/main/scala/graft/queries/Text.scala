@@ -476,5 +476,90 @@ object Text {
       ORDER BY doc_id"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q39)
+  /** Q55: Gopher/MassiveText QUALITY filters (Rae et al. 2021, arXiv
+    * 2112.11446, Table A1 — public paper; the doc-level companion to
+    * q39's repetition family): word count in [50, 100 000], mean word
+    * length in [3, 10], symbol-to-word ratio ('#' / '…' / '...') ≤ 0.1,
+    * ≥ 80% of words containing an alphabetic character, and ≥ 2 of the
+    * paper's eight English stop words. Thresholds are the published
+    * values, unmodified. The synthetic vocabulary carries only 'the'
+    * from the stop list, which would leave the stop-word gate (and so
+    * `keep`) uniformly false — so, exactly as q26 plants PII to exercise
+    * its match path, the query appends the eight stop words to every
+    * third document (identically in the oracle); `keep` then genuinely
+    * splits on the word-count and stop-word gates. The paper's
+    * line-level rules (bullet/ellipsis line ratios) are vacuous on the
+    * single-line corpus — same accounting as q39's duplicate-line rules.
+    *
+    * Scale shape: a pure narrow map in one whole-stage-codegen span —
+    * split once, every metric from the same token array, no shuffle at
+    * all (the ORDER BY is oracle determinism only). At 100 TB this is
+    * the cheapest possible pass: scan-bound, embarrassingly parallel. */
+  private val q55 = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    GraftQuery(
+      "q55_gopher_quality",
+      (spark, dir) => {
+        val toks = split(col("raw"), " ")
+        Tables.documents(spark, dir)
+          .withColumn("raw",
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" " + stops.mkString(" "))))
+              .otherwise(col("text")))
+          .withColumn("n_words", size(toks))
+          .withColumn("mean_word_len",
+            length(replace(col("raw"), lit(" "), lit(""))).cast("double") /
+              col("n_words"))
+          .withColumn("symbol_ratio",
+            (regexp_count(col("raw"), lit("#")) +
+              regexp_count(col("raw"), lit("\\.\\.\\.")) +
+              regexp_count(col("raw"), lit("…"))).cast("double") / col("n_words"))
+          .withColumn("frac_alpha",
+            size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+              col("n_words"))
+          .withColumn("n_stop",
+            size(array_intersect(array_distinct(toks),
+              array(stops.map(lit): _*))))
+          .select(
+            col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("symbol_ratio"), col("frac_alpha"), col("n_stop"),
+            (col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+              col("symbol_ratio") <= 0.1 && col("frac_alpha") >= 0.8 &&
+              col("n_stop") >= 2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' ${stops.mkString(" ")}'
+                      ELSE text END AS raw,
+                 string_split(CASE WHEN doc_id % 3 = 0
+                      THEN text || ' ${stops.mkString(" ")}'
+                      ELSE text END, ' ') AS toks
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(length(replace(raw, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+                 CAST(len(regexp_extract_all(raw, '#'))
+                      + len(regexp_extract_all(raw, '\\.\\.\\.'))
+                      + len(regexp_extract_all(raw, '…')) AS DOUBLE) / len(toks) AS symbol_ratio,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks) AS frac_alpha,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   [${stops.map(s => s"'$s'").mkString(", ")}])) AS INT) AS n_stop
+          FROM t)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha, n_stop,
+               (n_words >= 50 AND n_words <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND symbol_ratio <= 0.1 AND frac_alpha >= 0.8
+                 AND n_stop >= 2) AS keep
+        FROM m
+        ORDER BY doc_id"""),
+      headline = true)
+  }
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q39, q55)
 }

@@ -233,4 +233,40 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(s).length == 1,
       s"source must be read exactly once:\n$s")
   }
+
+  test("q53: window and per-sequence aggregation share ONE hash shuffle on source") {
+    // HashPartitioning(source) satisfies the (source, seq) grouping's
+    // ClusteredDistribution because seq ids nest within a source — the
+    // packing prefix sum and the fill aggregation must reuse the same
+    // exchange, and a second shuffle here would move the whole corpus
+    // again at 100 TB
+    val p = plan("q53_pack_sequences")
+    val n = countHashShuffles(p)
+    assert(n == 1, s"expected exactly 1 hash shuffle in packing, got $n:\n$p")
+  }
+
+  test("q57: centroid assignment broadcasts, arg-min runs as a map-side group limit") {
+    val s = finalPlan(planString("q57_kmeans"))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"centroids must broadcast (corpus never shuffles to meet them):\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"assignment degraded to a corpus shuffle:\n$s")
+    // rn=1 must compile to WindowGroupLimit with a Partial stage so each
+    // task keeps one candidate row per vector BEFORE the vec_id exchange
+    // (k rows per vector crossing the wire is a k× shuffle at scale)
+    assert(s.contains("WindowGroupLimit"),
+      s"arg-min not compiled to a group limit:\n$s")
+  }
+
+  test("q58: the cosine verify lives in the join condition, never a post-join filter") {
+    // the q32 verify lesson applied to SemDeDup: evaluated in the join
+    // condition, non-duplicate pairs die on the transient joined row;
+    // as a Filter above the join every same-cell pair (id pair + two
+    // 64-dim vectors) would materialize first
+    val s = finalPlan(planString("q58_semdedup"))
+    assert(s.linesIterator.exists(l => l.contains("Join") && l.contains("dot_fold")),
+      s"cosine must be part of the pair join's condition:\n$s")
+    assert(!s.linesIterator.exists(l => l.contains("Filter") && l.contains("dot_fold")),
+      s"cosine ran as a post-join filter:\n$s")
+  }
 }
