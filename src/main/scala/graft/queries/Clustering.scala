@@ -102,11 +102,16 @@ object Clustering {
       .sortBy(_._1)
 
   /** Final (vec_id, qv, cluster, dist) after `iters` Lloyd iterations
-    * from deterministic seeds (the first K vectors, as q37). */
-  private[queries] def kmeansAssignments(
-      spark: SparkSession, dir: String, iters: Int = Iters): DataFrame = {
+    * from deterministic seeds (the first k vectors, as q37). Public: this
+    * is the library's clustering entry point; q57 runs it at k = [[K]]
+    * for oracle tractability, real corpora size k ∝ √n (the CellContract
+    * rule) — which only changes the seed predicate and the size of the
+    * broadcast list, never the plan shape. */
+  def kmeansAssignments(
+      spark: SparkSession, dir: String,
+      iters: Int = Iters, k: Int = K): DataFrame = {
     val e = quantized(spark, dir)
-    var cents = e.filter(col("vec_id") < K)
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("qv")).collect().toSeq
       .map { r =>
         val cv = r.getSeq[Double](1)
@@ -180,8 +185,13 @@ object Clustering {
       val e = Similarity.normedVectors(spark, dir)
         .select(col("vec_id"), col("v"), col("nrm"))
       val withV = asg.join(e, "vec_id").localCheckpoint(true)
+      // the q33 scaling contract, enforced for the k-means cells too:
+      // cells² < n ⇒ the pair join below stops tracking the corpus
+      // linearly (at the demo k = 8 this warns by design — the scaladoc's
+      // k ∝ √n rule is what production must follow)
+      val observed = CellContract.observedOn(spark, withV, "cluster", "q58_cell_contract")
       val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-      withV.as("a").join(withV.as("b"),
+      observed.as("a").join(withV.as("b"),
           col("a.cluster") === col("b.cluster") &&
             col("a.vec_id") < col("b.vec_id") && cos >= 0.35)
         .select(col("b.vec_id").as("dropped"), col("b.cluster").as("cluster"),

@@ -924,12 +924,22 @@ private[queries] object CellContract {
   private val installed = java.util.Collections.newSetFromMap(
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+  /** Every metric name ever observed — the one listener watches them all. */
+  private val metricNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def observed(spark: SparkSession, df: DataFrame): DataFrame = {
+  def observed(spark: SparkSession, df: DataFrame): DataFrame =
+    observedOn(spark, df, "label", MetricName)
+
+  /** The same contract for any cell-blocked frame (q58 checks its
+    * k-means cells with it): warn when cells² < n. */
+  def observedOn(spark: SparkSession, df: DataFrame,
+      cellCol: String, metricName: String): DataFrame = {
     install(spark)
-    df.observe(MetricName,
+    metricNames.add(metricName)
+    df.observe(metricName,
       count(lit(1)).as("n"),
-      approx_count_distinct(col("label")).as("cells"))
+      approx_count_distinct(col(cellCol)).as("cells"))
   }
 
   private def install(spark: SparkSession): Unit =
@@ -939,16 +949,18 @@ private[queries] object CellContract {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
-            qe.observedMetrics.get(MetricName).foreach { row =>
-              val n = row.getLong(row.fieldIndex("n"))
-              val cells = row.getLong(row.fieldIndex("cells"))
-              if (cells.toDouble * cells.toDouble < n.toDouble) {
-                val msg = s"q33 cell contract violated: ~$cells distinct " +
-                  s"labels for $n vectors — cells must grow ~sqrt(n) or the " +
-                  "blocked join's per-cell pair volume is quadratic"
-                warnings.add(msg)
-                while (warnings.size > MaxWarnings) warnings.poll()
-                log.warn(msg)
+            metricNames.forEach { name =>
+              qe.observedMetrics.get(name).foreach { row =>
+                val n = row.getLong(row.fieldIndex("n"))
+                val cells = row.getLong(row.fieldIndex("cells"))
+                if (cells.toDouble * cells.toDouble < n.toDouble) {
+                  val msg = s"$name violated: ~$cells distinct " +
+                    s"cells for $n vectors — cells must grow ~sqrt(n) or the " +
+                    "blocked join's per-cell pair volume is quadratic"
+                  warnings.add(msg)
+                  while (warnings.size > MaxWarnings) warnings.poll()
+                  log.warn(msg)
+                }
               }
             }
           override def onFailure(funcName: String,

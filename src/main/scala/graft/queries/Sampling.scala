@@ -431,7 +431,8 @@ object Sampling {
       SELECT doc_id, d.source, n_tok, rate
       FROM d JOIN rates ON d.source = rates.source
       WHERE ${Rand.u32Sql("md5('mix:' || CAST(doc_id AS VARCHAR))")} < thr
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q53, q56, q60, q61, q62, q63, q64, q65)
 }
