@@ -434,5 +434,54 @@ object Sampling {
       ORDER BY doc_id"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q53, q56, q60, q61, q62, q63, q64, q65)
+  /** Q59: deterministic stratified train/val/test split — the 80/10/10
+    * hold-out assignment every training corpus needs, EXACT per stratum
+    * (each source contributes floor(0.8·n) docs to train, floor(0.9·n)−
+    * floor(0.8·n) to val, the rest to test) rather than Bernoulli-
+    * approximate: documents are ranked within their source by the
+    * repo-standard md5 uniform (ties by doc_id) and the rank is cut at
+    * integer boundaries. Re-running on the same corpus reproduces the
+    * split bit-for-bit; adding a document reshuffles only its own
+    * stratum (the well-known cost of exact stratification vs per-doc
+    * hash gates, which q56 already provides).
+    *
+    * Scale shape: one shuffle on source (window rank + per-source count,
+    * the q53 packing idiom — HashPartitioning(source) serves both);
+    * everything else is narrow integer math. Mega-stratum skew has the
+    * same documented fix as q53: shard the stratum key. */
+  private val q59 = GraftQuery(
+    "q59_stratified_split",
+    (spark, dir) => {
+      val w = Window.partitionBy("source")
+      val wr = w.orderBy(col("u"), col("doc_id"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          Rand.u32(md5(concat(lit("split:"), col("doc_id").cast("string")))).as("u"))
+        .withColumn("r", row_number().over(wr))
+        .withColumn("n_g", count(lit(1)).over(w))
+        .select(col("doc_id"), col("source"),
+          when(col("r") <= floor(col("n_g") * 0.8), "train")
+            .when(col("r") <= floor(col("n_g") * 0.9), "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               ${Rand.u32Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} AS u
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS n_g
+        FROM d)
+      SELECT doc_id, source,
+             CASE WHEN r <= floor(n_g * 0.8) THEN 'train'
+                  WHEN r <= floor(n_g * 0.9) THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r
+      ORDER BY doc_id"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65)
 }

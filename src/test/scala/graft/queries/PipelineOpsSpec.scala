@@ -54,6 +54,23 @@ class PipelineOpsSpec extends SparkSpec {
       s"degenerate keep distribution: $kept of ${out.length}")
   }
 
+  test("q59: split is exactly stratified — floor(0.8n)/floor(0.9n) cuts per source") {
+    val out = SparkEntry.queries("q59_stratified_split")(spark, sfDir).collect()
+    assert(out.length == docs.count())
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val n = rows.length
+      val train = rows.count(_.getString(2) == "train")
+      val valN = rows.count(_.getString(2) == "val")
+      val test = rows.count(_.getString(2) == "test")
+      assert(train == math.floor(n * 0.8).toLong, s"$src: train $train of $n")
+      assert(train + valN == math.floor(n * 0.9).toLong, s"$src: val $valN of $n")
+      assert(train + valN + test == n)
+    }
+    // deterministic: re-running reproduces the same assignment
+    val again = SparkEntry.queries("q59_stratified_split")(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q56: temperature rebalancing samples ~20% and up-weights light streams") {
     val out = SparkEntry.queries("q56_mixture_sample")(spark, sfDir).collect()
     val nDocs = docs.count()
