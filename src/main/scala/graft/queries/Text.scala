@@ -561,5 +561,44 @@ object Text {
       headline = true)
   }
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q39, q55)
+  /** Q54: boilerplate mining — the corpus-level top-k most document-
+    * frequent word 5-grams (licence headers, navigation chrome, template
+    * sentences in a real crawl). This is the DETECTION stage whose output
+    * feeds span removal (q52) or a gram blocklist upstream of dedup; the
+    * reference has no corpus-level analytics at all (its stats are
+    * per-run counters), so this is a north-star addition like q29.
+    *
+    * Scale shape: one compiled distinct-shingle pass per doc (the q29
+    * gram machinery), a partial-agg groupBy on the unbounded gram
+    * keyspace, and a top-50 that compiles to TakeOrderedAndProject —
+    * per-partition heaps, O(k) driver memory, never a global sort (the
+    * q64 lesson). Ties at the cut are deterministic: (df DESC, gram). */
+  private val q54 = GraftQuery(
+    "q54_boilerplate_grams",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
+      Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 5)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(expr("word_shingles(text, 5)")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("gram")).limit(50)
+    },
+    Some("""
+      WITH sp AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS gram
+        FROM sp)
+      SELECT gram, count(*) AS df
+      FROM g
+      GROUP BY gram
+      ORDER BY df DESC, gram
+      LIMIT 50"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55)
 }

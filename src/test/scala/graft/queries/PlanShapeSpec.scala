@@ -245,6 +245,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 hash shuffle in packing, got $n:\n$p")
   }
 
+  test("q54: corpus top-k compiles to TakeOrderedAndProject over partial-agg counts") {
+    val s = planString("q54_boilerplate_grams")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps, not a global sort:\n$s")
+    assert(s.contains("partial_count"),
+      s"gram counts must combine map-side before the shuffle:\n$s")
+  }
+
+  test("q59: rank and stratum-count windows share ONE hash shuffle on source") {
+    val p = plan("q59_stratified_split")
+    val n = countHashShuffles(p)
+    assert(n == 1, s"expected exactly 1 hash shuffle in the split, got $n:\n$p")
+  }
+
   test("q57: centroid assignment broadcasts, arg-min runs as a map-side group limit") {
     val s = finalPlan(planString("q57_kmeans"))
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
