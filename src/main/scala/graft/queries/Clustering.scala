@@ -38,18 +38,15 @@ object Clustering {
   private val K = 8
   private val Iters = 3
 
-  /** q38's int8 scalar quantizer as a shared frame (vec_id, qv, qq):
-    * exact |q| ≤ 127 integer components as doubles plus the self-dot.
-    * localCheckpoint: the frame feeds 3 assignment passes + 2 centroid
-    * updates, and without a real barrier each action would re-read the
-    * parquet and re-quantize (the q32 multi-consumer lesson; at cluster
-    * scale this is a persisted table). */
+  /** q38's int8 scalar quantizer ([[Similarity.int8Quantized]] — ONE
+    * definition, so the clustering cells and the quantized search live in
+    * the same domain) plus the self-dot, as a shared frame (vec_id, qv,
+    * qq). localCheckpoint: the frame feeds 3 assignment passes + 2
+    * centroid updates, and without a real barrier each action would
+    * re-read the parquet and re-quantize (the q32 multi-consumer lesson;
+    * at cluster scale this is a persisted table). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Similarity.normedVectors(spark, dir)
-      .withColumn("scale",
-        lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
-      .withColumn("qv",
-        transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("double")))
+    Similarity.int8Quantized(spark, dir)
       .withColumn("qq", dot(col("qv"), col("qv")))
       .select(col("vec_id"), col("qv"), col("qq"))
       .localCheckpoint(true)
@@ -57,12 +54,10 @@ object Clustering {
   /** DuckDB mirror of [[quantized]]; assumes normedVectorsSql's `e` CTE
     * is in scope. */
   private val quantizedSql: String = s"""
+    ${Similarity.int8QuantizedSql},
     qe AS (
       SELECT vec_id, qv, ${dotSql("qv", "qv")} AS qq
-      FROM (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS qv
-            FROM (SELECT vec_id, v,
-                         127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) AS scale
-                  FROM e)))"""
+      FROM qz)"""
 
   /** One assignment pass: argmin_{c} ||q − c||² via qq − 2·q·c + c·c,
     * ties to the lowest centroid id. `cc` arrives precomputed from the
@@ -171,9 +166,18 @@ object Clustering {
     headline = true)
 
   /** Q58: SemDeDup — within each k-means cell, exact cosine (on the
-    * ORIGINAL float vectors, per the paper) over same-cell pairs;
-    * a vector is dropped when a lower-id cell-mate sits above the
-    * threshold, keeping one representative per semantic duplicate set.
+    * ORIGINAL float vectors, per the paper) over same-cell pairs; a
+    * vector is DROPPED when any lower-id cell-mate sits above the
+    * threshold. `dup_of` is the smallest such WITNESS — duplicate
+    * evidence, not necessarily itself a survivor: under the greedy
+    * per-pair rule a chain 1~2~3 (1≁3) drops both 2 and 3 with
+    * dup_of 1 and 2 respectively. The retained corpus is exactly
+    * {vectors not in the output} (ClusteringSpec pins the partition);
+    * consumers wanting one representative per CONNECTED duplicate set
+    * compose with q36's label propagation on the pair stream — the
+    * published SemDeDup is the greedy per-pair form, which never
+    * retains two similar vectors (any surviving pair would have
+    * witnessed each other).
     * The cosine lives in the join CONDITION, so non-duplicate pairs die
     * on the transient joined row and never materialize (the q32 verify
     * lesson); pair volume is per-cell occupancy², which is exactly what
@@ -197,7 +201,7 @@ object Clustering {
         .select(col("b.vec_id").as("dropped"), col("b.cluster").as("cluster"),
           col("a.vec_id").as("vec_a"))
         .groupBy("dropped", "cluster")
-        .agg(min(col("vec_a")).as("kept_by"), count(lit(1)).as("n_dups"))
+        .agg(min(col("vec_a")).as("dup_of"), count(lit(1)).as("n_dups"))
         .orderBy("dropped")
     },
     Some(s"""
@@ -209,7 +213,7 @@ object Clustering {
         JOIN e ea ON ea.vec_id = a.vec_id
         JOIN e eb ON eb.vec_id = b.vec_id
         WHERE ${dotSql("ea.v", "eb.v")} / (ea.nrm * eb.nrm) >= 0.35)
-      SELECT vec_b AS dropped, cluster, min(vec_a) AS kept_by,
+      SELECT vec_b AS dropped, cluster, min(vec_a) AS dup_of,
              count(*) AS n_dups
       FROM pairs
       GROUP BY vec_b, cluster

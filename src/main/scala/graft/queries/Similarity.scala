@@ -241,6 +241,28 @@ object Similarity {
       ORDER BY query_id, rank"""),
     headline = true)
 
+  /** int8 scalar quantization, shared by q38 and the clustering family
+    * (q57/q58 must quantize into the SAME domain q38 searches in, or the
+    * "same quantizer" contract between the index and the search drifts):
+    * per-vector scale 127/max|x|, components floor(x·scale + 0.5) — exact
+    * small integers carried as doubles, so cross-row sums stay exact and
+    * order-independent. Never `round()`, whose half-case semantics are
+    * engine-specific. */
+  def int8Quantized(spark: SparkSession, dir: String): DataFrame =
+    normedVectors(spark, dir)
+      .withColumn("scale",
+        lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
+      .withColumn("qv",
+        transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("double")))
+
+  /** DuckDB mirror of [[int8Quantized]] (CTE `qz`; assumes `e` in scope). */
+  val int8QuantizedSql: String = """
+    qz AS (
+      SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS qv
+      FROM (SELECT vec_id, v,
+                   127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) AS scale
+            FROM e))"""
+
   /** Q38: int8 scalar-quantized cosine search — the memory-bandwidth
     * scale path. Each 64-dim float vector compresses to 64 signed bytes
     * plus one per-vector scale (127 / max|x|): an 8× reduction that turns
@@ -258,12 +280,7 @@ object Similarity {
   private val q38 = GraftQuery(
     "q38_quantized_ann",
     (spark, dir) => {
-      val e = normedVectors(spark, dir)
-      val qz = e
-        .withColumn("scale",
-          lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
-        .withColumn("qv",
-          transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("double")))
+      val qz = int8Quantized(spark, dir)
         .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
         .select(col("vec_id"), col("qv"), col("qnrm"))
       val q = qz.filter(col("vec_id") < 20)
@@ -277,14 +294,7 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
     Some(s"""
-      WITH $normedVectorsSql,
-      sc AS (
-        SELECT vec_id, v,
-               127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) AS scale
-        FROM e),
-      qz AS (
-        SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS qv
-        FROM sc),
+      WITH $normedVectorsSql, $int8QuantizedSql,
       qn AS (
         SELECT vec_id, qv, sqrt(${dotSql("qv", "qv")}) AS qnrm FROM qz),
       scored AS (

@@ -29,16 +29,23 @@ class ClusteringSpec extends SparkSpec {
     val t1 = total(1)
     val t2 = total(2)
     val t3 = total(3)
-    assert(t2 <= t1 + 1e-6, s"iteration 2 increased cost: $t1 -> $t2")
-    assert(t3 <= t2 + 1e-6, s"iteration 3 increased cost: $t2 -> $t3")
+    // relative tolerance: the cross-run aggregation order of the double
+    // sum is nondeterministic, so at convergence (t3 == t2 mathematically)
+    // reassociation noise ~nPartitions·eps·total can exceed any absolute
+    // epsilon — scale the slack to the magnitude being compared
+    def leq(a: Double, b: Double) = a <= b + 1e-9 * math.max(1.0, b.abs)
+    assert(leq(t2, t1), s"iteration 2 increased cost: $t1 -> $t2")
+    assert(leq(t3, t2), s"iteration 3 increased cost: $t2 -> $t3")
   }
 
-  test("q58: every dropped vector has a lower-id keeper above the threshold") {
+  test("q58: dropped/survivor partition — no two survivors are similar cell-mates") {
     val asg = Clustering.kmeansAssignments(spark, sfDir)
       .select(col("vec_id"), col("cluster"))
     val out = SparkEntry.queries("q58_semdedup")(spark, sfDir).collect()
     assert(out.nonEmpty, "no semantic duplicates at all — threshold fixture broke")
-    assert(out.forall(r => r.getLong(2) < r.getLong(0)), "kept_by not lower-id")
+    // dup_of is a lower-id WITNESS (duplicate evidence; it may itself be
+    // dropped in a similarity chain — documented greedy semantics)
+    assert(out.forall(r => r.getLong(2) < r.getLong(0)), "dup_of not lower-id")
     // each (dropped, cluster) matches the dropped vector's actual cell
     val cellOf = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.forall(r => cellOf(r.getLong(0)) == r.getLong(1)),
@@ -52,6 +59,18 @@ class ClusteringSpec extends SparkSpec {
         (col("a.nrm") * col("b.nrm"))).as("c"))
       .collect()(0).getDouble(0)
     assert(cos >= 0.35, s"reported duplicate pair has cosine $cos < 0.35")
+    // the load-bearing retention contract: among SURVIVORS (vectors not
+    // in the output), no same-cell pair sits above the threshold — any
+    // such pair would have witnessed its higher-id member into the output
+    val dropped = out.map(_.getLong(0)).toSet
+    val survivors = e.join(asg, "vec_id")
+      .filter(!col("vec_id").isInCollection(dropped))
+    val cos2 = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    val leak = survivors.as("a").join(survivors.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") && cos2 >= 0.35)
+      .count()
+    assert(leak == 0, s"$leak similar survivor pairs escaped dedup")
   }
 
   test("q57/q58: deterministic across invocations") {
