@@ -46,4 +46,44 @@ class PackStreamSpec extends SparkSpec {
     }
     assert(streamed.size == docs.size)
   }
+
+  test("out-of-order arrival still packs gap-free per stream (arrival-order contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .as[(Long, String, Long)].collect().toSeq
+
+    val input = MemoryStream[(Long, String, Long)]
+    val query = PackStream.packed(input.toDF().toDF("doc_id", "source", "n_tok"))
+      .writeStream.format("memory").queryName("pack_stream_ooo")
+      .outputMode("append")
+      .start()
+
+    // reversed doc_id order across batches: spans differ from the batch
+    // assignment, but the packing INVARIANTS must hold regardless
+    val batches = docs.sortBy(-_._1).grouped((docs.size + 1) / 2).toSeq
+    batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val out = spark.table("pack_stream_ooo")
+      .select("source", "doc_id", "n_tok", "start_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.length)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val spans = rows.map(r => (r._4, r._4 + r._3)).sortBy(_._1).toSeq
+      // contiguous: starts at 0, each span begins where the previous ended
+      assert(spans.head._1 == 0L, s"$src: first span starts at ${spans.head._1}")
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(e1 == s2, s"$src: gap/overlap between spans ($e1 vs $s2)")
+        case _ =>
+      }
+      // conservation: total packed tokens == the stream's token mass
+      val expected = docs.filter(_._2 == src).map(_._3).sum
+      assert(spans.last._2 == expected, s"$src: packed ${spans.last._2} of $expected")
+    }
+  }
 }
