@@ -386,7 +386,12 @@ object Sampling {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // one-row-per-stream aggregate, materialized: without the barrier it
+      // feeds THREE subtrees (rates, the total, and through them the gate)
+      // and each re-scans the corpus — 3× text I/O at 100 TB for a 20-row
+      // frame (the q32 multi-consumer lesson, caught by a plan audit)
       val byG = docs.groupBy("source").agg(sum("n_tok").as("tok_g"))
+        .localCheckpoint(true)
       // z is a float sum over the (tiny) stream table: a plain sum() would
       // add in partition order and drift a ULP from the oracle — fold over
       // the SORTED value list instead so both engines add identically

@@ -253,6 +253,17 @@ class PlanShapeSpec extends SparkSpec {
       s"gram counts must combine map-side before the shuffle:\n$s")
   }
 
+  test("q56: two corpus scans — the stream-rates table is materialized once") {
+    // the per-stream aggregate must come from ONE scan and be reused as a
+    // materialized frame; un-barriered it fed three subtrees and the plan
+    // read the text column three times
+    val s = planString("q56_mixture_sample")
+    assert("Scan parquet".r.findAllIn(s).length <= 2,
+      s"rates aggregate re-scans the corpus:\n$s")
+    assert(s.contains("Scan ExistingRDD"),
+      s"rates must come from the materialized frame:\n$s")
+  }
+
   test("q59: rank and stratum-count windows share ONE hash shuffle on source") {
     val p = plan("q59_stratified_split")
     val n = countHashShuffles(p)
