@@ -56,13 +56,21 @@ object Bench {
     val qs = results.map { case (k, samples, failed) =>
       "\"" + k + "\":" + (if (failed) "-1" else f"${median(samples)}%.3f")
     }.mkString("{", ",", "}")
+    // Alongside the median, report each query's MIN sample: on a box whose
+    // transients swing 5x, the min is the best available estimate of the
+    // code's intrinsic cost (a transient can only ADD time), so a
+    // round-over-round comparison of mins separates real regressions from
+    // harness/tenant noise.
+    val mins = results.map { case (k, samples, failed) =>
+      "\"" + k + "\":" + (if (failed) "-1" else f"${samples.min}%.3f")
+    }.mkString("{", ",", "}")
     val spreads = results.map { case (k, samples, _) =>
       "\"" + k + f"\":${samples.max - samples.min}%.3f"
     }.mkString("{", ",", "}")
     val errors = results.filter(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.filterNot(_._3).map(r => median(r._2)).sum
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errors,"passes":$passes,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"min":$mins,"spread":$spreads,"errors":$errors,"passes":$passes,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,6 +81,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing keeps Spark's DEFAULT advisory sizes. Round 11
+      // measured the alternative (minPartitionSize=64k + advisory=4m to
+      // spread the heavy joins over all 32 cores): q32's candidate stage
+      // gained 20% isolated, but the extra task-scheduling overhead
+      // inflated the 30+ sub-second headline queries 20-80% each — total
+      // 46.6 -> 55.3 s. On a tiny-data local bench, fewer bigger tasks
+      // win; do not re-add the knobs without re-measuring the whole suite.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -82,9 +97,12 @@ object Bench {
     def runOnce(q: GraftQuery): Unit =
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Warmups catch only NON-fatal failures, matching timeOne's policy: a
+    // swallowed OutOfMemoryError here would leave every timed sample running
+    // on a heap-exhausted JVM.
     headline.foreach { q =>
       try runOnce(q)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
@@ -94,7 +112,7 @@ object Bench {
     // would dominate the reported spread.
     headline.filter(q => heavy(q.name)).foreach { q =>
       try runOnce(q)
-      catch { case _: Throwable => () // already reported above
+      catch { case scala.util.control.NonFatal(_) => () // already reported above
       }
     }
     // Median of the timed passes per query, PASS-MAJOR: run the whole
@@ -110,6 +128,14 @@ object Bench {
     // out of the next's time.
     def timed(q: GraftQuery): (Double, Boolean) = {
       spark.catalog.clearCache()
+      // clearCache() does NOT release localCheckpoint blocks — they live as
+      // persistent RDDs outside the SQL cache and accumulate across the
+      // 38-query suite, inflating later samples with block-store pressure +
+      // GC (round 10's q01/q03/q31 read 2-5x their r9 medians on untouched
+      // code). Sweep them blocking so every sample starts from a clean
+      // block store.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       timeOne(runOnce(q))
     }
     val passes = math.max(3, scala.util.Try(

@@ -19,8 +19,29 @@ import scala.xml.{Elem, XML}
   */
 object RobustXml extends Serializable {
 
+  /** One secure SAX parser per thread (SAXParser reuse is sequential-only;
+    * Spark tasks call this concurrently). DOCTYPE declarations are
+    * rejected outright — the input is untrusted LLM output, and with no
+    * DTD there is no entity to define, so billion-laughs expansion and
+    * external-entity resolution are impossible rather than merely
+    * configured off. A body carrying a DOCTYPE simply fails this strategy
+    * and falls through the recovery chain like any other malformed body. */
+  private val secureLoader =
+    new ThreadLocal[scala.xml.factory.XMLLoader[Elem]] {
+      override def initialValue(): scala.xml.factory.XMLLoader[Elem] = {
+        val f = javax.xml.parsers.SAXParserFactory.newInstance()
+        f.setNamespaceAware(false)
+        f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+        f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+        // belt-and-braces if a parser impl ever accepts a DTD anyway
+        Try(f.setFeature("http://xml.org/sax/features/external-general-entities", false))
+        Try(f.setFeature("http://xml.org/sax/features/external-parameter-entities", false))
+        XML.withSAXParser(f.newSAXParser())
+      }
+    }
+
   private def tryParse(body: String): Option[Elem] =
-    Try(XML.loadString(s"<root>$body</root>")).toOption
+    Try(secureLoader.get().loadString(s"<root>$body</root>")).toOption
 
   private val OpenOnly: Regex = "^<(\\w+)(?:\\s+[^>]*)?>\\s*([^<]*)\\s*$".r
   private val WellFormedLine: Regex = "<(\\w+)(?:\\s+[^>]*)?>([^<]*?)(?:</\\1>|$)".r

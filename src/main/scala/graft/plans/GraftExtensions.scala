@@ -165,14 +165,19 @@ object GraftExtensions {
   private def mkSortedLongJaccardGe(children: Seq[Expression]): Expression = {
     require(children.size == 3,
       "sorted_long_jaccard_ge(a, b, t) takes exactly 3 arguments")
-    SortedLongJaccardGe(children(0), children(1),
-      literalAs("sorted_long_jaccard_ge", "threshold t", children(2)) {
+    val t = literalAs("sorted_long_jaccard_ge", "threshold t", children(2)) {
         case d: Double => d
         case f: Float => f.toDouble
         case i: Int => i.toDouble
         case l: Long => l.toDouble
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      })
+      }
+    // The function is registered for ad-hoc SQL: reject NaN/Infinity here
+    // as a clean argument error (a non-finite threshold is meaningless for
+    // a ratio in [0, 1], and would otherwise only surface downstream).
+    require(java.lang.Double.isFinite(t),
+      s"sorted_long_jaccard_ge threshold t must be finite, got $t")
+    SortedLongJaccardGe(children(0), children(1), t)
   }
 
   private[plans] val sortedLongJaccardGeDescription = (

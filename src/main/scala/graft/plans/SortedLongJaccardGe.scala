@@ -44,8 +44,13 @@ case class SortedLongJaccardGe(left: Expression, right: Expression, t: Double)
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], t)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // The threshold is emitted via its raw bits, not Java source text: a
+    // text interpolation of NaN/Infinity ("compute(a, b, NaN)") is not a
+    // valid Java literal and would surface as a codegen failure; bits
+    // round-trip every double exactly.
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.plans.SortedLongJaccardGe.compute($a, $b, $t)")
+      s"graft.plans.SortedLongJaccardGe.compute($a, $b, " +
+        s"Double.longBitsToDouble(${java.lang.Double.doubleToRawLongBits(t)}L))")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongJaccardGe =

@@ -244,5 +244,47 @@ object Services {
       ORDER BY doc_id, url"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49)
+  /** Q66 (F15): trace-id extraction from agent run logs
+    * (`run_end_to_end.py:270-277` — `re.search(r"LangfuseTraceID:\s*(...)")`
+    * over the whole log, first match wins, absent on no match). Synthetic
+    * corpus: every 3k document's log carries the marker once (an md5 id,
+    * hex ⊂ the allowed charset); every 3k+1 document twice, the first id
+    * stopping at an out-of-charset underscore (first-match + charset-stop
+    * in one row); the rest carry no marker (NULL). DuckDB rebuilds the
+    * same logs and runs the same pattern, so the regex semantics — not
+    * just the expected answers — are hash-checked. */
+  private val q66 = GraftQuery(
+    "q66_trace_id_extract",
+    (spark, dir) => {
+      val logs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("boot doc"), col("doc_id"),
+              lit("\nLangfuseTraceID: trace-"), md5(col("doc_id").cast("string")),
+              lit("\nend")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("LangfuseTraceID:  run_"), col("doc_id"),
+              lit("\nLangfuseTraceID: second-"), col("doc_id")))
+          .otherwise(concat(lit("no marker doc"), col("doc_id"))).as("log"))
+      graft.services.TraceFetcher.extractTraceId(logs)
+        .select("doc_id", "trace_id").orderBy("doc_id")
+    },
+    Some("""
+      WITH logs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'boot doc' || doc_id || chr(10) ||
+                         'LangfuseTraceID: trace-' || md5(CAST(doc_id AS VARCHAR)) ||
+                         chr(10) || 'end'
+                    WHEN doc_id % 3 = 1
+                    THEN 'LangfuseTraceID:  run_' || doc_id || chr(10) ||
+                         'LangfuseTraceID: second-' || doc_id
+                    ELSE 'no marker doc' || doc_id END AS log
+        FROM documents)
+      SELECT doc_id,
+             nullif(regexp_extract(log, 'LangfuseTraceID:\s*([a-zA-Z0-9-]+)', 1),
+                    '') AS trace_id
+      FROM logs ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q66)
 }

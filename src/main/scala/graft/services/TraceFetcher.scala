@@ -63,6 +63,21 @@ object TraceFetcher {
       col("output").isNotNull)
   }
 
+  /** F15: extract the trace id an agent run printed into its log
+    * (`run_end_to_end.py:270-277`: `re.search(r"LangfuseTraceID:\s*([a-zA-Z0-9-]+)")`
+    * over the whole log body, first match wins, absent on no match).
+    * `regexp_extract` returns "" on no match; the reference's "could not
+    * extract" case is modeled as NULL so downstream joins/filters see a
+    * proper missing value rather than an empty-string key. */
+  val traceIdPattern = "LangfuseTraceID:\\s*([a-zA-Z0-9-]+)"
+
+  def extractTraceId(logs: org.apache.spark.sql.DataFrame,
+      logCol: String = "log", outCol: String = "trace_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract, when}
+    val hit = regexp_extract(col(logCol), traceIdPattern, 1)
+    logs.withColumn(outCol, when(hit =!= "", hit))
+  }
+
   /** S3 wired end-to-end: the fetch worklist — usable listings (P6) minus
     * already-landed traces (J7 anti-join), as a bounded, deterministic id
     * batch for [[fetchAll]]. The limit caps one fetch round (the

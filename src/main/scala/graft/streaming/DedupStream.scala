@@ -44,18 +44,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     boilerplate whose extra pairs are the lowest-value in the stream.
   *     Net: exactly-once everywhere, modulo that documented FP drop.
   *
-  * STATE-SCHEMA COMPATIBILITY: adding `overflowBits` to [[BucketState]]
-  * (round 9) broke deserialization of checkpoints written by the earlier
-  * one-field state — an operator resuming an existing checkpoint dir
-  * fails at restore rather than silently degrading. Start a NEW
-  * checkpoint directory when upgrading across this boundary (the
-  * standard Spark contract for stateful-schema evolution; Spark's own
-  * state-schema-validation rejects the mismatch explicitly).
+  * STATE-SCHEMA COMPATIBILITY: [[BucketState]] carries an IN-BAND schema
+  * version ([[StateVersion]]), checked on every restore. Changes that
+  * alter the encoder's physical row layout (like round 9's addition of
+  * `overflowBits`) are rejected by Spark's own state-schema validation at
+  * restart; changes that keep the layout but change its MEANING would
+  * previously resume silently — the version marker turns both into an
+  * explicit engine-side error naming this operator and the fix (start a
+  * new checkpoint directory — the standard Spark contract for stateful
+  * schema evolution). Bump [[StateVersion]] with any semantic change to
+  * the state.
   */
 object DedupStream {
 
+  /** v1 = pre-round-9 single-field state (no overflow Bloom, no version
+    * marker); v2 = docs + overflowBits + this in-band marker. */
+  final val StateVersion = 2
+
   final case class BandRow(band: Int, bucket: String, doc_id: Long, sigs: Seq[String])
-  final case class BucketState(docs: List[(Long, Seq[String])], overflowBits: Array[Long])
+  final case class BucketState(version: Int, docs: List[(Long, Seq[String])],
+      overflowBits: Array[Long])
   final case class Candidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
   private val BloomBits = 4096
@@ -122,9 +130,25 @@ object DedupStream {
   def candidates(rows: Dataset[BandRow], minAgree: Int = 6,
       maxPerBucket: Int = 64): Dataset[Candidate] = {
     import rows.sparkSession.implicits._
+    rows
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processBucket(minAgree, maxPerBucket))
+  }
 
-    def fn(key: (Int, String), it: Iterator[BandRow],
-        state: GroupState[BucketState]): Iterator[Candidate] = {
+  /** The per-bucket state transition (package-visible so the version-gate
+    * restore path is testable against a stubbed GroupState). */
+  private[streaming] def processBucket(minAgree: Int, maxPerBucket: Int)(
+      key: (Int, String), it: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[Candidate] = {
+      state.getOption.foreach { s =>
+        if (s.version != StateVersion) throw new IllegalStateException(
+          s"DedupStream bucket state carries schema v${s.version}, but this " +
+            s"engine writes v$StateVersion: the checkpoint was written by an " +
+            "incompatible version of the operator and cannot be resumed. " +
+            "Start a new checkpoint directory (stateful schema evolution " +
+            "contract — see DedupStream scaladoc).")
+      }
       var docs = state.getOption.map(_.docs).getOrElse(Nil)
       var bits = state.getOption.map(_.overflowBits).orNull
       val out = Vector.newBuilder[Candidate]
@@ -148,13 +172,8 @@ object DedupStream {
           }
         }
       }
-      state.update(BucketState(docs, bits))
+      state.update(BucketState(StateVersion, docs, bits))
       out.result().iterator
-    }
-
-    rows
-      .groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Full pipeline over a streaming (doc_id, text) frame. */

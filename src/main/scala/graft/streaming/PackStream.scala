@@ -46,6 +46,14 @@ object PackStream {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("source"),
         col("n_tok").cast("long"))
+      // A document with no tokens occupies no span: the offset wouldn't
+      // move and last_seq = (start-1)/SeqLen would PRECEDE first_seq —
+      // invalid span metadata from a public API. Empty documents are
+      // dropped before packing (they contribute nothing to the
+      // concatenation, so there is no span to report); packedFromText can
+      // never produce one (split always yields >= 1 token) but direct
+      // callers can.
+      .filter(col("n_tok") > 0)
       .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -28,6 +28,16 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"q_ok\":2.000"), json)
   }
 
+  test("renderJson reports per-query min alongside the median") {
+    val json = Bench.renderJson(Seq(
+      ("q_ok", Seq(3.0, 1.0, 2.0), false),
+      ("q_broken", Seq(0.1), true)), passes = 3, sfDir = "/x")
+    // min is the intrinsic-cost estimate (transients only add time);
+    // failed queries stay -1 in the min map too.
+    assert(json.contains("\"min\":{\"q_ok\":1.000,\"q_broken\":-1}"), json)
+    assert(json.contains("\"q_ok\":2.000"), json)
+  }
+
   test("renderJson with no failures emits an empty errors list") {
     val json = Bench.renderJson(Seq(("q", Seq(1.0), false)), 3, "/x")
     assert(json.contains("\"errors\":[]"), json)

@@ -5,6 +5,37 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Recovery-chain tests for the robust tool-call XML parser (F2). */
 class RobustXmlSpec extends AnyFunSuite {
 
+  test("a DOCTYPE + entity body NEVER expands (secure parsing, all strategies)") {
+    // untrusted LLM output could carry a billion-laughs preamble; the
+    // secure loader rejects any DOCTYPE, so no strategy may ever emit the
+    // expanded entity text — checked over every (preamble, body) pairing
+    val doctypes = Seq(
+      "<!DOCTYPE root [<!ENTITY a \"AAAA\"><!ENTITY b \"&a;&a;&a;&a;\">]>",
+      "<!DOCTYPE root [<!ENTITY a \"AAAA\">]>",
+      "<!DOCTYPE root SYSTEM \"file:///etc/hostname\">")
+    val bodies = Seq(
+      "<tool_name>t</tool_name><parameter><q>&b;</q></parameter>",
+      "<tool_name>t</tool_name><parameter><q>&a;</q></parameter>",
+      "<q>&a;</q>")
+    for (doctype <- doctypes; body <- bodies) {
+      val parsed = RobustXml.parse(doctype + body)
+      // either the body is rejected outright or whatever a later recovery
+      // strategy salvages contains no expanded entity value
+      assert(!parsed.map(_.text).exists(_.contains("AAAA")),
+        s"entity expanded: $parsed")
+      val tool = RobustXml.parseToolUse(doctype + body)
+      assert(!tool.exists(_._2.exists(_._2.contains("AAAA"))), s"expanded: $tool")
+    }
+  }
+
+  test("a DOCTYPE-free body is unaffected by the secure loader") {
+    // the hardening must not change F2 semantics for ordinary bodies
+    // (q40/q45 parity): same parse as before on the happy path
+    val r = RobustXml.parseToolUse(
+      "<tool_name>search</tool_name><parameter><q>spark &amp; scala</q></parameter>")
+    assert(r == Some(("search", Vector("q" -> "spark & scala"))))
+  }
+
   test("strategy 1: well-formed body parses as-is") {
     val r = RobustXml.parseToolUse(
       "<tool_name>search</tool_name><parameter><q>spark</q><k>5</k></parameter>")

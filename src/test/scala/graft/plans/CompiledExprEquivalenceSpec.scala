@@ -235,6 +235,28 @@ class CompiledExprEquivalenceSpec extends SparkSpec {
     assert(got.toSeq == Seq(true, false, false), got.mkString(","))
   }
 
+  test("sorted_long_jaccard_ge rejects a non-finite threshold as an argument error") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L))).toDF("x", "y")
+    // NaN/Infinity thresholds must fail at argument resolution with the
+    // engine's message, not surface later as uncompilable generated Java
+    for (bad <- Seq("CAST('NaN' AS DOUBLE)", "CAST('Infinity' AS DOUBLE)")) {
+      val e = intercept[Exception] {
+        df.select(expr(s"sorted_long_jaccard_ge(x, y, $bad)")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("must be finite")), e.getMessage)
+    }
+    // ...and a subnormal-but-finite threshold still compiles through
+    // codegen (the bits-emission path) and evaluates
+    val ok = df.select(expr("sorted_long_jaccard_ge(x, y, CAST(4.9e-324 AS DOUBLE))"))
+      .collect().map(_.getBoolean(0))
+    assert(ok.toSeq == Seq(true))
+  }
+
   test("rand u32 is roughly uniform over [0, 2^32)") {
     import graft.queries.Sampling.Rand
     val buckets = graft.Tables.documents(spark, sfDir)

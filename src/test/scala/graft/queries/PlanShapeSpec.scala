@@ -84,6 +84,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(joinKeys.nonEmpty, s"expected an equi-join in:\n$s")
     assert(joinKeys.exists(k => k.contains("gram") && k.contains("lang")),
       s"candidate join must key on (gram, lang), got: $joinKeys")
+    // round 11: the PPJoin+ length bucket must be part of the join KEY
+    // (index-side size pruning), not a post-join condition
+    assert(joinKeys.exists(k => k.contains("gram") && k.contains("lang") &&
+        (k.contains("jb") || k.contains("bkt"))),
+      s"candidate join must carry the length-bucket key, got: $joinKeys")
     assert(!joinKeys.exists(k => k.contains("lang") && !k.contains("gram")
         && !k.contains("doc_")),
       s"found a lang-only block join: $joinKeys")

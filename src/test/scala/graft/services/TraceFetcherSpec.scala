@@ -40,6 +40,27 @@ class TraceFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("F15: extractTraceId finds the reference's exact pattern, first match wins") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val logs = Seq(
+      // the reference pattern with arbitrary surrounding log noise
+      ("r1", "booting...\nLangfuseTraceID: abc-123-DEF\ndone"),
+      // whitespace after the colon is \s* — tabs and multiple spaces match
+      ("r2", "LangfuseTraceID:\t  trace-9"),
+      // first match wins when the marker appears twice (re.search semantics)
+      ("r3", "LangfuseTraceID: first-id\nLangfuseTraceID: second-id"),
+      // underscore is OUTSIDE [a-zA-Z0-9-]: the capture stops before it
+      ("r4", "LangfuseTraceID: abc_def"),
+      // no marker at all -> NULL, not empty string
+      ("r5", "no trace id in this log")).toDF("run", "log")
+    val got = TraceFetcher.extractTraceId(logs).orderBy("run")
+      .select("run", "trace_id").as[(String, String)].collect()
+    assert(got === Seq(
+      ("r1", "abc-123-DEF"), ("r2", "trace-9"), ("r3", "first-id"),
+      ("r4", "abc"), ("r5", null)))
+  }
+
   test("batch fetch isolates per-trace failures") {
     val store = new SpanStore[String] {
       override def fetchPage(traceId: String, page: Int): Page[String] =

@@ -143,4 +143,31 @@ class DedupStreamSpec extends SparkSpec {
     assert(!rows.contains((2L, 3L)), "capped bucket must not have stored doc 2")
     query.stop()
   }
+
+  test("restoring a v1 state blob fails with the engine's message, not a decode trace") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // a checkpoint written before the version envelope restores as
+    // version=1 — the transition must reject it by name, telling the
+    // operator to start a new checkpoint directory
+    val v1 = DedupStream.BucketState(1, List((7L, Seq.fill(12)("s"))), null)
+    val restored = TestGroupState.create[DedupStream.BucketState](
+      org.apache.spark.api.java.Optional.of(v1), GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val arrival = DedupStream.BandRow(0, "bkt", 8L, Seq.fill(12)("s"))
+    val e = intercept[IllegalStateException] {
+      DedupStream.processBucket(6, 64)((0, "bkt"), Iterator(arrival), restored)
+    }
+    assert(e.getMessage.contains("schema v1"), e.getMessage)
+    assert(e.getMessage.contains("new checkpoint directory"), e.getMessage)
+
+    // a current-version state restores and processes normally
+    val v2 = DedupStream.BucketState(DedupStream.StateVersion,
+      List((7L, Seq.fill(12)("s"))), null)
+    val ok = TestGroupState.create[DedupStream.BucketState](
+      org.apache.spark.api.java.Optional.of(v2), GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = DedupStream.processBucket(6, 64)((0, "bkt"), Iterator(arrival), ok).toSeq
+    assert(out == Seq(DedupStream.Candidate(7L, 8L, 1.0)))
+    assert(ok.get.version == DedupStream.StateVersion)
+  }
 }

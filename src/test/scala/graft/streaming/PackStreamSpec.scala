@@ -47,6 +47,33 @@ class PackStreamSpec extends SparkSpec {
     assert(streamed.size == docs.size)
   }
 
+  test("zero-token documents are dropped, never emitted with an inverted span") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String, Long)]
+    val query = PackStream.packed(input.toDF().toDF("doc_id", "source", "n_tok"))
+      .writeStream.format("memory").queryName("pack_stream_empty")
+      .outputMode("append")
+      .start()
+    // doc 2 is empty mid-stream: without the guard it would report
+    // first_seq=1, last_seq=0 (start=256, n_tok=0) — an invalid span
+    input.addData((1L, "s", 256L), (2L, "s", 0L), (3L, "s", 10L))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("pack_stream_empty")
+      .select("doc_id", "start_tok", "first_seq", "last_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), s"empty doc leaked: ${out.toSeq}")
+    // the empty doc also doesn't shift anyone else's offsets
+    assert(out.toSeq == Seq((1L, 0L, 0L, 0L), (3L, 256L, 1L, 1L)))
+    out.foreach { case (id, _, fs, ls) =>
+      assert(fs <= ls, s"doc $id: inverted span $fs..$ls")
+    }
+  }
+
   test("out-of-order arrival still packs gap-free per stream (arrival-order contract)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
