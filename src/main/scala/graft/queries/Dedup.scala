@@ -759,7 +759,18 @@ object Dedup {
     * + positional + hash filtering provably drop no qualifying pair, and
     * the reported jaccard is re-computed on exact string sets for the
     * surviving handful — results identical, which is exactly what the
-    * hash check proves. */
+    * hash check proves.
+    *
+    * CORPUS-SIZE CEILING (measured, SCALING.md round 11): candidate
+    * volume is linear only while corpus ≪ gram vocabulary. Char-4-grams
+    * are a BOUNDED keyspace, and once it saturates no prefix is selective
+    * — the 30×/100× probes measured candidate pairs at 47×/546× the 1×
+    * count (volume exponent 2.0 in the last decade). Exact all-pairs
+    * char-gram Jaccard is therefore a bounded-corpus tool (~10⁵–10⁶ docs
+    * per language on this corpus's profile); past that, use q67 (same
+    * similarity space behind LSH blocking, ~0.93 recall at the 0.6
+    * boundary) or the word-shingle family (q30/q31), whose vocabulary
+    * grows with the corpus. */
   /** Q32 intermediate frames, exposed for plan-shape pins: `cand` is the
     * lazy candidate-join frame (must key on (gram, lang), no gram builds
     * in its DAG), `hashVerify` the lazy hash-prune frame (the early-exit
@@ -849,22 +860,39 @@ object Dedup {
         .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
         .distinct()
-      // Hash-prune verify: the early-exit merge kernel lives IN the join
-      // condition, so the ~1.5 M below-threshold pairs (sf0.1) die inside
-      // the join probe — no wide (pair, array, array) row is ever copied
-      // out; only jaccard-qualified survivors (dozens) exit. Collisions
-      // can only inflate the hash intersection, so no qualifying pair is
-      // dropped (see q32HashGrams).
+      val (hashVerify, result) = jaccardVerifyStages(spark, dir, g, cand)
+      Q32Stages(cand, hashVerify, result)
+  }
+
+  /** The two-stage exact-Jaccard verify shared by q32 (PPJoin candidates)
+    * and q67 (LSH candidates): a candidate pair frame (doc_a, doc_b) is
+    * reduced to verified (doc_a, doc_b, jaccard ≥ 0.6) rows.
+    *
+    * Stage 1 — hash prune, IN the join condition: the compiled early-exit
+    * merge kernel (sorted_long_jaccard_ge) evaluates on the transient
+    * joined row, so below-threshold pairs (the overwhelming majority) die
+    * inside the join probe — no wide (pair, array, array) row is ever
+    * copied out. Collisions can only inflate the hash intersection, so no
+    * qualifying pair is dropped (see q32HashGrams).
+    *
+    * Stage 2 — exact re-verify on survivors: re-derive STRING grams for
+    * only the docs appearing in a surviving pair (keyed semi-join fetch —
+    * at 100 TB a second, survivor-pruned pass, not a full rescan) and
+    * compute the published Jaccard on exact string sets.
+    *
+    * `g` must carry (doc_id, hg) with hg = sorted 64-bit gram hashes
+    * (extra columns are fine), already materialized by the caller. */
+  private[queries] def jaccardVerifyStages(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      g: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
       val hashVerify = cand
         .join(g.as("a"), col("a.doc_id") === col("doc_a"))
         .join(g.as("b"), col("b.doc_id") === col("doc_b") &&
           expr("sorted_long_jaccard_ge(a.hg, b.hg, CAST(0.6 AS DOUBLE))"))
         .select(col("doc_a"), col("doc_b"))
       val surv = hashVerify.localCheckpoint(eager = true)
-      // Exact re-verify on the survivors: re-derive STRING grams for only
-      // the docs appearing in a surviving pair (keyed semi-join fetch —
-      // at 100 TB this is a second, survivor-pruned pass, not a full
-      // rescan) and compute the published Jaccard on exact string sets.
       val ids = surv.select(col("doc_a").as("doc_id"))
         .unionByName(surv.select(col("doc_b").as("doc_id")))
         .distinct()
@@ -884,7 +912,7 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.6)
         .orderBy("doc_a", "doc_b")
-      Q32Stages(cand, hashVerify, result)
+      (hashVerify, result)
   }
 
   private val q32 = GraftQuery(
@@ -907,6 +935,147 @@ object Dedup {
               / len(list_distinct(a.gr || b.gr)) >= 0.6
       ORDER BY doc_a, doc_b"""),
     headline = true)
+
+  /** Q67: q32's similarity space (char-4-gram Jaccard ≥ 0.6, lang-blocked)
+    * behind LSH blocking — the measured scale path past exact PPJoin.
+    *
+    * WHY THIS EXISTS (SCALING.md round 11): q32 is EXACT — zero false
+    * negatives — but its prefix index blocks on the gram vocabulary, and
+    * char-4-grams are a BOUNDED keyspace: the 30×/100× probes measured
+    * vocabulary saturating (22×/44× for 30×/100× data) and candidate
+    * volume going super-linear (47×/546×) — the q31 fixed-keyspace lesson,
+    * surfacing at corpus ≫ vocabulary. No exact prefix-filter spelling
+    * escapes that: once every gram is common, nothing is selective.
+    * This operator swaps the candidate generator for q30's banded MinHash
+    * (6 bands × 2 rows over 12 signatures), whose bucket keyspace is md5
+    * of signature pairs — UNBOUNDED, so occupancy tracks true duplicate
+    * density at any corpus size and candidate volume stays linear. The
+    * price is recall < 1 at the threshold boundary: P(caught) =
+    * 1 − (1 − j²)⁶ ≈ 0.93 at j = 0.6, → 0.998 at j = 0.8. Both engines
+    * replicate the banding exactly, so the oracle hash still pins every
+    * emitted row; the verify stack (hash-prune in the join condition +
+    * exact string re-verify) is byte-for-byte q32's, shared via
+    * [[jaccardVerifyStages]] — a reported pair is exactly as trustworthy
+    * as q32's, the LSH only decides which pairs are LOOKED AT.
+    *
+    * Scale shape: one corpus scan computes hashed grams + signatures in
+    * the same projection (one checkpoint barrier); bands explode 6 rows
+    * per doc; the bucket join keys on (band, sig, lang); verify joins key
+    * on doc_id. Every shuffle keyed, nothing all-pairs, no fixed
+    * cardinality anywhere. */
+  private[queries] def lshJaccardStages(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+      graft.plans.GraftExtensions.install(spark)
+      val g = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          expr("char_ngrams(text, 4, true)").as("gr"))
+        .select(col("doc_id"), col("lang"),
+          expr("sorted_hash64(gr)").as("hg"),
+          expr("minhash_sigs(gr, 12)").as("sigs"))
+        .localCheckpoint(eager = true)
+      val bandCols = (0 until 6).map(b =>
+        md5(concat(element_at(col("sigs"), 2 * b + 1),
+          element_at(col("sigs"), 2 * b + 2))).as(s"b$b"))
+      val bands = g.select(col("doc_id") +: col("lang") +: bandCols: _*)
+        .select(col("doc_id"), col("lang"),
+          posexplode(array((0 until 6).map(b => col(s"b$b")): _*)))
+        .toDF("doc_id", "lang", "band", "sig")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val (hashVerify, result) =
+        jaccardVerifyStages(spark, dir, g.select("doc_id", "hg"), cand)
+      Q32Stages(cand, hashVerify, result)
+  }
+
+  private val q67 = GraftQuery(
+    "q67_lsh_jaccard_dedup",
+    (spark, dir) => lshJaccardStages(spark, dir).result,
+    Some {
+      val sigExprs = (0 until 12)
+        .map(s => s"list_min(list_transform(gr, x -> md5('$s:' || x))) AS h$s")
+        .mkString(", ")
+      val bandExprs = (0 until 6)
+        .map(b => s"md5(h${2 * b} || h${2 * b + 1}) AS b$b")
+        .mkString(", ")
+      val bandRows = (0 until 6)
+        .map(b => s"SELECT doc_id, lang, $b AS band, b$b AS sig FROM band")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH g AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, length(text)-3),
+                 i -> substring(text, i, 4))) AS gr
+        FROM documents WHERE length(text) >= 4),
+      sig AS (SELECT doc_id, lang, $sigExprs FROM g),
+      band AS (SELECT doc_id, lang, $bandExprs FROM sig),
+      rows_ AS ($bandRows),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM rows_ x JOIN rows_ y
+          ON x.band = y.band AND x.sig = y.sig AND x.lang = y.lang
+         AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+               / len(list_distinct(a.gr || b.gr)) AS jaccard
+      FROM cand
+      JOIN g a ON a.doc_id = doc_a
+      JOIN g b ON b.doc_id = doc_b
+      WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+              / len(list_distinct(a.gr || b.gr)) >= 0.6
+      ORDER BY doc_a, doc_b"""
+    },
+    headline = true)
+
+  /** Q68: cross-source duplication AUDIT — for every pair of corpus
+    * sources, how many verified near-duplicate document pairs cross (or
+    * stay within) them. This is the standard pre-training corpus
+    * diagnostic ("how much of source B is already in source A?") behind
+    * published train-set overlap analyses (Lee et al., ACL'22
+    * "Deduplicating Training Data Makes Language Models Better" §4;
+    * Dodge et al., EMNLP'21 C4 documentation) — the report that decides
+    * which source to drop or down-weight in the mixture (q56) BEFORE
+    * spending the full dedup pass.
+    *
+    * Reuses q30's verified pair stream (banded MinHash candidates +
+    * exact-Jaccard verify — nothing all-pairs), then a keyed doc_id join
+    * attaches each side's source and a tiny groupBy reduces to the
+    * source-pair matrix. Scale shape: the pair stream is near-dup-density
+    * sized (≪ corpus), the source lookup is a keyed join AQE will
+    * broadcast when the pair side is small, and the output is
+    * |sources|² rows at most — driver-safe at any corpus size. max
+    * rather than mean jaccard: max is order-independent and therefore
+    * bit-exact across engines without a sorted-fold. */
+  private val q68 = GraftQuery(
+    "q68_source_overlap",
+    (spark, dir) => {
+      val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      minhashPairs(spark, dir)
+        .join(src.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(src.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(
+          least(col("sa.source"), col("sb.source")).as("source_a"),
+          greatest(col("sa.source"), col("sb.source")).as("source_b"),
+          col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""
+      WITH $minhashPairsSql
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             count(*) AS n_pairs, max(jaccard) AS max_jaccard
+      FROM pairs
+      JOIN documents sa ON sa.doc_id = pairs.doc_a
+      JOIN documents sb ON sb.doc_id = pairs.doc_b
+      GROUP BY 1, 2
+      ORDER BY source_a, source_b"""))
 
   /** Q33: embedding-cosine near-duplicate pairs, blocked on `label` (the
     * coarse-quantization cell), cosine ≥ 0.35. Dot products are explicit
@@ -943,7 +1112,7 @@ object Dedup {
       ORDER BY vec_a, vec_b"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52)
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52, q67, q68)
 }
 
 /** Engine-side enforcement of q33's documented scaling contract: the

@@ -488,5 +488,112 @@ object Sampling {
       ORDER BY doc_id"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65)
+  /** Q69: hashed-n-gram IMPORTANCE scoring for data selection — the DSIR
+    * recipe (Xie et al., NeurIPS'23, "Data Selection for Language Models
+    * via Importance Resampling"; public paper, no reference analogue):
+    * featurize every document as hashed word-bigram counts, estimate
+    * per-bucket feature distributions for a TARGET domain (here the
+    * `src0` source stands in for the curated target corpus) and for the
+    * RAW pool, and rank raw documents by how target-like their features
+    * are. The top of the ranking is what you'd feed the training mixture.
+    *
+    * Two deliberate deviations from the paper, both for cross-engine
+    * bit-exactness (this output is hash-compared against DuckDB):
+    * per-document score is the SUM of per-occurrence likelihood ratios
+    * rather than the log-product (IEEE +,*,/ are exactly specified;
+    * `ln` is not, and 1-ULP libm drift would flake the oracle), and each
+    * ratio is spelled ((cnt_t+1)/(st+B)) / ((cnt_r+1)/(sr+B)) — division
+    * before division — so no intermediate integer product can exceed
+    * 2^53 at any corpus size. The ratio sum rewards the same per-bucket
+    * evidence the paper's log-product does (not an identical ranking —
+    * a documented variant, chosen because a flaky oracle is worse than
+    * a variant scorer).
+    *
+    * Scale shape: the feature frame is built once behind a checkpoint
+    * barrier (it feeds the target counts, the raw counts, AND the scoring
+    * join — the q56 multi-consumer lesson); bucket counts are partial-agg
+    * groupBys over a FIXED 4096-bucket domain (bounded by construction,
+    * so the ratio table broadcast is corpus-size-independent — the one
+    * place a fixed keyspace is correct, because it is an aggregate, not
+    * a join index); scoring is one keyed shuffle per doc; the final
+    * top-100 is TakeOrdered (O(k) driver memory). One corpus scan,
+    * linear at 100 TB. */
+  private val q69 = GraftQuery(
+    "q69_importance_score",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
+      val B = 4096
+      val fb = Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(expr("word_shingles(text, 2, false)")).as("bg"))
+        .select(col("doc_id"), col("source"),
+          (Rand.u32(md5(concat(lit("dsir:"), col("bg")))) % B).as("bucket"))
+        .localCheckpoint(eager = true)
+      val ct = fb.filter(col("source") === "src0")
+        .groupBy("bucket").agg(count(lit(1)).as("cnt_t"))
+      val cr = fb.filter(col("source") =!= "src0")
+        .groupBy("bucket").agg(count(lit(1)).as("cnt_r"))
+      val tot = ct.agg(sum(col("cnt_t")).as("st"))
+        .crossJoin(cr.agg(sum(col("cnt_r")).as("sr")))
+      val ratio = fb.select(col("bucket")).distinct()
+        .join(ct, Seq("bucket"), "left")
+        .join(cr, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          (((coalesce(col("cnt_t"), lit(0L)) + 1).cast("double") /
+              (col("st") + B).cast("double")) /
+            ((coalesce(col("cnt_r"), lit(0L)) + 1).cast("double") /
+              (col("sr") + B).cast("double"))).as("r"))
+      fb.filter(col("source") =!= "src0")
+        .join(broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_feats"),
+          aggregate(array_sort(collect_list(col("r"))), lit(0.0),
+            (a, x) => a + x).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      f AS (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+        FROM toks),
+      fb AS (
+        SELECT doc_id, source,
+               ${Rand.u32Sql("md5('dsir:' || bg)")} % 4096 AS bucket
+        FROM f),
+      ct AS (SELECT bucket, count(*) AS cnt_t FROM fb
+             WHERE source = 'src0' GROUP BY bucket),
+      cr AS (SELECT bucket, count(*) AS cnt_r FROM fb
+             WHERE source <> 'src0' GROUP BY bucket),
+      tot AS (SELECT CAST((SELECT sum(cnt_t) FROM ct) AS BIGINT) AS st,
+                     CAST((SELECT sum(cnt_r) FROM cr) AS BIGINT) AS sr),
+      ratio AS (
+        SELECT b.bucket,
+               (CAST(COALESCE(ct.cnt_t, 0) + 1 AS DOUBLE)
+                  / CAST(st + 4096 AS DOUBLE))
+               / (CAST(COALESCE(cr.cnt_r, 0) + 1 AS DOUBLE)
+                  / CAST(sr + 4096 AS DOUBLE)) AS r
+        FROM (SELECT DISTINCT bucket FROM fb) b
+        LEFT JOIN ct ON ct.bucket = b.bucket
+        LEFT JOIN cr ON cr.bucket = b.bucket
+        CROSS JOIN tot)
+      SELECT doc_id, count(*) AS n_feats,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list(r))), (a, b) -> a + b) AS score
+      FROM fb JOIN ratio ON ratio.bucket = fb.bucket
+      WHERE source <> 'src0'
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id
+      LIMIT 100"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69)
 }

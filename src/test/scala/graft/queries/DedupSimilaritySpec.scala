@@ -130,6 +130,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(high.subsetOf(lsh), s"LSH missed pairs: ${high -- lsh}")
   }
 
+  test("q67 pairs are a subset of exact q32 with identical jaccard values") {
+    // q67 = q32's similarity space behind LSH blocking: the LSH only
+    // decides which pairs are LOOKED AT, the shared verify decides what
+    // is emitted — so every q67 row must appear in exact q32's output
+    // with the same (bit-identical) jaccard
+    val exact = SparkEntry.queries("q32_ngram_jaccard_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("q67_lsh_jaccard_dedup")(spark, sfDir).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"q67 emitted $key not in exact q32")
+      assert(exact(key) == r.getDouble(2),
+        s"jaccard mismatch for $key: exact ${exact(key)} vs lsh ${r.getDouble(2)}")
+    }
+  }
+
+  test("q68 source-overlap matrix accounts for every q30 pair exactly once") {
+    val pairs = SparkEntry.queries("q30_minhash_lsh_dedup")(spark, sfDir).collect()
+    val audit = SparkEntry.queries("q68_source_overlap")(spark, sfDir).collect()
+    // the audit is a partition of the verified pair stream: totals match
+    assert(audit.map(_.getAs[Long]("n_pairs")).sum == pairs.length,
+      "sum of per-source-pair counts must equal the q30 pair count")
+    // source pairs are canonically ordered, so each cell appears once
+    val cells = audit.map(r => (r.getString(0), r.getString(1)))
+    assert(cells.distinct.length == cells.length)
+    assert(cells.forall { case (a, b) => a <= b })
+    // max_jaccard never exceeds the global max and respects q30's threshold
+    val maxJ = pairs.map(_.getAs[Double]("jaccard")).max
+    assert(audit.forall { r =>
+      val m = r.getAs[Double]("max_jaccard"); m >= 0.5 && m <= maxJ
+    })
+  }
+
   test("q34 brute-force knn returns 5 ranked neighbors per query") {
     val df = SparkEntry.queries("q34_knn_bruteforce")(spark, sfDir)
     val perQuery = df.groupBy("query_id").count().collect()

@@ -196,6 +196,33 @@ class PlanShapeSpec extends SparkSpec {
       s"bucket join must key on (band, sig), got: $joinKeys")
   }
 
+  test("q67: candidates come from a keyed (band, sig, lang) bucket join, never all-pairs") {
+    // the scale contract that motivates q67 (SCALING.md round 11): the
+    // candidate generator must block on the unbounded md5 band keyspace,
+    // not on anything gram- or vocabulary-cardinality-bounded. The
+    // registered query hides the candidate stage behind the verify's
+    // checkpoint barrier, so pin the exposed lazy stage frames (the q32
+    // pattern).
+    val stages = Dedup.lshJaccardStages(spark, sfDir)
+    val s = finalPlan(stages.cand.queryExecution.executedPlan.toString)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q67 degraded to an all-pairs join:\n$s")
+    val joinKeys =
+      "(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\]"
+        .r.findAllIn(s).toList
+    assert(joinKeys.exists(k => k.contains("band") && k.contains("sig") &&
+        k.contains("lang")),
+      s"bucket join must key on (band, sig, lang), got: $joinKeys")
+    // the verify must ride the shared jaccardVerifyStages kernel: the
+    // early-exit merge kernel runs IN the hash-verify join condition
+    val hv = finalPlan(stages.hashVerify.queryExecution.executedPlan.toString)
+    assert("sorted_long_jaccard_ge".r.findAllIn(hv).length == 1,
+      s"expected exactly one early-exit kernel in the hash verify:\n$hv")
+    val joinLines = hv.linesIterator.filter(_.contains("Join")).toList
+    assert(joinLines.exists(_.contains("sorted_long_jaccard_ge")),
+      s"the jaccard kernel must be a join condition, not a post-join filter:\n$hv")
+  }
+
   test("q64: uniform pick compiles to TakeOrderedAndProject (O(k) driver memory)") {
     val s = planString("q64_uniform_pick")
     assert(s.contains("TakeOrderedAndProject"),

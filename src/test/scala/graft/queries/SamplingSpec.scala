@@ -42,4 +42,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(m.getOrElse("medium", 0L) / total - 0.5) < 0.15)
     assert(math.abs(m.getOrElse("hard", 0L) / total - 0.3) < 0.15)
   }
+
+  test("q69 importance scores exclude the target source and rank target-like docs first") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q69_importance_score")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // ranking is by score descending with doc_id tiebreak
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing")
+    // the target slice itself must never appear in the candidate ranking
+    val targetIds = graft.Tables.documents(spark, sfDir)
+      .filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !targetIds.contains(r.getAs[Long]("doc_id"))),
+      "target-source docs must be excluded from scoring")
+    // every per-occurrence likelihood ratio is positive, so a doc's score
+    // strictly exceeds 0 and n_feats is its bigram multiplicity (>= 1)
+    assert(rows.forall(r => r.getAs[Double]("score") > 0.0 &&
+      r.getAs[Long]("n_feats") >= 1))
+  }
+
+  test("q69 is deterministic across runs") {
+    val a = SparkEntry.queries("q69_importance_score")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q69_importance_score")(spark, sfDir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
 }
