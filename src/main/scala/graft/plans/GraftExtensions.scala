@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowDescription)
     ext.injectFunction(GraftExtensions.sortedHash64Description)
     ext.injectFunction(GraftExtensions.sortedLongJaccardGeDescription)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescription)
   }
 }
 
@@ -185,6 +186,28 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedLongJaccardGe].getName, "sorted_long_jaccard_ge"),
     (children: Seq[Expression]) => mkSortedLongJaccardGe(children))
 
+  /** bloom_might_contain(bloom_bytes, xxhash64_value) — Spark's own
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the runtime-filter probe, codegen-capable), registered so queries can
+    * probe a pre-built `DataFrame.stat.bloomFilter` sketch (serialized via
+    * `BloomFilter.writeTo` — the formats are identical) without a Scala
+    * UDF. The bloom argument must be foldable (a binary literal or scalar
+    * subquery — the expression's own contract); the value argument is the
+    * same xxhash64 the sketch was built over. */
+  private def mkBloomMightContain(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"bloom_might_contain(bloom, value) takes exactly 2 arguments, got ${children.size}")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      children(0), children(1))
+  }
+
+  private[plans] val bloomMightContainDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    (children: Seq[Expression]) => mkBloomMightContain(children))
+
   private def mkWindowHashes(children: Seq[Expression]): Expression = {
     require(children.size == 2 && children(1).foldable,
       "window_hashes(text, w) requires a literal w")
@@ -244,5 +267,7 @@ object GraftExtensions {
       "sorted_hash64", mkSortedHash64, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_long_jaccard_ge", mkSortedLongJaccardGe, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", mkBloomMightContain, "scala_udf")
   }
 }

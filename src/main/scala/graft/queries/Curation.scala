@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation composites — the operators a production training-data
+  * pipeline runs BETWEEN the primitive dedup passes (`Dedup`) and the
+  * mixture/packing stages (`Sampling`): exact segment-level dedup of the
+  * corpus text itself (C4 / RefinedWeb style), Bloom-gated incremental
+  * ingestion against a sealed corpus, and duplicate-cluster resolution into
+  * a kept-representative set. Reference analogue: the processed-trace
+  * cache (`converter/cache_manager.py:44-108`) is the reference's
+  * incremental-ingestion dedup (J7 anti-join); q81 is its at-scale
+  * generalization. q80/q82 follow the published curation recipes (Raffel
+  * et al., JMLR'20 C4 §2.2 three-sentence-span dedup; Penedo et al., 2023
+  * RefinedWeb §4.2 exact line dedup; Lee et al., ACL'22 keep-first
+  * policy).
+  *
+  * Oracle-parity rules are the Dedup family's: md5 for content keys,
+  * integer-derived arithmetic, deterministic final ORDER BY.
+  */
+object Curation {
+
+  /** Q80: exact SEGMENT-level dedup — the C4/RefinedWeb "line dedup"
+    * adapted to this corpus's newline-free text: a "line" is a run of 8
+    * consecutive tokens (last segment per doc may be shorter). A segment
+    * occurrence is dropped iff its exact content occurs >= 3 times
+    * corpus-wide AND it is not the globally first occurrence (first =
+    * smallest (doc_id, pos) — the ACL'22 keep-first policy, so every
+    * distinct segment survives somewhere). Output: per document, segment
+    * counts and the cleaned text reassembled from kept segments in order.
+    *
+    * Scale shape: one explode pass (corpus-linear), then a groupBy on the
+    * segment CONTENT — an unbounded keyspace whose occupancy is true
+    * repetition — aggregating count + min(struct(doc_id, pos)) with
+    * map-side partial agg, then a join back on segment and a groupBy
+    * doc_id to reassemble. The agg+join spelling is deliberate over a
+    * window: min(struct) partial-aggregates (a 10⁹-occurrence boilerplate
+    * segment reduces map-side instead of sorting one hot window
+    * partition), and AQE can skew-split a join but NOT a window — at
+    * sf0.1 AQE broadcasts the compact per-segment stats table outright.
+    * The reassembly groupBy keys on doc_id; per-doc state is bounded by
+    * document length. */
+  private val q80 = GraftQuery(
+    "q80_segment_dedup",
+    (spark, dir) => {
+      val segs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(toks)-1) div 8), " +
+            "i -> concat_ws(' ', slice(toks, i*8+1, 8)))")))
+        .toDF("doc_id", "pos", "seg")
+      val stats = segs.groupBy("seg").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      segs.join(stats, "seg")
+        .withColumn("keep",
+          col("cnt") < 3 ||
+            (col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_seg"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("pos"), col("seg"))))),
+              x => x.getField("seg")),
+            " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      seg AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS seg
+        FROM t, unnest(generate_series(1, (len(toks)-1)//8 + 1)) u(i)),
+      m AS (
+        SELECT doc_id, pos, seg,
+               count(*) OVER (PARTITION BY seg) AS cnt,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM seg)
+      SELECT doc_id,
+             count(*) AS n_seg,
+             CAST(sum(CASE WHEN cnt >= 3 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             array_to_string(
+               list_transform(
+                 list_sort(list({'p': pos, 's': seg}) FILTER (WHERE cnt < 3 OR rn = 1)),
+                 x -> x.s),
+               ' ') AS clean_text
+      FROM m GROUP BY doc_id ORDER BY doc_id"""),
+    headline = true)
+
+  /** Q81: Bloom-gated INCREMENTAL dedup — admit the documents of an
+    * incoming batch whose content fingerprint (q23's order-insensitive
+    * bag-of-words md5, the F18 cache-key analogue) is unseen in a sealed
+    * corpus. This is the ingestion-time pattern behind the reference's
+    * processed-trace cache (J7, `cache_manager.py:44-108`) at corpus
+    * scale: a Bloom filter over the sealed corpus's keys prunes the
+    * membership test to a scan-local, codegen'd probe
+    * (Spark's own `BloomFilterMightContain` — registered as
+    * `bloom_might_contain`, fed by `DataFrame.stat.bloomFilter` bytes);
+    * only the probe's POSITIVES (true dups + fpp·|batch| false positives)
+    * reach the exact anti-join that decides them. Blooms have no false
+    * negatives, so the miss path admits without any join — output is
+    * EXACT, the sketch only routes.
+    *
+    * Scale shape: at 100 TB the bloom is built once per sealed snapshot
+    * (it is mergeable across partitions — `stat.bloomFilter` already
+    * aggregates it that way) and persisted beside the corpus, and the
+    * corpus KEY table (fp only, one narrow column) is kept bucketed by fp
+    * (`sources/Bucketing.scala`) so the anti-join shuffles NOTHING on the
+    * corpus side; the probe side entering that join is dup-rate-sized
+    * thanks to the bloom, and the batch's miss majority never joins at
+    * all. The inline build here scans the sealed keys once (plus a count
+    * for sizing); ~1.2 KB of bits per 1 000 keys at fpp 0.01 rides to
+    * executors as a literal. */
+  private val q81 = GraftQuery(
+    "q81_bloom_incremental_dedup",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
+      val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7).select(fp.as("fp"))
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), fp.as("fp"))
+      val bf = corpus.select(xxhash64(col("fp")).as("h"))
+        .stat.bloomFilter("h", math.max(corpus.count(), 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val hit = call_function("bloom_might_contain",
+        lit(bos.toByteArray), xxhash64(col("fp")))
+      val admitted = batch.filter(!hit)
+        .unionByName(batch.filter(hit).join(corpus, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp")))
+      admitted.select(col("doc_id"), col("fp")).orderBy("doc_id")
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents)
+      SELECT b.doc_id, b.fp FROM fp b
+      WHERE b.doc_id % 10 = 7
+        AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 7 AND c.fp = b.fp)
+      ORDER BY doc_id"""),
+    headline = true)
+
+  /** Q82: duplicate-cluster REPRESENTATIVE selection — the decision stage
+    * of the fuzzy-dedup pipeline: resolve q30's verified near-dup pairs
+    * into clusters (q36's min-label propagation) and keep, per cluster,
+    * the member with the highest q21 quality score (ties to the smallest
+    * doc_id). Published pipelines pick a keep-document per duplicate
+    * cluster exactly this way (RefinedWeb §4.2; SemDeDup keeps one per
+    * semantic cluster); scoring the keep choice beats keep-first when
+    * duplicates differ in quality. Output: one row per cluster with its
+    * size and chosen representative. Unclustered documents are implicitly
+    * kept and not re-listed.
+    *
+    * Scale shape: inherits q36's bounds (one keyed shuffle per
+    * propagation round, throws rather than truncating); the ranking joins
+    * cluster labels (near-dup-density sized, ≪ corpus) to the quality
+    * scores by doc_id, then one window partitioned by cluster — both
+    * window specs share the cluster-key exchange, and row_number's top-1
+    * compiles to the map-side WindowGroupLimit so only one row per
+    * cluster crosses the final wire. */
+  private val q82 = GraftQuery(
+    "q82_cluster_representatives",
+    (spark, dir) => {
+      val labels = Dedup.resolveClusters(
+        Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b"))
+      val qual = Text.qualityScored(spark, dir)
+        .select(col("doc_id"), col("quality_score"))
+      val w = Window.partitionBy("canonical")
+      labels.join(qual, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("quality_score").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("canonical").as("cluster"), col("n_members"),
+          col("doc_id").as("rep_doc"), col("quality_score").as("rep_quality"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE ${Dedup.minhashPairsSql},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      labels AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical
+        FROM reach GROUP BY s),
+      ${Text.qualityScoredSql},
+      ranked AS (
+        SELECT l.canonical, l.doc_id, q.quality_score,
+               row_number() OVER (PARTITION BY l.canonical
+                 ORDER BY q.quality_score DESC, l.doc_id) AS rn,
+               count(*) OVER (PARTITION BY l.canonical) AS n_members
+        FROM labels l JOIN quality q ON q.doc_id = l.doc_id)
+      SELECT canonical AS cluster, n_members, doc_id AS rep_doc,
+             quality_score AS rep_quality
+      FROM ranked WHERE rn = 1
+      ORDER BY cluster"""))
+
+  val all: Seq[GraftQuery] = Seq(q80, q81, q82)
+}

@@ -42,43 +42,58 @@ object Text {
       FROM documents
       ORDER BY doc_id"""))
 
-  /** Q21: document quality scoring — stopword ratio, vocabulary diversity,
-    * length saturation, combined into one score. Mirrors the reference's
-    * runtime data-quality gates (SURVEY §5) as a scored column instead of a
-    * hard filter. Fixed double expression tree => bit-exact across engines. */
-  private val q21 = GraftQuery(
-    "q21_quality_score",
-    (spark, dir) =>
-      Tables.documents(spark, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("stop_ratio",
-          size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") /
-            col("n_tokens"))
-        .withColumn("uniq_ratio",
-          size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
-        .withColumn("len_score",
-          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
-        .select(
-          col("doc_id"), col("n_tokens"), col("stop_ratio"),
-          col("uniq_ratio"), col("len_score"),
-          (lit(0.3) * col("len_score") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * col("uniq_ratio")).as("quality_score"))
-        .orderBy("doc_id"),
-    Some("""
-      WITH t AS (
+  /** Q21's scorer, exposed (package-private) for reuse — q82 ranks
+    * duplicate-cluster members by this exact score. Stopword ratio,
+    * vocabulary diversity, length saturation, combined into one score;
+    * fixed double expression tree => bit-exact across engines. Unordered:
+    * callers own the final ORDER BY. */
+  private[queries] def qualityScored(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") /
+          col("n_tokens"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("uniq_ratio"), col("len_score"),
+        (lit(0.3) * col("len_score") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * col("uniq_ratio")).as("quality_score"))
+
+  /** The matching DuckDB CTE chain ending in a `quality` CTE with the same
+    * six columns. */
+  private[queries] val qualityScoredSql: String =
+    """qt AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      ), f AS (
+      ), qf AS (
         SELECT doc_id,
                len(toks) AS n_tokens,
                CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
                least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score
-        FROM t
-      )
-      SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, len_score,
-             0.3 * len_score + 0.4 * (1.0 - stop_ratio) + 0.3 * uniq_ratio AS quality_score
-      FROM f
+        FROM qt
+      ), quality AS (
+        SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, len_score,
+               0.3 * len_score + 0.4 * (1.0 - stop_ratio) + 0.3 * uniq_ratio AS quality_score
+        FROM qf
+      )"""
+
+  /** Q21: document quality scoring — stopword ratio, vocabulary diversity,
+    * length saturation, combined into one score. Mirrors the reference's
+    * runtime data-quality gates (SURVEY §5) as a scored column instead of a
+    * hard filter. */
+  private val q21 = GraftQuery(
+    "q21_quality_score",
+    (spark, dir) => qualityScored(spark, dir).orderBy("doc_id"),
+    Some(s"""
+      WITH $qualityScoredSql
+      SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, len_score, quality_score
+      FROM quality
       ORDER BY doc_id"""),
     headline = true)
 
