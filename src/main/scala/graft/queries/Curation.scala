@@ -86,11 +86,11 @@ object Curation {
       SELECT doc_id,
              count(*) AS n_seg,
              CAST(sum(CASE WHEN cnt >= 3 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-             array_to_string(
+             coalesce(array_to_string(
                list_transform(
                  list_sort(list({'p': pos, 's': seg}) FILTER (WHERE cnt < 3 OR rn = 1)),
                  x -> x.s),
-               ' ') AS clean_text
+               ' '), '') AS clean_text
       FROM m GROUP BY doc_id ORDER BY doc_id"""),
     headline = true)
 
@@ -209,5 +209,61 @@ object Curation {
       FROM ranked WHERE rn = 1
       ORDER BY cluster"""))
 
-  val all: Seq[GraftQuery] = Seq(q80, q81, q82)
+  /** Q83: sliding-window CHUNKING with overlap — the pretraining prep
+    * step between cleaning and packing: split each document into windows
+    * of at most 32 tokens advancing by a 24-token stride (8-token
+    * overlap), the `return_overflowing_tokens` semantics of the standard
+    * tokenizer APIs: windows start at 0, S, 2S, … while the start is
+    * inside the document, and the last windows may be short. Overlap
+    * preserves cross-boundary context for next-token training; q53
+    * packing consumes such chunks when documents exceed the sequence
+    * budget. Output: one row per chunk with its token count and content
+    * md5 (content itself stays in the engine; the hash is the
+    * cache/dedup key downstream stages join on, F18-style).
+    *
+    * Scale shape: a narrow per-row transform + posexplode — corpus-linear.
+    * The only exchanges are the explicit scan-parallelism repartition
+    * (the testdata is one file; a real corpus arrives pre-split) and the
+    * final presentation ORDER BY — the library form is the unordered
+    * chunk stream. Chunk boundaries are pure
+    * integer arithmetic on token positions, so the operator parallelizes
+    * per document with zero coordination; skew is bounded by max document
+    * length (a 10⁶-token outlier yields ~4·10⁴ rows from one input row —
+    * flatMap-shaped, absorbed by the explode). */
+  private val q83 = GraftQuery(
+    "q83_overlap_chunks",
+    (spark, dir) => {
+      val L = 32
+      val S = 24
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("n"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(n / $S.0) as int) - 1), " +
+            s"i -> concat_ws(' ', slice(toks, i*$S+1, $L)))")))
+        .toDF("doc_id", "n", "chunk_id", "chunk")
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          least(lit(L), col("n") - col("chunk_id") * S).cast("long")
+            .as("n_tok_chunk"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n, i - 1 AS chunk_id,
+               array_to_string(toks[(i-1)*24+1:(i-1)*24+32], ' ') AS chunk
+        FROM t, unnest(generate_series(1, CAST(ceil(n / 24.0) AS BIGINT))) u(i))
+      SELECT doc_id, chunk_id,
+             least(32, n - chunk_id * 24) AS n_tok_chunk,
+             md5(chunk) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_id"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83)
 }

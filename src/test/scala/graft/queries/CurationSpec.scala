@@ -86,6 +86,37 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._1).length == got.map(_._1).distinct.length)
   }
 
+  test("q83 matches brute-force sliding-window chunking (L=32, S=24)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = for {
+      (id, t) <- docs.toSeq
+      toks = t.split(" ", -1).toSeq
+      nChunks = math.ceil(toks.size / 24.0).toInt
+      i <- 0 until nChunks
+    } yield (id, i.toLong,
+      math.min(32, toks.size - i * 24).toLong,
+      md5hex(toks.slice(i * 24, i * 24 + 32).mkString(" ")))
+    val got = SparkEntry.queries("q83_overlap_chunks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == expect)
+    // overlap invariant: consecutive full windows share S..L token starts,
+    // i.e. every token index is covered by at least one chunk
+    val covered = expect.groupBy(_._1).forall { case (id, cs) =>
+      val n = docs.find(_._1 == id).get._2.split(" ", -1).length
+      cs.map(c => (c._2 * 24, c._2 * 24 + c._3)).sortBy(_._1)
+        .foldLeft(0L) { case (reach, (s, e)) =>
+          assert(s <= reach, s"coverage gap in doc $id"); math.max(reach, e)
+        } == n
+    }
+    assert(covered)
+    assert(expect.exists(_._2 >= 2), "fixture must produce multi-chunk docs")
+  }
+
   test("q82's top-1-per-cluster compiles to WindowGroupLimit") {
     val s = SparkEntry.queries("q82_cluster_representatives")(spark, sfDir)
       .queryExecution.executedPlan.toString
