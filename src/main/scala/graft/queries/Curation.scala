@@ -31,11 +31,17 @@ object Curation {
     * distinct segment survives somewhere). Output: per document, segment
     * counts and the cleaned text reassembled from kept segments in order.
     *
-    * Scale shape: one explode pass (corpus-linear), then a groupBy on the
-    * segment CONTENT — an unbounded keyspace whose occupancy is true
+    * Scale shape: TWO corpus passes — the C4 shape (count pass, then
+    * rewrite pass): the plan re-scans and re-explodes the columnar
+    * source for the stats aggregate and for the join probe side rather
+    * than materializing the exploded segment stream behind a checkpoint
+    * barrier, because at 100 TB re-reading compressed parquet twice is
+    * cheaper than writing + reading the (larger-than-source) row-format
+    * segment stream to executor scratch. The stats pass is a groupBy on
+    * the segment CONTENT — an unbounded keyspace whose occupancy is true
     * repetition — aggregating count + min(struct(doc_id, pos)) with
-    * map-side partial agg, then a join back on segment and a groupBy
-    * doc_id to reassemble. The agg+join spelling is deliberate over a
+    * map-side partial agg; the rewrite pass joins back on segment and
+    * groupBys doc_id to reassemble. The agg+join spelling is deliberate over a
     * window: min(struct) partial-aggregates (a 10⁹-occurrence boilerplate
     * segment reduces map-side instead of sorting one hot window
     * partition), and AQE can skew-split a join but NOT a window — at
