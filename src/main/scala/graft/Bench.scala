@@ -73,6 +73,23 @@ object Bench {
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"min":$mins,"spread":$spreads,"errors":$errors,"passes":$passes,"sf":"$sfDir"}"""
   }
 
+  /** Compact stdout line. The driver captures only the LAST ~2000 chars of
+    * stdout and parses the final line as JSON; the full render with
+    * min/spread maps crossed that window at 38+ headline queries, so
+    * rounds 10-11 recorded parsed:null (the full JSON survives only in
+    * bench_result.json). Keep this line minimal: 2-decimal medians, the
+    * errors list, no min/spread. */
+  private[graft] def renderCompactJson(
+      results: Seq[(String, Seq[Double], Boolean)], sfDir: String): String = {
+    val qs = results.map { case (k, samples, failed) =>
+      "\"" + k + "\":" + (if (failed) "-1" else f"${median(samples)}%.2f")
+    }.mkString("{", ",", "}")
+    val errors = results.filter(_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.filterNot(_._3).map(r => median(r._2)).sum
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -149,14 +166,16 @@ object Bench {
       (q.name, samples.map(_._1), samples.exists(s => !s._2))
     }
     val json = renderJson(results, passes, sfDir)
-    // The driver parses the LAST stdout line as JSON: stop Spark first so no
-    // shutdown logging trails it, and also persist to a file as a fallback
-    // (round 1 lost the perf signal to a warning flood — parsed:null).
+    // The driver parses the LAST stdout line as JSON and keeps only a
+    // 2000-char stdout tail: stop Spark first so no shutdown logging
+    // trails the line, print the COMPACT render (the full one overflowed
+    // the tail window in rounds 10-11 — parsed:null), and persist the full
+    // detail (min/spread/passes) to bench_result.json.
     spark.stop()
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
-    println(json)
+    println(renderCompactJson(results, sfDir))
   }
 }

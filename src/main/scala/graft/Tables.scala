@@ -29,10 +29,13 @@ object Tables {
   def documents(s: SparkSession, d: String)  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively; read it as a nanos long and truncate to microseconds with
-    * integer division (matches DuckDB's ns->us truncation, and avoids the
-    * double-precision loss of `/ 1000` on ~1.7e18 nanos values).
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark
+    * cannot read natively — surfaces as a nanos LongType under the legacy
+    * switch) and TIMESTAMP(MICROS) (reads natively as TimestampType).
+    * Dispatch on the loaded schema: nanos longs are truncated to micros
+    * with integer division (matches DuckDB's ns->us truncation, and avoids
+    * the double-precision loss of `/ 1000` on ~1.7e18 nanos values);
+    * native timestamps pass through untouched.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The legacy-nanos switch is only consulted at parquet schema
@@ -40,7 +43,22 @@ object Tables {
     // the session mutation so repeated loads don't re-write shared conf.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeEventTs(raw)
   }
+
+  /** Normalize whatever `ts` type the parquet surfaced to a plain
+    * TIMESTAMP: nanos LongType → integer-divide to micros;
+    * TIMESTAMP_NTZ (isAdjustedToUTC=false files) → cast, which under the
+    * UTC session timezone is value-preserving and matches DuckDB's naive
+    * timestamp semantics. Keeps `unix_micros`/`date_trunc` callers
+    * agnostic to how the driver generated the file. */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
 }

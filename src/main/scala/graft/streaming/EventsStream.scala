@@ -34,14 +34,15 @@ object EventsStream {
 
   /** File-source streaming read over a landing DIRECTORY of events parquet
     * files (the file source tails a directory; new files become
-    * micro-batches). ns timestamps are read as long then truncated to µs,
-    * as in graft.Tables.events. */
+    * micro-batches). `ts` is normalized exactly as in graft.Tables.events
+    * (ns-long → µs truncation; NTZ → timestamp cast), so the stream and
+    * its batch twin see identical frames regardless of how the landing
+    * files were written. */
   def readEvents(spark: SparkSession, landingDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(landingDir).schema
-    spark.readStream.schema(schema)
-      .parquet(landingDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(landingDir))
   }
 
   /** Hourly tumbling-window aggregation with a 1-hour watermark — the
