@@ -280,6 +280,60 @@ object Advanced {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** Q84: concurrent-interval counting — how many shipments are in transit
+    * on each calendar day (transit window = [ship_day, ship_day +
+    * transit_days], transit_days derived deterministically from the
+    * supplier key). The canonical UNKEYED point-in-interval join, solved
+    * WITHOUT a join: each interval contributes a +1 boundary at its start
+    * and a −1 the day after its end; group boundaries by day; prefix-sum
+    * over the calendar. 100 TB of intervals reduce to ≤ #calendar-days
+    * rows after one keyed shuffle — the naive interval×day join the
+    * oracle runs (unnest a day series per row) would be |data| × avg
+    * window width, which at this corpus's 15-day mean is a 15× blowup
+    * BEFORE aggregation and gets worse as windows widen.
+    *
+    * The prefix-sum window is deliberately single-partition: its input is
+    * bounded by the CALENDAR (one row per day, ~2.5k here), not the
+    * corpus, so it's constant-cost at any data scale — same argument as
+    * q19's decile offsets. The day spine is densified from min/max via
+    * `sequence` so zero-delta days inside active ranges still carry their
+    * running count (matching the naive join), then 0-transit days drop. */
+  private val q84 = GraftQuery(
+    "q84_concurrent_intervals",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(to_date(col("l_shipdate")).as("ship_day"),
+          ((col("l_suppkey") % 20) + 5).cast("int").as("transit_days"))
+      val deltas = li.select(col("ship_day").as("day"), lit(1L).as("delta"))
+        .unionByName(li.select(
+          date_add(col("ship_day"), col("transit_days") + 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("delta"))
+      val spine = deltas.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(deltas, Seq("day"), "left")
+        .withColumn("n_in_transit",
+          sum(coalesce(col("delta"), lit(0L))).over(w))
+        .filter(col("n_in_transit") > 0)
+        .select(col("day").cast("timestamp").as("day"), col("n_in_transit"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT CAST(l_shipdate AS DATE) AS ship_day,
+               CAST(l_suppkey % 20 + 5 AS INTEGER) AS transit_days
+        FROM lineitem),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(ship_day AS TIMESTAMP),
+             CAST(ship_day AS TIMESTAMP) + transit_days * INTERVAL 1 DAY,
+             INTERVAL 1 DAY)) AS DATE) AS day
+        FROM iv)
+      SELECT CAST(day AS TIMESTAMP) AS day, count(*) AS n_in_transit
+      FROM days GROUP BY day ORDER BY day"""),
+    headline = true)
+
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84)
 }

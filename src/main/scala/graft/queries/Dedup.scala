@@ -455,6 +455,51 @@ object Dedup {
       ORDER BY doc_id, benchmark_id"""),
     headline = true)
 
+  /** Q85: benchmark decontamination in EMBEDDING space — q29's semantics
+    * with cosine similarity instead of shared n-grams: flag corpus
+    * vectors within cosine ≥ 0.40 of any benchmark vector (the
+    * deterministic `vec_id < 50` slice stands in for an embedded eval
+    * set). Catches the paraphrased contamination that token-overlap rules
+    * (q29) miss — the published motivation for embedding-based
+    * decontamination in recent open-data work (e.g. FineWeb/Dolma
+    * decontamination discussions; public literature, no reference
+    * analogue).
+    *
+    * Scale shape — the asymmetry IS the design: a real eval set is
+    * 10³–10⁵ vectors (here 50), so the benchmark side is explicitly
+    * `broadcast()` and the 100 TB corpus STREAMS past it map-side — no
+    * shuffle of the corpus, no pair materialization below the threshold
+    * (the cosine test sits in the join condition). Per corpus row the
+    * cost is |bench| compiled dot-folds; when |bench| grows past ~10⁵,
+    * swap the candidate generator for the LSH/IVF blocking of q35/q37 —
+    * the verify (this join) is unchanged. Dot products are the shared
+    * left-fold kernel ([[Similarity.dot]]), bit-identical to the oracle's
+    * list_reduce. */
+  private val q85 = GraftQuery(
+    "q85_embedding_decontam",
+    (spark, dir) => {
+      val e = Similarity.normedVectors(spark, dir)
+      val bench = e.filter(col("vec_id") < 50)
+      val corpus = e.filter(col("vec_id") >= 50)
+      val cos = Similarity.dot(col("b.v"), col("c.v")) /
+        (col("b.nrm") * col("c.nrm"))
+      corpus.as("c").join(broadcast(bench.as("b")), cos >= lit(0.40))
+        .select(col("c.vec_id").as("vec_id"), cos.as("cosine"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH ${Similarity.normedVectorsSql},
+      hits AS (
+        SELECT c.vec_id AS vec_id,
+               ${Similarity.dotSql("b.v", "c.v")} / (b.nrm * c.nrm) AS cosine
+        FROM e b JOIN e c ON b.vec_id < 50 AND c.vec_id >= 50
+        WHERE ${Similarity.dotSql("b.v", "c.v")} / (b.nrm * c.nrm) >= 0.40)
+      SELECT vec_id, count(*) AS n_hits, max(cosine) AS max_cosine
+      FROM hits GROUP BY vec_id ORDER BY vec_id"""),
+    headline = true)
+
   /** Q30: MinHash + LSH near-duplicate detection (shingle → 12 minhashes →
     * 4 bands × 3 rows → bucket self-join → exact-Jaccard verify ≥ 0.5).
     *
@@ -1130,7 +1175,7 @@ object Dedup {
       ORDER BY vec_a, vec_b"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52, q67, q68)
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52, q67, q68, q85)
 }
 
 /** Engine-side enforcement of q33's documented scaling contract: the

@@ -615,5 +615,93 @@ object Text {
       LIMIT 50"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55)
+  /** Q86: hashed-feature linear classifier scoring — the fasttext-style
+    * quality/spam classifier pattern (hash each token into a feature
+    * bucket, score = Σ weights, threshold on the margin; public technique,
+    * no reference analogue). The "pretrained" weight table is a pure
+    * function of the token's md5 (first two hex nibbles → [−128, 127]), so
+    * model scoring compiles to a per-row expression: NO weight-table join,
+    * NO shuffle — 100 TB scores in one fused map pass, which is exactly
+    * how a real hashed linear model deploys (weights broadcast or
+    * constant-folded, never shuffled). Margin stays in exact integer
+    * arithmetic end-to-end; both engines fold the same token order. */
+  private val q86 = GraftQuery(
+    "q86_linear_classifier",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          expr("""CAST(aggregate(transform(toks,
+              t -> CAST(conv(substring(md5(t), 1, 2), 16, 10) AS LONG) - 128L),
+            0L, (acc, x) -> acc + x) AS LONG)""").as("margin"))
+        .withColumn("pred",
+          when(col("margin") > 0, 1).otherwise(0).cast("int"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(list_reduce(list_transform(string_split(text, ' '),
+                 t -> (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) - 128),
+               (a, b) -> a + b) AS BIGINT) AS margin,
+             CAST(CASE WHEN list_reduce(list_transform(string_split(text, ' '),
+                 t -> (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) - 128),
+               (a, b) -> a + b) > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred
+      FROM documents
+      ORDER BY doc_id"""),
+    headline = true)
+
+  /** Q87: vocabulary-coverage scoring — the two-pass LM-lite familiarity
+    * filter: pass 1 mines the corpus-global top-200 tokens by frequency
+    * (deterministic ties by token), pass 2 scores every document by the
+    * fraction of its token OCCURRENCES that fall in that vocabulary — the
+    * cheap stand-in for LM-perplexity filtering (CCNet-style) that stays
+    * exactly reproducible across engines (integer counts; one final exact
+    * int÷int → double).
+    *
+    * Scale shape: pass 1 is a keyed partial-agg groupBy + top-k
+    * (TakeOrdered heaps, never a global sort); the 200-token vocab
+    * broadcasts; pass 2 is a map-side semi-join + per-doc count — two
+    * linear corpus passes, no corpus-keyed shuffle wider than doc_id. */
+  private val q87 = GraftQuery(
+    "q87_vocab_coverage",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(200).select("tok")
+      val counts = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .join(counts, Seq("doc_id"), "left")
+        .withColumn("n_in_vocab", coalesce(col("n_in_vocab"), lit(0L)))
+        .withColumn("coverage",
+          col("n_in_vocab").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+          ORDER BY freq DESC, tok LIMIT 200)),
+      cnt AS (
+        SELECT doc_id, count(*) AS n_in_vocab FROM toks
+        WHERE tok IN (SELECT tok FROM vocab) GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+      SELECT b.doc_id, b.n_tokens,
+             CAST(COALESCE(c.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+             CAST(COALESCE(c.n_in_vocab, 0) AS DOUBLE) / b.n_tokens AS coverage
+      FROM base b LEFT JOIN cnt c USING (doc_id)
+      ORDER BY doc_id"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] =
+    Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87)
 }
