@@ -326,4 +326,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.linesIterator.exists(l => l.contains("Filter") && l.contains("dot_fold")),
       s"cosine ran as a post-join filter:\n$s")
   }
+
+  test("q85: benchmark side broadcasts; the cosine gate is in the join condition") {
+    // the whole design is "corpus never shuffles to meet the eval set":
+    // the join must be a broadcast nested-loop with the dot_fold cosine
+    // evaluated as its condition, so sub-threshold (corpus row, bench
+    // row) combinations die on the transient joined row
+    val s = finalPlan(planString("q85_embedding_decontam"))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"benchmark vectors must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"decontamination degraded to a corpus shuffle join:\n$s")
+    assert(s.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("dot_fold")),
+      s"cosine must be the join condition:\n$s")
+  }
+
+  test("q86: model scoring is shuffle-free (one fused map, no weight join)") {
+    // hashed-weight scoring must compile to a pure map over the scan: no
+    // Exchange except the presentation sort, no Join anywhere
+    val p = plan("q86_linear_classifier")
+    assert(countHashShuffles(p) == 0,
+      s"expected zero hash shuffles in model scoring:\n$p")
+    assert(!p.toString.contains("Join"), s"scoring must not join:\n$p")
+  }
+
+  test("q87: the vocab is a TakeOrdered top-k and broadcasts into the scoring pass") {
+    val s = finalPlan(planString("q87_vocab_coverage"))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-200 vocab must be TakeOrdered, not a global sort:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      s"vocab must broadcast into the corpus pass:\n$s")
+  }
+
+  test("q84: interval counting is boundary aggregation, never an interval join") {
+    // the scale claim is "no unkeyed join, no per-day expansion of the
+    // corpus": the plan must contain no nested-loop/cartesian join, and
+    // exactly one generator (the calendar-spine sequence explode), not a
+    // per-interval one
+    val s = finalPlan(planString("q84_concurrent_intervals"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"interval counting degraded to an interval join:\n$s")
+    assert("Generate explode".r.findAllIn(s).length == 1,
+      s"expected exactly one generator (the day spine):\n$s")
+  }
 }
