@@ -621,14 +621,23 @@ object Text {
     * no reference analogue). The "pretrained" weight table is a pure
     * function of the token's md5 (first two hex nibbles → [−128, 127]), so
     * model scoring compiles to a per-row expression: NO weight-table join,
-    * NO shuffle — 100 TB scores in one fused map pass, which is exactly
-    * how a real hashed linear model deploys (weights broadcast or
-    * constant-folded, never shuffled). Margin stays in exact integer
-    * arithmetic end-to-end; both engines fold the same token order. */
+    * no corpus-keyed shuffle — 100 TB scores in one fused map pass, which
+    * is exactly how a real hashed linear model deploys (weights broadcast
+    * or constant-folded, never shuffled). Margin stays in exact integer
+    * arithmetic end-to-end; both engines fold the same token order.
+    *
+    * The explicit-count repartition is the standing local-mode fix (q29/
+    * q39/q55 precedent): the testdata table is ONE parquet file = one scan
+    * partition, and the md5-per-token fold is expensive narrow work that
+    * otherwise runs on one core (probe: 150 k docs took 12 s serial; 500 k
+    * the same 12 s once the file size earned a second partition). On a
+    * real cluster the scan supplies the parallelism and this one narrow
+    * hop is noise. */
   private val q86 = GraftQuery(
     "q86_linear_classifier",
     (spark, dir) =>
       Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("toks", split(col("text"), " "))
         .select(
           col("doc_id"),
@@ -664,16 +673,35 @@ object Text {
     *
     * Scale shape: pass 1 is a keyed partial-agg groupBy + top-k
     * (TakeOrdered heaps, never a global sort); the 200-token vocab
-    * broadcasts; pass 2 is a map-side semi-join + per-doc count — two
-    * linear corpus passes, no corpus-keyed shuffle wider than doc_id. */
+    * broadcasts into a hashed semi-join; the per-doc count and the final
+    * join both reuse the shared doc_id partitioning — two hash shuffles
+    * total for two corpus passes. */
   private val q87 = GraftQuery(
     "q87_vocab_coverage",
     (spark, dir) => {
+      // same local-mode scan-parallelism fix as q86: tokenization is
+      // expensive narrow work above a single-file scan partition. The
+      // repartitioned frame is MATERIALIZED (q32's checkpoint pattern):
+      // three consumers read it (vocab pass, scoring pass, base pass),
+      // and as lazy subtrees each would rescan + reshuffle the corpus —
+      // ReuseExchange cannot unify them because the semi-join side
+      // carries an extra IsNotNull pushed filter (verified: 0 reuse, 3
+      // scans). Two hash exchanges remain end-to-end (pinned).
       val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint(eager = true)
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("tok")).limit(200).select("tok")
+      // scoring pass: hashed broadcast semi-join for membership (an
+      // array/map HOF lookup is a 200-element LINEAR scan per token in
+      // Spark's interpreted MapData — measured 2× slower at 100×), then
+      // per-doc counts. toks is already hash-partitioned by doc_id, so
+      // the groupBy and the final left join add NO exchange: the whole
+      // query holds exactly two hash shuffles (scan-parallelism + vocab
+      // count), pinned in PlanShapeSpec.
       val counts = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
       docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))

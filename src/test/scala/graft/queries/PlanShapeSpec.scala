@@ -342,21 +342,27 @@ class PlanShapeSpec extends SparkSpec {
       s"cosine must be the join condition:\n$s")
   }
 
-  test("q86: model scoring is shuffle-free (one fused map, no weight join)") {
-    // hashed-weight scoring must compile to a pure map over the scan: no
-    // Exchange except the presentation sort, no Join anywhere
+  test("q86: model scoring is joinless; only the scan-parallelism exchange") {
+    // hashed-weight scoring must compile to a map over the scan: the ONE
+    // allowed hash exchange is the explicit local-mode repartition that
+    // spreads the single-file scan (q29/q39 convention), never a weight
+    // join or a corpus-keyed aggregation shuffle
     val p = plan("q86_linear_classifier")
-    assert(countHashShuffles(p) == 0,
-      s"expected zero hash shuffles in model scoring:\n$p")
+    assert(countHashShuffles(p) == 1,
+      s"expected exactly the scan-parallelism exchange:\n$p")
     assert(!p.toString.contains("Join"), s"scoring must not join:\n$p")
   }
 
-  test("q87: the vocab is a TakeOrdered top-k and broadcasts into the scoring pass") {
+  test("q87: TakeOrdered vocab, broadcast scoring, two hash shuffles total") {
     val s = finalPlan(planString("q87_vocab_coverage"))
     assert(s.contains("TakeOrderedAndProject"),
       s"top-200 vocab must be TakeOrdered, not a global sort:\n$s")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
       s"vocab must broadcast into the corpus pass:\n$s")
+    // the per-doc count and the final join must REUSE the scan-parallelism
+    // doc_id partitioning: scan repartition + vocab count and nothing else
+    val n = countHashShuffles(plan("q87_vocab_coverage"))
+    assert(n == 2, s"expected exactly 2 hash shuffles, got $n:\n$s")
   }
 
   test("q84: interval counting is boundary aggregation, never an interval join") {

@@ -15,16 +15,21 @@ object R12Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(q)
-    def pass(): (Double, Long) = {
+    // Materialize through the noop sink, NOT count(): count() lets
+    // Catalyst prune every unused projection (q86's margin fold) and
+    // eliminate cardinality-preserving outer joins (q87's scoring join)
+    // — the first probe of this round measured a bare scan that way.
+    def pass(): Double = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
+    def rows(): Long = fn(spark, dir).count()
     pass(); pass() // double warm
-    val (samples, rows) = (1 to 3).map(_ => pass()).unzip
-    println(f"[r12probe] $q $dir min=${samples.min}%.2f med=${samples.sorted.apply(1)}%.2f rows=${rows.head}")
+    val samples = (1 to 3).map(_ => pass())
+    println(f"[r12probe] $q $dir min=${samples.min}%.2f med=${samples.sorted.apply(1)}%.2f rows=${rows()}")
     spark.stop()
   }
 }
