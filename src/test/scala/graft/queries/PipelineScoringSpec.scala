@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.{SparkEntry, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** Semantic checks for the round-12 additions: concurrent intervals (q84),
   * embedding decontamination (q85), hashed linear classifier (q86), vocab
@@ -23,6 +25,47 @@ class PipelineScoringSpec extends SparkSpec {
       .orderBy("day")
     assert(fast.collect().map(_.toString).toSeq ==
       naive.collect().map(_.toString).toSeq)
+  }
+
+  test("q84 boundary algebra: generated interval sets match per-day counting") {
+    // the fixture data never exercises single-day intervals, fully
+    // disjoint ranges, or total-overlap pileups; generate them. Raw
+    // ScalaCheck Gens with a fixed-seed sampler (DedupRobustnessSpec
+    // convention — the scalatest bridge isn't on the offline classpath).
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(for {
+      start <- Gen.choose(0, 60)     // day offset
+      len <- Gen.choose(0, 15)       // inclusive transit length; 0 = one day
+    } yield (start, len))
+    (0 until 8).foreach { i =>
+      val ivs = gen.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong))
+        .get
+      val df = ivs.toDF("start", "len")
+        .select(expr("date_add(DATE '2020-01-01', start)").as("ship_day"),
+          col("len").as("transit_days"))
+      // engine spelling (boundary deltas + densified spine prefix sum)
+      val deltas = df.select(col("ship_day").as("day"), lit(1L).as("delta"))
+        .unionByName(df.select(
+          date_add(col("ship_day"), col("transit_days") + 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("delta"))
+      val spine = deltas.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val fast = spine.join(deltas, Seq("day"), "left")
+        .withColumn("n", sum(coalesce(col("delta"), lit(0L))).over(w))
+        .filter(col("n") > 0).select("day", "n").orderBy("day")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      // naive per-day expansion
+      val naive = df.select(explode(expr(
+        "sequence(ship_day, date_add(ship_day, transit_days), interval 1 day)"))
+        .as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n")).orderBy("day")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      assert(fast == naive, s"seed $i: boundary algebra diverged")
+    }
   }
 
   test("q84 never reports a zero or negative concurrency") {
