@@ -81,13 +81,36 @@ object Bench {
     * errors list, no min/spread. */
   private[graft] def renderCompactJson(
       results: Seq[(String, Seq[Double], Boolean)], sfDir: String): String = {
-    val qs = results.map { case (k, samples, failed) =>
-      "\"" + k + "\":" + (if (failed) "-1" else f"${median(samples)}%.2f")
-    }.mkString("{", ",", "}")
-    val errors = results.filter(_._3).map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
-    val total = results.filterNot(_._3).map(r => median(r._2)).sum
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    def render(decimals: Int, keep: Seq[(String, Seq[Double], Boolean)],
+        omitted: Int): String = {
+      val qs = keep.map { case (k, samples, failed) =>
+        "\"" + k + "\":" + (if (failed) "-1"
+          else s"%.${decimals}f".format(median(samples)))
+      }.mkString("{", ",", "}")
+      val errors = results.filter(_._3).map("\"" + _._1 + "\"")
+        .mkString("[", ",", "]")
+      val total = results.filterNot(_._3).map(r => median(r._2)).sum
+      val omit = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$omit,"errors":$errors,"sf":"$sfDir"}"""
+    }
+    // stay safely inside the 2000-char tail as the registry grows:
+    // drop per-query precision (2 → 1 decimals) first, then — honestly
+    // marked — subset the map to failures + slowest entries. value/errors
+    // are always complete; bench_result.json always carries everything.
+    val two = render(2, results, 0)
+    if (two.length <= 1900) two
+    else {
+      val one = render(1, results, 0)
+      if (one.length <= 1900) one
+      else {
+        val ranked = results.sortBy { case (_, samples, failed) =>
+          if (failed) Double.MinValue else -median(samples) }
+        val keepN = Iterator.range(ranked.size, 0, -1)
+          .find(n => render(1, ranked.take(n), ranked.size - n).length <= 1900)
+          .getOrElse(1)
+        render(1, ranked.take(keepN), ranked.size - keepN)
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -49,6 +49,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4.0, 1.0, 3.0, 2.0)) == 2.5)
   }
 
+  test("compact stdout line parses, stays within the driver's 2000-char tail") {
+    // rounds 10-11 lost the perf record to parsed:null - the full render
+    // (min/spread maps) overflowed the tail window the driver keeps.
+    // The compact line must hold under a much larger registry than today's.
+    val many = (1 to 90).map(i => (f"q$i%02d_some_operator_name", Seq(1.234, 2.345), false))
+    val line = Bench.renderCompactJson(many, "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"compact line ${line.length} chars")
+    assert(line.startsWith("{\"metric\":\"total\""), line.take(40))
+    assert(line.contains("\"errors\":[]"), line.takeRight(60))
+    // a subset render must say so, and failed queries must survive it
+    assert(line.contains("\"omitted_fastest\":"), line.take(120))
+    val manyWithFail = many :+ (("q99_broken_op", Seq(0.1), true))
+    val lf = Bench.renderCompactJson(manyWithFail, "/x")
+    assert(lf.contains("\"q99_broken_op\":-1") &&
+      lf.contains("\"errors\":[\"q99_broken_op\"]"), lf)
+    // failures still surface as -1 + errors entry in the compact form
+    val withFail = Bench.renderCompactJson(
+      Seq(("q_ok", Seq(1.0), false), ("q_bad", Seq(0.1), true)), "/x")
+    assert(withFail.contains("\"q_bad\":-1") &&
+      withFail.contains("\"errors\":[\"q_bad\"]"), withFail)
+  }
+
   test("the heavy dedup family is a subset of the headline registry") {
     val names = SparkEntry.registry.filter(_.headline).map(_.name).toSet
     val missing = Bench.heavy -- names
