@@ -298,28 +298,38 @@ object Advanced {
     * q19's decile offsets. The day spine is densified from min/max via
     * `sequence` so zero-delta days inside active ranges still carry their
     * running count (matching the naive join), then 0-transit days drop. */
+  /** q84's engine, exposed (package-private) so the generated-interval
+    * property test exercises the PRODUCTION spelling, not a copy. Input:
+    * (ship_day DATE, transit_days INT) — inclusive window [ship_day,
+    * ship_day + transit_days]. Output: (day DATE, n_in_transit LONG) for
+    * every day with at least one interval active. */
+  private[queries] def concurrentIntervals(
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deltas = li.select(col("ship_day").as("day"), lit(1L).as("delta"))
+      .unionByName(li.select(
+        date_add(col("ship_day"), col("transit_days") + 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy("day").agg(sum("delta").as("delta"))
+    val spine = deltas.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(deltas, Seq("day"), "left")
+      .withColumn("n_in_transit",
+        sum(coalesce(col("delta"), lit(0L))).over(w))
+      .filter(col("n_in_transit") > 0)
+      .select(col("day"), col("n_in_transit"))
+  }
+
   private val q84 = GraftQuery(
     "q84_concurrent_intervals",
-    (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .select(to_date(col("l_shipdate")).as("ship_day"),
-          ((col("l_suppkey") % 20) + 5).cast("int").as("transit_days"))
-      val deltas = li.select(col("ship_day").as("day"), lit(1L).as("delta"))
-        .unionByName(li.select(
-          date_add(col("ship_day"), col("transit_days") + 1).as("day"),
-          lit(-1L).as("delta")))
-        .groupBy("day").agg(sum("delta").as("delta"))
-      val spine = deltas.agg(min("day").as("d0"), max("day").as("d1"))
-        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val w = Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(deltas, Seq("day"), "left")
-        .withColumn("n_in_transit",
-          sum(coalesce(col("delta"), lit(0L))).over(w))
-        .filter(col("n_in_transit") > 0)
+    (spark, dir) =>
+      concurrentIntervals(
+        Tables.lineitem(spark, dir)
+          .select(to_date(col("l_shipdate")).as("ship_day"),
+            ((col("l_suppkey") % 20) + 5).cast("int").as("transit_days")))
         .select(col("day").cast("timestamp").as("day"), col("n_in_transit"))
-        .orderBy("day")
-    },
+        .orderBy("day"),
     Some("""
       WITH iv AS (
         SELECT CAST(l_shipdate AS DATE) AS ship_day,

@@ -31,7 +31,14 @@ object Similarity {
     s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
   /** embeddings as double vectors with precomputed L2 norms (shared by q33
-    * — normalizing once keeps every downstream cosine a single fold). */
+    * — normalizing once keeps every downstream cosine a single fold).
+    *
+    * Zero-norm vectors are EXCLUDED, in both dialects: nrm=0 makes every
+    * cosine 0/0 = NaN, and the engines then disagree silently — Spark's
+    * `NaN >= t` join conditions are false while DuckDB's total float
+    * order ranks NaN above everything, so the same threshold admits the
+    * pair in the oracle and drops it in the engine. No current testdata
+    * vector is zero (hashes unchanged); the guard closes the class. */
   def normedVectors(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(spark)
     val v = transform(col("embedding"), x => x.cast("double"))
@@ -41,14 +48,17 @@ object Similarity {
       // and AQE would coalesce this small exchange (see Dedup.shingleDf)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
   }
 
   val normedVectorsSql: String =
     s"""e AS (
-      SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
-      FROM (SELECT vec_id, label,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings))"""
+      SELECT vec_id, label, v, nrm FROM (
+        SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
+        FROM (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings))
+      WHERE nrm > 0)"""
 
   /** Deterministic ±1.0 hyperplanes: component d of plane p is +1 iff the
     * first hex nibble of md5("p:d") has its high bit set. 32 planes (4 LSH

@@ -649,17 +649,16 @@ object Text {
           when(col("margin") > 0, 1).otherwise(0).cast("int"))
         .orderBy("doc_id"),
     Some("""
-      SELECT doc_id,
-             len(string_split(text, ' ')) AS n_tokens,
-             CAST(list_reduce(list_transform(string_split(text, ' '),
-                 t -> (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
-                    + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) - 128),
-               (a, b) -> a + b) AS BIGINT) AS margin,
-             CAST(CASE WHEN list_reduce(list_transform(string_split(text, ' '),
-                 t -> (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
-                    + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) - 128),
-               (a, b) -> a + b) > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred
-      FROM documents
+      SELECT doc_id, n_tokens, margin,
+             CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(list_reduce(list_transform(string_split(text, ' '),
+                   t -> (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) - 128),
+                 (a, b) -> a + b) AS BIGINT) AS margin
+        FROM documents)
       ORDER BY doc_id"""),
     headline = true)
 

@@ -43,20 +43,8 @@ class PipelineScoringSpec extends SparkSpec {
       val df = ivs.toDF("start", "len")
         .select(expr("date_add(DATE '2020-01-01', start)").as("ship_day"),
           col("len").as("transit_days"))
-      // engine spelling (boundary deltas + densified spine prefix sum)
-      val deltas = df.select(col("ship_day").as("day"), lit(1L).as("delta"))
-        .unionByName(df.select(
-          date_add(col("ship_day"), col("transit_days") + 1).as("day"),
-          lit(-1L).as("delta")))
-        .groupBy("day").agg(sum("delta").as("delta"))
-      val spine = deltas.agg(min("day").as("d0"), max("day").as("d1"))
-        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val fast = spine.join(deltas, Seq("day"), "left")
-        .withColumn("n", sum(coalesce(col("delta"), lit(0L))).over(w))
-        .filter(col("n") > 0).select("day", "n").orderBy("day")
+      // the PRODUCTION engine (not a copy of its spelling)
+      val fast = Advanced.concurrentIntervals(df).orderBy("day")
         .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
       // naive per-day expansion
       val naive = df.select(explode(expr(
