@@ -68,5 +68,56 @@ object Multimodal {
       GROUP BY 1
       ORDER BY format"""))
 
-  val all: Seq[GraftQuery] = Seq(q50, q51)
+  /** Q88: content-addressed chunk dedup over binary payloads — the
+    * fixed-size-block dedup pattern of CAS/backup systems applied to a
+    * media corpus: slice every payload into 64-byte blocks, hash each,
+    * count content copies across the corpus. At 100 TB this is how
+    * shared media (re-encoded thumbnails, repeated intro frames,
+    * re-uploaded assets) is found without ever comparing payloads
+    * pairwise: one corpus-linear flatMap (q83's chunking shape, binary
+    * flavor) and ONE keyed shuffle on the chunk hash, whose md5 keyspace
+    * is unbounded so occupancy tracks true duplication at any scale.
+    * Block size is a parameter — 64 B here for testdata granularity, MBs
+    * for real video.
+    *
+    * Oracle-expressible because the synthetic payload is the document's
+    * UTF-8 bytes and the corpus is ASCII (strlen == length verified), so
+    * DuckDB's char-substring md5 equals Spark's byte-substring md5. */
+  private val q88 = GraftQuery(
+    "q88_media_chunk_dedup",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = BinaryOps.synthesize(spark, dir).toDF
+        .filter(length(col("payload")) > 0)
+        .select(col("media_id"), col("payload"))
+      val chunks = media
+        .withColumn("chunk_idx",
+          explode(expr("sequence(0, CAST((length(payload) + 63) div 64 AS INT) - 1)")))
+        .select(col("media_id"), col("chunk_idx"),
+          md5(expr("substring(payload, chunk_idx * 64 + 1, 64)")).as("chunk_md5"))
+      chunks
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("chunk_md5")).cast("long"))
+        .orderBy("media_id", "chunk_idx")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE strlen(text) > 0),
+      c AS (
+        SELECT media_id,
+               CAST(unnest(generate_series(0,
+                 CAST((strlen(text) + 63) // 64 AS INTEGER) - 1)) AS INTEGER) AS chunk_idx,
+               text
+        FROM m),
+      h AS (
+        SELECT media_id, chunk_idx,
+               md5(substring(text, chunk_idx * 64 + 1, 64)) AS chunk_md5
+        FROM c)
+      SELECT media_id, chunk_idx, chunk_md5,
+             CAST(count(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies
+      FROM h
+      ORDER BY media_id, chunk_idx"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q88)
 }
