@@ -271,5 +271,148 @@ object Curation {
       FROM c ORDER BY doc_id, chunk_id"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83)
+  /** Q90: token-budget shard assignment + manifest — the EXPORT step
+    * that closes the curation pipeline: after cleaning (q80), dedup
+    * (q30/q36), mixing (q56) and splitting (q59), the surviving
+    * documents are written out as training shards of ≈B tokens each.
+    * Unlike q53 (which CUTS the token stream into fixed sequences,
+    * splitting documents), sharding keeps documents WHOLE: within each
+    * source, documents in stable doc_id order are greedily binned —
+    * a document opens a new shard when the tokens before it have filled
+    * the current budget (shard = floor(preceding_tokens / B)), so every
+    * shard holds ≥B tokens except its source's last. The emitted
+    * manifest row per (source, shard) — doc count, token count, doc_id
+    * range — is what a training loader consumes to schedule reads
+    * without touching the data; [[writeShards]] performs the actual
+    * partitioned parquet write (spec-pinned; a filesystem layout is not
+    * SQL-expressible).
+    *
+    * Scale shape: identical to q53's — ONE shuffle on the stream key
+    * `source` for the window prefix-sum, then integer math and a
+    * partial-agg groupBy on the same key (no second exchange until the
+    * tiny manifest sort). Mega-source skew has q53's documented fix:
+    * shard the stream key to (source, hash(doc_id) % k); shard identity
+    * is loader-local, so per-k boundary drift is tolerated. */
+  private val q90 = {
+    val budget = 2048L
+    GraftQuery(
+      "q90_token_shards",
+      (spark, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("shard", floor((col("cum") - col("n_tok")) / budget))
+          .groupBy(col("source"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "shard")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM d)
+        SELECT source, (cum - n_tok) // $budget AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM c
+        GROUP BY source, shard
+        ORDER BY source, shard"""))
+  }
+
+  /** q90's writer half: materialize the shard assignment as a
+    * hive-partitioned parquet layout `source=<s>/shard=<n>/…` under
+    * `outDir`. Partitioned-write layout is exercised by CurationSpec
+    * (one directory per manifest row, doc counts matching). At scale the
+    * write inherits the window's HashPartitioning(source), so each shard
+    * directory is produced by the executor that already holds its rows;
+    * `maxRecordsPerFile` bounds individual file size inside a shard. */
+  def writeShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, budget: Long = 2048L): Unit = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard", floor((col("cum") - col("n_tok")) / budget))
+      .drop("cum")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("source", "shard")
+      .parquet(outDir)
+  }
+
+  /** Q91: per-domain frequency capping — the quota rule crawl-scale
+    * curation applies so no single site dominates the corpus (Penedo et
+    * al., 2023 RefinedWeb §3.2 url-level filtering; Rae et al., 2021
+    * Gopher/MassiveText §A.1.2 cap heavily-represented domains): keep at
+    * most K documents per domain, chosen deterministically by quality
+    * rank (longer docs first; doc_id ties). The corpus has no URL
+    * column, so the domain key is synthesized q66-style —
+    * floor(sqrt(doc_id mod 10⁴)) — giving ~2k+1 docs for domain k, a
+    * linearly-skewed distribution the cap actually bites on (domains
+    * ≥ K·… docs lose their tail). Output: the per-domain audit a
+    * curation run reports — doc/kept counts and char volumes.
+    *
+    * Scale shape: one shuffle on domain for the rank window, then a
+    * partial-agg groupBy on the SAME key (no second exchange). The
+    * window sorts each domain partition; for a 10⁹-doc mega-domain the
+    * documented alternative is the q54 two-phase heap (per-partition
+    * top-K then merge), which bounds memory at O(K) per domain — the
+    * window spelling is kept because the audit also needs the DROPPED
+    * volume, which a heap discards. Integer arithmetic and IEEE sqrt on
+    * exact integers keep the domain key bit-stable across engines. */
+  private val q91 = {
+    val cap = 20
+    GraftQuery(
+      "q91_domain_cap",
+      (spark, dir) => {
+        val w = Window.partitionBy("domain")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars"),
+            floor(sqrt((col("doc_id") % 10000).cast("double")))
+              .cast("long").as("domain"))
+          .withColumn("r", row_number().over(w))
+          .groupBy("domain")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("r") <= cap, 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_chars")).as("chars_total"),
+            sum(when(col("r") <= cap, col("n_chars")).otherwise(0L))
+              .as("chars_kept"))
+          .orderBy("domain")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, n_chars,
+                 CAST(floor(sqrt(CAST(doc_id % 10000 AS DOUBLE))) AS BIGINT) AS domain
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars, domain,
+                 row_number() OVER (PARTITION BY domain
+                   ORDER BY n_chars DESC, doc_id) AS r
+          FROM d)
+        SELECT domain, count(*) AS n_docs,
+               CAST(sum(CASE WHEN r <= $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               CAST(sum(CASE WHEN r <= $cap THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+        FROM r
+        GROUP BY domain
+        ORDER BY domain"""))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83, q90, q91)
 }

@@ -646,21 +646,33 @@ object Dedup {
     * nibbles reused across all 64 bits); candidates come from a keyed
     * self-join on (block index, block value) — occupancy-bounded buckets,
     * never all-pairs — deduped before the exact verify. */
+  /** One 32-bit half of a SimHash fingerprint: majority-vote bits over a
+    * feature-hash array (bit j = sign of the ±1 vote of nibble j of each
+    * md5), rendered as a '0'/'1' string. One fold per half computes all
+    * 32 bit-votes (see q30 for why: higher-order exprs are interpreted,
+    * and per-bit columns would each recompute the feature hashes under
+    * CollapseProject). Shared by q31 (word-shingle features) and q92
+    * (binary content-block features). */
+  private[queries] def simhashFp32(hashes: Column): Column = {
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(32)),
+        (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
+    aggregate(votes, lit(""),
+      (s, v) => concat(s, when(v > 0, "1").otherwise("0")))
+  }
+
+  /** Hamming distance between two 64-bit '0'/'1' fingerprint strings held
+    * in columns `a` and `b`. */
+  private[queries] def hamming64(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
+      acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
+
   private val q31 = GraftQuery(
     "q31_simhash_dedup",
     (spark, dir) => {
-      // one fold per 32-bit half computes its bit-votes (see q30 for why:
-      // higher-order exprs are interpreted, and per-bit columns would
-      // each recompute the shingle hashes under CollapseProject)
-      def fp32(hashes: Column) = {
-        val votes = aggregate(
-          hashes,
-          array_repeat(lit(0), 32),
-          (acc, h) => zip_with(acc, sequence(lit(1), lit(32)),
-            (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
-        aggregate(votes, lit(""),
-          (s, v) => concat(s, when(v > 0, "1").otherwise("0")))
-      }
+      def fp32(hashes: Column) = simhashFp32(hashes)
       val fps = shingleDf(spark, dir)
         .select(col("doc_id"),
           transform(col("sh"), sh => md5(sh)).as("hs"),
@@ -672,9 +684,7 @@ object Dedup {
         explode(array((0 until 4).map(i => struct(
           lit(i).as("blk"),
           substring(col("fp"), i * 16 + 1, 16).as("bits"))): _*)).as("k"))
-      val ham = aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
-        acc + when(col("fpa").substr(i, lit(1)) =!= col("fpb").substr(i, lit(1)), 1)
-          .otherwise(0))
+      val ham = hamming64(col("fpa"), col("fpb"))
       keyed.as("a").join(keyed.as("b"),
           col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

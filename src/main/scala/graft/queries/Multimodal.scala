@@ -119,5 +119,95 @@ object Multimodal {
       ORDER BY media_id, chunk_idx"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q88)
+  /** Q92: perceptual-hash near-duplicate media pairs — the asset-level
+    * companion to q88's chunk-level dedup: q88 finds SHARED BLOCKS across
+    * the corpus; q92 finds WHOLE ASSETS whose content is almost the same
+    * (re-uploads with touched metadata, re-encodes sharing most frames).
+    * The real-world operator hashes decoded pixels/frames (pHash/aHash —
+    * DCT or mean-threshold bits over the decoded image); decoding is
+    * stubbed here (no codecs in this environment, same boundary as
+    * q50/q51), and the perceptual signature is built from the payload's
+    * 64-byte content blocks instead: a 64-bit SimHash (Charikar, STOC'02)
+    * over block md5s — payloads sharing most content blocks agree on most
+    * majority-vote bits, which is exactly the locality property the
+    * decoded-domain pHash provides. Swapping the feature extractor
+    * (blocks → decoded-frame features) changes ONE select; the Spark-side
+    * shape — signature, banding, verify — is the production pipeline.
+    *
+    * Candidate blocking is q31's pigeonhole-complete 4×16-bit scheme:
+    * pairs within Hamming ≤ 3 must agree on ≥1 of the 4 blocks, so the
+    * self-join is keyed on (block index, block bits) — occupancy-bounded
+    * buckets over a 2¹⁶-key space per index, never all-pairs — then the
+    * exact Hamming verify filters. One narrow fingerprint map (two md5s
+    * per block, one fold per 32-bit half), one keyed shuffle, one
+    * distinct. Fingerprints are 64-char bit-strings of md5-derived votes,
+    * so the DuckDB oracle rebuilds them bit-identically. */
+  private val q92 = GraftQuery(
+    "q92_media_phash_neardup",
+    (spark, dir) => {
+      import graft.queries.Dedup.{hamming64, simhashFp32}
+      val fps = BinaryOps.synthesize(spark, dir).toDF
+        .filter(length(col("payload")) > 0)
+        .select(col("media_id"), col("payload"))
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+        .withColumn("hs", expr(
+          "transform(sequence(0, CAST((length(payload) + 63) div 64 AS INT) - 1), " +
+            "i -> md5(substring(payload, i * 64 + 1, 64)))"))
+        .select(col("media_id"),
+          concat(simhashFp32(col("hs")),
+            simhashFp32(expr("transform(hs, h -> md5(concat('b:', h)))")))
+            .as("fp"))
+      val keyed = fps.select(col("media_id"), col("fp"),
+        explode(array((0 until 4).map(i => struct(
+          lit(i).as("blk"),
+          substring(col("fp"), i * 16 + 1, 16).as("bits"))): _*)).as("k"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          col("a.fp").as("fpa"), col("b.fp").as("fpb"))
+        .distinct() // a close pair can collide in several blocks
+        .select(col("media_a"), col("media_b"),
+          hamming64(col("fpa"), col("fpb")).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("media_a", "media_b")
+    },
+    Some {
+      def bitExprs(hcol: String) = (0 until 32).map(j =>
+        s"""CASE WHEN list_sum(list_transform($hcol,
+              h -> CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+            THEN '1' ELSE '0' END""").mkString(" || ")
+      s"""
+      WITH m AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE strlen(text) > 0),
+      c AS (
+        SELECT media_id,
+               list_transform(generate_series(0,
+                   CAST((strlen(text) + 63) // 64 AS INTEGER) - 1),
+                 i -> md5(substring(text, i * 64 + 1, 64))) AS hs
+        FROM m),
+      t AS (
+        SELECT media_id, hs,
+               list_transform(hs, h -> md5('b:' || h)) AS hs2
+        FROM c),
+      f AS (SELECT media_id, ${bitExprs("hs")} || ${bitExprs("hs2")} AS fp FROM t),
+      k AS (SELECT media_id, fp, i AS blk, substring(fp, i * 16 + 1, 16) AS bits
+            FROM f, generate_series(0, 3) g(i)),
+      cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.fp AS fpa, b.fp AS fpb
+        FROM k a JOIN k b
+          ON a.blk = b.blk AND a.bits = b.bits AND a.media_id < b.media_id),
+      ham AS (
+        SELECT media_a, media_b,
+               CAST(len(list_filter(generate_series(1, 64),
+                 i -> substring(fpa, i, 1) <> substring(fpb, i, 1))) AS BIGINT)
+                 AS hamming
+        FROM cand)
+      SELECT media_a, media_b, hamming FROM ham
+      WHERE hamming <= 3
+      ORDER BY media_a, media_b"""
+    },
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q88, q92)
 }

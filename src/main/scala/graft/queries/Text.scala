@@ -729,6 +729,95 @@ object Text {
       ORDER BY doc_id"""),
     headline = true)
 
+  /** Q89: bigram-LM familiarity scoring — the full KenLM-perplexity
+    * filtering step of CCNet (Wenzek et al., LREC'20 §4.3: score every
+    * document under an LM trained on a trusted reference corpus, filter
+    * on the score) with the LM reduced to its exactly-reproducible core:
+    * a bigram model with conditional probabilities P(w2|w1) =
+    * c(w1,w2)/c(w1·) estimated on a held-out train slice (every 10th
+    * document — deterministic, disjoint from the scored set), and the
+    * document score the MEAN bigram probability plus the OOV-bigram rate.
+    * Arithmetic stays in {+,/} on IEEE doubles with the per-doc sum
+    * folded over the SORTED probability list (the q56 rule), so both
+    * engines produce bit-identical scores — the reason this is a mean
+    * and not a geometric mean: ln/exp are not bit-specified across
+    * engines, and a familiarity ORDERING is what the filter consumes.
+    *
+    * Scale shape: the model is denormalized at train time (c1 joined
+    * onto the bigram rows — one tiny-side join, so the CORPUS stream is
+    * joined once, not twice), then scoring is one keyed left join of the
+    * corpus bigram stream against the model on (w1,w2) — an unbounded
+    * keyspace whose occupancy is true bigram frequency, linear in corpus
+    * size with map-side partial agg on the train side. Per-doc state in
+    * the final groupBy is bounded by document length. At 100 TB the
+    * model table (train-slice bigram types) stays ≪ corpus and the join
+    * is AQE-broadcastable when the slice is small; otherwise it is a
+    * plain hash join on a well-spread key. */
+  private val q89 = GraftQuery(
+    "q89_lm_familiarity",
+    (spark, dir) => {
+      val bigrams = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+        .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      val trainBig = bigrams.filter(col("doc_id") % 10 === 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val trainUni = trainBig.groupBy("w1").agg(sum("c2").as("c1"))
+      val model = trainBig.join(trainUni, Seq("w1"))
+      bigrams.filter(col("doc_id") % 10 =!= 0)
+        .join(model, Seq("w1", "w2"), "left")
+        .withColumn("p", when(col("c2").isNull, lit(0.0))
+          .otherwise(col("c2").cast("double") / col("c1")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_oov"),
+          aggregate(array_sort(collect_list(col("p"))), lit(0.0),
+            (a, x) => a + x).as("psum"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_bigrams")).as("oov_rate"),
+          (col("psum") / col("n_bigrams")).as("familiarity"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      big AS (
+        SELECT doc_id,
+               unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM t WHERE len(toks) >= 2),
+      tb AS (
+        SELECT w1, w2, count(*) AS c2 FROM big
+        WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+      tu AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM tb GROUP BY w1),
+      model AS (
+        SELECT tb.w1, tb.w2, tb.c2, tu.c1 FROM tb JOIN tu USING (w1)),
+      j AS (
+        SELECT b.doc_id,
+               CASE WHEN m.c2 IS NULL THEN 1 ELSE 0 END AS oov,
+               CASE WHEN m.c2 IS NULL THEN 0.0
+                    ELSE CAST(m.c2 AS DOUBLE) / m.c1 END AS p
+        FROM big b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        WHERE b.doc_id % 10 <> 0),
+      s AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_sort(list(p))), (a, b) -> a + b) AS psum
+        FROM j GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, n_oov,
+             CAST(n_oov AS DOUBLE) / n_bigrams AS oov_rate,
+             psum / n_bigrams AS familiarity
+      FROM s ORDER BY doc_id"""),
+    headline = true)
+
   val all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89)
 }
