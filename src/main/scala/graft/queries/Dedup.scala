@@ -663,11 +663,14 @@ object Dedup {
       (s, v) => concat(s, when(v > 0, "1").otherwise("0")))
   }
 
-  /** Hamming distance between two 64-bit '0'/'1' fingerprint strings held
-    * in columns `a` and `b`. */
-  private[queries] def hamming64(a: Column, b: Column): Column =
-    aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
+  /** Hamming distance between two `nBits`-long '0'/'1' fingerprint
+    * strings held in columns `a` and `b`. */
+  private[queries] def hammingBits(a: Column, b: Column, nBits: Int): Column =
+    aggregate(sequence(lit(1), lit(nBits)), lit(0), (acc, i) =>
       acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
+
+  private[queries] def hamming64(a: Column, b: Column): Column =
+    hammingBits(a, b, 64)
 
   private val q31 = GraftQuery(
     "q31_simhash_dedup",

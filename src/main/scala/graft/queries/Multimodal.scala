@@ -134,18 +134,26 @@ object Multimodal {
     * (blocks → decoded-frame features) changes ONE select; the Spark-side
     * shape — signature, banding, verify — is the production pipeline.
     *
-    * Candidate blocking is q31's pigeonhole-complete 4×16-bit scheme:
-    * pairs within Hamming ≤ 3 must agree on ≥1 of the 4 blocks, so the
-    * self-join is keyed on (block index, block bits) — occupancy-bounded
-    * buckets over a 2¹⁶-key space per index, never all-pairs — then the
-    * exact Hamming verify filters. One narrow fingerprint map (two md5s
-    * per block, one fold per 32-bit half), one keyed shuffle, one
-    * distinct. Fingerprints are 64-char bit-strings of md5-derived votes,
-    * so the DuckDB oracle rebuilds them bit-identically. */
+    * Candidate blocking is q31's pigeonhole-complete scheme with a WIDER
+    * signature: pairs within Hamming ≤ 3 must agree on ≥1 of the 4
+    * blocks, so the self-join is keyed on (block index, block bits) —
+    * never all-pairs — then the exact Hamming verify filters. The
+    * fingerprint is 128 bits / 4×32-bit blocks, NOT q31's 64/4×16: media
+    * fingerprints of UNRELATED assets are near-uniform random (content
+    * blocks share nothing, unlike word shingles drawn from a common
+    * vocabulary), so candidate volume is the birthday term 4·n²/2^bits —
+    * measured at 4×16 bits as a 1.68 tail exponent from 150 k → 500 k
+    * payloads (SCALING.md round 12: the q31 round-9 fixed-keyspace
+    * lesson arriving two decades earlier). A 2³²-key space per block
+    * index pushes the quadratic term past 10⁹ assets; the verify radius
+    * stays 3. One narrow fingerprint map (four md5s per block, one fold
+    * per 32-bit quarter), one keyed shuffle, one distinct. Fingerprints
+    * are 128-char bit-strings of md5-derived votes, so the DuckDB oracle
+    * rebuilds them bit-identically. */
   private val q92 = GraftQuery(
     "q92_media_phash_neardup",
     (spark, dir) => {
-      import graft.queries.Dedup.{hamming64, simhashFp32}
+      import graft.queries.Dedup.{hammingBits, simhashFp32}
       val fps = BinaryOps.synthesize(spark, dir).toDF
         .filter(length(col("payload")) > 0)
         .select(col("media_id"), col("payload"))
@@ -155,27 +163,31 @@ object Multimodal {
             "i -> md5(substring(payload, i * 64 + 1, 64)))"))
         .select(col("media_id"),
           concat(simhashFp32(col("hs")),
-            simhashFp32(expr("transform(hs, h -> md5(concat('b:', h)))")))
+            simhashFp32(expr("transform(hs, h -> md5(concat('b:', h)))")),
+            simhashFp32(expr("transform(hs, h -> md5(concat('c:', h)))")),
+            simhashFp32(expr("transform(hs, h -> md5(concat('d:', h)))")))
             .as("fp"))
       val keyed = fps.select(col("media_id"), col("fp"),
         explode(array((0 until 4).map(i => struct(
           lit(i).as("blk"),
-          substring(col("fp"), i * 16 + 1, 16).as("bits"))): _*)).as("k"))
+          substring(col("fp"), i * 32 + 1, 32).as("bits"))): _*)).as("k"))
       keyed.as("a").join(keyed.as("b"),
           col("a.k") === col("b.k") && col("a.media_id") < col("b.media_id"))
         .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
           col("a.fp").as("fpa"), col("b.fp").as("fpb"))
         .distinct() // a close pair can collide in several blocks
         .select(col("media_a"), col("media_b"),
-          hamming64(col("fpa"), col("fpb")).cast("long").as("hamming"))
+          hammingBits(col("fpa"), col("fpb"), 128).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("media_a", "media_b")
     },
     Some {
+      // n-ary concat(), not a `||` chain: 128 chained binary concats
+      // exceed DuckDB's binder recursion limit (max 128)
       def bitExprs(hcol: String) = (0 until 32).map(j =>
         s"""CASE WHEN list_sum(list_transform($hcol,
               h -> CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
-            THEN '1' ELSE '0' END""").mkString(" || ")
+            THEN '1' ELSE '0' END""").mkString("concat(", ", ", ")")
       s"""
       WITH m AS (
         SELECT doc_id AS media_id, text FROM documents WHERE strlen(text) > 0),
@@ -187,10 +199,13 @@ object Multimodal {
         FROM m),
       t AS (
         SELECT media_id, hs,
-               list_transform(hs, h -> md5('b:' || h)) AS hs2
+               list_transform(hs, h -> md5('b:' || h)) AS hs2,
+               list_transform(hs, h -> md5('c:' || h)) AS hs3,
+               list_transform(hs, h -> md5('d:' || h)) AS hs4
         FROM c),
-      f AS (SELECT media_id, ${bitExprs("hs")} || ${bitExprs("hs2")} AS fp FROM t),
-      k AS (SELECT media_id, fp, i AS blk, substring(fp, i * 16 + 1, 16) AS bits
+      f AS (SELECT media_id, concat(${bitExprs("hs")}, ${bitExprs("hs2")},
+                     ${bitExprs("hs3")}, ${bitExprs("hs4")}) AS fp FROM t),
+      k AS (SELECT media_id, fp, i AS blk, substring(fp, i * 32 + 1, 32) AS bits
             FROM f, generate_series(0, 3) g(i)),
       cand AS (
         SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
@@ -199,7 +214,7 @@ object Multimodal {
           ON a.blk = b.blk AND a.bits = b.bits AND a.media_id < b.media_id),
       ham AS (
         SELECT media_a, media_b,
-               CAST(len(list_filter(generate_series(1, 64),
+               CAST(len(list_filter(generate_series(1, 128),
                  i -> substring(fpa, i, 1) <> substring(fpb, i, 1))) AS BIGINT)
                  AS hamming
         FROM cand)

@@ -818,6 +818,129 @@ object Text {
       FROM s ORDER BY doc_id"""),
     headline = true)
 
+  /** Q93: BPE merge training — the vocabulary-induction step of the
+    * tokenizer itself (Sennrich et al., ACL'16, arXiv 1508.07909 —
+    * public paper; the algorithm behind GPT-2/SentencePiece vocabularies),
+    * distributed the way production trainers structure it: ONE corpus
+    * pass reduces the text to the (word, frequency) vocabulary — the
+    * Zipf-bounded table all iterations run on — then each of the 8 merge
+    * rounds counts adjacent symbol pairs weighted by word frequency,
+    * adopts the argmax pair (ties: lexicographic on the pair), and
+    * rewrites the symbol sequences. Output: the learned merge table in
+    * order — the artifact a tokenizer ships.
+    *
+    * Word symbol sequences are carried as strings — symbols joined by
+    * DOUBLE spaces with single-space ends — so a merge application is one
+    * `replace(' l  r ' → ' lr ')`: the double separator gives every
+    * adjacent pair its own boundary spaces, so consecutive matches never
+    * overlap and left-to-right `replace` applies the merge correctly in
+    * BOTH engines ("a a a" → "aa a", the standard BPE greedy behavior).
+    *
+    * Scale shape: the corpus is touched ONCE (word-count groupBy, the
+    * q87 pass-1 shape); every iteration is a groupBy on the pair key
+    * over the CHECKPOINTED vocab table (≪ corpus, Zipf growth) plus a
+    * driver collect of exactly one row — O(k) driver state for k merges,
+    * the k-means centroid pattern. Per-iteration checkpoint keeps the
+    * plan from deepening by one replace per round (the q36 lesson). */
+  private val q93 = {
+    val nMerges = 8
+    GraftQuery(
+      "q93_bpe_merges",
+      (spark, dir) => {
+        val sep = "  "
+        var vocab = Tables.documents(spark, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(concat(lit(" "),
+            rtrim(regexp_replace(col("word"), "(.)", s"$$1$sep")),
+            lit(" ")).as("repr"), col("freq"))
+          .localCheckpoint(eager = true)
+        val merges = Seq.newBuilder[(Int, String, String, Long)]
+        var step = 1
+        var exhausted = false
+        while (step <= nMerges && !exhausted) {
+          val pairs = vocab
+            .select(col("freq"), split(trim(col("repr")), sep).as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("freq"),
+              explode(arrays_zip(
+                slice(col("sy"), lit(1), size(col("sy")) - 1),
+                slice(col("sy"), lit(2), size(col("sy")) - 1))).as("bg"))
+            .groupBy(col("bg.0").as("lsym"), col("bg.1").as("rsym"))
+            .agg(sum(col("freq")).as("n_occ"))
+          val best = pairs
+            .orderBy(col("n_occ").desc, col("lsym"), col("rsym"))
+            .limit(1).collect()
+          // no adjacent pair left anywhere (every word is one symbol):
+          // BPE training terminates — emit the merges learned so far
+          if (best.isEmpty) exhausted = true
+          else {
+            val (l, r, n) =
+              (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            merges += ((step, l, r, n))
+            val next = vocab.select(
+              replace(col("repr"), lit(s" $l$sep$r "), lit(s" $l$r ")).as("repr"),
+              col("freq")).localCheckpoint(eager = true)
+            vocab.unpersist()
+            vocab = next
+            step += 1
+          }
+        }
+        vocab.unpersist()
+        import spark.implicits._
+        merges.result().toDF("step", "lsym", "rsym", "n_occ")
+          .select(col("step").cast("long"), col("lsym"), col("rsym"),
+            col("n_occ"))
+          .orderBy("step")
+      },
+      Some {
+        // NOTE: SparkEntry.oracleSql collapses whitespace runs to single
+        // spaces before shipping the SQL, so the double-space separator
+        // must be spelled as a concatenation (' ' || ' '), never as a
+        // two-space literal.
+        val d = "(' ' || ' ')"
+        val levels = (1 to nMerges).map { s =>
+          s"""p$s AS (
+            SELECT lsym, rsym, CAST(sum(freq) AS BIGINT) AS n_occ FROM (
+              SELECT freq,
+                     unnest(sy[1:len(sy)-1]) AS lsym,
+                     unnest(sy[2:len(sy)]) AS rsym
+              FROM (SELECT string_split(trim(repr), $d) AS sy, freq
+                    FROM r${s - 1})
+              WHERE len(sy) >= 2)
+            GROUP BY lsym, rsym),
+          b$s AS (
+            SELECT lsym, rsym, n_occ FROM p$s
+            ORDER BY n_occ DESC, lsym, rsym LIMIT 1),
+          r$s AS MATERIALIZED (
+            SELECT replace(repr,
+                     ' ' || (SELECT lsym FROM b$s) || $d ||
+                       (SELECT rsym FROM b$s) || ' ',
+                     ' ' || (SELECT lsym FROM b$s) ||
+                       (SELECT rsym FROM b$s) || ' ') AS repr, freq
+            FROM r${s - 1})"""
+        }.mkString(",\n")
+        val union = (1 to nMerges).map(s =>
+          s"SELECT CAST($s AS BIGINT) AS step, lsym, rsym, n_occ FROM b$s")
+          .mkString("\n UNION ALL ")
+        s"""
+        WITH w AS (
+          SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0
+          GROUP BY word),
+        r0 AS MATERIALIZED (
+          SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1' || $d, 'g'))
+                   || ' ' AS repr, freq
+          FROM w),
+        $levels
+        SELECT * FROM ($union)
+        ORDER BY step"""
+      },
+      headline = true)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89, q93)
 }

@@ -142,6 +142,61 @@ class R12OpsSpec extends SparkSpec {
     assert(got.find(p => (p._1, p._2) == ((0L, 1L))).get._3 <= 3L)
   }
 
+  /** Reference BPE trainer: greedy left-to-right non-overlapping merge
+    * application, overlap-counted adjacent pairs (the string-replace
+    * semantics the engine implements via double-space separators). */
+  private def bruteBpe(
+      corpus: Seq[String], nMerges: Int): Seq[(Long, String, String, Long)] = {
+    def applyMerge(sy: List[String], l: String, r: String): List[String] =
+      sy match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
+        case a :: rest                          => a :: applyMerge(rest, l, r)
+        case Nil                                => Nil
+      }
+    val words = corpus.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    var vocab: Seq[(List[String], Long)] =
+      words.map { case (w, f) => w.map(_.toString).toList -> f }
+    (1 to nMerges).iterator.map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((sy, f) <- vocab; Seq(a, b) <- sy.sliding(2) if sy.length >= 2)
+        counts((a, b)) += f
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (sy, f) => (applyMerge(sy, l, r), f) }
+        Some((step.toLong, l, r, n))
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  test("q93 matches a brute-force BPE trainer on the corpus") {
+    val expect = bruteBpe(docs.map(_._2), 8)
+    val got = SparkEntry.queries("q93_bpe_merges")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect)
+    assert(expect.map(t => t._2 + t._3).distinct.size == 8)
+  }
+
+  test("q93 merge application is greedy non-overlapping (the 'a a a' case)") {
+    // one doc of a triple-repeat word: pair (z,z) counts 2 (overlap-
+    // counted) but only ONE merge applies per scan, so step 2 must see
+    // (zz, z), not (zz, zz)
+    val rows = Seq((0L, "zzz zzz qq", "en", "synthetic", 10L))
+    val dir = java.nio.file.Files.createTempDirectory("q93fix").toString
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q93_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == bruteBpe(Seq("zzz zzz qq"), 8))
+    assert(got.head._2 == "z" && got.head._3 == "z" && got.head._4 == 4L)
+    assert(got(1) == ((2L, "zz", "z", 2L)))
+  }
+
   test("q92 candidate join is keyed (no cartesian) and verifies exactly") {
     val plan = SparkEntry.queries("q92_media_phash_neardup")(spark, sfDir)
       .queryExecution.executedPlan.toString
