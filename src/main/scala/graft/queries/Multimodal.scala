@@ -224,5 +224,87 @@ object Multimodal {
     },
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q88, q92)
+  /** Q94: content-defined chunking (CDC) dedup — the shift-robust
+    * completion of the media-dedup triple: q88's fixed 64-byte blocks
+    * find shared content only when it is block-ALIGNED (one inserted
+    * byte shifts every later boundary), which is exactly the weakness
+    * CDC was invented for (Muthitacharoen et al., SOSP'01 LBFS; Xia et
+    * al., ATC'16 FastCDC): a position is a chunk boundary iff the
+    * rolling hash of the 16-byte window ending there ≡ 0 (mod 64) —
+    * boundaries are functions of CONTENT, so an insertion resynchronizes
+    * within one window and every later chunk is byte-identical again.
+    * Expected chunk size = the divisor (64 B here for testdata
+    * granularity; production uses KB–MB divisors plus min/max chunk
+    * clamps — both are parameter changes, not shape changes).
+    *
+    * The rolling pass reuses the winnowing family's compiled
+    * `window_hashes` expression (one codegen'd pass per payload, the
+    * q27 kernel); chunking is then pure integer array math, and the
+    * dedup is q88's ONE keyed shuffle on the chunk hash — an unbounded
+    * md5 keyspace, occupancy = true duplication. The corpus is ASCII so
+    * the char stream IS the byte stream (the same equivalence q88's
+    * oracle relies on); a binary build swaps the expression's input,
+    * not the pipeline. */
+  private val q94 = GraftQuery(
+    "q94_cdc_chunk_dedup",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.install(spark)
+      graft.Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+        .withColumn("hs", expr("window_hashes(text, 16)"))
+        .withColumn("cuts", expr(
+          """array_distinct(concat(
+               array(0),
+               transform(filter(sequence(1, size(hs)),
+                 i -> element_at(hs, i) % 64 = 0), s -> s + 15),
+               array(length(text))))"""))
+        .select(col("media_id"), posexplode(expr(
+          """transform(sequence(1, size(cuts) - 1),
+               i -> struct(element_at(cuts, i) AS a,
+                           element_at(cuts, i + 1) AS b))""")), col("text"))
+        .select(col("media_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          (col("col.b") - col("col.a")).cast("long").as("chunk_len"),
+          md5(expr("substring(text, col.a + 1, col.b - col.a)")).as("chunk_md5"))
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("chunk_md5")).cast("long"))
+        .orderBy("media_id", "chunk_idx")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
+      h AS (
+        SELECT media_id, text,
+               list_transform(generate_series(1, length(text) - 16 + 1),
+                 i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(1, 16),
+                            j -> CAST(ascii(substring(text, i + j - 1, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        FROM m),
+      c AS (
+        SELECT media_id, text,
+               list_sort(list_distinct(
+                 [CAST(0 AS BIGINT)]
+                 || list_transform(list_filter(generate_series(1, len(hs)),
+                      i -> hs[i] % 64 = 0), s -> CAST(s + 15 AS BIGINT))
+                 || [CAST(length(text) AS BIGINT)])) AS cuts
+        FROM h),
+      k AS (
+        SELECT media_id, i - 1 AS chunk_idx,
+               cuts[i+1] - cuts[i] AS chunk_len,
+               md5(substring(text, CAST(cuts[i] + 1 AS INTEGER),
+                   CAST(cuts[i+1] - cuts[i] AS INTEGER))) AS chunk_md5
+        FROM c, unnest(generate_series(1, len(cuts) - 1)) u(i))
+      SELECT media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(chunk_len AS BIGINT) AS chunk_len, chunk_md5,
+             CAST(count(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies
+      FROM k
+      ORDER BY media_id, chunk_idx"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q88, q92, q94)
 }

@@ -197,6 +197,44 @@ class R12OpsSpec extends SparkSpec {
     assert(got(1) == ((2L, "zz", "z", 2L)))
   }
 
+  test("q94 resynchronizes after an insertion where fixed blocks cannot") {
+    // B = 7-byte prefix + A: every fixed 64-byte block of B differs from
+    // A's (the shift is not a multiple of the block size), but CDC cut
+    // positions are content-determined, so boundaries past the first cut
+    // realign and the chunk streams share everything except the head.
+    val a = docs.maxBy(_._2.length)._2
+    val rows = Seq((0L, a), (1L, "PREFIX!" + a))
+      .map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("q94fix").toString
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cdc = SparkEntry.queries("q94_cdc_chunk_dedup")(spark, dir)
+      .select("media_id", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val Seq(ca, cb) = Seq(0L, 1L).map(id => cdc.filter(_._1 == id).map(_._2).toSet)
+    val shared = (ca intersect cb).size
+    assert(ca.size >= 4, s"fixture doc too short to chunk (${ca.size} chunks)")
+    assert(shared >= ca.size - 2,
+      s"CDC failed to resync: $shared shared of ${ca.size}")
+    // the fixed-block contrast: q88 on the same corpus shares NOTHING
+    // (every block of B is shifted by 7 bytes)
+    val fixedCopies = SparkEntry.queries("q88_media_chunk_dedup")(spark, dir)
+      .select("n_copies").collect().map(_.getLong(0))
+    assert(fixedCopies.forall(_ == 1L),
+      "fixed-block chunking unexpectedly survived the shift")
+  }
+
+  test("q94 chunk streams reassemble to the payload (partition property)") {
+    // chunks are a PARTITION of the byte stream: lengths sum to the doc
+    // length and every doc is covered
+    val got = SparkEntry.queries("q94_cdc_chunk_dedup")(spark, sfDir)
+      .groupBy("media_id").agg(sum("chunk_len").as("n"), count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = docs.filter(_._2.nonEmpty).map(d => d._1 -> d._2.length.toLong).toMap
+    assert(got == expect)
+  }
+
   test("q92 candidate join is keyed (no cartesian) and verifies exactly") {
     val plan = SparkEntry.queries("q92_media_phash_neardup")(spark, sfDir)
       .queryExecution.executedPlan.toString
