@@ -842,105 +842,183 @@ object Text {
     * driver collect of exactly one row — O(k) driver state for k merges,
     * the k-means centroid pattern. Per-iteration checkpoint keeps the
     * plan from deepening by one replace per round (the q36 lesson). */
+  /** The shared BPE training loop behind q93 (merge table) and q95
+    * (tokenizer application): returns the learned merges in order AND the
+    * post-training vocabulary frame (word, repr, freq) — repr is the
+    * word's final symbol sequence, which IS the trained tokenizer's
+    * output for that word. The caller owns unpersisting the returned
+    * frame. */
+  private[queries] def bpeTrain(
+      spark: org.apache.spark.sql.SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val sep = "  "
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), concat(lit(" "),
+        rtrim(regexp_replace(col("word"), "(.)", s"$$1$sep")),
+        lit(" ")).as("repr"), col("freq"))
+      .localCheckpoint(eager = true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val pairs = vocab
+        .select(col("freq"), split(trim(col("repr")), sep).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("sy"), lit(1), size(col("sy")) - 1),
+            slice(col("sy"), lit(2), size(col("sy")) - 1))).as("bg"))
+        .groupBy(col("bg.0").as("lsym"), col("bg.1").as("rsym"))
+        .agg(sum(col("freq")).as("n_occ"))
+      val best = pairs
+        .orderBy(col("n_occ").desc, col("lsym"), col("rsym"))
+        .limit(1).collect()
+      // no adjacent pair left anywhere (every word is one symbol):
+      // BPE training terminates — emit the merges learned so far
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, n))
+        val next = vocab.select(col("word"),
+          replace(col("repr"), lit(s" $l$sep$r "), lit(s" $l$r ")).as("repr"),
+          col("freq")).localCheckpoint(eager = true)
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
   private val q93 = {
     val nMerges = 8
     GraftQuery(
       "q93_bpe_merges",
       (spark, dir) => {
-        val sep = "  "
-        var vocab = Tables.documents(spark, dir)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) > 0)
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .select(concat(lit(" "),
-            rtrim(regexp_replace(col("word"), "(.)", s"$$1$sep")),
-            lit(" ")).as("repr"), col("freq"))
-          .localCheckpoint(eager = true)
-        val merges = Seq.newBuilder[(Int, String, String, Long)]
-        var step = 1
-        var exhausted = false
-        while (step <= nMerges && !exhausted) {
-          val pairs = vocab
-            .select(col("freq"), split(trim(col("repr")), sep).as("sy"))
-            .filter(size(col("sy")) >= 2)
-            .select(col("freq"),
-              explode(arrays_zip(
-                slice(col("sy"), lit(1), size(col("sy")) - 1),
-                slice(col("sy"), lit(2), size(col("sy")) - 1))).as("bg"))
-            .groupBy(col("bg.0").as("lsym"), col("bg.1").as("rsym"))
-            .agg(sum(col("freq")).as("n_occ"))
-          val best = pairs
-            .orderBy(col("n_occ").desc, col("lsym"), col("rsym"))
-            .limit(1).collect()
-          // no adjacent pair left anywhere (every word is one symbol):
-          // BPE training terminates — emit the merges learned so far
-          if (best.isEmpty) exhausted = true
-          else {
-            val (l, r, n) =
-              (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-            merges += ((step, l, r, n))
-            val next = vocab.select(
-              replace(col("repr"), lit(s" $l$sep$r "), lit(s" $l$r ")).as("repr"),
-              col("freq")).localCheckpoint(eager = true)
-            vocab.unpersist()
-            vocab = next
-            step += 1
-          }
-        }
+        val (merges, vocab) = bpeTrain(spark, dir, nMerges)
         vocab.unpersist()
         import spark.implicits._
-        merges.result().toDF("step", "lsym", "rsym", "n_occ")
+        merges.toDF("step", "lsym", "rsym", "n_occ")
           .select(col("step").cast("long"), col("lsym"), col("rsym"),
             col("n_occ"))
           .orderBy("step")
       },
-      Some {
-        // NOTE: SparkEntry.oracleSql collapses whitespace runs to single
-        // spaces before shipping the SQL, so the double-space separator
-        // must be spelled as a concatenation (' ' || ' '), never as a
-        // two-space literal.
-        val d = "(' ' || ' ')"
-        val levels = (1 to nMerges).map { s =>
-          s"""p$s AS (
-            SELECT lsym, rsym, CAST(sum(freq) AS BIGINT) AS n_occ FROM (
-              SELECT freq,
-                     unnest(sy[1:len(sy)-1]) AS lsym,
-                     unnest(sy[2:len(sy)]) AS rsym
-              FROM (SELECT string_split(trim(repr), $d) AS sy, freq
-                    FROM r${s - 1})
-              WHERE len(sy) >= 2)
-            GROUP BY lsym, rsym),
-          b$s AS (
-            SELECT lsym, rsym, n_occ FROM p$s
-            ORDER BY n_occ DESC, lsym, rsym LIMIT 1),
-          r$s AS MATERIALIZED (
-            SELECT replace(repr,
-                     ' ' || (SELECT lsym FROM b$s) || $d ||
-                       (SELECT rsym FROM b$s) || ' ',
-                     ' ' || (SELECT lsym FROM b$s) ||
-                       (SELECT rsym FROM b$s) || ' ') AS repr, freq
-            FROM r${s - 1})"""
-        }.mkString(",\n")
-        val union = (1 to nMerges).map(s =>
+      Some(s"""
+        WITH ${bpeOracleCtes(nMerges)}
+        SELECT * FROM (${(1 to nMerges).map(s =>
           s"SELECT CAST($s AS BIGINT) AS step, lsym, rsym, n_occ FROM b$s")
-          .mkString("\n UNION ALL ")
-        s"""
-        WITH w AS (
-          SELECT word, count(*) AS freq FROM (
-            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-          WHERE length(word) > 0
-          GROUP BY word),
-        r0 AS MATERIALIZED (
-          SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1' || $d, 'g'))
-                   || ' ' AS repr, freq
-          FROM w),
-        $levels
-        SELECT * FROM ($union)
-        ORDER BY step"""
-      },
+          .mkString("\n UNION ALL ")})
+        ORDER BY step"""),
       headline = true)
   }
 
+  /** The DuckDB twin of [[bpeTrain]], as a WITH-body: CTEs `w` (word
+    * frequencies), `r0…r<n>` (symbol sequences after each merge, carrying
+    * `word`), `p<s>`/`b<s>` (per-step pair counts / adopted merge).
+    * NOTE: SparkEntry.oracleSql collapses whitespace runs to single
+    * spaces before shipping the SQL, so the double-space separator must
+    * be spelled as a concatenation (' ' || ' '), never as a two-space
+    * literal; the r-levels are MATERIALIZED because each is referenced
+    * twice and DuckDB would otherwise inline the chain 2^n times
+    * (measured as fd exhaustion on the corpus scan). */
+  private[queries] def bpeOracleCtes(nMerges: Int): String = {
+    val d = "(' ' || ' ')"
+    val levels = (1 to nMerges).map { s =>
+      s"""p$s AS (
+        SELECT lsym, rsym, CAST(sum(freq) AS BIGINT) AS n_occ FROM (
+          SELECT freq,
+                 unnest(sy[1:len(sy)-1]) AS lsym,
+                 unnest(sy[2:len(sy)]) AS rsym
+          FROM (SELECT string_split(trim(repr), $d) AS sy, freq
+                FROM r${s - 1})
+          WHERE len(sy) >= 2)
+        GROUP BY lsym, rsym),
+      b$s AS (
+        SELECT lsym, rsym, n_occ FROM p$s
+        ORDER BY n_occ DESC, lsym, rsym LIMIT 1),
+      r$s AS MATERIALIZED (
+        SELECT word, replace(repr,
+                 ' ' || (SELECT lsym FROM b$s) || $d ||
+                   (SELECT rsym FROM b$s) || ' ',
+                 ' ' || (SELECT lsym FROM b$s) ||
+                   (SELECT rsym FROM b$s) || ' ') AS repr, freq
+        FROM r${s - 1})"""
+    }.mkString(",\n")
+    s"""w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY word),
+    r0 AS MATERIALIZED (
+      SELECT word,
+             ' ' || rtrim(regexp_replace(word, '(.)', '\\1' || $d, 'g'))
+               || ' ' AS repr, freq
+      FROM w),
+    $levels"""
+  }
+
+  /** Q95: BPE tokenizer APPLICATION — q93's inference twin, closing the
+    * train→apply loop: the corpus is re-tokenized under the 8 learned
+    * merges and each document reports its word count, character volume,
+    * BPE token count, and compression ratio (chars per token — the
+    * number a tokenizer team actually tracks). The trained vocabulary
+    * (word → final symbol sequence) IS the tokenizer: applying it to a
+    * corpus is one keyed join of the exploded word stream against the
+    * vocab table plus a per-doc aggregation — every corpus word is in
+    * the vocab by construction (it was trained on this corpus; an
+    * out-of-corpus stream would left-join with a char-fallback).
+    *
+    * Scale shape: training as q93 (corpus touched once, iterations on
+    * the checkpointed Zipf-bounded vocab); application is ONE hash join
+    * on `word` (vocab side ≪ corpus, AQE-broadcastable) and one partial-
+    * agg groupBy on doc_id. Compression is exact int÷int → double. */
+  private val q95 = {
+    val nMerges = 8
+    GraftQuery(
+      "q95_bpe_tokenize",
+      (spark, dir) => {
+        val sep = "  "
+        val (_, vocab) = bpeTrain(spark, dir, nMerges)
+        val vsym = vocab.select(col("word"),
+          size(split(trim(col("repr")), sep)).cast("long").as("n_sym"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(vsym, Seq("word"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(length(col("word"))).cast("long").as("n_chars_tok"),
+            sum(col("n_sym")).as("n_tokens_bpe"))
+          .withColumn("compression",
+            col("n_chars_tok").cast("double") / col("n_tokens_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${bpeOracleCtes(nMerges)},
+        v AS (
+          SELECT word,
+                 CAST(len(string_split(trim(repr), (' ' || ' '))) AS BIGINT)
+                   AS n_sym
+          FROM r$nMerges),
+        tw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        t AS (SELECT doc_id, word FROM tw WHERE length(word) > 0)
+        SELECT t.doc_id, count(*) AS n_words,
+               CAST(sum(length(t.word)) AS BIGINT) AS n_chars_tok,
+               CAST(sum(v.n_sym) AS BIGINT) AS n_tokens_bpe,
+               CAST(sum(length(t.word)) AS DOUBLE) / sum(v.n_sym) AS compression
+        FROM t JOIN v ON t.word = v.word
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id"""))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89, q93)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89,
+      q93, q95)
 }

@@ -376,4 +376,40 @@ class PlanShapeSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(s).length == 1,
       s"expected exactly one generator (the day spine):\n$s")
   }
+
+  test("q90: shard window and manifest aggregation share ONE hash shuffle on source") {
+    // the q53 invariant, sharding flavor: HashPartitioning(source)
+    // satisfies the (source, shard) grouping because shard ids nest
+    // within a source — a second exchange would move the corpus again
+    val p = plan("q90_token_shards")
+    val n = countHashShuffles(p)
+    assert(n == 1, s"expected exactly 1 hash shuffle in sharding, got $n:\n$p")
+  }
+
+  test("q91: rank window and the audit aggregation share ONE hash shuffle on domain") {
+    val p = plan("q91_domain_cap")
+    val n = countHashShuffles(p)
+    assert(n == 1, s"expected exactly 1 hash shuffle in domain cap, got $n:\n$p")
+  }
+
+  test("q94: one compiled rolling pass, chunking never re-expands into a filter") {
+    // the CDC boundary rule must run as ONE window_hashes call above the
+    // scan-parallelism repartition; InferFilters pushing it into a scan
+    // filter would triple the rolling work (the q27 lesson)
+    val s = finalPlan(planString("q94_cdc_chunk_dedup"))
+    val calls = "window_hashes".r.findAllIn(s).length
+    assert(calls == 1, s"expected exactly one rolling pass, got $calls:\n$s")
+    assert(!"Filter [^\\n]*window_hashes".r.findFirstIn(s).isDefined,
+      s"rolling hash re-expanded into a Filter:\n$s")
+  }
+
+  test("q92: fingerprint blocking slices 32-bit blocks (the widened keyspace)") {
+    // the measured round-12 fix: 4x16-bit blocks put the birthday term at
+    // n^2/2^16 (tail exponent 1.68 at 500k payloads); the plan must slice
+    // 32-char block substrings of the 128-bit fingerprint
+    val s = finalPlan(planString("q92_media_phash_neardup"))
+    assert(s.contains(", 32) AS bits") || s.contains(", 32, true) AS bits") ||
+      "substring\\([^)]*, (1|33|65|97), 32\\)".r.findFirstIn(s).isDefined,
+      s"expected 32-bit block slices in the candidate index:\n$s")
+  }
 }

@@ -157,7 +157,7 @@ class R12OpsSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong).toSeq
     var vocab: Seq[(List[String], Long)] =
       words.map { case (w, f) => w.map(_.toString).toList -> f }
-    (1 to nMerges).iterator.map { step =>
+    val merges = (1 to nMerges).iterator.map { step =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
       for ((sy, f) <- vocab; Seq(a, b) <- sy.sliding(2) if sy.length >= 2)
@@ -169,7 +169,13 @@ class R12OpsSpec extends SparkSpec {
         Some((step.toLong, l, r, n))
       }
     }.takeWhile(_.isDefined).flatten.toSeq
+    lastBpeVocab = vocab.map { case (sy, _) => (sy.mkString, sy.length.toLong) }.toMap
+    merges
   }
+
+  /** Final word -> symbol-count map of the last bruteBpe run (the merged
+    * symbols concatenate back to the word, so mkString recovers it). */
+  private var lastBpeVocab: Map[String, Long] = Map.empty
 
   test("q93 matches a brute-force BPE trainer on the corpus") {
     val expect = bruteBpe(docs.map(_._2), 8)
@@ -233,6 +239,23 @@ class R12OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val expect = docs.filter(_._2.nonEmpty).map(d => d._1 -> d._2.length.toLong).toMap
     assert(got == expect)
+  }
+
+  test("q95 tokenizer application matches the brute-force trained vocab") {
+    bruteBpe(docs.map(_._2), 8)
+    val vocab = lastBpeVocab
+    val expect = docs.map { case (id, t, _) =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(vocab).sum)
+    }.filter(_._2 > 0).map { case (id, nw, nc, nt) =>
+      (id, nw, nc, nt, nc.toDouble / nt) }
+    val got = SparkEntry.queries("q95_bpe_tokenize")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect)
+    // the 8 merges must actually compress: strictly fewer tokens than chars
+    assert(got.forall(d => d._4 < d._3))
   }
 
   test("q92 candidate join is keyed (no cartesian) and verifies exactly") {
