@@ -1018,7 +1018,73 @@ object Text {
         ORDER BY t.doc_id"""))
   }
 
+  /** Q96: collocation mining — the corpus-global PMI ranking (Church &
+    * Hanks, CL'90 — public literature) that seeds phrase vocabularies
+    * (word2vec-style phrase merging, tokenizer pre-segmentation): rank
+    * adjacent word pairs by how much more often they co-occur than
+    * independence predicts. The score is the PMI RATIO
+    * c(w1,w2)·N / (c(w1)·c(w2)) rather than its logarithm — log is
+    * monotone, so the ranking (all any consumer uses) is identical,
+    * and the ratio stays in exact IEEE division for cross-engine
+    * bit-equality (the q89 rule). A min-count floor of 5 drops the
+    * hapax noise PMI is notorious for; ties break lexicographically.
+    *
+    * Scale shape: one bigram-count groupBy (unbounded keyspace,
+    * map-side partial agg), one unigram-count groupBy, two tiny-side
+    * joins of the BIGRAM TYPE table (≪ the bigram stream) against the
+    * unigram counts, then TakeOrdered top-50 — per-partition heaps,
+    * never a global sort. */
+  private val q96 = GraftQuery(
+    "q96_collocations",
+    (spark, dir) => {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true)
+      val n = uni.agg(sum("c")).collect()(0).getLong(0)
+      val big = toks.filter(size(col("toks")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+        .groupBy(col("bg.0").as("w1"), col("bg.1").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      big
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          (col("c12").cast("double") * n /
+            (col("c1").cast("double") * col("c2"))).as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      uni AS (
+        SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t)
+        GROUP BY w),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      big AS (
+        SELECT w1, w2, count(*) AS c12 FROM (
+          SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2
+          FROM t WHERE len(toks) >= 2)
+        GROUP BY w1, w2
+        HAVING count(*) >= 5)
+      SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+             CAST(c12 AS DOUBLE) * n.n / (CAST(u1.c AS DOUBLE) * u2.c)
+               AS pmi_ratio
+      FROM big
+      JOIN uni u1 ON big.w1 = u1.w
+      JOIN uni u2 ON big.w2 = u2.w
+      CROSS JOIN n
+      ORDER BY pmi_ratio DESC, w1, w2
+      LIMIT 50"""))
+
   val all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89,
-      q93, q95)
+      q93, q95, q96)
 }

@@ -258,6 +258,31 @@ class R12OpsSpec extends SparkSpec {
     assert(got.forall(d => d._4 < d._3))
   }
 
+  test("q96 matches a brute-force PMI-ratio ranking") {
+    val allToks = docs.map(_._2.split(" ", -1).toSeq)
+    val uni = allToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allToks.map(_.size.toLong).sum
+    val big = allToks.filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    val expect = big.toSeq.map { case ((w1, w2), c12) =>
+      (w1, w2, c12, uni(w1), uni(w2), c12.toDouble * n / (uni(w1).toDouble * uni(w2)))
+    }.sortBy { case (w1, w2, _, _, _, r) => (-r, w1, w2) }.take(50)
+    val got = SparkEntry.queries("q96_collocations")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+    assert(expect.head._6 > 1.0, "top collocation must beat independence")
+  }
+
+  test("q96 top-k compiles to TakeOrderedAndProject, never a global sort") {
+    val s = SparkEntry.queries("q96_collocations")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps:\n$s")
+  }
+
   test("q92 candidate join is keyed (no cartesian) and verifies exactly") {
     val plan = SparkEntry.queries("q92_media_phash_neardup")(spark, sfDir)
       .queryExecution.executedPlan.toString
