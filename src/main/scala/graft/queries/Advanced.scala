@@ -344,6 +344,79 @@ object Advanced {
       FROM days GROUP BY day ORDER BY day"""),
     headline = true)
 
+  /** Q97: heavy-hitter mining with a bounded-memory sketch + exact
+    * confirmation — the pattern that replaces "GROUP BY the whole
+    * keyspace" when the keyspace dwarfs memory but only the frequent
+    * tail matters (repeated-boilerplate mining, hot-key detection before
+    * salting, popular-query logs). Finds every word trigram whose corpus
+    * frequency exceeds N/k exactly, in two passes:
+    *
+    * pass 1 — per-partition Misra-Gries with k counters
+    * ([[graft.core.sketch.MisraGries]]): O(k) memory per task regardless
+    * of partition vocabulary; the union of partition survivors is a
+    * PROVEN superset of every gram with global frequency > N/(k+1)
+    * (average + survival arguments in the kernel's scaladoc). Partition
+    * stream lengths ride along, so N needs no extra corpus scan.
+    *
+    * pass 2 — exact counts of the candidate superset only (semi-join,
+    * AQE broadcasts the candidate table when small) and the exact
+    * threshold filter k·cnt > N in integer math. The output is therefore
+    * EXACTLY the answer of the full GROUP BY ... HAVING the oracle runs —
+    * the sketch only routes, never decides (the q81 Bloom rule).
+    *
+    * Unlike q54/q87 (TakeOrdered top-k: ranks, no guarantee), this is
+    * threshold-complete: nothing above N/k can be missed. Scale shape:
+    * two corpus passes, one keyed shuffle on the (candidate-pruned) gram
+    * key; the candidate table is bounded by Σ_p min(k, vocab_p) — at
+    * 1000 executors a k=5000 sketch caps it at 5M rows, a hash-join-able
+    * table even when the true vocabulary is 10¹². The sketch survivor
+    * SET depends on partition order; the output does not (superset +
+    * exact recount). */
+  private val q97 = {
+    val k = 5000
+    GraftQuery(
+      "q97_heavy_hitters",
+      (spark, dir) => {
+        import spark.implicits._
+        val grams = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks)-2), " +
+              "i -> concat_ws(' ', slice(toks, i, 3)))")).as("g"))
+        // Pass 1. The empty-string row carries the partition's stream
+        // length (grams are 3 words joined by spaces — never empty).
+        // The summary is tiny (<= P*(k+1) rows) but has TWO consumers
+        // (N and the candidate set); checkpoint so Misra-Gries does not
+        // re-stream the corpus per consumer.
+        val summary = grams.as[String].mapPartitions { it =>
+          val mg = new graft.core.sketch.MisraGries(k)
+          it.foreach(mg.offer)
+          Iterator(("", mg.n)) ++ mg.candidates.iterator.map((_, 0L))
+        }.toDF("g", "cnt").localCheckpoint(eager = true)
+        val n = summary.filter(col("g") === "")
+          .agg(sum("cnt")).as[Long].head()
+        val cands = summary.filter(col("g") =!= "").select("g").distinct()
+        // Pass 2: exact recount of candidates only.
+        grams.join(cands, Seq("g"), "left_semi")
+          .groupBy("g").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * k > n)
+          .orderBy("g")
+      },
+      Some(s"""
+        WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        tri AS (
+          SELECT unnest(toks[1:len(toks)-2]) || ' ' || unnest(toks[2:len(toks)-1])
+                 || ' ' || unnest(toks[3:len(toks)]) AS g
+          FROM t WHERE len(toks) >= 3)
+        SELECT g, count(*) AS cnt FROM tri GROUP BY g
+        HAVING count(*) * $k > (SELECT count(*) FROM tri)
+        ORDER BY g"""),
+      headline = true)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q97)
 }
