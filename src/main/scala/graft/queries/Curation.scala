@@ -414,5 +414,88 @@ object Curation {
         ORDER BY domain"""))
   }
 
-  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83, q90, q91)
+  /** Q98: crawl-over-crawl snapshot DIFF — the incremental-ingestion audit
+    * every recurring-crawl corpus runs before reprocessing (CommonCrawl
+    * snapshot-over-snapshot: most pages recur verbatim, some change, some
+    * appear/vanish — Penedo et al., 2023 RefinedWeb §3.1 processes crawls
+    * snapshot-wise for exactly this reason): align two corpus snapshots on
+    * the stable document key, compare CONTENT hashes (F18-style md5 — the
+    * engines never ship text across the join, only 32-byte keys), and
+    * report per (source, status ∈ added/removed/changed/unchanged) doc
+    * counts and token volumes. Downstream, only `added`+`changed` re-enter
+    * the cleaning/dedup pipeline — the diff is what makes a 100 TB
+    * recurring corpus an incremental workload instead of a full reprocess.
+    *
+    * Both snapshots derive deterministically from the one driver table
+    * (v1 drops doc_id%17==3, v2 drops doc_id%13==5 and revises
+    * doc_id%7==2 by appending a token), so every status is exercised and
+    * the oracle replays the same derivation.
+    *
+    * Scale shape: ONE full-outer hash join keyed on doc_id — each side
+    * reduced to (key, source, hash, token_count) at the scan, so the
+    * shuffled width is ~50 bytes/doc regardless of document size — then a
+    * partial-agg groupBy on (source, status), output bounded by
+    * |sources|×4. At 100 TB both snapshots would live bucketed by the key
+    * (`sources/Bucketing.scala`) making the join co-located and
+    * shuffle-free; nothing else exceeds audit size. */
+  private val q98 = GraftQuery(
+    "q98_snapshot_diff",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), col("source").as("source1"),
+          md5(col("text")).as("h1"),
+          size(split(col("text"), " ")).cast("long").as("tok1"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text2", when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" rev"))).otherwise(col("text")))
+        .select(col("doc_id"), col("source").as("source2"),
+          md5(col("text2")).as("h2"),
+          size(split(col("text2"), " ")).cast("long").as("tok2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(
+          coalesce(col("source1"), col("source2")).as("source"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce(col("tok1"), lit(0L)).as("tok1"),
+          coalesce(col("tok2"), lit(0L)).as("tok2"))
+        .groupBy("source", "status")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok1")).as("tokens_v1"),
+          sum(col("tok2")).as("tokens_v2"))
+        .withColumn("token_delta", col("tokens_v2") - col("tokens_v1"))
+        .orderBy("source", "status")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, source, md5(text) AS h1,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok1
+        FROM documents WHERE doc_id % 17 <> 3),
+      v2 AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 7 = 2 THEN text || ' rev' ELSE text END) AS h2,
+               CAST(len(string_split(CASE WHEN doc_id % 7 = 2
+                 THEN text || ' rev' ELSE text END, ' ')) AS BIGINT) AS tok2
+        FROM documents WHERE doc_id % 13 <> 5),
+      d AS (
+        SELECT coalesce(v1.source, v2.source) AS source,
+               CASE WHEN h1 IS NULL THEN 'added'
+                    WHEN h2 IS NULL THEN 'removed'
+                    WHEN h1 = h2 THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               coalesce(tok1, 0) AS tok1, coalesce(tok2, 0) AS tok2
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      SELECT source, status, count(*) AS n_docs,
+             CAST(sum(tok1) AS BIGINT) AS tokens_v1,
+             CAST(sum(tok2) AS BIGINT) AS tokens_v2,
+             CAST(sum(tok2) - sum(tok1) AS BIGINT) AS token_delta
+      FROM d GROUP BY source, status
+      ORDER BY source, status"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83, q90, q91, q98)
 }

@@ -40,4 +40,25 @@ class R13OpsSpec extends SparkSpec {
       assert(alt == base)
     } finally spark.conf.set("spark.sql.shuffle.partitions", p)
   }
+
+  test("q98 statuses partition the aligned snapshots correctly") {
+    val rows = SparkEntry.queries("q98_snapshot_diff")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byStatus = rows.groupBy(_._2)
+    // every status is exercised by the derivation
+    assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"))
+    // removed docs contribute no v2 tokens; added none to v1
+    assert(byStatus("removed").forall(_._5 == 0))
+    assert(byStatus("added").forall(_._4 == 0))
+    // unchanged rows carry identical volumes on both sides
+    assert(byStatus("unchanged").forall(r => r._4 == r._5 && r._6 == 0))
+    // the revision appends exactly one token -> changed delta == n_docs
+    assert(byStatus("changed").forall(r => r._6 == r._3))
+    // doc accounting: total distinct docs seen = |v1 ∪ v2|
+    val expectTotal = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+      .count(id => id % 17 != 3 || id % 13 != 5)
+    assert(rows.map(_._3).sum == expectTotal)
+  }
 }
