@@ -497,5 +497,51 @@ object Curation {
       ORDER BY source, status"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83, q90, q91, q98)
+  /** Q99: per-source quality CALIBRATION — raw quality scores (q21) are
+    * not comparable across sources (a web-scrape's median differs from a
+    * books corpus's), so production filters threshold on the score's
+    * PERCENTILE WITHIN ITS SOURCE, not its absolute value (CCNet buckets
+    * per-language perplexity into head/middle/tail tertiles exactly this
+    * way — Wenzek et al., LREC'20 §4.4; C4 derives per-heuristic cutoffs
+    * per corpus). Emits every document's calibrated percentile
+    * (percent_rank over (quality_score, doc_id) — the doc_id tiebreak
+    * makes ranks, hence percentiles, engine-deterministic) and the
+    * bottom-quartile drop verdict: kept=1 iff pct >= 0.25 — a uniform
+    * 25% trim of EVERY source, regardless of score distributions.
+    *
+    * Scale shape: the q21 scoring is a narrow scan-fused map; calibration
+    * is ONE shuffle on source + a per-source sort. percent_rank needs
+    * each source's n — for a mega-source where one sorted partition hurts,
+    * the documented rewrite is q19's banded offsets (count per score band
+    * to the driver, broadcast cumulative offsets back); the window
+    * spelling is kept because sources in a curated corpus are
+    * catalog-bounded while DOCUMENTS are not — the skewed dimension
+    * parallelizes, the sorted one doesn't grow. */
+  private val q99 = GraftQuery(
+    "q99_quality_calibration",
+    (spark, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score"), col("doc_id"))
+      Text.qualityScored(spark, dir)
+        .select(col("doc_id"), col("source"), col("quality_score"))
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("kept",
+          when(col("pct") >= 0.25, 1).otherwise(0).cast("int"))
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("pct"), col("kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${Text.qualityScoredSql}
+      SELECT q.doc_id, d.source, q.quality_score,
+             percent_rank() OVER (PARTITION BY d.source
+               ORDER BY q.quality_score, q.doc_id) AS pct,
+             CAST(CASE WHEN percent_rank() OVER (PARTITION BY d.source
+               ORDER BY q.quality_score, q.doc_id) >= 0.25
+               THEN 1 ELSE 0 END AS INTEGER) AS kept
+      FROM quality q JOIN documents d USING (doc_id)
+      ORDER BY doc_id"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83, q90, q91, q98, q99)
 }

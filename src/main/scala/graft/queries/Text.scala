@@ -60,7 +60,7 @@ object Text {
       .withColumn("len_score",
         least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
       .select(
-        col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("doc_id"), col("source"), col("n_tokens"), col("stop_ratio"),
         col("uniq_ratio"), col("len_score"),
         (lit(0.3) * col("len_score") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
           lit(0.3) * col("uniq_ratio")).as("quality_score"))
@@ -89,7 +89,7 @@ object Text {
     * hard filter. */
   private val q21 = GraftQuery(
     "q21_quality_score",
-    (spark, dir) => qualityScored(spark, dir).orderBy("doc_id"),
+    (spark, dir) => qualityScored(spark, dir).drop("source").orderBy("doc_id"),
     Some(s"""
       WITH $qualityScoredSql
       SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, len_score, quality_score

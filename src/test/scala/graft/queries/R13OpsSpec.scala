@@ -61,4 +61,26 @@ class R13OpsSpec extends SparkSpec {
       .count(id => id % 17 != 3 || id % 13 != 5)
     assert(rows.map(_._3).sum == expectTotal)
   }
+
+  test("q99 calibrated percentiles match a driver-side recompute") {
+    val rows = SparkEntry.queries("q99_quality_calibration")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4)))
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (_, docs) =>
+      val ordered = docs.sortBy(d => (d._3, d._1)) // (quality_score, doc_id)
+      val n = ordered.length
+      ordered.zipWithIndex.foreach { case (d, i) =>
+        val expectPct = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(d._4 == expectPct, s"doc ${d._1} pct ${d._4} != $expectPct")
+        assert(d._5 == (if (expectPct >= 0.25) 1 else 0))
+      }
+      // a uniform trim: roughly the bottom quarter of every source drops
+      val dropped = ordered.count(_._5 == 0)
+      assert(dropped >= n / 5 && dropped <= n / 3 + 1,
+        s"dropped $dropped of $n not a ~quarter")
+    }
+    assert(bySource.size > 1, "fixture must exercise multiple sources")
+  }
 }
