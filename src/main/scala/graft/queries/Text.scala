@@ -1084,7 +1084,103 @@ object Text {
       ORDER BY pmi_ratio DESC, w1, w2
       LIMIT 50"""))
 
+  /** Q100: DSIR-style importance SELECTION — Data Selection with
+    * Importance Resampling (Xie et al., NeurIPS'23, arXiv 2302.03169):
+    * estimate hashed-n-gram feature distributions on a small TARGET
+    * corpus (the trusted domain — here source src0) and on the RAW pool,
+    * then score every raw document by how much its features look drawn
+    * from the target rather than the pool. The paper's log-likelihood
+    * ratio Σ log(p_t(b)/p_r(b)) is replaced by the integer-exact margin
+    * Σ_b n_b·(ppm_t(b) − ppm_r(b)) — per-bucket probabilities quantized
+    * to parts-per-million by non-negative integer division, so both
+    * engines compute bit-identical scores (ln is not bit-specified
+    * across engines; a selection consumes the ORDERING, which the
+    * monotone quantization preserves at ppm resolution). selected=1 iff
+    * the document's feature mass sits closer to the target than the
+    * pool (margin > 0).
+    *
+    * Scale shape: ONE corpus pass reduces the bigram stream to the
+    * per-(doc, bucket) count table (≤ 256 rows/doc — bounded, ≪ bigram
+    * stream; checkpointed because BOTH the model build and the scoring
+    * read it). The model is 256 rows — totals fold in via one broadcast
+    * crossJoin, and scoring joins model onto doc-buckets broadcast-side.
+    * No shuffle anywhere exceeds docs×256 rows; driver state is one
+    * 2-value totals row. */
+  private val q100 = GraftQuery(
+    "q100_dsir_selection",
+    (spark, dir) => {
+      val docBuckets = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(concat_ws(" ", col("bg.0"), col("bg.1"))), 1, 2),
+            16, 10).cast("long").as("bucket"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val byBucket = docBuckets.groupBy("bucket").agg(
+        sum(when(col("source") === "src0", col("n")).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", col("n")).otherwise(0L)).as("cr"))
+      val totals = byBucket.agg(
+        sum("ct").as("tt"), sum("cr").as("tr"))
+      val model = byBucket.crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          (expr("(1000000 * ct) div greatest(tt, 1)") -
+            expr("(1000000 * cr) div greatest(tr, 1)")).as("w"))
+      docBuckets.filter(col("source") =!= "src0")
+        .join(broadcast(model), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("w")).as("margin"))
+        .withColumn("selected",
+          when(col("margin") > 0, 1).otherwise(0).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      big AS (
+        SELECT doc_id, source,
+               unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM t WHERE len(toks) >= 2),
+      db AS (
+        SELECT doc_id, source,
+               CAST((strpos('0123456789abcdef', substring(md5(w1 || ' ' || w2), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substring(md5(w1 || ' ' || w2), 2, 1)) - 1
+                 AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM big GROUP BY doc_id, source, bucket),
+      bb AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN source <> 'src0' THEN n ELSE 0 END) AS BIGINT) AS cr
+        FROM db GROUP BY bucket),
+      tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        FROM bb),
+      model AS (
+        SELECT bucket,
+               (1000000 * ct) // greatest(tt, 1)
+                 - (1000000 * cr) // greatest(tr, 1) AS w
+        FROM bb CROSS JOIN tot)
+      SELECT d.doc_id,
+             CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.n * m.w) AS BIGINT) AS margin,
+             CAST(CASE WHEN sum(d.n * m.w) > 0 THEN 1 ELSE 0 END AS INTEGER) AS selected
+      FROM db d JOIN model m USING (bucket)
+      WHERE d.source <> 'src0'
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id"""),
+    headline = true)
+
   val all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89,
-      q93, q95, q96)
+      q93, q95, q96, q100)
 }

@@ -83,4 +83,38 @@ class R13OpsSpec extends SparkSpec {
     }
     assert(bySource.size > 1, "fixture must exercise multiple sources")
   }
+
+  test("q100 margins match a driver-side DSIR recompute") {
+    import java.security.MessageDigest
+    def bucket(bg: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(bg.getBytes("UTF-8"))
+      ((d(0) & 0xff).toLong) // first two hex chars == first byte
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val db = docs.toSeq.flatMap { case (id, src, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < 2) Seq.empty[(Long, String, Long)]
+      else toks.zip(toks.tail).toSeq
+        .map { case (a, b) => (id, src, bucket(s"$a $b")) }
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toSeq
+      .map { case ((id, src, b), n) => (id, src, b, n) }
+    val ct = db.filter(_._2 == "src0").groupBy(_._3).view
+      .mapValues(_.map(_._4).sum).toMap.withDefaultValue(0L)
+    val cr = db.filter(_._2 != "src0").groupBy(_._3).view
+      .mapValues(_.map(_._4).sum).toMap.withDefaultValue(0L)
+    val (tt, tr) = (ct.values.sum max 1L, cr.values.sum max 1L)
+    def w(b: Long) = 1000000L * ct(b) / tt - 1000000L * cr(b) / tr
+    val expect = db.filter(_._2 != "src0").groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (id, rows) =>
+        val margin = rows.map(r => r._4 * w(r._3)).sum
+        (id, rows.map(_._4).sum, margin, if (margin > 0) 1 else 0)
+      }
+    val got = SparkEntry.queries("q100_dsir_selection")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == expect)
+    assert(expect.exists(_._3 != 0), "fixture must produce nonzero margins")
+  }
 }
