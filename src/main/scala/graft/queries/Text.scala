@@ -1180,7 +1180,68 @@ object Text {
       ORDER BY d.doc_id"""),
     headline = true)
 
+  /** Q101: tokenizer FERTILITY audit — the per-language acceptance metric
+    * for a trained tokenizer (fertility = subword tokens emitted per
+    * word; the standard multilingual-tokenizer comparison statistic —
+    * Ács 2019's mBERT analysis popularized it, XLM-R/BLOOM report it):
+    * languages whose fertility is high pay more sequence length per word
+    * of content, so a corpus team re-balances training data or vocab
+    * size on exactly this table. Reuses q93's trained vocabulary and
+    * q95's application join, rolled up per language with chars-per-token
+    * compression alongside.
+    *
+    * Scale shape: q95's — training touches the corpus once and iterates
+    * on the checkpointed Zipf-bounded vocab; the audit pass is one hash
+    * join on `word` (vocab ≪ corpus, AQE-broadcastable) and a partial-agg
+    * groupBy on the catalog-bounded language key. Ratios are exact
+    * BIGINT÷BIGINT → double (the q89 rule). */
+  private val q101 = {
+    val nMerges = 8
+    GraftQuery(
+      "q101_tokenizer_fertility",
+      (spark, dir) => {
+        val sep = "  "
+        val (_, vocab) = bpeTrain(spark, dir, nMerges)
+        val vsym = vocab.select(col("word"),
+          size(split(trim(col("repr")), sep)).cast("long").as("n_sym"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(vsym, Seq("word"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(length(col("word"))).cast("long").as("n_chars"),
+            sum(col("n_sym")).as("n_tokens_bpe"))
+          .withColumn("fertility",
+            col("n_tokens_bpe").cast("double") / col("n_words"))
+          .withColumn("compression",
+            col("n_chars").cast("double") / col("n_tokens_bpe"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH ${bpeOracleCtes(nMerges)},
+        v AS (
+          SELECT word,
+                 CAST(len(string_split(trim(repr), (' ' || ' '))) AS BIGINT)
+                   AS n_sym
+          FROM r$nMerges),
+        tw AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        t AS (SELECT lang, word FROM tw WHERE length(word) > 0)
+        SELECT t.lang, count(*) AS n_words,
+               CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+               CAST(sum(v.n_sym) AS BIGINT) AS n_tokens_bpe,
+               CAST(sum(v.n_sym) AS DOUBLE) / count(*) AS fertility,
+               CAST(sum(length(t.word)) AS DOUBLE) / sum(v.n_sym) AS compression
+        FROM t JOIN v ON t.word = v.word
+        GROUP BY t.lang
+        ORDER BY t.lang"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89,
-      q93, q95, q96, q100)
+      q93, q95, q96, q100, q101)
 }
