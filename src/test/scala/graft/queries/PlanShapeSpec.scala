@@ -412,4 +412,43 @@ class PlanShapeSpec extends SparkSpec {
       "substring\\([^)]*, (1|33|65|97), 32\\)".r.findFirstIn(s).isDefined,
       s"expected 32-bit block slices in the candidate index:\n$s")
   }
+
+  test("q97: the exact recount is candidate-pruned (semi-join before groupBy)") {
+    // the whole point of the sketch pass: the full-keyspace groupBy must
+    // not exist — the gram aggregation runs above a semi-join against the
+    // (bounded) candidate table
+    val s = finalPlan(planString("q97_heavy_hitters"))
+    assert("(?i)leftsemi".r.findFirstIn(s).isDefined,
+      s"no semi-join pruning before the recount:\n$s")
+  }
+
+  test("q98: snapshot sides shrink to hashes BEFORE the full-outer join") {
+    // the join must shuffle (key, source, md5, count) projections, never
+    // document text — at 100 TB text crossing the wire is the bottleneck
+    val s = finalPlan(planString("q98_snapshot_diff"))
+    val joinOn = "(?s)SortMergeJoin.*?FullOuter|FullOuter.*?SortMergeJoin".r
+    assert("(?i)fullouter".r.findFirstIn(s).isDefined, s"no full-outer join:\n$s")
+    // every exchange row carries md5(...) not text: text appears only in
+    // scan/project nodes below the hash projection, so no Exchange line
+    // should ship a bare `text` attribute
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+      s"an exchange ships raw document text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q99: calibration is ONE hash shuffle on source (no corpus self-join)") {
+    val p = plan("q99_quality_calibration")
+    val n = countHashShuffles(p)
+    assert(n == 1, s"expected exactly 1 hash shuffle in calibration, got $n:\n$p")
+    assert(!"(?i)join".r.findFirstIn(finalPlan(p.toString)).isDefined,
+      s"calibration should not join the corpus to itself:\n$p")
+  }
+
+  test("q100: the 256-row model broadcasts; the corpus never self-joins") {
+    val s = finalPlan(planString("q100_dsir_selection"))
+    assert(s.contains("BroadcastHashJoin"), s"model join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"a sort-merge join means a corpus-sized side shuffled:\n$s")
+  }
 }
