@@ -496,6 +496,9 @@ object Sampling {
     * `src0` source stands in for the curated target corpus) and for the
     * RAW pool, and rank raw documents by how target-like their features
     * are. The top of the ranking is what you'd feed the training mixture.
+    * (`Text.scala` q100 is the binary-gate companion: a per-document
+    * accept/reject verdict in all-integer arithmetic over the whole pool,
+    * where this query ranks and truncates.)
     *
     * Two deliberate deviations from the paper, both for cross-engine
     * bit-exactness (this output is hash-compared against DuckDB):
@@ -594,6 +597,55 @@ object Sampling {
       ORDER BY score DESC, doc_id
       LIMIT 100"""))
 
+  /** Q102: reproducible EPOCH SHUFFLE — the global training-order
+    * permutation a data loader needs before every epoch, produced WITHOUT
+    * a global sort: `ORDER BY rand()` is a single total order (one range
+    * exchange + a full sort whose final merge is driver-adjacent, and
+    * non-reproducible besides), so production loaders shuffle in two
+    * levels instead (the tf.data / composer-streaming recipe: shuffle
+    * shards, then shuffle within shards). Both levels here derive from
+    * the repo-standard md5 uniform keyed by (epoch, doc_id): shard =
+    * hash % [[ShuffleShards]] spreads documents across shards, and the
+    * within-shard position ranks by the same hash — so the permutation is
+    * (a) bit-reproducible given the epoch seed, (b) different each epoch,
+    * (c) computable with ONE hash shuffle plus per-shard sorts that
+    * parallelize perfectly (no range exchange, no skew: md5 spreads
+    * uniformly by construction). A loader reads shards in id order,
+    * rows in pos order, giving every worker an O(1) seek into the epoch
+    * order.
+    *
+    * Scale shape: one HashPartitioning(shard) exchange; per-shard sort of
+    * n/S rows. S scales with the cluster (here 16); the output pairs with
+    * q90's manifest for the physical write. */
+  private val q102 = {
+    val shards = 16
+    GraftQuery(
+      "q102_epoch_shuffle",
+      (spark, dir) => {
+        val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("k"))
+          .withColumn("shard", Rand.u32(col("k")) % shards)
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        s AS (
+          SELECT doc_id, k,
+                 ${Rand.u32Sql("k")} % $shards AS shard
+          FROM d)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                 AS BIGINT) AS pos
+        FROM s
+        ORDER BY shard, pos"""))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69)
+    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102)
 }

@@ -1084,20 +1084,23 @@ object Text {
       ORDER BY pmi_ratio DESC, w1, w2
       LIMIT 50"""))
 
-  /** Q100: DSIR-style importance SELECTION — Data Selection with
-    * Importance Resampling (Xie et al., NeurIPS'23, arXiv 2302.03169):
-    * estimate hashed-n-gram feature distributions on a small TARGET
+  /** Q100: DSIR-style importance GATE — the binary accept/reject
+    * companion to q69's importance RANKING (both from Xie et al.,
+    * NeurIPS'23, arXiv 2302.03169; `Sampling.scala` q69 ranks the raw
+    * pool and keeps a top-k, the resampling use; this query emits a
+    * per-document verdict over the ENTIRE raw pool, the filtering use —
+    * a pipeline typically gates first, then ranks the survivors).
+    * Estimate hashed-bigram feature distributions on a small TARGET
     * corpus (the trusted domain — here source src0) and on the RAW pool,
-    * then score every raw document by how much its features look drawn
-    * from the target rather than the pool. The paper's log-likelihood
-    * ratio Σ log(p_t(b)/p_r(b)) is replaced by the integer-exact margin
-    * Σ_b n_b·(ppm_t(b) − ppm_r(b)) — per-bucket probabilities quantized
-    * to parts-per-million by non-negative integer division, so both
-    * engines compute bit-identical scores (ln is not bit-specified
-    * across engines; a selection consumes the ORDERING, which the
-    * monotone quantization preserves at ppm resolution). selected=1 iff
-    * the document's feature mass sits closer to the target than the
-    * pool (margin > 0).
+    * then score every raw document by whether its features look drawn
+    * from the target rather than the pool. Where q69 keeps the paper's
+    * ratio shape in smoothed floating point, the gate is ALL-INTEGER:
+    * margin = Σ_b n_b·(ppm_t(b) − ppm_r(b)) with per-bucket
+    * probabilities quantized to parts-per-million by non-negative
+    * integer division — a yes/no decision replayed across engines,
+    * checkpoints, and Spark versions must not hinge on a ULP (ln isn't
+    * even bit-specified across engines). selected=1 iff the document's
+    * feature mass sits closer to the target than the pool (margin > 0).
     *
     * Scale shape: ONE corpus pass reduces the bigram stream to the
     * per-(doc, bucket) count table (≤ 256 rows/doc — bounded, ≪ bigram

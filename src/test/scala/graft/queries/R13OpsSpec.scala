@@ -117,4 +117,26 @@ class R13OpsSpec extends SparkSpec {
     assert(got == expect)
     assert(expect.exists(_._3 != 0), "fixture must produce nonzero margins")
   }
+
+  test("q102 is a complete permutation with dense per-shard positions") {
+    val rows = SparkEntry.queries("q102_epoch_shuffle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val allIds = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every document appears exactly once
+    assert(rows.map(_._1).toSet == allIds)
+    assert(rows.length == allIds.size)
+    // positions are dense 1..n within each shard
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong),
+        s"shard $shard positions not dense")
+    }
+    // the md5 key actually spreads: more than one shard in use, and no
+    // shard hoards more than half the corpus
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.size > 4 && sizes.max < rows.length / 2)
+    // the order is not the identity (it is a shuffle)
+    val inOrder = rows.sortBy(r => (r._2, r._3)).map(_._1)
+    assert(inOrder.toSeq != inOrder.sorted.toSeq)
+  }
 }
