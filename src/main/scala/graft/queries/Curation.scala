@@ -543,5 +543,56 @@ object Curation {
       ORDER BY doc_id"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q80, q81, q82, q83, q90, q91, q98, q99)
+  /** Q104: data-constrained REPEAT tiers — when the curated corpus is
+    * smaller than the compute budget wants, repeating data up to ~4
+    * epochs costs almost nothing versus fresh data (Muennighoff et al.,
+    * NeurIPS'23, arXiv 2305.16264, "Scaling Data-Constrained Language
+    * Models" — public paper), and pipelines spend those repeats on their
+    * BEST documents: this query assigns each document a repeat count
+    * from its calibrated quality quartile (q99's per-source percentile —
+    * top quartile ×4, then ×2, ×1, and the bottom quartile dropped, the
+    * q99 gate) and emits the per-(source, tier) doc/token accounting plus
+    * the effective-token budget the schedule buys. Feeding q102's epoch
+    * shuffle with these multiplicities is the planned training mix.
+    *
+    * Scale shape: q99's exactly — the calibration window's one shuffle on
+    * source; the tier rollup partial-aggregates onto the same key
+    * (sources × 4 output rows). */
+  private val q104 = GraftQuery(
+    "q104_repeat_tiers",
+    (spark, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score"), col("doc_id"))
+      Text.qualityScored(spark, dir)
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"), col("quality_score"))
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("repeats",
+          when(col("pct") >= 0.75, 4L).when(col("pct") >= 0.5, 2L)
+            .when(col("pct") >= 0.25, 1L).otherwise(0L))
+        .groupBy("source", "repeats")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+        .withColumn("effective_tokens", col("repeats") * col("tokens"))
+        .orderBy("source", "repeats")
+    },
+    Some(s"""
+      WITH ${Text.qualityScoredSql},
+      cal AS (
+        SELECT q.doc_id, d.source, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+               percent_rank() OVER (PARTITION BY d.source
+                 ORDER BY q.quality_score, q.doc_id) AS pct
+        FROM quality q JOIN documents d USING (doc_id)),
+      tier AS (
+        SELECT source, n_tokens,
+               CAST(CASE WHEN pct >= 0.75 THEN 4 WHEN pct >= 0.5 THEN 2
+                    WHEN pct >= 0.25 THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        FROM cal)
+      SELECT source, repeats, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             CAST(repeats * sum(n_tokens) AS BIGINT) AS effective_tokens
+      FROM tier GROUP BY source, repeats
+      ORDER BY source, repeats"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q80, q81, q82, q83, q90, q91, q98, q99, q104)
 }

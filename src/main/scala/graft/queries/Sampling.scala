@@ -646,6 +646,83 @@ object Sampling {
         ORDER BY shard, pos"""))
   }
 
+  /** Q103: packing-efficiency AUDIT — the measurement that justifies q53's
+    * existence and picks the sequence length: for each candidate seq_len,
+    * compare the token waste of pad-to-length batching (every document
+    * padded up to a multiple of L — the naive loader) against packed
+    * batching (per-source concatenation cut at L — q53's regime, ≤ L−1
+    * waste per SOURCE instead of per document). Padding waste at a given
+    * corpus is a pure corpus statistic (Krell et al., 2021, arXiv
+    * 2107.02027 measure ~50% padding waste on Wikipedia at L=512 —
+    * public paper); teams run exactly this audit before committing a
+    * sequence length. All counts integer; the two waste rates are exact
+    * BIGINT÷BIGINT → double.
+    *
+    * Scale shape: one corpus scan reduced at the source to (source,
+    * n_tok); the L dimension explodes a 4-element literal array (output
+    * 4 rows); the only shuffles aggregate onto the 4-row / |sources|-row
+    * keyspaces — partial-agg everywhere, nothing scales with the corpus
+    * but the scan. */
+  private val q103 = {
+    val lens = Seq(128L, 256L, 512L, 1024L)
+    GraftQuery(
+      "q103_packing_efficiency",
+      (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val ls = explode(array(lens.map(lit): _*)).as("seq_len")
+        val pad = d.select(col("n_tok"), ls)
+          .groupBy("seq_len")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tok").as("total_tokens"),
+            sum(expr("((n_tok + seq_len - 1) div seq_len) * seq_len"))
+              .as("padded_tokens"))
+        val src = d.groupBy("source").agg(sum("n_tok").as("src_tok"))
+        val pk = src.select(col("src_tok"), ls)
+          .groupBy("seq_len")
+          .agg(sum(expr("(src_tok + seq_len - 1) div seq_len")).as("packed_seqs"))
+        pad.join(pk, Seq("seq_len"))
+          .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+            col("padded_tokens"),
+            ((col("padded_tokens") - col("total_tokens")).cast("double") /
+              col("padded_tokens")).as("pad_waste"),
+            col("packed_seqs"),
+            ((col("packed_seqs") * col("seq_len") - col("total_tokens"))
+              .cast("double") / (col("packed_seqs") * col("seq_len")))
+              .as("packed_waste"))
+          .orderBy("seq_len")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        ls AS (SELECT CAST(unnest([${lens.mkString(", ")}]) AS BIGINT) AS seq_len),
+        pad AS (
+          SELECT l.seq_len, count(*) AS n_docs,
+                 CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(((d.n_tok + l.seq_len - 1) // l.seq_len) * l.seq_len)
+                   AS BIGINT) AS padded_tokens
+          FROM d CROSS JOIN ls l GROUP BY l.seq_len),
+        src AS (
+          SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok
+          FROM d GROUP BY source),
+        pk AS (
+          SELECT l.seq_len,
+                 CAST(sum((s.src_tok + l.seq_len - 1) // l.seq_len) AS BIGINT)
+                   AS packed_seqs
+          FROM src s CROSS JOIN ls l GROUP BY l.seq_len)
+        SELECT p.seq_len, p.n_docs, p.total_tokens, p.padded_tokens,
+               CAST(p.padded_tokens - p.total_tokens AS DOUBLE)
+                 / p.padded_tokens AS pad_waste,
+               k.packed_seqs,
+               CAST(k.packed_seqs * p.seq_len - p.total_tokens AS DOUBLE)
+                 / (k.packed_seqs * p.seq_len) AS packed_waste
+        FROM pad p JOIN pk k USING (seq_len)
+        ORDER BY seq_len"""))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102)
+    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103)
 }

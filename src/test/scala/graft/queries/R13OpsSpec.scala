@@ -139,4 +139,40 @@ class R13OpsSpec extends SparkSpec {
     val inOrder = rows.sortBy(r => (r._2, r._3)).map(_._1)
     assert(inOrder.toSeq != inOrder.sorted.toSeq)
   }
+
+  test("q103: packing always beats padding, and both waste rates are sane") {
+    val rows = SparkEntry.queries("q103_packing_efficiency")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Seq(128L, 256L, 512L, 1024L))
+    rows.foreach { case (l, _, total, padded, padWaste, seqs, packedWaste) =>
+      assert(padded >= total)
+      assert(seqs * l >= total)
+      assert(packedWaste < padWaste,
+        s"L=$l: packing ($packedWaste) must beat padding ($padWaste)")
+      assert(padWaste >= 0 && padWaste < 1 && packedWaste >= 0 && packedWaste < 1)
+    }
+    // waste grows with L in both regimes on a short-doc corpus
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted)
+    assert(rows.map(_._7).toSeq == rows.map(_._7).toSeq.sorted)
+  }
+
+  test("q104: repeat tiers quarter each source and account tokens exactly") {
+    val rows = SparkEntry.queries("q104_repeat_tiers")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows.foreach { case (_, repeats, _, tokens, eff) =>
+      assert(Set(0L, 1L, 2L, 4L).contains(repeats))
+      assert(eff == repeats * tokens)
+    }
+    rows.groupBy(_._1).foreach { case (src, tiers) =>
+      assert(tiers.map(_._2).toSet == Set(0L, 1L, 2L, 4L),
+        s"source $src missing a tier")
+      val n = tiers.map(_._3).sum
+      // quartile split: tier sizes within one doc of n/4
+      tiers.foreach { t =>
+        assert(math.abs(t._3 - n / 4.0) <= 1.0, s"$src tier ${t._2}: ${t._3} of $n")
+      }
+    }
+  }
 }
