@@ -723,6 +723,68 @@ object Sampling {
         ORDER BY seq_len"""))
   }
 
+  /** Q105: LEAKAGE-SAFE split — the group-aware refinement of q59's
+    * hold-out assignment: a near-duplicate pair split across train and
+    * test is silent evaluation leakage (the published reason dedup
+    * precedes splitting — Lee et al., ACL'22 §6 measure test-set overlap
+    * inflating LM scores; GroupKFold is the classical ML form of the
+    * fix), so documents are assigned to splits BY DUPLICATE CLUSTER, not
+    * individually: every member of a q30/q36 near-dup cluster carries its
+    * cluster canonical as the split key, singletons carry themselves, and
+    * the 80/10/10 gate is the repo-standard md5 uniform on that group
+    * key — whole clusters land in one split, bit-reproducibly.
+    *
+    * The gate is Bernoulli-by-group (q56's style), not q59's
+    * exact-per-stratum rank cut: exactness per source cannot coexist
+    * with cluster atomicity when clusters span sources, and the whole
+    * point is atomicity.
+    *
+    * Scale shape: q36's resolution bounds (one keyed shuffle per round
+    * on the near-dup-density-sized edge set), one left join of the
+    * corpus against the (small) label table, then narrow hashing — no
+    * additional corpus shuffle. */
+  private val q105 = GraftQuery(
+    "q105_leakage_safe_split",
+    (spark, dir) => {
+      val labels = graft.queries.Dedup.resolveClusters(
+        graft.queries.Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b"))
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("canonical"), col("doc_id")))
+        .withColumn("u", Rand.u32(
+          md5(concat(lit("gsplit:"), col("group_key").cast("string")))))
+        .select(col("doc_id"), col("group_key"),
+          when(col("u") < 3435973836L, "train")
+            .when(col("u") < 3865470566L, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${graft.queries.Dedup.minhashPairsSql},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      labels AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical
+        FROM reach GROUP BY s),
+      k AS (
+        SELECT d.doc_id, coalesce(l.canonical, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN labels l USING (doc_id)),
+      u AS (
+        SELECT doc_id, group_key,
+               ${Rand.u32Sql("md5('gsplit:' || CAST(group_key AS VARCHAR))")} AS u
+        FROM k)
+      SELECT doc_id, group_key,
+             CASE WHEN u < 3435973836 THEN 'train'
+                  WHEN u < 3865470566 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103)
+    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103, q105)
 }

@@ -175,4 +175,25 @@ class R13OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q105: every near-dup cluster lands whole in exactly one split") {
+    val rows = SparkEntry.queries("q105_leakage_safe_split")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val allIds = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == allIds, "every document assigned")
+    // cluster atomicity: one split per group key
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(_._3).toSet.size == 1,
+        s"group $g split across ${members.map(_._3).toSet}")
+    }
+    // the fixture actually has multi-member clusters (else this pins nothing)
+    assert(rows.groupBy(_._2).values.exists(_.size > 1),
+      "fixture must contain at least one near-dup cluster")
+    // group-level split rates near 80/10/10
+    val groups = rows.groupBy(_._2).map(_._2.head._3).toSeq
+    val train = groups.count(_ == "train").toDouble / groups.size
+    assert(train > 0.7 && train < 0.9, s"train rate $train")
+    assert(groups.contains("val") && groups.contains("test"))
+  }
 }
