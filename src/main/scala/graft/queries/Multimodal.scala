@@ -306,5 +306,54 @@ object Multimodal {
       ORDER BY media_id, chunk_idx"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q88, q92, q94)
+  /** Q106: stride FRAME SAMPLING — the video-side preprocessing step a
+    * vision-language data pipeline runs before feature extraction: decode
+    * is far too expensive to run on every frame, so assets are sampled at
+    * a fixed stride (every 4th frame here — the uniform-stride baseline
+    * of the published video-LM data recipes) and only sampled frames
+    * proceed to the (stubbed — no codecs in this container, q50's
+    * documented boundary) decode/feature stage. Frames are the synthetic
+    * 256-byte blocks of `FakeCodec.frameCount`, so the sampled frame's
+    * content hash is oracle-checkable as a byte-slice md5; a production
+    * build swaps the slicing for real container parsing without touching
+    * the plan shape.
+    *
+    * Scale shape: pure per-asset flatMap (q83's chunking shape on the
+    * binary column) — corpus-linear, zero shuffles before the
+    * presentation sort; frame explosion is bounded by payload size ÷
+    * (256·stride). The payload is sliced INSIDE the explode expression,
+    * so sampled-out frames are never materialized as rows. */
+  private val q106 = GraftQuery(
+    "q106_frame_sample",
+    (spark, dir) => {
+      val stride = 4
+      BinaryOps.synthesize(spark, dir).toDF
+        .filter(col("format") === "video")
+        .select(col("media_id"), col("payload"),
+          (length(col("payload")) / 256).cast("int").as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          explode(expr(
+            s"transform(filter(sequence(0, n_frames - 1), i -> i % $stride = 0), " +
+              "i -> named_struct(" +
+              "'frame_idx', CAST(i AS BIGINT), " +
+              "'frame_md5', md5(substring(payload, i*256+1, 256))))")).as("f"))
+        .select(col("media_id"), col("n_frames"),
+          col("f.frame_idx"), col("f.frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id AS media_id, text,
+               CAST(strlen(text) // 256 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2),
+      f AS (
+        SELECT media_id, n_frames, CAST(i AS BIGINT) AS frame_idx,
+               md5(substring(text, CAST(i*256+1 AS INTEGER), 256)) AS frame_md5
+        FROM v, unnest(generate_series(0, n_frames - 1)) u(i)
+        WHERE n_frames > 0 AND i % 4 = 0)
+      SELECT media_id, n_frames, frame_idx, frame_md5
+      FROM f ORDER BY media_id, frame_idx"""))
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q88, q92, q94, q106)
 }
