@@ -57,4 +57,45 @@ final class MisraGries(val k: Int) {
     * Counts are NOT returned: they undercount by up to n/(k+1) and the
     * two-pass pattern recounts exactly; returning them invites misuse. */
   def candidates: Seq[String] = counters.keysIterator.toSeq
+
+  /** Absorb another summary — Agarwal et al., PODS'12 ("Mergeable
+    * Summaries", §3.1): add the counters together; if more than k
+    * survive, subtract the (k+1)-th largest count from every counter and
+    * drop the non-positive. The merged summary keeps the single-pass
+    * guarantee over the CONCATENATED stream: each side's undercount is
+    * ≤ nᵢ/(k+1) and the pivot subtraction removes ≤ (combined counter
+    * mass)/(k+1) more, so total undercount ≤ (n₁+n₂)/(k+1) — any item
+    * with combined frequency above that threshold still survives. This
+    * is what makes the sketch a correct Catalyst partial aggregate
+    * (MisraGriesAgg): Spark may merge partials in any tree shape. */
+  def absorb(other: MisraGries): Unit = {
+    require(other.k == k,
+      s"cannot merge misra-gries summaries of different k: $k vs ${other.k}")
+    other.counters.foreach { case (g, c) =>
+      counters.update(g, counters.getOrElse(g, 0L) + c)
+    }
+    total += other.total
+    if (counters.size > k) {
+      val pivot = counters.values.toArray
+        .sorted(Ordering[Long].reverse).apply(k)
+      counters.toArray.foreach { case (g, c) =>
+        if (c <= pivot) counters.remove(g) else counters.update(g, c - pivot)
+      }
+    }
+  }
+
+  /** Counter state for serialization (MisraGriesAgg). */
+  def snapshot: Seq[(String, Long)] = counters.toSeq
+}
+
+object MisraGries {
+  /** Rebuild a summary from serialized state (MisraGriesAgg.deserialize).
+    * The entries must come from [[MisraGries.snapshot]] — they are counter
+    * values, not raw stream items. */
+  def restore(k: Int, total: Long, entries: Seq[(String, Long)]): MisraGries = {
+    val mg = new MisraGries(k)
+    entries.foreach { case (g, c) => mg.counters.update(g, c) }
+    mg.total = total
+    mg
+  }
 }

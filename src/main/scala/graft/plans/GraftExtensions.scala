@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedHash64Description)
     ext.injectFunction(GraftExtensions.sortedLongJaccardGeDescription)
     ext.injectFunction(GraftExtensions.bloomMightContainDescription)
+    ext.injectFunction(GraftExtensions.mgCandidatesDescription)
   }
 }
 
@@ -232,6 +233,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WinnowPositions].getName, "winnow_positions"),
     (children: Seq[Expression]) => mkWinnow(children))
 
+  private def mkMgCandidates(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"mg_candidates(col, k) takes exactly 2 arguments, got ${children.size}")
+    val k = literalAs("mg_candidates", "k", children(1)) { case i: Int => i }
+    require(k >= 1, s"mg_candidates k must be >= 1, got $k")
+    MisraGriesAgg(children.head, k)
+  }
+
+  private[plans] val mgCandidatesDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("mg_candidates"),
+    new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_candidates"),
+    (children: Seq[Expression]) => mkMgCandidates(children))
+
   private def mkCharNgrams(children: Seq[Expression]): Expression = {
     require(children.size == 3 && children(1).foldable && children(2).foldable,
       "char_ngrams(text, n, distinct) requires literal n and distinct")
@@ -269,5 +283,7 @@ object GraftExtensions {
       "sorted_long_jaccard_ge", mkSortedLongJaccardGe, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", mkBloomMightContain, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_candidates", mkMgCandidates, "scala_udf")
   }
 }

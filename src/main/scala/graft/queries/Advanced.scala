@@ -351,33 +351,37 @@ object Advanced {
     * salting, popular-query logs). Finds every word trigram whose corpus
     * frequency exceeds N/k exactly, in two passes:
     *
-    * pass 1 — per-partition Misra-Gries with k counters
-    * ([[graft.core.sketch.MisraGries]]): O(k) memory per task regardless
-    * of partition vocabulary; the union of partition survivors is a
-    * PROVEN superset of every gram with global frequency > N/(k+1)
-    * (average + survival arguments in the kernel's scaladoc). Partition
-    * stream lengths ride along, so N needs no extra corpus scan.
+    * pass 1 — the `mg_candidates` CATALYST AGGREGATE
+    * ([[graft.plans.MisraGriesAgg]] over [[graft.core.sketch.MisraGries]]):
+    * O(k) memory per partial buffer regardless of vocabulary, map-side
+    * partial aggregation, and PODS'12-mergeable partials — so the final
+    * candidate array is bounded by k TOTAL (not k × partitions: Spark
+    * merges the partial summaries pairwise and every merge re-prunes to
+    * k) while still PROVABLY containing every gram with global frequency
+    * > N/(k+1) (survival + mergeability arguments in the kernel's
+    * scaladoc). N rides along as a count(*) in the same aggregation, so
+    * pass 1 is exactly one corpus scan.
     *
-    * pass 2 — exact counts of the candidate superset only (semi-join,
-    * AQE broadcasts the candidate table when small) and the exact
-    * threshold filter k·cnt > N in integer math. The output is therefore
-    * EXACTLY the answer of the full GROUP BY ... HAVING the oracle runs —
-    * the sketch only routes, never decides (the q81 Bloom rule).
+    * pass 2 — exact counts of the candidate superset only (semi-join
+    * against the exploded ≤k-row candidate table — always broadcastable
+    * by construction) and the exact threshold filter k·cnt > N in
+    * integer math. The output is therefore EXACTLY the answer of the
+    * full GROUP BY ... HAVING the oracle runs — the sketch only routes,
+    * never decides (the q81 Bloom rule).
     *
     * Unlike q54/q87 (TakeOrdered top-k: ranks, no guarantee), this is
     * threshold-complete: nothing above N/k can be missed. Scale shape:
     * two corpus passes, one keyed shuffle on the (candidate-pruned) gram
-    * key; the candidate table is bounded by Σ_p min(k, vocab_p) — at
-    * 1000 executors a k=5000 sketch caps it at 5M rows, a hash-join-able
-    * table even when the true vocabulary is 10¹². The sketch survivor
-    * SET depends on partition order; the output does not (superset +
-    * exact recount). */
+    * key, one one-row ObjectHashAggregate output. The sketch survivor
+    * SET depends on partition/merge order; the output does not (superset
+    * + exact recount — pinned by R13OpsSpec's layout-invariance test). */
   private val q97 = {
     val k = 5000
     GraftQuery(
       "q97_heavy_hitters",
       (spark, dir) => {
         import spark.implicits._
+        graft.plans.GraftExtensions.install(spark)
         val grams = Tables.documents(spark, dir)
           .select(col("doc_id"), col("text"))
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -386,19 +390,16 @@ object Advanced {
           .select(explode(expr(
             "transform(sequence(1, size(toks)-2), " +
               "i -> concat_ws(' ', slice(toks, i, 3)))")).as("g"))
-        // Pass 1. The empty-string row carries the partition's stream
-        // length (grams are 3 words joined by spaces — never empty).
-        // The summary is tiny (<= P*(k+1) rows) but has TWO consumers
-        // (N and the candidate set); checkpoint so Misra-Gries does not
-        // re-stream the corpus per consumer.
-        val summary = grams.as[String].mapPartitions { it =>
-          val mg = new graft.core.sketch.MisraGries(k)
-          it.foreach(mg.offer)
-          Iterator(("", mg.n)) ++ mg.candidates.iterator.map((_, 0L))
-        }.toDF("g", "cnt").localCheckpoint(eager = true)
-        val n = summary.filter(col("g") === "")
-          .agg(sum("cnt")).as[Long].head()
-        val cands = summary.filter(col("g") =!= "").select("g").distinct()
+        // Pass 1: one corpus scan -> a ONE-ROW summary (candidate array
+        // + stream length), produced by the mergeable sketch aggregate.
+        // Checkpointed because two consumers read it (N and the exploded
+        // candidate table); it is a single row either way.
+        val summary = grams
+          .agg(expr(s"mg_candidates(g, $k)").as("cands"),
+            count(lit(1)).as("n"))
+          .localCheckpoint(eager = true)
+        val n = summary.select("n").as[Long].head()
+        val cands = summary.select(explode(col("cands")).as("g"))
         // Pass 2: exact recount of candidates only.
         grams.join(cands, Seq("g"), "left_semi")
           .groupBy("g").agg(count(lit(1)).as("cnt"))

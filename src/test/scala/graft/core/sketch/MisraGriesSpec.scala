@@ -64,4 +64,52 @@ class MisraGriesSpec extends AnyFunSuite {
   test("k must be positive") {
     intercept[IllegalArgumentException](new MisraGries(0))
   }
+
+  test("merged summaries keep the survival guarantee (any split, any order)") {
+    val cases = for {
+      k <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 400)
+      s <- Gen.listOfN(n, Gen.choose(0, 12).map(i => s"w$i"))
+      nChunks <- Gen.choose(1, 5)
+    } yield (k, s, nChunks)
+    forAll(cases) { case (k, stream, nChunks) =>
+      val chunkSize = math.max(1, (stream.size + nChunks - 1) / nChunks)
+      val parts = stream.grouped(chunkSize).map { chunk =>
+        val mg = new MisraGries(k)
+        chunk.foreach(mg.offer)
+        mg
+      }.toSeq
+      val merged = parts.headOption.getOrElse(new MisraGries(k))
+      parts.drop(1).foreach(merged.absorb)
+      assert(merged.n == stream.size)
+      assert(merged.candidates.size <= k)
+      val cands = merged.candidates.toSet
+      val threshold = stream.size.toDouble / (k + 1)
+      exact(stream).foreach { case (item, f) =>
+        if (f > threshold)
+          assert(cands.contains(item),
+            s"item $item freq $f > $threshold lost in a $nChunks-way merge")
+      }
+    }
+  }
+
+  test("absorb refuses summaries of different k") {
+    val a = new MisraGries(3)
+    val b = new MisraGries(4)
+    intercept[IllegalArgumentException](a.absorb(b))
+  }
+
+  test("snapshot → restore round-trips candidates and stream length") {
+    val mg = new MisraGries(4)
+    Seq("a", "b", "a", "c", "a", "d", "e", "a").foreach(mg.offer)
+    val back = MisraGries.restore(mg.k, mg.n, mg.snapshot)
+    assert(back.n == mg.n)
+    assert(back.candidates.sorted == mg.candidates.sorted)
+    // the restored summary keeps absorbing correctly
+    val other = new MisraGries(4)
+    Seq("a", "a").foreach(other.offer)
+    back.absorb(other)
+    assert(back.n == mg.n + 2)
+    assert(back.candidates.contains("a"))
+  }
 }

@@ -422,6 +422,30 @@ class PlanShapeSpec extends SparkSpec {
       s"no semi-join pruning before the recount:\n$s")
   }
 
+  test("q97: the sketch pass is a partial ObjectHashAggregate, not a sort") {
+    // the mg_candidates TypedImperativeAggregate must take the
+    // ObjectHashAggregate path with a map-side partial — a SortAggregate
+    // fallback would globally sort the gram stream to feed an O(k) sketch
+    val df = SparkEntry.queries("q97_heavy_hitters")(spark, sfDir)
+    // the sketch job already ran during query construction (one-row
+    // checkpoint); re-derive its plan directly to inspect it
+    graft.plans.GraftExtensions.install(spark)
+    val grams = graft.Tables.documents(spark, sfDir)
+      .selectExpr("split(text, ' ') AS toks")
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("toks")) >= 3)
+      .selectExpr("explode(transform(sequence(1, size(toks)-2), " +
+        "i -> concat_ws(' ', slice(toks, i, 3)))) AS g")
+    val s = grams.selectExpr("mg_candidates(g, 5000)")
+      .queryExecution.executedPlan.toString
+    assert(s.contains("ObjectHashAggregate"),
+      s"mg_candidates did not take the ObjectHashAggregate path:\n$s")
+    assert("partial_mg_candidates|partial mg_candidates".r.findFirstIn(s).isDefined
+      || s.contains("partial"),
+      s"no map-side partial sketch:\n$s")
+    assert(df.columns.toSeq == Seq("g", "cnt"))
+  }
+
   test("q98: snapshot sides shrink to hashes BEFORE the full-outer join") {
     // the join must shuffle (key, source, md5, count) projections, never
     // document text — at 100 TB text crossing the wire is the bottleneck
