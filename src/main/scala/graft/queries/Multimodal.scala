@@ -353,7 +353,8 @@ object Multimodal {
         FROM v, unnest(generate_series(0, n_frames - 1)) u(i)
         WHERE n_frames > 0 AND i % 4 = 0)
       SELECT media_id, n_frames, frame_idx, frame_md5
-      FROM f ORDER BY media_id, frame_idx"""))
+      FROM f ORDER BY media_id, frame_idx"""),
+    headline = true)
 
   val all: Seq[GraftQuery] = Seq(q50, q51, q88, q92, q94, q106)
 }

@@ -643,7 +643,8 @@ object Sampling {
                CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
                  AS BIGINT) AS pos
         FROM s
-        ORDER BY shard, pos"""))
+        ORDER BY shard, pos"""),
+      headline = true)
   }
 
   /** Q103: packing-efficiency AUDIT — the measurement that justifies q53's
@@ -783,7 +784,8 @@ object Sampling {
              CASE WHEN u < 3435973836 THEN 'train'
                   WHEN u < 3865470566 THEN 'val'
                   ELSE 'test' END AS split
-      FROM u ORDER BY doc_id"""))
+      FROM u ORDER BY doc_id"""),
+    headline = true)
 
   val all: Seq[GraftQuery] =
     Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103, q105)
