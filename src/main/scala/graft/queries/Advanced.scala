@@ -418,6 +418,131 @@ object Advanced {
       headline = true)
   }
 
+  /** Q107: corpus PROFILE — the ANALYZE-style per-column audit every
+    * ingestion run records before anything else trusts the data: row
+    * count, null count, exact distinct count, lexicographic min/max of
+    * the string rendering (type-agnostic, so one profile row shape fits
+    * every column), and mean rendered length. ONE corpus scan: all five
+    * columns' statistics compute in a single wide aggregation (Spark
+    * plans the multi-distinct via Expand — rows × columns, still one
+    * scan) and `stack` unpivots the one-row result into the per-column
+    * report. At 100 TB the exact distincts are the expensive part —
+    * the documented cheap variant swaps `count_distinct` for
+    * `approx_count_distinct` (HLL, q74's machinery) without changing
+    * the plan shape. */
+  private val q107 = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    GraftQuery(
+      "q107_corpus_profile",
+      (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c).cast("string")).as(s"${c}_min"),
+            max(col(c).cast("string")).as(s"${c}_max"),
+            sum(length(col(c).cast("string")).cast("long")).as(s"${c}_len"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_len")
+          .mkString(", ")
+        d.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.size}, $stackArgs) AS " +
+              "(column_name, n_nulls, n_distinct, min_str, max_str, sum_len)")
+          .select(col("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_str"), col("max_str"),
+            (col("sum_len").cast("double") / (col("n_rows") - col("n_nulls")))
+              .as("avg_len"))
+          .orderBy("column_name")
+      },
+      Some {
+        val aggSelects = cols.map { c =>
+          s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls,
+              CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_distinct,
+              min(CAST($c AS VARCHAR)) AS ${c}_min,
+              max(CAST($c AS VARCHAR)) AS ${c}_max,
+              CAST(sum(strlen(CAST($c AS VARCHAR))) AS BIGINT) AS ${c}_len"""
+        }.mkString(", ")
+        val unions = cols.map { c =>
+          s"""SELECT '$c' AS column_name, n_rows, ${c}_nulls AS n_nulls,
+                ${c}_distinct AS n_distinct, ${c}_min AS min_str,
+                ${c}_max AS max_str,
+                CAST(${c}_len AS DOUBLE) / (n_rows - ${c}_nulls) AS avg_len
+              FROM s"""
+        }.mkString("\n UNION ALL ")
+        s"""
+        WITH s AS (
+          SELECT count(*) AS n_rows, $aggSelects FROM documents)
+        SELECT * FROM ($unions)
+        ORDER BY column_name"""
+      })
+  }
+
+  /** Q108: snapshot DRIFT check — the monitoring gate a recurring-crawl
+    * pipeline runs beside q98's diff: compare the document-length
+    * distribution of two corpus snapshots (the q98 derivations) over
+    * fixed buckets and flag shift. The usual monitoring statistic (PSI)
+    * takes logs, which are not bit-specified across engines, so the
+    * reported per-bucket statistic is the exactly-integer SCALED L1 term
+    * |c1·T2 − c2·T1| (zero iff the bucket's rates match exactly; the
+    * sum is T1·T2 × total-variation distance — same ordering, same
+    * zero-set, engine-exact), with the IEEE-exact rates alongside for
+    * human eyes.
+    *
+    * Scale shape: one narrow scan per snapshot reduced to (bucket)
+    * at the source, partial-agg conditional counts onto a ≤10-row
+    * keyspace, totals folded back via one broadcast crossJoin. Nothing
+    * but the scans grows with the corpus. */
+  private val q108 = GraftQuery(
+    "q108_snapshot_drift",
+    (spark, dir) => {
+      val base = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      def bucket(nc: org.apache.spark.sql.Column) =
+        least(lit(9L), (nc / 64).cast("long"))
+      val v1 = base.filter(col("doc_id") % 17 =!= 3)
+        .select(bucket(col("n_chars")).as("bucket"), lit(1).as("v"))
+      val v2 = base.filter(col("doc_id") % 13 =!= 5)
+        .select(bucket(col("n_chars") +
+            when(col("doc_id") % 7 === 2, 4L).otherwise(0L)).as("bucket"),
+          lit(2).as("v"))
+      val counts = v1.unionByName(v2).groupBy("bucket").agg(
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("v") === 2, 1L).otherwise(0L)).as("c2"))
+      val totals = counts.agg(sum("c1").as("t1"), sum("c2").as("t2"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bucket"), col("c1"), col("c2"),
+          (col("c1").cast("double") / col("t1")).as("rate1"),
+          (col("c2").cast("double") / col("t2")).as("rate2"),
+          abs(col("c1") * col("t2") - col("c2") * col("t1")).as("l1_scaled"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH b1 AS (
+        SELECT least(9, n_chars // 64) AS bucket FROM documents
+        WHERE doc_id % 17 <> 3),
+      b2 AS (
+        SELECT least(9, (n_chars + CASE WHEN doc_id % 7 = 2 THEN 4 ELSE 0 END) // 64)
+          AS bucket
+        FROM documents WHERE doc_id % 13 <> 5),
+      u AS (
+        SELECT bucket, 1 AS v FROM b1
+        UNION ALL
+        SELECT bucket, 2 AS v FROM b2),
+      c AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM u GROUP BY bucket),
+      t AS (SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2 FROM c)
+      SELECT bucket, c1, c2,
+             CAST(c1 AS DOUBLE) / t1 AS rate1,
+             CAST(c2 AS DOUBLE) / t2 AS rate2,
+             CAST(abs(c1 * t2 - c2 * t1) AS BIGINT) AS l1_scaled
+      FROM c CROSS JOIN t
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q97)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q97, q107, q108)
 }

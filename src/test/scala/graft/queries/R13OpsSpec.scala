@@ -196,4 +196,35 @@ class R13OpsSpec extends SparkSpec {
     assert(train > 0.7 && train < 0.9, s"train rate $train")
     assert(groups.contains("val") && groups.contains("test"))
   }
+
+  test("q107 profiles every column from one consistent row count") {
+    val rows = SparkEntry.queries("q107_corpus_profile")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5), r.getDouble(6)))
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    rows.foreach { r =>
+      assert(r._2 == n, s"${r._1} n_rows ${r._2} != $n")
+      assert(r._3 == 0, s"${r._1} unexpected nulls")
+      assert(r._4 >= 1 && r._4 <= n)
+      assert(r._5 <= r._6, s"${r._1} min > max")
+      assert(r._7 > 0)
+    }
+    // doc_id is the primary key: distinct == rows
+    assert(rows.find(_._1 == "doc_id").get._4 == n)
+  }
+
+  test("q108 detects the planted length drift and balances totals") {
+    val rows = SparkEntry.queries("q108_snapshot_drift")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    val (t1, t2) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    rows.foreach { r =>
+      // the statistic's zero-set matches exact rate equality
+      assert((r._6 == 0) == (r._2 * t2 == r._3 * t1))
+      assert(math.abs(r._4 - r._2.toDouble / t1) < 1e-12)
+    }
+    assert(rows.exists(_._6 > 0), "planted drift must be visible")
+  }
 }
