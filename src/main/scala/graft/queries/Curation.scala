@@ -593,6 +593,79 @@ object Curation {
       FROM tier GROUP BY source, repeats
       ORDER BY source, repeats"""))
 
+  /** Q109: dedup SAVINGS report — the per-source accounting a curation
+    * run publishes after the fuzzy sweep: with q36's clusters resolved
+    * and q82's keep-best-representative decision applied, how many
+    * documents and tokens does each source actually lose? (The number
+    * in every dataset paper's dedup table — e.g. RefinedWeb §4.2 reports
+    * exactly this removal accounting per stage.) Cluster members other
+    * than the chosen representative count as dropped; singletons and
+    * representatives are kept.
+    *
+    * Scale shape: q36's resolution bounds plus q82's cluster-keyed rank
+    * window (both density-sized, ≪ corpus); the corpus itself is touched
+    * once more by a left join against the dropped-doc table and a
+    * partial-agg groupBy on source. Token conservation
+    * (kept + dropped = total) is spec-pinned. */
+  private val q109 = GraftQuery(
+    "q109_dedup_savings",
+    (spark, dir) => {
+      val labels = Dedup.resolveClusters(
+        Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b"))
+      val qual = Text.qualityScored(spark, dir)
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tok"), col("quality_score"))
+      val w = Window.partitionBy("canonical")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val dropped = labels.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), lit(1L).as("is_dropped"))
+      qual.join(dropped, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(when(col("is_dropped").isNotNull, col("n_tok")).otherwise(0L))
+            .as("tokens_dropped"))
+        .withColumn("tokens_kept", col("tokens_total") - col("tokens_dropped"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE ${Dedup.minhashPairsSql},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      labels AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical
+        FROM reach GROUP BY s),
+      ${Text.qualityScoredSql},
+      ranked AS (
+        SELECT l.doc_id,
+               row_number() OVER (PARTITION BY l.canonical
+                 ORDER BY q.quality_score DESC, l.doc_id) AS rn
+        FROM labels l JOIN quality q USING (doc_id)),
+      d AS (
+        SELECT doc.doc_id, doc.source, CAST(q.n_tokens AS BIGINT) AS n_tok,
+               CASE WHEN r.rn > 1 THEN 1 ELSE 0 END AS dropped
+        FROM documents doc
+        JOIN quality q USING (doc_id)
+        LEFT JOIN ranked r ON r.doc_id = doc.doc_id)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(dropped) AS BIGINT) AS n_dropped,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN dropped = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_dropped,
+             CAST(sum(n_tok) - sum(CASE WHEN dropped = 1 THEN n_tok ELSE 0 END)
+               AS BIGINT) AS tokens_kept
+      FROM d GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q80, q81, q82, q83, q90, q91, q98, q99, q104)
+    Seq(q80, q81, q82, q83, q90, q91, q98, q99, q104, q109)
 }

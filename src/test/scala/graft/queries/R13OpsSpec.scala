@@ -227,4 +227,22 @@ class R13OpsSpec extends SparkSpec {
     }
     assert(rows.exists(_._6 > 0), "planted drift must be visible")
   }
+
+  test("q109 conserves tokens and drops exactly the non-representatives") {
+    val rows = SparkEntry.queries("q109_dedup_savings")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.foreach { r =>
+      assert(r._4 == r._5 + r._6, s"${r._1}: total != dropped + kept")
+      assert(r._2 >= r._3)
+    }
+    // the corpus has near-dup clusters, so something must be dropped...
+    assert(rows.map(_._3).sum > 0, "fixture must drop at least one dup")
+    // ...and the drop count equals cluster members minus cluster count
+    val labels = Dedup.resolveClusters(
+      Dedup.minhashPairs(spark, sfDir).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectDropped = labels.length - labels.map(_._2).distinct.length
+    assert(rows.map(_._3).sum == expectDropped)
+  }
 }
