@@ -85,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedLongJaccardGeDescription)
     ext.injectFunction(GraftExtensions.bloomMightContainDescription)
     ext.injectFunction(GraftExtensions.mgCandidatesDescription)
+    ext.injectFunction(GraftExtensions.vecGramDescription)
   }
 }
 
@@ -246,6 +247,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_candidates"),
     (children: Seq[Expression]) => mkMgCandidates(children))
 
+  private[plans] val vecGramDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("vec_gram"),
+    new ExpressionInfo(classOf[VecGramAgg].getName, "vec_gram"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"vec_gram(qv) takes exactly 1 argument, got ${children.size}")
+      VecGramAgg(children.head)
+    })
+
   private def mkCharNgrams(children: Seq[Expression]): Expression = {
     require(children.size == 3 && children(1).foldable && children(2).foldable,
       "char_ngrams(text, n, distinct) requires literal n and distinct")
@@ -285,5 +295,7 @@ object GraftExtensions {
       "bloom_might_contain", mkBloomMightContain, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_candidates", mkMgCandidates, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_gram", vecGramDescription._3, "scala_udf")
   }
 }

@@ -1,0 +1,219 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model- and index-quality evaluation over the curation pipeline's own
+  * artifacts — the measurement loop a production training-data system runs
+  * beside its filters: is the quality classifier actually discriminating
+  * (AUC), is the embedding preprocessing sound (Gram/covariance for PCA),
+  * is the ANN index faithful to brute force (recall@k)? No reference
+  * analogue (the reference evaluates via LLM judges, an X1-stubbed path);
+  * these are the deterministic, data-plane evaluations.
+  *
+  * Exactness contract: every accumulated quantity is INTEGER (embeddings
+  * quantized by floor(x·scale) — floor, not round, because round's
+  * half-case tie-break is not specified identically across engines), so
+  * sums are independent of partitioning and merge order; doubles appear
+  * only in final single divisions of exact integers, which IEEE 754
+  * rounds identically everywhere.
+  */
+object Evaluation {
+
+  /** Deterministic ±1 weight vector for the probe classifier: component d
+    * is +1 iff the first hex nibble of md5("auc:d") has its high bit set
+    * (the Similarity.hyperplanes recipe under a distinct namespace, so the
+    * two probes stay uncorrelated). Embedded as literals in both
+    * dialects. */
+  private[queries] val aucWeights: IndexedSeq[Long] = {
+    val mdig = MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until 64).map(d => if (md5hex(s"auc:$d").charAt(0) >= '8') 1L else -1L)
+  }
+
+  /** Quantized embedding (Spark side): floor(double(x) · scale) as long. */
+  private def quantized(scale: Int): Column =
+    transform(col("embedding"), x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Same quantization, DuckDB side. */
+  private def quantizedSql(scale: Int): String =
+    s"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
+
+  /** Q110: classifier AUC via the Mann-Whitney rank-sum identity — the
+    * standard evaluation of a quality/toxicity filter model against
+    * labeled holdout data, computed distributed and tie-correct:
+    *
+    *   AUC = [Σ_s pos(s)·negBelow(s) + ½·pos(s)·neg(s)] / (P·N)
+    *
+    * over distinct scores s (the ½ term is the average-rank tie
+    * correction). The probe model scores quantized embeddings with the
+    * fixed ±1 weight vector; ground truth is label ≥ 5. Kept in exact
+    * integers: U is accumulated doubled (U2 = 2·Σpos·negBelow + Σpos·neg)
+    * so the tie half-weight never leaves ℤ; AUC and Gini are single exact
+    * divisions at the end.
+    *
+    * Scale shape: the corpus-side work is one hash-partitioned groupBy
+    * (score → (pos, neg) counts); the ordered cumulative-negatives sweep
+    * runs over the DISTINCT-score table, which deployed scorers bound by
+    * emitting fixed-precision scores (here the integer margin) — and
+    * which, when it still overflows one partition, is the textbook
+    * two-pass partitioned prefix sum. The final reduction is a single
+    * 4-field partial agg. */
+  private val q110 = GraftQuery(
+    "q110_classifier_auc",
+    (spark, dir) => {
+      val w = typedLit(aucWeights)
+      val scored = Tables.embeddings(spark, dir)
+        .select(
+          aggregate(zip_with(quantized(1000), w, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("margin"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+      val byScore = scored.groupBy("margin")
+        .agg(sum("pos").as("p"), sum(lit(1L) - col("pos")).as("n"))
+      val sweep = Window.orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("neg_below", coalesce(sum("n").over(sweep), lit(0L)))
+        .agg(
+          sum("p").cast("long").as("n_pos"),
+          sum("n").cast("long").as("n_neg"),
+          sum(lit(2L) * col("p") * col("neg_below") + col("p") * col("n"))
+            .cast("long").as("u2"))
+        .select(
+          col("n_pos"), col("n_neg"),
+          (col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
+          (col("u2").cast("double") / (col("n_pos") * col("n_neg"))
+            - lit(1.0)).as("gini"))
+    },
+    Some {
+      val w = aucWeights.mkString("[", ", ", "]")
+      s"""
+      WITH scored AS (
+        SELECT list_reduce(list_transform(generate_series(1, 64),
+                 i -> (${quantizedSql(1000)})[i] * ($w)[i]),
+               (a, b) -> a + b) AS margin,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      by_score AS (
+        SELECT margin, CAST(sum(pos) AS BIGINT) AS p,
+               CAST(sum(1 - pos) AS BIGINT) AS n
+        FROM scored GROUP BY margin),
+      swept AS (
+        SELECT p, n,
+               CAST(coalesce(sum(n) OVER (ORDER BY margin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS neg_below
+        FROM by_score)
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS n_neg,
+             CAST(sum(2 * p * neg_below + p * n) AS DOUBLE)
+               / (2.0 * sum(p) * sum(n)) AS auc,
+             CAST(sum(2 * p * neg_below + p * n) AS DOUBLE)
+               / (CAST(sum(p) AS DOUBLE) * sum(n)) - 1.0 AS gini
+      FROM swept"""},
+    headline = true)
+
+  /** Q111: distributed Gram (second-moment) matrix of the embedding table
+    * via the `vec_gram` TypedImperativeAggregate — the front-end of PCA /
+    * whitening before semantic dedup clustering (SemDeDup, arXiv
+    * 2303.09540). One corpus scan, map-side-combined O(d²) partials, a
+    * single merged row exploded to (i, j, gram) upper-triangle entries.
+    *
+    * The declarative alternative — explode (i, j) per row, groupBy — is
+    * what the oracle SQL does, and it multiplies scan rows by d(d+1)/2
+    * (2080× at d=64): exactly the blow-up the aggregate exists to avoid
+    * at 100 TB. Integer quantization (floor(x·4096)) makes the aggregate's
+    * out-of-order partial merges bit-identical to the oracle's sequential
+    * sums — the property that lets a production-shaped one-pass kernel be
+    * hash-checked against a row-by-row reference. The eigensolve on the
+    * 64×64 result is driver-side (EvaluationSpec); only the O(N·d²) sum
+    * is cluster work. */
+  private val q111 = GraftQuery(
+    "q111_gram_matrix",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
+      val d = 64
+      // packed-triangle index → (i, j), 1-based to match DuckDB list
+      // indexing; a 2080-entry literal pair table beats re-deriving the
+      // triangle arithmetic in SQL on both sides
+      val pairs = for { i <- 0 until d; j <- i until d } yield (i + 1, j + 1)
+      val packed = Tables.embeddings(spark, dir)
+        .select(quantized(4096).as("qv"))
+        .agg(expr("vec_gram(qv)").as("g"))
+      packed
+        .select(posexplode(slice(col("g"), 3, d * (d + 1) / 2)))
+        .select(
+          element_at(typedLit(pairs.map(_._1)), col("pos") + 1).as("i"),
+          element_at(typedLit(pairs.map(_._2)), col("pos") + 1).as("j"),
+          col("col").as("gram"))
+        .orderBy("i", "j")
+    },
+    Some(s"""
+      WITH q AS (SELECT ${quantizedSql(4096)} AS qv FROM embeddings),
+      cells AS (
+        SELECT i, j, qv[i] * qv[j] AS prod
+        FROM q
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+        WHERE j >= i)
+      SELECT i, j, CAST(sum(prod) AS BIGINT) AS gram
+      FROM cells
+      GROUP BY i, j
+      ORDER BY i, j"""),
+    headline = true)
+
+  /** Q112: ANN index-quality audit — recall@5 of the LSH index (q35)
+    * against the brute-force ground truth (q34), per query point. The
+    * eval loop every ANN deployment runs after (re)building an index:
+    * both pipelines are deterministic, so the recall table is exactly
+    * reproducible and oracle-checkable (the oracle nests both queries'
+    * own oracle SQL as derived tables — one definition per pipeline,
+    * shared verbatim).
+    *
+    * Scale shape: both sides end in per-query top-5 tables (tiny — rows =
+    * 5·|queries|, not corpus-sized), so the audit join is a broadcast
+    * hash join on (query_id, neighbor_id) no matter the corpus size;
+    * recall is an exact int÷int per query. */
+  private val q112 = GraftQuery(
+    "q112_ann_recall",
+    (spark, dir) => {
+      val bf = Similarity.q34.fn(spark, dir).select("query_id", "neighbor_id")
+      val lsh = Similarity.q35.fn(spark, dir).select("query_id", "neighbor_id")
+      bf.as("bf")
+        .join(broadcast(lsh.as("lsh")),
+          col("bf.query_id") === col("lsh.query_id") &&
+            col("bf.neighbor_id") === col("lsh.neighbor_id"), "left")
+        .groupBy(col("bf.query_id").as("query_id"))
+        .agg(
+          count(lit(1)).as("n_true"),
+          sum(when(col("lsh.neighbor_id").isNotNull, 1L).otherwise(0L))
+            .as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+        .orderBy("query_id")
+    },
+    (Similarity.q34.oracle, Similarity.q35.oracle) match {
+      case (Some(bfSql), Some(lshSql)) => Some(s"""
+        SELECT bf.query_id AS query_id,
+               count(*) AS n_true,
+               CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS recall
+        FROM ($bfSql) bf
+        LEFT JOIN ($lshSql) lsh
+          ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+        GROUP BY bf.query_id
+        ORDER BY bf.query_id""")
+      case _ => None
+    },
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q110, q111, q112)
+}

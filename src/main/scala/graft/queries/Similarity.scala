@@ -77,7 +77,7 @@ object Similarity {
     * query side is broadcast and each executor scans its candidate
     * partition once — still one shuffle (the top-k per query), handled as
     * partial per-partition heaps by TakeOrdered-style aggregation. */
-  private val q34 = GraftQuery(
+  private[queries] val q34 = GraftQuery(
     "q34_knn_bruteforce",
     (spark, dir) => {
       val e = normedVectors(spark, dir)
@@ -115,7 +115,7 @@ object Similarity {
     * Scale shape: signatures are a narrow map; the candidate join is keyed
     * on (table, signature) so work scales with bucket occupancy, not N².
     * Recall vs q34 is checked in SimilaritySpec. */
-  private val q35 = GraftQuery(
+  private[queries] val q35 = GraftQuery(
     "q35_ann_lsh",
     (spark, dir) => {
       val e = normedVectors(spark, dir)
