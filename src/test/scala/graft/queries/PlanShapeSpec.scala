@@ -475,4 +475,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"),
       s"a sort-merge join means a corpus-sized side shuffled:\n$s")
   }
+
+  test("q110: corpus work is one hash shuffle to distinct-score counts") {
+    // scan → margin map → groupBy(margin) is the only corpus-keyed
+    // exchange; the ordered sweep and final reduction run over the
+    // score-grid-bounded table (single-partition window + singlePartition
+    // exchange — both scale with the score grid, never the corpus)
+    val p = plan("q110_classifier_auc")
+    val n = countHashShuffles(p)
+    assert(n == 1, s"expected exactly 1 hash shuffle, got $n:\n$p")
+    assert(!"(?i)join".r.findFirstIn(finalPlan(p.toString)).isDefined,
+      s"AUC should never join:\n$p")
+  }
+
+  test("q111: the Gram matrix is ONE ObjectHashAggregate pass, no row explosion") {
+    graft.plans.GraftExtensions.install(spark)
+    val s = finalPlan(planString("q111_gram_matrix"))
+    assert(s.contains("ObjectHashAggregate"),
+      s"vec_gram must aggregate imperatively (typed buffer):\n$s")
+    // the d^2-explosion happens AFTER the single-row aggregate: exactly
+    // one Generate (posexplode of the packed triangle), none before it
+    val generates = "Generate".r.findAllIn(s).length
+    assert(generates == 1, s"expected 1 post-agg Generate, got $generates:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"gram must not join:\n$s")
+  }
+
+  test("q112: the audit join is a broadcast over top-k tables") {
+    val s = finalPlan(planString("q112_ann_recall"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"recall join must broadcast the 5*|queries|-row LSH side:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"a sort-merge join means a top-k side was treated as corpus-sized:\n$s")
+  }
 }
