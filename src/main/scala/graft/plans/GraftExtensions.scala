@@ -74,6 +74,7 @@ object RewriteXmlValidUdf extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteXmlValidUdf)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(GraftExtensions.functionDescription)
     ext.injectFunction(GraftExtensions.minhashDescription)
     ext.injectFunction(GraftExtensions.dotFoldDescription)
@@ -269,6 +270,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteXmlValidUdf))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteXmlValidUdf
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "xml_valid_native", children => XmlValid(children.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -237,5 +237,36 @@ object Windows {
       ORDER BY decile"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q18, q19)
+  /** Q113: the SAME as-of semantics as q16, through the native
+    * whole-operator path — graft.plans.{AsOfJoinPlan, AsOfJoinStrategy,
+    * AsOfJoinExec} registered via SparkSessionExtensions (SURVEY §4
+    * ladder rung (c)). Identical oracle as q16, so the custom operator is
+    * hash-checked against DuckDB AND (transitively) against the
+    * union-window spelling. Plan shape: one hash exchange per side,
+    * per-side sorts, a streaming two-pointer merge with O(1) state — vs
+    * q16's merged-stream sort + last(ignoreNulls) window; see
+    * AsOfJoin.scala's scaladoc for the 100 TB accounting. */
+  private val q113 = GraftQuery(
+    "q113_asof_native",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+      graft.plans.AsOf.join(ev, ord,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+          tieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_orderkey"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             (SELECT o.o_orderkey FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
+      FROM events e
+      ORDER BY e.event_id"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q18, q19, q113)
 }

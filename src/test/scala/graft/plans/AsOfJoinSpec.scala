@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("native as-of equals the union-window spelling on real data") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderdate", "o_orderkey")
+    val native = AsOf.join(ev, ord,
+        Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+
+    val reference = graft.SparkEntry.queries("q16_asof_last_order")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+
+    assert(native.size === reference.size)
+    assert(native === reference)
+  }
+
+  test("unmatched left rows keep NULL right columns; null keys never match") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 5L), (2L, 10L, 1L), (3L, 99L, 5L))
+      .toDF("id", "k", "t")
+    val lNull = l.union(Seq((4L, 0L, 5L)).toDF("id", "k", "t")
+      .select(col("id"), lit(null).cast("long").as("k"), col("t")))
+    val r = Seq((10L, 2L, 100L), (10L, 4L, 200L), (10L, 4L, 300L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOf.join(lNull, r, Seq("k"), Seq("rk"), "t", "rt",
+        tieBreak = Seq("payload"))
+      .select("id", "payload").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // id=1: t=5 sees rt<=5 → last of (2,100),(4,200),(4,300) = 300 (tie max)
+    // id=2: t=1 sees nothing → null; id=3: key 99 unmatched → null
+    // id=4: null key → null
+    assert(out === Map(1L -> 300L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("plan: one hash exchange per side, no union, no window") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderdate", "o_orderkey")
+    val df = AsOf.join(ev, ord, Seq("user_id"), Seq("o_custkey"),
+      "ts", "o_orderdate", tieBreak = Seq("o_orderkey"))
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoinExec") || s.contains("AsOfJoin"), s)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$s")
+    assert(!s.contains("Union") && !s.contains("Window"), s)
+  }
+}
