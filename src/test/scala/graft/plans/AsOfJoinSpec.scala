@@ -44,6 +44,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Map(1L -> 300L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("randomized as-of equals the brute-force reference across layouts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      // tiny key space → heavy key collisions, duplicate times, empty keys
+      val nKeys = 1 + rng.nextInt(5)
+      val lRows = (1 to 80).map(i =>
+        (i.toLong, rng.nextInt(nKeys + 2).toLong, rng.nextInt(20).toLong))
+      val rRows = (1 to 60).map(i =>
+        (rng.nextInt(nKeys).toLong, rng.nextInt(20).toLong, i.toLong))
+      val l = lRows.toDF("id", "k", "t")
+        .repartition(1 + rng.nextInt(5)) // random layout; exec must re-cluster
+      val r = rRows.toDF("rk", "rt", "tie")
+        .repartition(1 + rng.nextInt(5))
+      val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          tieBreak = Seq("tie"))
+        .select("id", "tie").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      val want = lRows.map { case (id, k, t) =>
+        val m = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+        id -> (if (m.isEmpty) -1L else m.maxBy(rr => (rr._2, rr._3))._3)
+      }.toMap
+      assert(got === want, s"trial $trial (nKeys=$nKeys)")
+    }
+  }
+
   test("plan: one hash exchange per side, no union, no window") {
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
     val ord = Tables.orders(spark, sfDir)
