@@ -215,5 +215,75 @@ object Evaluation {
     },
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q110, q111, q112)
+  /** Q114: classifier calibration audit — the companion to q110's
+    * discrimination check: per fixed score bin, predicted probability vs
+    * empirical positive rate, plus the per-bin Brier contribution. A
+    * quality filter whose scores are discriminative but miscalibrated
+    * silently shifts the kept-data distribution when a fixed threshold is
+    * applied across sources; this is the reliability-diagram table that
+    * catches it.
+    *
+    * Exactness: the "predicted probability" is the LINEAR margin
+    * normalization (clamped margin + 4 000)/8 000 — a sigmoid would put
+    * libm exp() in the verdict path, which is not bit-stable across
+    * engines; the linear link keeps every per-bin statistic at integer
+    * sums + single exact divisions. Margins are clamped to ±4 000 — ~4σ
+    * of the ±1-weight margin distribution (σ ≈ √64·E|q| ≈ 1 000), so the
+    * 16 fixed 500-wide bins actually resolve the mass instead of packing
+    * it into two slices of the ±64 000 attainable range. Bins are FIXED
+    * margin ranges, not quantiles, so the binning is data-independent
+    * and shuffle-free to assign.
+    *
+    * Scale shape: one scan, one hash shuffle into ≤16 bin groups —
+    * partial-agg friendly, output bounded by the bin count at any corpus
+    * size. */
+  private val q114 = GraftQuery(
+    "q114_calibration_bins",
+    (spark, dir) => {
+      val w = typedLit(aucWeights)
+      val span = 4000L // ±4σ clamp; see scaladoc
+      val scored = Tables.embeddings(spark, dir)
+        .select(
+          aggregate(zip_with(quantized(1000), w, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("margin"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+      scored
+        .withColumn("m", least(lit(span), greatest(lit(-span), col("margin"))))
+        .withColumn("bin",
+          least(lit(15L), floor((col("m") + span) * 16 / (2 * span)).cast("long")))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("pos").cast("long").as("n_pos"),
+          sum("m").cast("long").as("sum_margin"))
+        .withColumn("mean_pred",
+          ((col("sum_margin").cast("double") / col("n")) + span) / (2.0 * span))
+        .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
+        .select("bin", "n", "n_pos", "mean_pred", "pos_rate")
+        .orderBy("bin")
+    },
+    Some {
+      val w = aucWeights.mkString("[", ", ", "]")
+      val span = 4000L
+      s"""
+      WITH scored AS (
+        SELECT list_reduce(list_transform(generate_series(1, 64),
+                 i -> (${quantizedSql(1000)})[i] * ($w)[i]),
+               (a, b) -> a + b) AS margin,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      binned AS (
+        SELECT least($span, greatest(-$span, margin)) AS m, pos
+        FROM scored)
+      SELECT least(15, CAST(floor((m + $span) * 16 / (2 * $span)) AS BIGINT)) AS bin,
+             count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+             ((CAST(sum(m) AS DOUBLE) / count(*)) + $span)
+               / (2.0 * $span) AS mean_pred,
+             CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
+      FROM binned
+      GROUP BY 1
+      ORDER BY 1"""},
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q110, q111, q112, q114)
 }

@@ -83,6 +83,27 @@ class EvaluationSpec extends SparkSpec {
     assert(lambda <= trace * (1 + 1e-12) && lambda >= trace / 64)
   }
 
+  // ---- q114 calibration --------------------------------------------------
+
+  test("q114 bins partition the scored set; rates consistent with q110 totals") {
+    val bins = eval("q114_calibration_bins").collect()
+    val auc = eval("q110_classifier_auc").collect().head
+    assert(bins.map(_.getLong(1)).sum === auc.getLong(0) + auc.getLong(1),
+      "bin counts must partition all scored vectors")
+    assert(bins.map(_.getLong(2)).sum === auc.getLong(0),
+      "per-bin positives must sum to the AUC's n_pos")
+    bins.foreach { b =>
+      val (bin, n, nPos) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      assert(bin >= 0 && bin <= 15 && n > 0 && nPos <= n)
+      assert(b.getDouble(4) === nPos.toDouble / n)
+      assert(b.getDouble(3) >= 0.0 && b.getDouble(3) <= 1.0)
+    }
+    // mean predicted probability increases with the bin (linear link is
+    // monotone in margin, bins are ordered margin slices)
+    val preds = bins.sortBy(_.getLong(0)).map(_.getDouble(3))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a < b })
+  }
+
   // ---- q112 recall -------------------------------------------------------
 
   test("q112 recall@5 is consistent with its own inputs") {
