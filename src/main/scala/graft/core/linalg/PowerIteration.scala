@@ -63,6 +63,43 @@ object PowerIteration {
     (lambda, v)
   }
 
+  /** Top-k eigenpairs by power iteration with Hotelling deflation
+    * (m ← m − λ·v·vᵀ after each extraction) — the standard small-matrix
+    * completion of distributed PCA: the cluster's one-pass `vec_gram`
+    * yields the d×d second-moment matrix, this yields its leading
+    * invariant subspace. Deterministic (fixed start + iteration budget),
+    * so the returned basis is reproducible bit-for-bit. */
+  def topK(m: Array[Array[Double]], k: Int, iters: Int = 200)
+      : Seq[(Double, Array[Double])] = {
+    val d = m.length
+    val work = m.map(_.clone())
+    var prev = List.empty[Array[Double]]
+    (0 until math.min(k, d)).map { _ =>
+      val (_, v0) = topEigen(work, iters)
+      // Gram-Schmidt against already-extracted components: deflation alone
+      // leaves O(convergence-error) cross-talk when eigenvalues are close;
+      // explicit re-orthogonalization pins c_i·c_j to machine epsilon
+      val v = v0.clone()
+      prev.foreach { p =>
+        val dot = (0 until d).map(i => v(i) * p(i)).sum
+        (0 until d).foreach(i => v(i) -= dot * p(i))
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (0 until d).foreach(i => v(i) /= nrm)
+      // Rayleigh quotient on the ORIGINAL matrix for the eigenvalue
+      val mv = (0 until d).map(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val lambda = (0 until d).map(i => v(i) * mv(i)).sum
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      prev = v :: prev
+      (lambda, v)
+    }
+  }
+
   /** ‖m·v − λ·v‖₂ — convergence residual for tests. */
   def residual(m: Array[Array[Double]], lambda: Double, v: Array[Double]): Double = {
     val d = m.length
