@@ -58,7 +58,10 @@ object Dedup {
     * (graft.plans.MinHashSigs — the higher-order spelling runs interpreted
     * and was the bench hotspot; semantics identical to the oracle's
     * list_min(list_transform(...))). */
-  private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Shared MinHash front-end: (shingles, signatures, banded candidate
+    * pairs) — consumed by q30/q36 (verified pairs) and q115 (estimator
+    * calibration audit). */
+  private[queries] def minhashCand(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.plans.GraftExtensions.install(spark)
     val sh = shingleDf(spark, dir)
     val sigs = sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
@@ -75,6 +78,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    (sh, sigs, cand)
+  }
+
+  private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (sh, _, cand) = minhashCand(spark, dir)
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
     cand
@@ -85,7 +93,9 @@ object Dedup {
   }
 
   /** The matching DuckDB CTE chain, ending in a `pairs` CTE. */
-  private[queries] val minhashPairsSql: String = {
+  /** DuckDB CTE chain through the banded candidates (`s`, `sig`, `cand`
+    * visible downstream) — shared by q30/q36's `pairs` and q115. */
+  private[queries] val minhashCandSql: String = {
     val sigExprs = (0 until 12)
       .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x))) AS h$s")
       .mkString(", ")
@@ -102,7 +112,11 @@ object Dedup {
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM rows_ x JOIN rows_ y
-          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+  }
+
+  private[queries] val minhashPairsSql: String = {
+    s"""$minhashCandSql,
       pairs AS (
         SELECT doc_a, doc_b,
                CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -1188,7 +1202,74 @@ object Dedup {
       ORDER BY vec_a, vec_b"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52, q67, q68, q85)
+  /** Q115: MinHash estimator calibration — the lexical-similarity
+    * analogue of q112's ANN recall audit: on the banded CANDIDATE stream
+    * (the only place the estimator is ever consulted), compare the
+    * 12-component MinHash estimate (matching components / 12) against the
+    * exact shingle Jaccard, grouped by estimate value — the
+    * bias/error table that justifies (or re-tunes) the band/row choice
+    * before a 100 TB sweep trusts it.
+    *
+    * Exactness: per-pair values are exact (integer component matches;
+    * one int÷int double for the exact Jaccard); per-GROUP means are
+    * float sums, so they fold over the SORTED value list in both engines
+    * (the q56 z-sum precedent) — bit-stable regardless of partitioning.
+    * Scale shape: identical to q30's (candidate-bounded joins against
+    * the signature/shingle tables); the output is bounded by the 13
+    * possible estimate values. */
+  private val q115 = GraftQuery(
+    "q115_minhash_calibration",
+    (spark, dir) => {
+      val (sh, sigs, cand) = minhashCand(spark, dir)
+      val est = aggregate(zip_with(col("qa.sigs"), col("qb.sigs"),
+        (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
+      val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+        size(array_union(col("sa.sh"), col("sb.sh")))
+      cand
+        .join(sigs.as("qa"), col("qa.doc_id") === col("doc_a"))
+        .join(sigs.as("qb"), col("qb.doc_id") === col("doc_b"))
+        .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(est.as("est_matches"), jac.as("exact_j"))
+        .withColumn("err", abs(col("est_matches") / 12.0 - col("exact_j")))
+        .groupBy("est_matches")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          (aggregate(array_sort(collect_list(col("exact_j"))),
+            lit(0.0), (a, x) => a + x) / count(lit(1))).as("mean_exact"),
+          (aggregate(array_sort(collect_list(col("err"))),
+            lit(0.0), (a, x) => a + x) / count(lit(1))).as("mean_abs_err"))
+        .orderBy("est_matches")
+    },
+    Some {
+      val matchSum = (0 until 12)
+        .map(s => s"CASE WHEN a.h$s = b.h$s THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH $minhashCandSql,
+      j AS (
+        SELECT ($matchSum) AS est_matches,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) AS exact_j
+        FROM cand
+        JOIN sig a ON a.doc_id = doc_a
+        JOIN sig b ON b.doc_id = doc_b
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b),
+      e AS (SELECT est_matches, exact_j,
+                   abs(est_matches / 12.0 - exact_j) AS err FROM j)
+      SELECT CAST(est_matches AS BIGINT) AS est_matches,
+             count(*) AS n_pairs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list(exact_j))), (a, b) -> a + b) / count(*) AS mean_exact,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list(err))), (a, b) -> a + b) / count(*) AS mean_abs_err
+      FROM e
+      GROUP BY 1
+      ORDER BY 1"""},
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52, q67, q68, q85, q115)
 }
 
 /** Engine-side enforcement of q33's documented scaling contract: the
