@@ -493,6 +493,8 @@ class PlanShapeSpec extends SparkSpec {
     val s = finalPlan(planString("q111_gram_matrix"))
     assert(s.contains("ObjectHashAggregate"),
       s"vec_gram must aggregate imperatively (typed buffer):\n$s")
+    assert(s.contains("partial_vec_gram"),
+      s"partials must combine map-side (mergeable aggregate):\n$s")
     // the d^2-explosion happens AFTER the single-row aggregate: exactly
     // one Generate (posexplode of the packed triangle), none before it
     val generates = "Generate".r.findAllIn(s).length
