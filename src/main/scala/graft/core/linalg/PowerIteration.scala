@@ -68,36 +68,59 @@ object PowerIteration {
     * completion of distributed PCA: the cluster's one-pass `vec_gram`
     * yields the d×d second-moment matrix, this yields its leading
     * invariant subspace. Deterministic (fixed start + iteration budget),
-    * so the returned basis is reproducible bit-for-bit. */
+    * so the returned basis is reproducible bit-for-bit. Returns FEWER
+    * than k pairs when k exceeds the matrix's effective rank (the
+    * residual subspace is exhausted) rather than NaN components. */
   def topK(m: Array[Array[Double]], k: Int, iters: Int = 200)
       : Seq[(Double, Array[Double])] = {
     val d = m.length
     val work = m.map(_.clone())
     var prev = List.empty[Array[Double]]
-    (0 until math.min(k, d)).map { _ =>
-      val (_, v0) = topEigen(work, iters)
-      // Gram-Schmidt against already-extracted components: deflation alone
-      // leaves O(convergence-error) cross-talk when eigenvalues are close;
-      // explicit re-orthogonalization pins c_i·c_j to machine epsilon
-      val v = v0.clone()
-      prev.foreach { p =>
-        val dot = (0 until d).map(i => v(i) * p(i)).sum
-        (0 until d).foreach(i => v(i) -= dot * p(i))
+    val out = Seq.newBuilder[(Double, Array[Double])]
+    var exhausted = false
+    var n = 0
+    while (n < math.min(k, d) && !exhausted) {
+      // fully-deflated work matrix (k past the effective rank with exact
+      // arithmetic): topEigen's own collapse guard would throw — stop
+      // first and return the components that exist
+      val frob = math.sqrt(work.iterator.flatten.map(x => x * x).sum)
+      if (frob <= 1e-12) exhausted = true
+      else {
+        val (_, v0) = topEigen(work, iters)
+        // Gram-Schmidt against already-extracted components: deflation
+        // alone leaves O(convergence-error) cross-talk when eigenvalues
+        // are close; explicit re-orthogonalization pins c_i·c_j to
+        // machine epsilon
+        val v = v0.clone()
+        prev.foreach { p =>
+          val dot = (0 until d).map(i => v(i) * p(i)).sum
+          (0 until d).foreach(i => v(i) -= dot * p(i))
+        }
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        // k past the matrix's effective rank: the deflated iterate lies
+        // (to machine precision) inside span(prev), so the post-GS
+        // residual collapses — dividing by it would yield NaN components
+        // silently (topEigen guards its own norm; this is the
+        // orthogonalized one). Stop and return the components that exist.
+        if (nrm <= 1e-12) exhausted = true
+        else {
+          (0 until d).foreach(i => v(i) /= nrm)
+          // Rayleigh quotient on the ORIGINAL matrix for the eigenvalue
+          val mv = (0 until d).map(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+          val lambda = (0 until d).map(i => v(i) * mv(i)).sum
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
+            i += 1
+          }
+          prev = v :: prev
+          out += ((lambda, v))
+          n += 1
+        }
       }
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      (0 until d).foreach(i => v(i) /= nrm)
-      // Rayleigh quotient on the ORIGINAL matrix for the eigenvalue
-      val mv = (0 until d).map(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
-      val lambda = (0 until d).map(i => v(i) * mv(i)).sum
-      var i = 0
-      while (i < d) {
-        var j = 0
-        while (j < d) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
-        i += 1
-      }
-      prev = v :: prev
-      (lambda, v)
     }
+    out.result()
   }
 
   /** ‖m·v − λ·v‖₂ — convergence residual for tests. */

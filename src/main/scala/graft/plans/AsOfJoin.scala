@@ -48,6 +48,34 @@ case class AsOfJoinPlan(
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join requires matching non-empty key lists")
 
+  // plan-time type validation: the exec compares right-side times with an
+  // ordering built from leftTime.dataType, and key projections must be
+  // pairwise comparable — a mismatch (e.g. DateType vs TimestampType)
+  // must fail HERE with the semantic error, not at runtime with a
+  // ClassCastException mid-merge. TimestampType and TimestampNTZType are
+  // mutually accepted: both are micros-since-epoch Longs with identical
+  // ordering (the engine's parquet tables surface NTZ under the UTC
+  // session zone). Guarded on `resolved` so an analyzer pass over
+  // still-unresolved expressions doesn't throw dataType.
+  if ((leftTime +: rightTime +: (leftKeys ++ rightKeys)).forall(_.resolved)) {
+    def compatible(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      val tsFamily = Set[org.apache.spark.sql.types.DataType](
+        TimestampType, TimestampNTZType)
+      a == b || (tsFamily.contains(a) && tsFamily.contains(b))
+    }
+    require(compatible(leftTime.dataType, rightTime.dataType),
+      s"as-of join time columns must share a data type: left is " +
+        s"${leftTime.dataType.catalogString}, right is " +
+        s"${rightTime.dataType.catalogString}")
+    leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((lk, rk), i) =>
+      require(compatible(lk.dataType, rk.dataType),
+        s"as-of join key pair $i must share a data type: left is " +
+          s"${lk.dataType.catalogString}, right is ${rk.dataType.catalogString}")
+    }
+  }
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

@@ -12,19 +12,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream-stream join offers range conditions, not "latest at or
   * before").
   *
-  * Correctness contract: a probe is answered only once the watermark has
-  * passed its event time — at that point every version row with
-  * `version.ts <= probe.ts` has either arrived or been dropped as late by
-  * the SAME watermark, so the answer equals the batch as-of over the
-  * delivered rows no matter how arrivals are sliced into micro-batches
-  * (spec-pinned: one batch vs three batches, identical output).
+  * Correctness contract: a probe is answered only once the watermark is
+  * STRICTLY past its event time — Spark's late filter only drops rows
+  * with `ts < watermark`, so a version row at ts == watermark can still
+  * arrive in a later batch; ripening strictly below the watermark
+  * guarantees every version with `version.ts <= probe.ts` has either
+  * arrived or been dropped as late by the SAME watermark, and the answer
+  * equals the batch as-of over the delivered rows no matter how arrivals
+  * are sliced into micro-batches (spec-pinned: one batch vs three
+  * batches, identical output, including at the exact boundary).
+  *
+  * Event times are compared at FULL microsecond precision (getTime
+  * millis + the sub-milli part of getNanos), matching the batch AsOf's
+  * TimestampType micros — versions/probes that differ only at µs
+  * resolution do not collapse to the same instant.
   *
   * State per key is O(pending probes + retained versions): versions older
   * than the newest version at-or-below the watermark are pruned (future
   * probes are necessarily newer than the watermark, so that newest-below
   * version is the only historical one they can ever need — the same
   * argument as the batch merge's O(1) carry); idle keys are evicted
-  * whole after [[IdleRetentionMs]] without activity.
+  * whole after `idleRetentionMs` without activity. Eviction drops the
+  * carried newest-below-watermark version too: a probe for that key
+  * arriving AFTER eviction gets NULL enrichment even though a matching
+  * version was once delivered — if probes can trail versions by more
+  * than the default 24 h, raise `idleRetentionMs` to cover the
+  * probe-arrival horizon (it is a per-pipeline parameter for exactly
+  * this reason).
+  *
+  * STATE-SCHEMA COMPATIBILITY: [[AsOfState]] carries an in-band schema
+  * version ([[StateVersion]]), checked on every restore — a checkpoint
+  * written by an incompatible operator version fails with an engine
+  * error naming this operator and the fix (new checkpoint directory),
+  * not a deserialization stack trace. Bump [[StateVersion]] with any
+  * semantic change to the state.
   */
 object AsOfStream {
 
@@ -38,43 +59,71 @@ object AsOfStream {
   final case class Tick(side: Int, key: Long, ts: Timestamp, seq: Long)
 
   final case class AsOfState(
+      version: Int,                   // [[StateVersion]] envelope
       versions: Vector[(Long, Long)], // (timeUs, version_id), sorted asc
       pending: Vector[(Long, Long)])  // (timeUs, event_id), unanswered
 
+  /** v1 = pre-round-13 unversioned (versions, pending) pair; v2 = this
+    * envelope + strict-watermark ripening + full-µs event times. */
+  final val StateVersion = 2
+
   val IdleRetentionMs: Long = 24L * 3600 * 1000
+
+  /** Full-microsecond event time: Timestamp.getTime is millis and drops
+    * the sub-milli part, which lives only in getNanos. */
+  private[streaming] def tsUs(ts: Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  private[streaming] def checkVersion(st: AsOfState): Unit =
+    if (st.version != StateVersion) throw new IllegalStateException(
+      s"AsOfStream state carries schema v${st.version}, but this engine " +
+        s"writes v$StateVersion: the checkpoint was written by an " +
+        "incompatible version of the operator and cannot be resumed. " +
+        "Start a new checkpoint directory (stateful schema evolution " +
+        "contract — see AsOfStream scaladoc).")
 
   def enrich(
       probes: Dataset[Probe],
       versions: Dataset[Version],
-      lateness: String = "10 minutes"): Dataset[Enriched] = {
+      lateness: String = "10 minutes",
+      idleRetentionMs: Long = IdleRetentionMs): Dataset[Enriched] = {
     import probes.sparkSession.implicits._
-    // local copy: referencing the object member from inside the state
-    // function would capture the (non-serializable) enclosing object
-    val idleRetentionMs = IdleRetentionMs
 
     val ticks = probes.map(p => Tick(1, p.key, p.ts, p.event_id))
       .unionByName(versions.map(v => Tick(0, v.key, v.ts, v.version_id)))
 
-    def answer(st: AsOfState, tUs: Long, id: Long): Enriched = {
-      // newest version at or before tUs (versions sorted ascending by
-      // (time, id) — ties resolved to the largest id, as in batch AsOf)
-      val m = st.versions.takeWhile(_._1 <= tUs).lastOption
-      Enriched(id, -1L, tUs, m.map(_._2)) // key patched by caller
-    }
+    ticks
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        stateFn(idleRetentionMs) _)
+  }
 
-    def step(key: Long, rows: Iterator[Tick],
-        state: GroupState[AsOfState]): Iterator[Enriched] = {
+  private def answer(st: AsOfState, tUs: Long, id: Long): Enriched = {
+    // newest version at or before tUs (versions sorted ascending by
+    // (time, id) — ties resolved to the largest id, as in batch AsOf)
+    val m = st.versions.takeWhile(_._1 <= tUs).lastOption
+    Enriched(id, -1L, tUs, m.map(_._2)) // key patched by caller
+  }
+
+  private def step(idleRetentionMs: Long)(key: Long, rows: Iterator[Tick],
+      state: GroupState[AsOfState]): Iterator[Enriched] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000
-      val st0 = state.getOption.getOrElse(AsOfState(Vector.empty, Vector.empty))
+      val st0 = state.getOption.getOrElse(
+        AsOfState(StateVersion, Vector.empty, Vector.empty))
+      checkVersion(st0)
       val arrivals = rows.toVector
       val newVersions =
         (st0.versions ++ arrivals.filter(_.side == 0)
-          .map(t => (t.ts.getTime * 1000, t.seq))).sorted
+          .map(t => (tsUs(t.ts), t.seq))).sorted
       val allPending =
         (st0.pending ++ arrivals.filter(_.side == 1)
-          .map(t => (t.ts.getTime * 1000, t.seq))).sorted
+          .map(t => (tsUs(t.ts), t.seq))).sorted
 
-      val (ripe, stillPending) = allPending.partition(_._1 <= wmUs)
+      // strict: a version at ts == watermark can still arrive (Spark's
+      // late filter drops only ts < watermark), so a probe at the exact
+      // boundary is not ripe yet
+      val (ripe, stillPending) = allPending.partition(_._1 < wmUs)
       val withVersions = st0.copy(versions = newVersions)
       val out = ripe.map { case (tUs, id) =>
         answer(withVersions, tUs, id).copy(key = key)
@@ -87,7 +136,7 @@ object AsOfStream {
 
       if (stillPending.isEmpty && pruned.isEmpty) state.remove()
       else {
-        state.update(AsOfState(pruned, stillPending))
+        state.update(AsOfState(StateVersion, pruned, stillPending))
         if (stillPending.nonEmpty)
           state.setTimeoutTimestamp(stillPending.head._1 / 1000 + 1)
         else
@@ -96,26 +145,25 @@ object AsOfStream {
       out.iterator
     }
 
-    def fn(key: Long, rows: Iterator[Tick],
-        state: GroupState[AsOfState]): Iterator[Enriched] =
-      if (state.hasTimedOut) {
-        val wmUs = state.getCurrentWatermarkMs() * 1000
-        val st = state.getOption.getOrElse(AsOfState(Vector.empty, Vector.empty))
-        val (ripe, stillPending) = st.pending.partition(_._1 <= wmUs)
-        val out = ripe.map { case (tUs, id) =>
-          answer(st, tUs, id).copy(key = key)
-        }
-        if (stillPending.isEmpty) state.remove() // idle eviction
-        else {
-          state.update(st.copy(pending = stillPending))
-          state.setTimeoutTimestamp(stillPending.head._1 / 1000 + 1)
-        }
-        out.iterator
-      } else step(key, rows, state)
-
-    ticks
-      .withWatermark("ts", lateness)
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
-  }
+  /** The per-key state transition (package-visible so the version-gate
+    * restore path is testable against a stubbed GroupState). */
+  private[streaming] def stateFn(idleRetentionMs: Long)(key: Long,
+      rows: Iterator[Tick],
+      state: GroupState[AsOfState]): Iterator[Enriched] =
+    if (state.hasTimedOut) {
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val st = state.getOption.getOrElse(
+        AsOfState(StateVersion, Vector.empty, Vector.empty))
+      checkVersion(st)
+      val (ripe, stillPending) = st.pending.partition(_._1 < wmUs)
+      val out = ripe.map { case (tUs, id) =>
+        answer(st, tUs, id).copy(key = key)
+      }
+      if (stillPending.isEmpty) state.remove() // idle eviction
+      else {
+        state.update(st.copy(pending = stillPending))
+        state.setTimeoutTimestamp(stillPending.head._1 / 1000 + 1)
+      }
+      out.iterator
+    } else step(idleRetentionMs)(key, rows, state)
 }

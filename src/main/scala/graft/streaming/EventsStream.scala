@@ -16,6 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * partial aggregation and watermark-bounded state; sessionization state
   * is one small record per active user key, dropped via event-time
   * timeout.
+  *
+  * STATE-SCHEMA COMPATIBILITY: [[SessionState]] carries an in-band schema
+  * version ([[StateVersion]]), checked on every restore — a checkpoint
+  * written by an incompatible operator version fails with an engine error
+  * naming this operator and the fix (new checkpoint directory), not a
+  * deserialization stack trace (the DedupStream contract). Bump
+  * [[StateVersion]] with any semantic change to the state.
   */
 object EventsStream {
 
@@ -23,8 +30,12 @@ object EventsStream {
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** v1 = pre-round-13 unversioned 4-field state; v2 = this envelope. */
+  final val StateVersion = 2
+
   final case class SessionState(
-      sessionSeq: Long, startUs: Long, lastUs: Long, nEvents: Long)
+      version: Int, sessionSeq: Long, startUs: Long, lastUs: Long,
+      nEvents: Long)
 
   final case class SessionOut(
       user_id: Long, session_seq: Long, n_events: Long,
@@ -63,46 +74,56 @@ object EventsStream {
     * Emissions are append-mode — each session is output exactly once. */
   def sessionize(events: Dataset[EventRow]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-
-    def fn(userId: Long, rows: Iterator[EventRow],
-           state: GroupState[SessionState]): Iterator[SessionOut] = {
-      def toOut(s: SessionState, timedOut: Boolean) = SessionOut(
-        userId, s.sessionSeq, s.nEvents,
-        new Timestamp(s.startUs / 1000), new Timestamp(s.lastUs / 1000), timedOut)
-
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(toOut(_, timedOut = true)).toIterator
-        state.remove()
-        out
-      } else {
-        val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
-        var cur = state.getOption
-        val closed = Vector.newBuilder[SessionOut]
-        sorted.foreach { e =>
-          val us = e.ts.getTime * 1000
-          cur match {
-            case Some(s) if us - s.lastUs <= GapUs =>
-              cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
-            case Some(s) =>
-              closed += toOut(s, timedOut = false)
-              cur = Some(SessionState(s.sessionSeq + 1, us, us, 1))
-            case None =>
-              cur = Some(SessionState(1, us, us, 1))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          // close the session once the event-time watermark passes last+gap
-          state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
-        }
-        closed.result().iterator
-      }
-    }
-
     events
       .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionStep _)
+  }
+
+  /** The per-user state transition (package-visible so the version-gate
+    * restore path is testable against a stubbed GroupState). */
+  private[streaming] def sessionStep(userId: Long, rows: Iterator[EventRow],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    state.getOption.foreach { s =>
+      if (s.version != StateVersion) throw new IllegalStateException(
+        s"EventsStream session state carries schema v${s.version}, but " +
+          s"this engine writes v$StateVersion: the checkpoint was written " +
+          "by an incompatible version of the operator and cannot be " +
+          "resumed. Start a new checkpoint directory (stateful schema " +
+          "evolution contract — see EventsStream scaladoc).")
+    }
+    def toOut(s: SessionState, timedOut: Boolean) = SessionOut(
+      userId, s.sessionSeq, s.nEvents,
+      new Timestamp(s.startUs / 1000), new Timestamp(s.lastUs / 1000), timedOut)
+
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toOut(_, timedOut = true)).toIterator
+      state.remove()
+      out
+    } else {
+      val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val closed = Vector.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if us - s.lastUs <= GapUs =>
+            cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed += toOut(s, timedOut = false)
+            cur = Some(SessionState(StateVersion, s.sessionSeq + 1, us, us, 1))
+          case None =>
+            cur = Some(SessionState(StateVersion, 1, us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close the session once the event-time watermark passes last+gap
+        state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
+      }
+      closed.result().iterator
+    }
   }
 
   /** Streaming exact dedup — the streaming twin of the batch hash-groupBy

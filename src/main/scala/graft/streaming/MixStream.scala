@@ -42,11 +42,25 @@ object MixStream {
 
   private final val TwoPow32 = 4294967296L
 
+  /** v1 = (lastBatchId, per-source token totals). Bump with any semantic
+    * change to the snapshot. */
+  final val StateVersion = 1
+
+  /** Durable form of [[MixState]]: MixStream's state is DRIVER-side (the
+    * foreachBatch accumulator), so it is not in Spark's checkpoint — a
+    * query restart resets it unless the caller persists a snapshot
+    * alongside the checkpoint and restores it via [[MixState.restore]].
+    * The snapshot carries an in-band schema version, checked on restore —
+    * an incompatible snapshot fails with an engine error naming this
+    * operator (the DedupStream contract), not a silent mis-resume. */
+  final case class MixSnapshot(
+      version: Int, lastBatchId: Long, tok: Map[String, Long])
+
   /** Driver-side accumulator: cumulative per-source token counts with
     * batchId-idempotent absorption (replay-safe). */
-  final class MixState {
-    private var tok = Map.empty[String, Long]
-    private var last = -1L
+  final class MixState private[streaming] (
+      private var tok: Map[String, Long], private var last: Long) {
+    def this() = this(Map.empty, -1L)
     def absorb(batchId: Long, counts: Map[String, Long]): Map[String, Long] =
       synchronized {
         if (batchId != last) {
@@ -56,6 +70,19 @@ object MixStream {
         tok
       }
     def totals: Map[String, Long] = synchronized(tok)
+    def snapshot: MixSnapshot = synchronized(MixSnapshot(StateVersion, last, tok))
+  }
+
+  object MixState {
+    def restore(s: MixSnapshot): MixState = {
+      if (s.version != StateVersion) throw new IllegalStateException(
+        s"MixStream snapshot carries schema v${s.version}, but this engine " +
+          s"writes v$StateVersion: the snapshot was written by an " +
+          "incompatible version of the operator and cannot be restored. " +
+          "Discard it and restart accumulation (stateful schema evolution " +
+          "contract — see MixStream scaladoc).")
+      new MixState(s.tok, s.lastBatchId)
+    }
   }
 
   /** q56's rate arithmetic on driver-side totals — the SAME doubles in
@@ -96,9 +123,13 @@ object MixStream {
 
   /** (doc_id, source, n_tok) stream → a foreachBatch writer that emits
     * each batch's admitted rows. The caller supplies the sink (`emit`)
-    * and starts the query (checkpointing etc. stay caller-configured). */
-  def writer(docs: DataFrame)(emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val state = new MixState
+    * and starts the query (checkpointing etc. stay caller-configured).
+    * Pass `initial` (a [[MixSnapshot]] persisted next to the checkpoint)
+    * to resume accumulation across restarts — see the MixSnapshot
+    * scaladoc for the restart contract. */
+  def writer(docs: DataFrame, initial: Option[MixSnapshot] = None)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val state = initial.map(MixState.restore).getOrElse(new MixState)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       // the batch is consumed twice (counts, then the gate): persist so
       // the source isn't re-read — the documented foreachBatch pattern

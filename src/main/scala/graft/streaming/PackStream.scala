@@ -31,10 +31,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * so replaying a failed batch from the checkpoint reproduces identical
   * spans — the sink inherits idempotency the same way SpansStream's
   * batchId-overwrite does.
+  *
+  * STATE-SCHEMA COMPATIBILITY: [[PackState]] carries an in-band schema
+  * version ([[StateVersion]]), checked on every restore — a checkpoint
+  * written by an incompatible operator version fails with an engine error
+  * naming this operator and the fix (new checkpoint directory), not a
+  * deserialization stack trace (the DedupStream contract). Bump
+  * [[StateVersion]] with any semantic change to the state.
   */
 object PackStream {
 
   final val SeqLen = 256L
+
+  /** v1 = pre-round-13 bare Long offset (no envelope); v2 = this
+    * envelope. */
+  final val StateVersion = 2
+
+  final case class PackState(version: Int, offset: Long)
 
   final case class PackedDoc(
       doc_id: Long, source: String, n_tok: Long,
@@ -57,18 +70,31 @@ object PackStream {
       .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (source: String, it: Iterator[(Long, String, Long)],
-            state: GroupState[Long]) => {
-          var offset = state.getOption.getOrElse(0L)
-          val out = it.toSeq.sortBy(_._1).map { case (docId, _, nTok) =>
-            val start = offset
-            offset += nTok
-            PackedDoc(docId, source, nTok, start,
-              start / SeqLen, (start + nTok - 1) / SeqLen)
-          }
-          state.update(offset)
-          out.iterator
-        })
+        packGroup _)
+  }
+
+  /** The per-stream state transition (package-visible so the version-gate
+    * restore path is testable against a stubbed GroupState). */
+  private[streaming] def packGroup(source: String,
+      it: Iterator[(Long, String, Long)],
+      state: GroupState[PackState]): Iterator[PackedDoc] = {
+    state.getOption.foreach { s =>
+      if (s.version != StateVersion) throw new IllegalStateException(
+        s"PackStream state carries schema v${s.version}, but this engine " +
+          s"writes v$StateVersion: the checkpoint was written by an " +
+          "incompatible version of the operator and cannot be resumed. " +
+          "Start a new checkpoint directory (stateful schema evolution " +
+          "contract — see PackStream scaladoc).")
+    }
+    var offset = state.getOption.map(_.offset).getOrElse(0L)
+    val out = it.toSeq.sortBy(_._1).map { case (docId, _, nTok) =>
+      val start = offset
+      offset += nTok
+      PackedDoc(docId, source, nTok, start,
+        start / SeqLen, (start + nTok - 1) / SeqLen)
+    }
+    state.update(PackState(StateVersion, offset))
+    out.iterator
   }
 
   /** Convenience: tokenize a (doc_id, source, text) stream the same way

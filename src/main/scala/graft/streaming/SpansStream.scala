@@ -25,6 +25,37 @@ import graft.converter.{SpanConverter, Spans}
   */
 object SpansStream {
 
+  /** v1 = batch_id=<id> partition layout with overwrite-replay idempotency.
+    * Bump with any change to the sink layout or record schema semantics. */
+  final val SinkVersion = 1
+
+  private val MarkerName = "_graft_sink_version"
+
+  /** The durable artifact here is the SINK (batch_id partitions), not
+    * GroupState — so the version marker lives in the sink directory: a
+    * marker file is written on start and validated on every later start,
+    * turning "resume into a directory written by an incompatible layout"
+    * into an engine error naming this operator (the DedupStream contract)
+    * instead of silently mixing layouts. */
+  private[streaming] def checkOrWriteMarker(spark: SparkSession, outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(outDir, MarkerName)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val found = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      if (found != SinkVersion.toString) throw new IllegalStateException(
+        s"SpansStream sink at $outDir carries layout v$found, but this " +
+          s"engine writes v$SinkVersion: the sink was written by an " +
+          "incompatible version of the operator and cannot be appended to. " +
+          "Land into a new output directory (sink layout evolution " +
+          "contract — see SpansStream scaladoc).")
+    } else {
+      val out = fs.create(path, true)
+      try out.write(s"$SinkVersion\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Convert one micro-batch and land it idempotently: the output goes to
     * `outDir/batch_id=<id>` with overwrite, so a crash-replay of the same
     * batch (same id, same checkpointed file set) rewrites the directory
@@ -43,6 +74,7 @@ object SpansStream {
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, nexauMode: Boolean = false,
       availableNow: Boolean = true): StreamingQuery = {
+    checkOrWriteMarker(spark, outDir)
     val stream = spark.readStream
       .schema(Spans.schema)
       .option("mode", "PERMISSIVE")

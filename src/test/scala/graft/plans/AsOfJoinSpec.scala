@@ -83,4 +83,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$s")
     assert(!s.contains("Union") && !s.contains("Window"), s)
   }
+
+  test("mismatched time or key types fail at plan time with the semantic error") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("o_orderkey"))
+    // DateType right time vs TimestampType left time: the exec would
+    // compare them with an ordering built from the left type — reject at
+    // plan construction, naming both types
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(ev, ord, Seq("user_id"), Seq("o_custkey"), "ts", "o_date",
+        tieBreak = Seq("o_orderkey")).queryExecution.executedPlan
+    }
+    assert(e1.getMessage.contains("time columns must share a data type")
+      && e1.getMessage.contains("date"), e1.getMessage)
+
+    val ordK = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").cast("int").as("o_ck"), col("o_orderdate"),
+        col("o_orderkey"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(ev, ordK, Seq("user_id"), Seq("o_ck"), "ts", "o_orderdate",
+        tieBreak = Seq("o_orderkey")).queryExecution.executedPlan
+    }
+    assert(e2.getMessage.contains("key pair 0 must share a data type"),
+      e2.getMessage)
+  }
 }

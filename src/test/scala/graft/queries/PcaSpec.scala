@@ -43,6 +43,23 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("k past the effective rank returns fewer components, never NaN") {
+    // exact rank-1 matrix: v.vT with v = (1, 2, 2)
+    val v = Array(1.0, 2.0, 2.0)
+    val m = Array.tabulate(3, 3)((i, j) => v(i) * v(j))
+    val pairs = PowerIteration.topK(m, 3)
+    assert(pairs.length == 1, s"rank-1 matrix must yield 1 pair, got ${pairs.length}")
+    assert(math.abs(pairs.head._1 - 9.0) < 1e-9) // lambda = |v|^2
+    assert(pairs.forall { case (l, c) => !l.isNaN && c.forall(!_.isNaN) })
+
+    // near-rank-2: a tiny third eigenvalue below the exhaustion floor is
+    // not extracted as garbage either
+    val m2 = Array.tabulate(3, 3)((i, j) =>
+      v(i) * v(j) + (if (i == j && i < 2) 1e-15 else 0.0))
+    val p2 = PowerIteration.topK(m2, 3)
+    assert(p2.forall { case (l, c) => !l.isNaN && c.forall(!_.isNaN) })
+  }
+
   test("projection is a narrow map and preserves captured variance") {
     val projected = Pca.project(
       graft.Tables.embeddings(spark, sfDir), model)

@@ -95,4 +95,65 @@ class AsOfStreamSpec extends SparkSpec {
     val ids = spark.table("asof_once").collect().map(_.getLong(0)).toSeq
     assert(ids.sorted === probes.map(_._1).sorted, "exactly-once emission")
   }
+
+  test("restoring a v1 state blob fails with the engine's message, not a decode trace") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val v1 = AsOfStream.AsOfState(1, Vector((1L, 100L)), Vector((2L, 7L)))
+    val restored = TestGroupState.create[AsOfStream.AsOfState](
+      org.apache.spark.api.java.Optional.of(v1), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(60000L), hasTimedOut = false)
+    val e = intercept[IllegalStateException] {
+      AsOfStream.stateFn(1000L)(10L, Iterator.empty, restored)
+    }
+    assert(e.getMessage.contains("schema v1"), e.getMessage)
+    assert(e.getMessage.contains("new checkpoint directory"), e.getMessage)
+
+    // a current-version state restores and processes normally
+    val ok = TestGroupState.create[AsOfStream.AsOfState](
+      org.apache.spark.api.java.Optional.of(AsOfStream.AsOfState(
+        AsOfStream.StateVersion, Vector((1L, 100L)), Vector((2L, 7L)))),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(60000L), hasTimedOut = false)
+    val out = AsOfStream.stateFn(1000L)(10L, Iterator.empty, ok).toSeq
+    assert(out == Seq(AsOfStream.Enriched(7L, 10L, 2L, Some(100L))))
+  }
+
+  test("strict watermark boundary: a probe at exactly the watermark is not ripe") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val wmMs = 60000L // watermark at minute 1 -> 60 000 000 us
+    val st = AsOfStream.AsOfState(AsOfStream.StateVersion,
+      Vector((1L, 100L)),
+      Vector((wmMs * 1000, 41L), (wmMs * 1000 - 1, 40L)))
+    val gs = TestGroupState.create[AsOfStream.AsOfState](
+      org.apache.spark.api.java.Optional.of(st), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(wmMs), hasTimedOut = false)
+    val out = AsOfStream.stateFn(1000L)(10L, Iterator.empty, gs).toSeq
+    // the probe strictly below the watermark ripens; the boundary probe
+    // waits (a version at ts == watermark could still arrive — Spark's
+    // late filter only drops ts < watermark)
+    assert(out.map(_.event_id) == Seq(40L))
+    assert(gs.get.pending.map(_._2) == Vector(41L))
+  }
+
+  test("event times keep sub-millisecond precision (tsUs carries micros)") {
+    val t = Timestamp.valueOf("2026-01-01 00:00:00")
+    t.setNanos(123456789) // .123456789 s -> 123 456 us (floor)
+    assert(AsOfStream.tsUs(t) == t.getTime / 1000 * 1000 * 1000 + 123456)
+    // two versions 1 us apart resolve to different instants: the probe
+    // takes the newer one, as the batch as-of does at full precision
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def tsN(sec: Int, nanos: Int) = {
+      val x = new Timestamp(sec * 1000L); x.setNanos(nanos); x
+    }
+    val gs = TestGroupState.create[AsOfStream.AsOfState](
+      org.apache.spark.api.java.Optional.empty[AsOfStream.AsOfState](),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(60000L), hasTimedOut = false)
+    val ticks = Iterator(
+      AsOfStream.Tick(0, 10L, tsN(10, 1000), 100L),  // version at 10s + 1 us
+      AsOfStream.Tick(0, 10L, tsN(10, 2000), 101L),  // version at 10s + 2 us
+      AsOfStream.Tick(1, 10L, tsN(10, 2000), 7L))    // probe at 10s + 2 us
+    val out = AsOfStream.stateFn(1000L)(10L, ticks, gs).toSeq
+    assert(out == Seq(AsOfStream.Enriched(7L, 10L, 10000002L, Some(101L))))
+  }
 }

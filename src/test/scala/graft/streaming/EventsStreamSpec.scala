@@ -101,4 +101,30 @@ class EventsStreamSpec extends SparkSpec {
       s"expected user 1 session 2 closed by timeout, got ${all.mkString(", ")}")
     query.stop()
   }
+
+  test("restoring a v1 session state fails with the engine's message, not a decode trace") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val v1 = EventsStream.SessionState(1, 1L, 0L, 60000000L, 3L)
+    val restored = TestGroupState.create[EventsStream.SessionState](
+      org.apache.spark.api.java.Optional.of(v1), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val arrival = EventsStream.EventRow(
+      9L, new java.sql.Timestamp(120000L), 1L, "click", 1.0)
+    val e = intercept[IllegalStateException] {
+      EventsStream.sessionStep(1L, Iterator(arrival), restored)
+    }
+    assert(e.getMessage.contains("schema v1"), e.getMessage)
+    assert(e.getMessage.contains("new checkpoint directory"), e.getMessage)
+
+    // a current-version state restores and extends the open session
+    val ok = TestGroupState.create[EventsStream.SessionState](
+      org.apache.spark.api.java.Optional.of(EventsStream.SessionState(
+        EventsStream.StateVersion, 1L, 0L, 60000000L, 3L)),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out = EventsStream.sessionStep(1L, Iterator(arrival), ok).toSeq
+    assert(out.isEmpty) // within the gap: session extends, nothing closes
+    assert(ok.get == EventsStream.SessionState(
+      EventsStream.StateVersion, 1L, 0L, 120000000L, 4L))
+  }
 }

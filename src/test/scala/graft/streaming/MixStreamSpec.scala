@@ -94,4 +94,25 @@ class MixStreamSpec extends SparkSpec {
     st.absorb(1L, Map("a" -> 1L))
     assert(st.totals == Map("a" -> 11L, "b" -> 5L))
   }
+
+  test("snapshot/restore round-trips; an incompatible snapshot fails with the engine's message") {
+    val st = new MixStream.MixState
+    st.absorb(0L, Map("a" -> 10L, "b" -> 5L))
+    val snap = st.snapshot
+    assert(snap == MixStream.MixSnapshot(
+      MixStream.StateVersion, 0L, Map("a" -> 10L, "b" -> 5L)))
+
+    // restore resumes batchId idempotency AND totals
+    val st2 = MixStream.MixState.restore(snap)
+    st2.absorb(0L, Map("a" -> 10L, "b" -> 5L)) // replay of absorbed batch
+    assert(st2.totals == Map("a" -> 10L, "b" -> 5L))
+    st2.absorb(1L, Map("a" -> 1L))
+    assert(st2.totals == Map("a" -> 11L, "b" -> 5L))
+
+    val e = intercept[IllegalStateException] {
+      MixStream.MixState.restore(snap.copy(version = 99))
+    }
+    assert(e.getMessage.contains("schema v99"), e.getMessage)
+    assert(e.getMessage.contains("incompatible version"), e.getMessage)
+  }
 }

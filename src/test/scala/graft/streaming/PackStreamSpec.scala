@@ -113,4 +113,27 @@ class PackStreamSpec extends SparkSpec {
       assert(spans.last._2 == expected, s"$src: packed ${spans.last._2} of $expected")
     }
   }
+
+  test("restoring a v1 state blob fails with the engine's message, not a decode trace") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val v1 = PackStream.PackState(1, 512L)
+    val restored = TestGroupState.create[PackStream.PackState](
+      org.apache.spark.api.java.Optional.of(v1), GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val e = intercept[IllegalStateException] {
+      PackStream.packGroup("web", Iterator((1L, "web", 10L)), restored)
+    }
+    assert(e.getMessage.contains("schema v1"), e.getMessage)
+    assert(e.getMessage.contains("new checkpoint directory"), e.getMessage)
+
+    // a current-version state restores and continues the offset
+    val ok = TestGroupState.create[PackStream.PackState](
+      org.apache.spark.api.java.Optional.of(
+        PackStream.PackState(PackStream.StateVersion, 512L)),
+      GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = PackStream.packGroup("web", Iterator((1L, "web", 10L)), ok).toSeq
+    assert(out == Seq(PackStream.PackedDoc(1L, "web", 10L, 512L, 2L, 2L)))
+    assert(ok.get == PackStream.PackState(PackStream.StateVersion, 522L))
+  }
 }

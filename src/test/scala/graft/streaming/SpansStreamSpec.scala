@@ -52,4 +52,27 @@ class SpansStreamSpec extends SparkSpec {
       "a replayed batch must not duplicate records")
     spans.unpersist()
   }
+
+  test("sink layout version: marker written on start, incompatible sink rejected by name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_v").toString
+    // fresh sink: marker is written
+    SpansStream.checkOrWriteMarker(spark, dir)
+    val marker = java.nio.file.Paths.get(dir, "_graft_sink_version")
+    assert(java.nio.file.Files.exists(marker))
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      == SpansStream.SinkVersion.toString)
+    // same-version sink: resume is fine
+    SpansStream.checkOrWriteMarker(spark, dir)
+    // incompatible sink layout: rejected with the engine's message
+    // (rewrite through Hadoop FS so the local-FS checksum stays valid)
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_sink_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    o.write("99\n".getBytes("UTF-8")); o.close()
+    val e = intercept[IllegalStateException] {
+      SpansStream.checkOrWriteMarker(spark, dir)
+    }
+    assert(e.getMessage.contains("layout v99"), e.getMessage)
+    assert(e.getMessage.contains("new output directory"), e.getMessage)
+  }
 }
