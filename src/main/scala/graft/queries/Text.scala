@@ -985,10 +985,21 @@ object Text {
         val (_, vocab) = bpeTrain(spark, dir, nMerges)
         val vsym = vocab.select(col("word"),
           size(split(trim(col("repr")), sep)).cast("long").as("n_sym"))
+        // BROADCAST the vocab: it is Zipf-bounded (Heaps' law keeps word
+        // types ≪ tokens at any corpus size), but it arrives from the
+        // train loop's checkpoint with unknown size stats, so without the
+        // hint Spark plans a sort-merge join — which shuffles AND sorts
+        // the full token stream on a Zipf-skewed key (the head word alone
+        // is ~1/6 of the stream; one straggler task at every scale).
+        // Measured on the Heaps-law 100× corpus: 30→100× wall exponent
+        // 1.41 as SMJ → 0.81 broadcast (SCALING.md round 13). For
+        // vocabularies past broadcast size (≳10⁸ types), fall back to a
+        // keyed join with AQE skew handling — the corpus side still never
+        // sorts.
         Tables.documents(spark, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) > 0)
-          .join(vsym, Seq("word"))
+          .join(broadcast(vsym), Seq("word"))
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_words"),
@@ -1207,11 +1218,12 @@ object Text {
         val (_, vocab) = bpeTrain(spark, dir, nMerges)
         val vsym = vocab.select(col("word"),
           size(split(trim(col("repr")), sep)).cast("long").as("n_sym"))
+        // broadcast: same Zipf-skew rationale as q95 (see its comment)
         Tables.documents(spark, dir)
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) > 0)
-          .join(vsym, Seq("word"))
+          .join(broadcast(vsym), Seq("word"))
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_words"),
