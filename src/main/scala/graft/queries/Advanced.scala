@@ -477,7 +477,55 @@ object Advanced {
           SELECT count(*) AS n_rows, $aggSelects FROM documents)
         SELECT * FROM ($unions)
         ORDER BY column_name"""
-      })
+      },
+      headline = true)
+  }
+
+  /** Q117: the APPROX corpus profile — q107 with every exact
+    * `count_distinct` swapped for `approx_count_distinct` (HyperLogLog++,
+    * the same machinery as q74's sketch). q107's plan pays an Expand node
+    * for the 5 exact multi-distincts — scan rows × 5 into the partial
+    * aggregate; the HLL swap removes the Expand ENTIRELY (pinned in
+    * PlanShapeSpec: one scan, partial HLL sketches, one merge — the
+    * aggregation is a constant-size sketch per column instead of a
+    * distinct-expanded row stream). This is the variant a 100 TB profile
+    * run uses when exact cardinalities aren't required.
+    *
+    * No oracle by cross-engine impossibility (q74's documented
+    * argument: HLL register layouts and hash functions differ across
+    * engines, so the estimates are not bit-comparable); the driver
+    * records the rows-only check, and AdvancedSpec bounds every
+    * estimate within HLL's published error (rsd 5% default) of the
+    * exact q107 counts. */
+  private val q117 = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    GraftQuery(
+      "q117_corpus_profile_approx",
+      (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            approx_count_distinct(col(c)).as(s"${c}_distinct"),
+            min(col(c).cast("string")).as(s"${c}_min"),
+            max(col(c).cast("string")).as(s"${c}_max"),
+            sum(length(col(c).cast("string")).cast("long")).as(s"${c}_len"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_len")
+          .mkString(", ")
+        d.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.size}, $stackArgs) AS " +
+              "(column_name, n_nulls, n_distinct, min_str, max_str, sum_len)")
+          .select(col("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_str"), col("max_str"),
+            (col("sum_len").cast("double") / (col("n_rows") - col("n_nulls")))
+              .as("avg_len"))
+          .orderBy("column_name")
+      },
+      None,
+      headline = true)
   }
 
   /** Q108: snapshot DRIFT check — the monitoring gate a recurring-crawl
@@ -541,8 +589,10 @@ object Advanced {
              CAST(c2 AS DOUBLE) / t2 AS rate2,
              CAST(abs(c1 * t2 - c2 * t1) AS BIGINT) AS l1_scaled
       FROM c CROSS JOIN t
-      ORDER BY bucket"""))
+      ORDER BY bucket"""),
+    headline = true)
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q97, q107, q108)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q97, q107,
+      q108, q117)
 }

@@ -213,7 +213,8 @@ object Curation {
       SELECT canonical AS cluster, n_members, doc_id AS rep_doc,
              quality_score AS rep_quality
       FROM ranked WHERE rn = 1
-      ORDER BY cluster"""))
+      ORDER BY cluster"""),
+    headline = true)
 
   /** Q83: sliding-window CHUNKING with overlap — the pretraining prep
     * step between cleaning and packing: split each document into windows
@@ -329,7 +330,8 @@ object Curation {
                max(doc_id) AS last_doc
         FROM c
         GROUP BY source, shard
-        ORDER BY source, shard"""))
+        ORDER BY source, shard"""),
+    headline = true)
   }
 
   /** q90's writer half: materialize the shard assignment as a
@@ -411,7 +413,8 @@ object Curation {
                CAST(sum(CASE WHEN r <= $cap THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
         FROM r
         GROUP BY domain
-        ORDER BY domain"""))
+        ORDER BY domain"""),
+    headline = true)
   }
 
   /** Q98: crawl-over-crawl snapshot DIFF — the incremental-ingestion audit
@@ -591,7 +594,8 @@ object Curation {
              CAST(sum(n_tokens) AS BIGINT) AS tokens,
              CAST(repeats * sum(n_tokens) AS BIGINT) AS effective_tokens
       FROM tier GROUP BY source, repeats
-      ORDER BY source, repeats"""))
+      ORDER BY source, repeats"""),
+    headline = true)
 
   /** Q109: dedup SAVINGS report — the per-source accounting a curation
     * run publishes after the fuzzy sweep: with q36's clusters resolved
@@ -664,7 +668,8 @@ object Curation {
                AS tokens_dropped,
              CAST(sum(n_tok) - sum(CASE WHEN dropped = 1 THEN n_tok ELSE 0 END)
                AS BIGINT) AS tokens_kept
-      FROM d GROUP BY source ORDER BY source"""))
+      FROM d GROUP BY source ORDER BY source"""),
+    headline = true)
 
   val all: Seq[GraftQuery] =
     Seq(q80, q81, q82, q83, q90, q91, q98, q99, q104, q109)

@@ -285,5 +285,56 @@ object Evaluation {
       ORDER BY 1"""},
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q110, q111, q112, q114)
+  /** Q116: PCA projection through the SHIPPED narrow-map projector
+    * (Pca.project) — closes the q111 → project loop with an oracle check
+    * on the projection arithmetic itself. The oracle problem: true
+    * fitted components depend on the data, and the oracle SQL is one
+    * static string evaluated at BOTH scale factors, so data-derived
+    * literals cannot hash-match both. The verification chain is
+    * therefore split exactly at its deterministic seams:
+    * the cluster pass (Gram matrix) is oracle-checked as q111; the
+    * driver eigensolve is pinned in PcaSpec against an independent
+    * float recompute (orthonormality + eigenvalue agreement); and the
+    * projection map is oracle-checked HERE against a deterministic
+    * data-independent orthonormal basis — 4 Walsh–Hadamard rows scaled
+    * to unit norm (entries ±2⁻³, exactly representable, so every
+    * product is exact and the sequential fold is bit-identical in both
+    * engines — the Similarity.hyperplanes recipe). The projected frame
+    * has the same shape/cost as the fitted projection: the component
+    * matrix travels as a literal, the plan is scan → narrow map →
+    * explode, no exchange before the output sort (PlanShapeSpec).
+    *
+    * Walsh rows 1, 2, 4, 8 (Sylvester order, (−1)^popcount(r∧i)):
+    * mutually orthogonal, none constant — a genuine orthonormal basis
+    * of a 4-dim subspace, just not the data's eigenbasis. */
+  private[queries] val walshComponents: Seq[Seq[Double]] =
+    Seq(1, 2, 4, 8).map(r => (0 until 64).map(i =>
+      if (Integer.bitCount(r & i) % 2 == 0) 0.125 else -0.125).toSeq)
+
+  private val q116 = GraftQuery(
+    "q116_pca_project",
+    (spark, dir) => {
+      val model = Pca.Model(0L, Seq.fill(4)(0.0), walshComponents)
+      Pca.project(
+          Tables.embeddings(spark, dir).select("vec_id", "embedding"), model)
+        .select(col("vec_id"), posexplode(col("pc")))
+        .select(col("vec_id"), (col("pos") + 1).as("k"), col("col").as("pc"))
+        .orderBy("vec_id", "k")
+    },
+    Some {
+      val compRows = walshComponents.zipWithIndex.map { case (c, i) =>
+        s"(${i + 1}, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(", ")
+      s"""
+      WITH comps(k, c) AS (VALUES $compRows)
+      SELECT e.vec_id, comps.k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c[i])),
+               (a, b) -> a + b) AS pc
+      FROM embeddings e CROSS JOIN comps
+      ORDER BY vec_id, k"""},
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q110, q111, q112, q114, q116)
 }

@@ -721,7 +721,8 @@ object Sampling {
                CAST(k.packed_seqs * p.seq_len - p.total_tokens AS DOUBLE)
                  / (k.packed_seqs * p.seq_len) AS packed_waste
         FROM pad p JOIN pk k USING (seq_len)
-        ORDER BY seq_len"""))
+        ORDER BY seq_len"""),
+    headline = true)
   }
 
   /** Q105: LEAKAGE-SAFE split — the group-aware refinement of q59's

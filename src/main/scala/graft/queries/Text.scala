@@ -1026,7 +1026,8 @@ object Text {
                CAST(sum(length(t.word)) AS DOUBLE) / sum(v.n_sym) AS compression
         FROM t JOIN v ON t.word = v.word
         GROUP BY t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id"""),
+    headline = true)
   }
 
   /** Q96: collocation mining — the corpus-global PMI ranking (Church &
@@ -1093,7 +1094,8 @@ object Text {
       JOIN uni u2 ON big.w2 = u2.w
       CROSS JOIN n
       ORDER BY pmi_ratio DESC, w1, w2
-      LIMIT 50"""))
+      LIMIT 50"""),
+    headline = true)
 
   /** Q100: DSIR-style importance GATE — the binary accept/reject
     * companion to q69's importance RANKING (both from Xie et al.,
@@ -1253,7 +1255,8 @@ object Text {
                CAST(sum(length(t.word)) AS DOUBLE) / sum(v.n_sym) AS compression
         FROM t JOIN v ON t.word = v.word
         GROUP BY t.lang
-        ORDER BY t.lang"""))
+        ORDER BY t.lang"""),
+    headline = true)
   }
 
   val all: Seq[GraftQuery] =

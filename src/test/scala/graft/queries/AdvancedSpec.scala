@@ -26,6 +26,26 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q117 approx profile matches q107's exact profile within HLL error") {
+    val exact = SparkEntry.queries("q107_corpus_profile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = SparkEntry.queries("q117_corpus_profile_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, a) =>
+      val e = exact(c)
+      // everything except the distinct estimate must be IDENTICAL — the
+      // swap touches only the cardinality aggregate
+      Seq("n_rows", "n_nulls", "min_str", "max_str", "avg_len").foreach { f =>
+        assert(a.getAs[Any](f) == e.getAs[Any](f), s"$c.$f")
+      }
+      val ex = e.getAs[Long]("n_distinct").toDouble
+      val ap = a.getAs[Long]("n_distinct").toDouble
+      assert(math.abs(ap - ex) / ex <= 0.15,
+        s"$c: approx $ap vs exact $ex (HLL rsd 5%, 3-sigma bound)")
+    }
+  }
+
   test("q72 median sits between min and max per group, n is consistent") {
     import org.apache.spark.sql.functions._
     val med = SparkEntry.queries("q72_median_price")(spark, sfDir).collect()

@@ -510,4 +510,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"),
       s"a sort-merge join means a top-k side was treated as corpus-sized:\n$s")
   }
+
+  test("q117: the HLL swap removes q107's Expand (no distinct row explosion)") {
+    // q107's 5 exact multi-distincts force an Expand: scan rows x 5 into
+    // the partial aggregate — the documented cost of exactness
+    val exact = finalPlan(planString("q107_corpus_profile"))
+    assert(exact.contains("Expand"),
+      s"q107 should carry the exact-distinct Expand:\n$exact")
+    // the approx profile aggregates constant-size HLL sketches instead:
+    // no Expand anywhere, same single scan
+    val approx = finalPlan(planString("q117_corpus_profile_approx"))
+    assert(!approx.contains("Expand"),
+      s"q117 must not expand rows (HLL sketches, not exact distincts):\n$approx")
+    val scans = "Scan parquet".r.findAllIn(approx).length
+    assert(scans == 1, s"q117 must profile in ONE corpus scan, got $scans:\n$approx")
+  }
+
+  test("q95/q101: the BPE application join broadcasts the Heaps-bounded vocab") {
+    // measured round 13 (SCALING.md): as sort-merge this join shuffles AND
+    // sorts the Zipf-skewed token stream — 30->100x exponent 1.41; the
+    // head word is ~1/6 of the stream and one task straggles
+    Seq("q95_bpe_tokenize", "q101_tokenizer_fertility").foreach { q =>
+      val s = finalPlan(planString(q))
+      assert(s.contains("BroadcastHashJoin"),
+        s"$q: vocab join must broadcast:\n$s")
+      assert(!s.contains("SortMergeJoin"),
+        s"$q: token stream must never sort on the skewed word key:\n$s")
+    }
+  }
+
+  test("q116: the projection is a literal-matrix narrow map before the output sort") {
+    val s = finalPlan(planString("q116_pca_project"))
+    assert(!s.contains("Join"), s"projection must not join:\n$s")
+    // one range exchange for the presentation ORDER BY; nothing else wide
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(hashEx == 0, s"projection must not hash-shuffle:\n$s")
+  }
 }

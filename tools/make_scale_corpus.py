@@ -127,13 +127,65 @@ def heaps_copies(df, k):
     return copies
 
 
+def zipf_corpus(df, k):
+    """Scratch corpus for similarity-join probes (q32): n = 5000*k docs of
+    iid Zipf(s=1.05) tokens from a pool of 3000*sqrt(k) word shapes —
+    heavy-tailed gram frequencies (rare grams exist, so prefix filters
+    have something to select on) at a REALISTIC vocabulary size, unlike
+    heaps mode whose tiny pool makes every document near-every-other.
+    Every 50th doc is followed by a planted near-dup (5% of tokens
+    resubstituted -> 3-gram Jaccard ~ 0.7, above q32's 0.6 threshold), so
+    the verify stages have true positives to find. Lengths, langs and
+    sources are sampled from the base corpus's empirical distributions."""
+    import collections
+    import math
+    import numpy as np
+    rng = np.random.default_rng(0xC0FFEE + k)
+    n = 5000 * k
+    pool_n = int(3000 * math.sqrt(k))
+    # deterministic pool of distinct word shapes (reuse heaps machinery)
+    toks = df["text"].str.split(" ")
+    vocab = sorted({t for s in toks for t in s if t})
+    len_dist = sorted(collections.Counter(len(w) for w in vocab).items())
+    letter_weights = sorted(
+        collections.Counter(ch for w in vocab for ch in w).items())
+    pool = np.array(heaps_pool(pool_n, len_dist, letter_weights))
+    probs = 1.0 / np.arange(1, pool_n + 1) ** 1.05
+    probs /= probs.sum()
+    doc_lens = np.maximum(
+        rng.choice([len(s) for s in toks], size=n), 10)
+    langs = df["lang"].to_numpy()
+    sources = df["source"].to_numpy()
+    rows = []
+    doc_id = 0
+    for i in range(n):
+        words = pool[rng.choice(pool_n, size=doc_lens[i], p=probs)]
+        rows.append((doc_id, " ".join(words), langs[i % len(langs)],
+                     sources[i % len(sources)]))
+        doc_id += 1
+        if i % 50 == 0:  # planted near-dup: 5% token resubstitution
+            dup = words.copy()
+            nsub = max(1, len(dup) // 20)
+            idx = rng.choice(len(dup), size=nsub, replace=False)
+            dup[idx] = pool[rng.choice(pool_n, size=nsub, p=probs)]
+            rows.append((doc_id, " ".join(dup), langs[i % len(langs)],
+                         sources[i % len(sources)]))
+            doc_id += 1
+    out = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    out["doc_id"] = out["doc_id"].astype(df["doc_id"].dtype)
+    out["n_chars"] = out["text"].str.len().astype(df["n_chars"].dtype)
+    return [out]
+
+
 def main() -> int:
     k, out = int(sys.argv[1]), sys.argv[2]
     mode = "cipher"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
     df = base_df()
-    copies = cipher_copies(df, k) if mode == "cipher" else heaps_copies(df, k)
+    copies = (cipher_copies(df, k) if mode == "cipher"
+              else heaps_copies(df, k) if mode == "heaps"
+              else zipf_corpus(df, k))
     allc = pd.concat(copies, ignore_index=True)
     allc["n_chars"] = allc["text"].str.len().astype(allc["n_chars"].dtype)
     import os
