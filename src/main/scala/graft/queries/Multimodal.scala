@@ -167,17 +167,32 @@ object Multimodal {
             simhashFp32(expr("transform(hs, h -> md5(concat('c:', h)))")),
             simhashFp32(expr("transform(hs, h -> md5(concat('d:', h)))")))
             .as("fp"))
-      val keyed = fps.select(col("media_id"), col("fp"),
+      // the fingerprint table is consumed twice (block index + verify
+      // fetch); materialized so the payload hashing runs once — the q32
+      // `g` pattern
+      val fpm = fps.localCheckpoint(eager = true)
+      val keyed = fpm.select(col("media_id"),
         explode(array((0 until 4).map(i => struct(
           lit(i).as("blk"),
           substring(col("fp"), i * 32 + 1, 32).as("bits"))): _*)).as("k"))
+      // candidate distinct on the ID PAIR ONLY: a close pair can collide
+      // in several blocks, and those collisions land in DIFFERENT
+      // partitions (the block join is keyed by block), so every duplicate
+      // wide row would travel the distinct exchange — carrying both
+      // 128-char fingerprints quadrupled the shuffled bytes per
+      // candidate. The fingerprints are re-fetched for the distinct
+      // survivors from the checkpointed table (candidates ≪ corpus, so
+      // both fetch joins broadcast the pair side; the corpus side stays
+      // scan-local) — the survivor-pruned verify fetch of
+      // jaccardVerifyStages.
       keyed.as("a").join(keyed.as("b"),
           col("a.k") === col("b.k") && col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-          col("a.fp").as("fpa"), col("b.fp").as("fpb"))
-        .distinct() // a close pair can collide in several blocks
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+        .distinct()
+        .join(fpm.as("fa"), col("fa.media_id") === col("media_a"))
+        .join(fpm.as("fb"), col("fb.media_id") === col("media_b"))
         .select(col("media_a"), col("media_b"),
-          hammingBits(col("fpa"), col("fpb"), 128).cast("long").as("hamming"))
+          hammingBits(col("fa.fp"), col("fb.fp"), 128).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("media_a", "media_b")
     },

@@ -539,6 +539,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q92: the candidate distinct shuffles id pairs only, fingerprints re-fetched") {
+    graft.plans.GraftExtensions.install(spark)
+    val s = finalPlan(planString("q92_media_phash_neardup"))
+    // the distinct's exchange must carry exactly (media_a, media_b) — the
+    // round-12 spelling dragged both 128-char fingerprints through it
+    // (~4x the bytes per candidate); fingerprints now re-join from the
+    // checkpointed table for the distinct survivors only
+    val distinctEx = "Exchange hashpartitioning\\(media_a[^)]*media_b[^)]*\\)".r
+    assert(distinctEx.findFirstIn(s).isDefined,
+      s"expected a (media_a, media_b) distinct exchange:\n$s")
+    distinctEx.findAllIn(s).foreach { ex =>
+      assert(!ex.contains("fp"), s"fingerprint in the distinct exchange: $ex")
+    }
+  }
+
   test("q116: the projection is a literal-matrix narrow map before the output sort") {
     val s = finalPlan(planString("q116_pca_project"))
     assert(!s.contains("Join"), s"projection must not join:\n$s")
