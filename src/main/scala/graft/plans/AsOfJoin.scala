@@ -17,8 +17,11 @@ import org.apache.spark.sql.graftbridge.DatasetBridge
   *
   * Semantics (time-series enrichment, the kdb/pandas `asof` operator
   * Spark lacks natively): for each left row, the single right row with
-  * equal keys and the greatest `rightTime <= leftTime`, ties on time
-  * broken by the greatest `rightTies` tuple; left rows with no such
+  * equal keys and the greatest `rightTime <= leftTime` (backward,
+  * default; ties on time broken by the greatest `rightTies` tuple) or
+  * the smallest `rightTime >= leftTime` (forward; ties to the smallest
+  * tuple), optionally rejected when farther than `tolerance` native
+  * time units — the full pandas merge_asof surface. Left rows with no
   * match keep NULL right columns. NULL keys or NULL times never match
   * (standard join-key semantics).
   *
@@ -42,11 +45,14 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTies: Seq[Expression])
+    rightTies: Seq[Expression],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join requires matching non-empty key lists")
+  require(tolerance.forall(_ >= 0), "as-of join tolerance must be >= 0")
 
   // plan-time type validation: the exec compares right-side times with an
   // ordering built from leftTime.dataType, and key projections must be
@@ -74,6 +80,16 @@ case class AsOfJoinPlan(
         s"as-of join key pair $i must share a data type: left is " +
           s"${lk.dataType.catalogString}, right is ${rk.dataType.catalogString}")
     }
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      val integral = Set[DataType](TimestampType, TimestampNTZType, DateType,
+        LongType, IntegerType, ShortType, ByteType)
+      require(integral.contains(leftTime.dataType),
+        "as-of join tolerance needs an integral-backed time type " +
+          "(timestamp/date/integer); got " + leftTime.dataType.catalogString +
+          " — tolerance is a delta in the column's native units " +
+          "(microseconds for timestamps, days for dates)")
+    }
   }
 
   override def output: Seq[Attribute] =
@@ -87,18 +103,33 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties) =>
-      AsOfJoinExec(lk, rk, lt, rt, ties, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, ties, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Sort-merge as-of: each child hash-clustered on its keys (co-partition
   * enforced by EnsureRequirements, exactly as for an equi-join) and
-  * sorted by (keys, time[, ties]); per partition a two-pointer merge
-  * keeps the LAST right row at or before the current left row's time.
-  * Because the right side is sorted by (keys, time, ties) ascending,
-  * "last consumed" IS the tie-broken winner — no per-key buffering.
+  * sorted by (keys, time[, ties]); per partition a two-pointer merge with
+  * O(1) state in BOTH directions:
+  *
+  *  - backward (default): keeps the LAST right row at or before the
+  *    current left row's time. Because the right side is sorted by
+  *    (keys, time, ties) ascending, "last consumed" IS the tie-broken
+  *    winner (greatest ties) — no per-key buffering.
+  *  - forward: the match is the FIRST right row at or after the left
+  *    time — exactly the next unconsumed right row once everything
+  *    strictly older has been discarded (ties resolved to the SMALLEST
+  *    ties tuple, the first in ascending order); the buffered row is NOT
+  *    consumed on match, since later left rows may share it.
+  *
+  * `tolerance` (pandas merge_asof semantics) bounds the match distance
+  * in the time column's native integral units: a backward match further
+  * than `lt − rt > tol` (or forward `rt − lt > tol`) yields NULLs
+  * instead. Evaluated at emit time on the single carried row, so the
+  * merge state stays O(1).
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -106,6 +137,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTies: Seq[Expression],
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -145,9 +178,20 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
+      val fwd = forward
+      val tol = tolerance
+      // integral time value for the tolerance delta (timestamps and dates
+      // are Long/Int in InternalRow; plan-time validation guarantees this)
+      def timeL(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+      }
+
       new Iterator[InternalRow] {
-        // one buffered not-yet-consumed right row + the last match; both
-        // COPIES because execute() reuses its UnsafeRow
+        // one buffered not-yet-consumed right row + (backward only) the
+        // last match; both COPIES because execute() reuses its UnsafeRow
         private var pending: InternalRow = _
         private var pendingKey: InternalRow = _
         private var lastMatch: InternalRow = _
@@ -166,11 +210,15 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
-        override def next(): InternalRow = {
-          val l = lIter.next()
-          val kL = lKeyProj(l)
-          val tL = lTime.eval(l)
-          if (kL.anyNull || tL == null) return resultProj(joined(l, nullRight))
+        private def withinTol(l: InternalRow, r: InternalRow): Boolean =
+          tol.isEmpty || {
+            val d =
+              if (fwd) timeL(rTime.eval(r)) - timeL(lTime.eval(l))
+              else timeL(lTime.eval(l)) - timeL(rTime.eval(r))
+            d <= tol.get
+          }
+
+        private def nextBackward(l: InternalRow, kL: InternalRow, tL: Any): InternalRow = {
           var done = false
           while (!done) {
             refill()
@@ -185,8 +233,39 @@ case class AsOfJoinExec(
               } else done = true // right is ahead of this left row
             }
           }
-          val matched = lastMatch != null && keyOrd.compare(lastMatchKey, kL) == 0
+          val matched = lastMatch != null &&
+            keyOrd.compare(lastMatchKey, kL) == 0 && withinTol(l, lastMatch)
           resultProj(joined(l, if (matched) lastMatch else nullRight))
+        }
+
+        private def nextForward(l: InternalRow, kL: InternalRow, tL: Any): InternalRow = {
+          var done = false
+          while (!done) {
+            refill()
+            if (pending == null) done = true
+            else {
+              val c = keyOrd.compare(pendingKey, kL)
+              // strictly-older same-key rows can serve no later left row
+              // either (left times ascend within the key): discard
+              if (c < 0 || (c == 0 && timeOrd.lt(rTime.eval(pending), tL)))
+                pending = null
+              else done = true
+            }
+          }
+          // pending is now the minimal (time, ties) right row with
+          // rt >= lt for this key — the forward match. NOT consumed: the
+          // next left row of this key may share it.
+          val matched = pending != null &&
+            keyOrd.compare(pendingKey, kL) == 0 && withinTol(l, pending)
+          resultProj(joined(l, if (matched) pending else nullRight))
+        }
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val kL = lKeyProj(l)
+          val tL = lTime.eval(l)
+          if (kL.anyNull || tL == null) return resultProj(joined(l, nullRight))
+          if (fwd) nextForward(l, kL, tL) else nextBackward(l, kL, tL)
         }
       }
     }
@@ -197,6 +276,12 @@ case class AsOfJoinExec(
   * "ts", "o_orderdate", tieBreak = Seq("o_orderkey"))`. Children are taken
   * analyzed, so the custom node enters the optimizer resolved. */
 object AsOf {
+  /** @param direction "backward" (default — latest right at or before the
+    *                  left time) or "forward" (earliest right at or after)
+    * @param tolerance max match distance in the time column's native
+    *                  integral units (µs for timestamps, days for dates);
+    *                  farther matches yield NULLs — pandas merge_asof
+    *                  semantics */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -204,7 +289,11 @@ object AsOf {
       rightKeys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of join direction must be 'backward' or 'forward', got '$direction'")
     val spark = left.sparkSession
     GraftExtensions.install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -217,7 +306,8 @@ object AsOf {
       lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      tieBreak.map(attr(rPlan, _))))
+      tieBreak.map(attr(rPlan, _)),
+      forward = direction == "forward", tolerance = tolerance))
   }
 
   /** Column-free convenience overload used by tests. */

@@ -268,5 +268,68 @@ object Windows {
       ORDER BY e.event_id"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q18, q19, q113)
+  /** Q118: FORWARD as-of through the native operator — "next order at or
+    * after each event", the scheduling/attribution direction (first
+    * shipment after an order, first alert after a deploy). Ties on time
+    * resolve to the smallest o_orderkey (the ascending-sort head — the
+    * forward mirror of backward's greatest-ties rule). Same O(1)-state
+    * merge, same two exchanges; the only difference is which buffered row
+    * wins. Oracle is the correlated spelling with the comparisons
+    * flipped, so the forward path is hash-checked independently. */
+  private val q118 = GraftQuery(
+    "q118_asof_forward",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+      graft.plans.AsOf.join(ev, ord,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+          tieBreak = Seq("o_orderkey"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("next_orderkey"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             (SELECT o.o_orderkey FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+              ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_orderkey
+      FROM events e
+      ORDER BY e.event_id"""),
+    headline = true)
+
+  /** Q119: as-of with TOLERANCE (pandas merge_asof semantics) — the
+    * enrichment becomes NULL when the matched version is older than the
+    * window (here 7 days in timestamp-native microseconds): the "stale
+    * dimension data is worse than no data" contract every temporal
+    * enrichment pipeline eventually needs. Evaluated at emit time on the
+    * O(1) carried row, so the merge costs nothing extra; the oracle adds
+    * the same bound to the correlated predicate. */
+  private val q119 = GraftQuery(
+    "q119_asof_tolerance",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+      graft.plans.AsOf.join(ev, ord,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+          tieBreak = Seq("o_orderkey"),
+          tolerance = Some(7L * 24 * 3600 * 1000000L)) // 7 days in us
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("recent_orderkey"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             (SELECT o.o_orderkey FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+               AS recent_orderkey
+      FROM events e
+      ORDER BY e.event_id"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] =
+    Seq(q13, q14, q15, q16, q17, q18, q19, q113, q118, q119)
 }

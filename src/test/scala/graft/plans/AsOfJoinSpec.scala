@@ -71,6 +71,73 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized FORWARD as-of equals the brute-force reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(118118L)
+    for (trial <- 1 to 8) {
+      val nKeys = 1 + rng.nextInt(5)
+      val lRows = (1 to 80).map(i =>
+        (i.toLong, rng.nextInt(nKeys + 2).toLong, rng.nextInt(20).toLong))
+      val rRows = (1 to 60).map(i =>
+        (rng.nextInt(nKeys).toLong, rng.nextInt(20).toLong, i.toLong))
+      val l = lRows.toDF("id", "k", "t").repartition(1 + rng.nextInt(5))
+      val r = rRows.toDF("rk", "rt", "tie").repartition(1 + rng.nextInt(5))
+      val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          tieBreak = Seq("tie"), direction = "forward")
+        .select("id", "tie").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      // forward: smallest rt >= t, ties to the SMALLEST tie tuple
+      val want = lRows.map { case (id, k, t) =>
+        val m = rRows.filter(rr => rr._1 == k && rr._2 >= t)
+        id -> (if (m.isEmpty) -1L else m.minBy(rr => (rr._2, rr._3))._3)
+      }.toMap
+      assert(got === want, s"trial $trial (nKeys=$nKeys)")
+    }
+  }
+
+  test("randomized as-of with tolerance equals the brute-force reference, both directions") {
+    import spark.implicits._
+    val rng = new scala.util.Random(119119L)
+    for (trial <- 1 to 8; fwd <- Seq(false, true)) {
+      val nKeys = 1 + rng.nextInt(5)
+      val tol = rng.nextInt(6).toLong // 0 = exact-time-only matches
+      val lRows = (1 to 60).map(i =>
+        (i.toLong, rng.nextInt(nKeys + 1).toLong, rng.nextInt(25).toLong))
+      val rRows = (1 to 40).map(i =>
+        (rng.nextInt(nKeys).toLong, rng.nextInt(25).toLong, i.toLong))
+      val l = lRows.toDF("id", "k", "t").repartition(1 + rng.nextInt(4))
+      val r = rRows.toDF("rk", "rt", "tie").repartition(1 + rng.nextInt(4))
+      val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          tieBreak = Seq("tie"),
+          direction = if (fwd) "forward" else "backward",
+          tolerance = Some(tol))
+        .select("id", "tie").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      val want = lRows.map { case (id, k, t) =>
+        val m =
+          if (fwd) rRows.filter(rr => rr._1 == k && rr._2 >= t && rr._2 - t <= tol)
+          else rRows.filter(rr => rr._1 == k && rr._2 <= t && t - rr._2 <= tol)
+        id -> (if (m.isEmpty) -1L
+               else if (fwd) m.minBy(rr => (rr._2, rr._3))._3
+               else m.maxBy(rr => (rr._2, rr._3))._3)
+      }.toMap
+      assert(got === want, s"trial $trial fwd=$fwd tol=$tol (nKeys=$nKeys)")
+    }
+  }
+
+  test("tolerance on a non-integral time type fails at plan time") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 1.5)).toDF("id", "k", "t")
+    val r = Seq((1L, 1.0, 10L)).toDF("rk", "rt", "tie")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        tieBreak = Seq("tie"), tolerance = Some(5L)).queryExecution.executedPlan
+    }
+    assert(e.getMessage.contains("integral-backed time type"), e.getMessage)
+  }
+
   test("plan: one hash exchange per side, no union, no window") {
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
     val ord = Tables.orders(spark, sfDir)
