@@ -788,6 +788,91 @@ object Sampling {
       FROM u ORDER BY doc_id"""),
     headline = true)
 
+  /** Q120: domain mixture reweighting — the multiplicative-weights
+    * kernel of DoReMi (Xie et al., NeurIPS'23, arXiv 2305.10429 — public
+    * paper): upweight domains with EXCESS loss over the current
+    * mixture's weighted mean, renormalize, iterate. Real DoReMi gets its
+    * per-domain losses from a proxy-model training run (an X1-class
+    * boundary); the data-plane stand-in here is a deterministic hardness
+    * proxy — chars-per-token in ppm — so the weight-update kernel itself
+    * is exactly reproducible and oracle-checked. All arithmetic is
+    * non-negative integer ppm with floor division (the q100 rule):
+    * m_k = ⌊Σ w·loss / 10⁶⌋ (the mixture's weighted mean loss),
+    * w' = ⌊w·(10⁶ + max(loss − m_k, 0)) / 10⁶⌋, then renormalize to ppm —
+    * bit-identical across engines, no exp/log (the published update's
+    * exp(η·excess) is first-order (1 + η·excess), the standard MW
+    * approximation, with η = 1 ppm⁻¹).
+    *
+    * Scale shape: ONE corpus pass (per-source count/char/token sums —
+    * partial-agg groupBy on |sources| keys); the 5 MW rounds run on the
+    * |sources|-row table driver-side (the k-means centroid / BPE-argmax
+    * pattern — O(|domains|) driver state, zero extra cluster work). At
+    * 100 TB nothing but the single scan grows. */
+  private val q120 = {
+    val Rounds = 5
+    val M = 1000000L
+    GraftQuery(
+      "q120_domain_reweight",
+      (spark, dir) => {
+        import spark.implicits._
+        val agg = Tables.documents(spark, dir)
+          .select(col("source"), col("n_chars").cast("long").as("nc"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nc").as("chars"),
+            sum("nt").as("toks"))
+          .orderBy("source")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val loss = agg.map { case (_, _, c, t) => c * M / t } // ppm chars/tok
+        var w = Array.fill(agg.length)(M / agg.length)
+        for (_ <- 1 to Rounds) {
+          val m = w.zip(loss).map { case (wi, li) => wi * li }.sum / M
+          val raw = w.zip(loss).map { case (wi, li) =>
+            wi * (M + math.max(li - m, 0L)) / M }
+          val tot = raw.sum
+          w = raw.map(_ * M / tot)
+        }
+        agg.zipWithIndex.map { case ((s, n, _, _), i) =>
+          (s, n, loss(i), M / agg.length, w(i))
+        }.toSeq
+          .toDF("source", "n_docs", "loss_ppm", "w0_ppm", "w_ppm")
+          .orderBy("source")
+      },
+      Some {
+        val rounds = (1 to Rounds).map { k =>
+          val prev = if (k == 1) "r0" else s"n${k - 1}"
+          s"""r$k AS (
+            SELECT source, n_docs, loss_ppm,
+                   (w * (1000000 + GREATEST(loss_ppm -
+                      (SUM(w * loss_ppm) OVER ()) // 1000000, 0))) // 1000000
+                     AS raw
+            FROM $prev),
+          n$k AS (
+            SELECT source, n_docs, loss_ppm,
+                   (raw * 1000000) // (SUM(raw) OVER ()) AS w
+            FROM r$k)"""
+        }.mkString(",\n")
+        s"""
+        WITH base AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+          FROM documents GROUP BY source),
+        r0 AS (
+          SELECT source, n_docs, (chars * 1000000) // toks AS loss_ppm,
+                 1000000 // (SELECT count(*) FROM base) AS w
+          FROM base),
+        $rounds
+        SELECT source, n_docs, loss_ppm,
+               CAST(1000000 // (SELECT count(*) FROM base) AS BIGINT) AS w0_ppm,
+               CAST(w AS BIGINT) AS w_ppm
+        FROM n$Rounds
+        ORDER BY source"""},
+      headline = true)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103, q105)
+    Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103, q105,
+      q120)
 }
