@@ -145,6 +145,104 @@ object AsOfStream {
       out.iterator
     }
 
+  /** FORWARD streaming as-of (the q118 direction): each probe is
+    * enriched with the FIRST version at or after its event time, within
+    * `toleranceUs`. Forward streaming REQUIRES a finite tolerance — the
+    * batch operator can scan ahead arbitrarily, but a stream cannot wait
+    * forever for a match that may never come, and unbounded waiting means
+    * unbounded probe state. With the bound, a probe is answerable once
+    * the watermark is strictly past `probe.ts + toleranceUs`: every
+    * version in the probe's admissible window [ts, ts + tol] has either
+    * arrived or been late-dropped by the SAME watermark, so the answer
+    * equals batch `AsOf.join(direction = "forward", tolerance)` over the
+    * delivered rows regardless of micro-batch slicing (spec-pinned).
+    * Version pruning is simpler than backward's: a version strictly below
+    * the watermark can only serve probes that the watermark has already
+    * late-dropped, so only versions at or above the watermark are kept. */
+  def enrichForward(
+      probes: Dataset[Probe],
+      versions: Dataset[Version],
+      toleranceUs: Long,
+      lateness: String = "10 minutes",
+      idleRetentionMs: Long = IdleRetentionMs): Dataset[Enriched] = {
+    require(toleranceUs >= 0, "forward streaming as-of needs tolerance >= 0")
+    import probes.sparkSession.implicits._
+    val ticks = probes.map(p => Tick(1, p.key, p.ts, p.event_id))
+      .unionByName(versions.map(v => Tick(0, v.key, v.ts, v.version_id)))
+    ticks
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        forwardFn(toleranceUs, idleRetentionMs) _)
+  }
+
+  /** forward prune cutoff: a version is dead only once it is below BOTH
+    * the watermark (future probes carry ts >= watermark) and every
+    * pending probe's event time (their windows may reach below it) */
+  private def fwdCutoff(wmUs: Long, pending: Vector[(Long, Long)]): Long =
+    math.min(wmUs, pending.headOption.map(_._1).getOrElse(Long.MaxValue))
+
+  /** first version in [tUs, tUs + tol]; ascending (time, id) order makes
+    * `find` the smallest-(time, id) winner — the batch forward tie rule */
+  private def answerFwd(st: AsOfState, tolUs: Long, tUs: Long, id: Long,
+      key: Long): Enriched = {
+    val m = st.versions.find(v => v._1 >= tUs && v._1 - tUs <= tolUs)
+    Enriched(id, key, tUs, m.map(_._2))
+  }
+
+  private[streaming] def forwardFn(tolUs: Long, idleRetentionMs: Long)(
+      key: Long, rows: Iterator[Tick],
+      state: GroupState[AsOfState]): Iterator[Enriched] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    val st0 = state.getOption.getOrElse(
+      AsOfState(StateVersion, Vector.empty, Vector.empty))
+    checkVersion(st0)
+    if (state.hasTimedOut) {
+      val (ripe, stillPending) = st0.pending.partition(_._1 + tolUs < wmUs)
+      val out = ripe.map { case (tUs, id) => answerFwd(st0, tolUs, tUs, id, key) }
+      val pruned = st0.versions.dropWhile(_._1 < fwdCutoff(wmUs, stillPending))
+      if (stillPending.isEmpty && pruned.isEmpty) state.remove()
+      else {
+        state.update(AsOfState(StateVersion, pruned, stillPending))
+        if (stillPending.nonEmpty)
+          state.setTimeoutTimestamp((stillPending.head._1 + tolUs) / 1000 + 1)
+        else
+          state.setTimeoutTimestamp(math.max(wmUs / 1000, 0L) + idleRetentionMs)
+      }
+      out.iterator
+    } else {
+      val arrivals = rows.toVector
+      val newVersions =
+        (st0.versions ++ arrivals.filter(_.side == 0)
+          .map(t => (tsUs(t.ts), t.seq))).sorted
+      val allPending =
+        (st0.pending ++ arrivals.filter(_.side == 1)
+          .map(t => (tsUs(t.ts), t.seq))).sorted
+      // ripe once the watermark is STRICTLY past ts + tolerance: the
+      // admissible window [ts, ts + tol] is then sealed by the late filter
+      val (ripe, stillPending) = allPending.partition(_._1 + tolUs < wmUs)
+      val withVersions = st0.copy(versions = newVersions)
+      val out = ripe.map { case (tUs, id) =>
+        answerFwd(withVersions, tolUs, tUs, id, key)
+      }
+      // versions strictly below the watermark can only serve late-dropped
+      // FUTURE probes (which must carry ts >= watermark) — but a PENDING
+      // probe's window [ts, ts + tol] can reach below the watermark once
+      // the watermark has entered it, so the prune cutoff is the older of
+      // the watermark and the oldest pending probe's event time
+      val pruned = newVersions.dropWhile(_._1 < fwdCutoff(wmUs, stillPending))
+      if (stillPending.isEmpty && pruned.isEmpty) state.remove()
+      else {
+        state.update(AsOfState(StateVersion, pruned, stillPending))
+        if (stillPending.nonEmpty)
+          state.setTimeoutTimestamp((stillPending.head._1 + tolUs) / 1000 + 1)
+        else
+          state.setTimeoutTimestamp(math.max(wmUs / 1000, 0L) + idleRetentionMs)
+      }
+      out.iterator
+    }
+  }
+
   /** The per-key state transition (package-visible so the version-gate
     * restore path is testable against a stubbed GroupState). */
   private[streaming] def stateFn(idleRetentionMs: Long)(key: Long,

@@ -59,6 +59,63 @@ class AsOfStreamSpec extends SparkSpec {
     rows
   }
 
+  private val TolMin = 10L // forward tolerance: 10 minutes
+
+  /** forward brute force: first version in [t, t + TolMin], ties to the
+    * smallest version_id — the batch q118 rule under q119's tolerance. */
+  private val expectedFwd: Map[Long, Option[Long]] = probes.map {
+    case (id, k, t) =>
+      val m = versions.filter(v => v._1 == k && v._2 >= t && v._2 - t <= TolMin)
+      id -> (if (m.isEmpty) None else Some(m.minBy(v => (v._2, v._3))._3))
+  }.toMap
+
+  private def runFwd(name: String,
+      probeBatches: Seq[Seq[(Long, Long, Long)]],
+      versionBatches: Seq[Seq[(Long, Long, Long)]]): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[AsOfStream.Probe]
+    val vIn = MemoryStream[AsOfStream.Version]
+    val q = AsOfStream.enrichForward(pIn.toDS(), vIn.toDS(),
+        toleranceUs = TolMin * 60000000L, lateness = "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val n = math.max(probeBatches.size, versionBatches.size)
+    (0 until n).foreach { i =>
+      probeBatches.lift(i).foreach(b =>
+        pIn.addData(b.map { case (id, k, t) => AsOfStream.Probe(id, k, ts(t)) }))
+      versionBatches.lift(i).foreach(b =>
+        vIn.addData(b.map { case (k, t, v) => AsOfStream.Version(k, ts(t), v) }))
+      q.processAllAvailable()
+    }
+    (1 to 2).foreach { i =>
+      vIn.addData(AsOfStream.Version(-999L, ts(100000L + i), -1L))
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+  }
+
+  test("forward+tolerance: single-batch arrival matches the batch forward as-of") {
+    val got = runFwd("asof_fwd_one", Seq(probes), Seq(versions))
+    assert(got === expectedFwd)
+  }
+
+  test("forward+tolerance: invariant to micro-batch slicing, matches arrive after probes") {
+    // versions land AFTER the probes that need them (in-watermark
+    // out-of-order): the probe must wait until its window is sealed, and
+    // versions inside a pending probe's window must survive the prune even
+    // once the watermark passes them
+    val got = runFwd("asof_fwd_sliced",
+      Seq(Seq(probes(0), probes(3)), Seq(probes(1), probes(4)),
+        Seq(probes(2), probes(5))),
+      Seq(Seq(versions(0), versions(3)), Seq(versions(4), versions(5)),
+        Seq(versions(1), versions(2))))
+    assert(got === expectedFwd)
+  }
+
   test("single-batch arrival matches the batch as-of answer") {
     val got = run("asof_one", Seq(probes), Seq(versions))
     assert(got === expected)
