@@ -102,11 +102,14 @@ object EventsStream {
       state.remove()
       out
     } else {
-      val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+      // full-µs event times (AsOfStream.tsUs): getTime drops the
+      // sub-millisecond part, which would make µs-resolution gap
+      // comparisons diverge from the batch q15 (TimestampType micros)
+      val sorted = rows.toVector.sortBy(e => (AsOfStream.tsUs(e.ts), e.event_id))
       var cur = state.getOption
       val closed = Vector.newBuilder[SessionOut]
       sorted.foreach { e =>
-        val us = e.ts.getTime * 1000
+        val us = AsOfStream.tsUs(e.ts)
         cur match {
           case Some(s) if us - s.lastUs <= GapUs =>
             cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))

@@ -61,6 +61,47 @@ object StreamThroughputProbe {
       q.stop()
     }
 
+    // ---- PackStream: 1M docs over 1k streams ---------------------------
+    {
+      val in = MemoryStream[(Long, String, Long)]
+      val q = PackStream.packed(in.toDF().toDF("doc_id", "source", "n_tok"))
+        .writeStream.format("noop").outputMode("append").start()
+      val nKeys = 1000L
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 100000).map { i =>
+          val id = b * 100000L + i
+          (id, s"s${id % nKeys}", 50L + id % 300)
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("pack 1M (1k streams)", q, wall, 1000000L, nKeys)
+      q.stop()
+    }
+
+    // ---- MixStream: 1M docs over 50 sources (driver-state foreachBatch) -
+    {
+      val in = MemoryStream[(Long, String, Long)]
+      var emitted = 0L
+      val q = MixStream.writer(in.toDF().toDF("doc_id", "source", "n_tok")) {
+        (admitted, _) => emitted += admitted.count()
+      }.start()
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 100000).map { i =>
+          val id = b * 100000L + i
+          (id, s"s${id % 50}", 50L + id % 300)
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[streamprobe] mix 1M (50 sources): 1000000 events in " +
+        f"$wall%.2f s = ${1000000 / wall}%.0f rec/s; admitted=$emitted " +
+        "(driver state: 50 Longs)")
+      q.stop()
+    }
+
     // ---- QuotaStream: 1M docs over 20k domains ------------------------
     {
       val in = MemoryStream[(Long, Long, Long)]
