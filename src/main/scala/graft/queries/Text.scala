@@ -1259,7 +1259,63 @@ object Text {
     headline = true)
   }
 
+  /** Q121: lexical-diversity audit per source — the corpus-health metrics
+    * a curation dashboard tracks alongside q107's profile: type-token
+    * ratio (vocabulary richness) and the Simpson repeat index
+    * Σ c_w(c_w−1) / (N(N−1)) — the probability two token draws without
+    * replacement are the SAME word, i.e. repetitiveness without logs
+    * (entropy takes ln, which is not bit-specified across engines; the
+    * Simpson index is the standard log-free concentration measure, and a
+    * boilerplate-heavy or degenerate source shows up as a spike).
+    * Numerators/denominators are exact integer sums; the two final
+    * divisions run in IEEE doubles — the denominators as double PRODUCTS
+    * (N·(N−1) in double, both engines spelled identically) so per-source
+    * token counts past 3·10⁹ don't overflow the integer square at 100 TB.
+    *
+    * Scale shape: one (source, word) partial-agg groupBy (the unbounded
+    * but Heaps-bounded type keyspace), then a per-source rollup —
+    * |sources| rows out; nothing else grows. */
+  private val q121 = GraftQuery(
+    "q121_lexical_diversity",
+    (spark, dir) => {
+      val counts = Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      counts.groupBy("source")
+        .agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"),
+          (col("rep_pairs").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens").cast("double") - lit(1.0)))).as("simpson"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (
+        SELECT source, w, count(*) AS c FROM t
+        WHERE length(w) > 0 GROUP BY source, w),
+      s AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+        FROM c GROUP BY source)
+      SELECT source, n_tokens, n_types,
+             CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+             CAST(rep_pairs AS DOUBLE) /
+               (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+               AS simpson
+      FROM s ORDER BY source"""),
+    headline = true)
+
   val all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89,
-      q93, q95, q96, q100, q101)
+      q93, q95, q96, q100, q101, q121)
 }

@@ -149,6 +149,14 @@ class AsOfJoinSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$s")
     assert(!s.contains("Union") && !s.contains("Window"), s)
+
+    // forward + tolerance ride the same exec: identical plan shape
+    val fwd = AsOf.join(ev, ord, Seq("user_id"), Seq("o_custkey"),
+      "ts", "o_orderdate", tieBreak = Seq("o_orderkey"),
+      direction = "forward", tolerance = Some(1000000L))
+    val sf = fwd.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(sf).length == 2, sf)
+    assert(!sf.contains("Union") && !sf.contains("Window"), sf)
   }
 
   test("mismatched time or key types fail at plan time with the semantic error") {
