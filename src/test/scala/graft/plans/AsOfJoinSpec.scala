@@ -127,6 +127,16 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("an unknown direction is rejected with the API's message") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L)).toDF("id", "k", "t")
+    val r = Seq((1L, 4L, 10L)).toDF("rk", "rt", "tie")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", direction = "sideways")
+    }
+    assert(e.getMessage.contains("'backward' or 'forward'"), e.getMessage)
+  }
+
   test("tolerance on a non-integral time type fails at plan time") {
     import spark.implicits._
     val l = Seq((1L, 1L, 1.5)).toDF("id", "k", "t")

@@ -102,6 +102,31 @@ object StreamThroughputProbe {
       q.stop()
     }
 
+    // ---- DedupStream: 100k docs through the MinHash band pipeline ------
+    {
+      val in = MemoryStream[(Long, String)]
+      val q = DedupStream.nearDupCandidates(
+          in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("noop").outputMode("append").start()
+      // synthetic docs: 12 words from a 400-word pool, every 10th doc a
+      // near-dup of its predecessor — sparse buckets, some candidates
+      val words = (0 until 400).map(i => s"w$i")
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 10000).map { i =>
+          val id = b * 10000L + i
+          val base = if (i % 10 == 9) id - 1 else id
+          val txt = (0 until 12).map(j =>
+            words(((base * 31 + j * 7) % 400).toInt)).mkString(" ")
+          (id, txt)
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("dedup 100k (minhash bands)", q, wall, 100000L, -1L)
+      q.stop()
+    }
+
     // ---- QuotaStream: 1M docs over 20k domains ------------------------
     {
       val in = MemoryStream[(Long, Long, Long)]
