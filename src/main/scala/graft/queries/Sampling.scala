@@ -824,14 +824,20 @@ object Sampling {
           .orderBy("source")
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        val loss = agg.map { case (_, _, c, t) => c * M / t } // ppm chars/tok
+        // BigInt: c * 1e6 would overflow Long past ~9e12 chars per source
+        // (a 100 TB corpus easily exceeds it); DuckDB's side promotes to
+        // HUGEINT, so this is also the exact-parity spelling. The quotient
+        // itself (ppm chars/token) always fits a Long.
+        val loss = agg.map { case (_, _, c, t) => (BigInt(c) * M / t).toLong }
         var w = Array.fill(agg.length)(M / agg.length)
         for (_ <- 1 to Rounds) {
           val m = w.zip(loss).map { case (wi, li) => wi * li }.sum / M
           val raw = w.zip(loss).map { case (wi, li) =>
             wi * (M + math.max(li - m, 0L)) / M }
           val tot = raw.sum
-          w = raw.map(_ * M / tot)
+          // BigInt again: raw * 1e6 approaches Long.MaxValue once the
+          // hardness proxy nears 1e7 ppm — DuckDB is in HUGEINT here
+          w = raw.map(r => (BigInt(r) * M / tot).toLong)
         }
         agg.zipWithIndex.map { case ((s, n, _, _), i) =>
           (s, n, loss(i), M / agg.length, w(i))

@@ -1282,11 +1282,17 @@ object Text {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      // rep_pairs accumulates in DECIMAL(38,0): c·(c−1) alone exceeds
+      // Long near c = 3·10⁹ and the SUM is ~N²·simpson — far past BIGINT
+      // at the claimed scale. Both engines sum the same exact integers
+      // (DuckDB in HUGEINT) and convert the identical value to double
+      // once, so parity holds while the overflow is gone.
       counts.groupBy("source")
         .agg(
           sum("c").as("n_tokens"),
           count(lit(1)).as("n_types"),
-          sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+          sum(col("c").cast("decimal(19,0)") *
+            (col("c") - 1).cast("decimal(19,0)")).as("rep_pairs"))
         .select(col("source"), col("n_tokens"), col("n_types"),
           (col("n_types").cast("double") / col("n_tokens").cast("double"))
             .as("ttr"),
@@ -1305,7 +1311,7 @@ object Text {
         SELECT source,
                CAST(sum(c) AS BIGINT) AS n_tokens,
                count(*) AS n_types,
-               CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+               sum(CAST(c AS HUGEINT) * (c - 1)) AS rep_pairs
         FROM c GROUP BY source)
       SELECT source, n_tokens, n_types,
              CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,

@@ -41,11 +41,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * this reason).
   *
   * STATE-SCHEMA COMPATIBILITY: [[AsOfState]] carries an in-band schema
-  * version ([[StateVersion]]), checked on every restore — a checkpoint
-  * written by an incompatible operator version fails with an engine
-  * error naming this operator and the fix (new checkpoint directory),
-  * not a deserialization stack trace. Bump [[StateVersion]] with any
-  * semantic change to the state.
+  * version ([[StateVersion]]), checked on every restore. Changes that
+  * alter the encoder's physical row layout (like the v1→v2 addition of
+  * this very field) are rejected by Spark's own state-schema validation
+  * at restart — Spark's error, before the operator runs; what the
+  * in-band marker adds is protection against SAME-LAYOUT semantic
+  * changes, which would otherwise resume silently wrong — those now
+  * fail with an engine error naming this operator and the fix (new
+  * checkpoint directory). Bump [[StateVersion]] with any semantic
+  * change to the state.
   */
 object AsOfStream {
 
@@ -190,6 +194,15 @@ object AsOfStream {
     Enriched(id, key, tUs, m.map(_._2))
   }
 
+  /** Saturating ts + tolerance: a caller passing an "effectively
+    * unbounded" tolerance (e.g. Long.MaxValue) must not wrap negative —
+    * the saturated window end never ripens and the timeout lands in the
+    * far future, which is the semantics such a caller asked for. */
+  private def windowEndUs(tsUs: Long, tolUs: Long): Long =
+    if (tolUs > Long.MaxValue - tsUs) Long.MaxValue else tsUs + tolUs
+
+  /** One code path for arrivals and timeouts (see stateFn's rationale);
+    * a timed-out invocation arrives with an empty iterator. */
   private[streaming] def forwardFn(tolUs: Long, idleRetentionMs: Long)(
       key: Long, rows: Iterator[Tick],
       state: GroupState[AsOfState]): Iterator[Enriched] = {
@@ -197,19 +210,9 @@ object AsOfStream {
     val st0 = state.getOption.getOrElse(
       AsOfState(StateVersion, Vector.empty, Vector.empty))
     checkVersion(st0)
-    if (state.hasTimedOut) {
-      val (ripe, stillPending) = st0.pending.partition(_._1 + tolUs < wmUs)
-      val out = ripe.map { case (tUs, id) => answerFwd(st0, tolUs, tUs, id, key) }
-      val pruned = st0.versions.dropWhile(_._1 < fwdCutoff(wmUs, stillPending))
-      if (stillPending.isEmpty && pruned.isEmpty) state.remove()
-      else {
-        state.update(AsOfState(StateVersion, pruned, stillPending))
-        if (stillPending.nonEmpty)
-          state.setTimeoutTimestamp((stillPending.head._1 + tolUs) / 1000 + 1)
-        else
-          state.setTimeoutTimestamp(math.max(wmUs / 1000, 0L) + idleRetentionMs)
-      }
-      out.iterator
+    if (state.hasTimedOut && st0.pending.isEmpty && rows.isEmpty) {
+      state.remove() // idle-retention expiry (see stateFn)
+      Iterator.empty
     } else {
       val arrivals = rows.toVector
       val newVersions =
@@ -220,7 +223,8 @@ object AsOfStream {
           .map(t => (tsUs(t.ts), t.seq))).sorted
       // ripe once the watermark is STRICTLY past ts + tolerance: the
       // admissible window [ts, ts + tol] is then sealed by the late filter
-      val (ripe, stillPending) = allPending.partition(_._1 + tolUs < wmUs)
+      val (ripe, stillPending) =
+        allPending.partition(p => windowEndUs(p._1, tolUs) < wmUs)
       val withVersions = st0.copy(versions = newVersions)
       val out = ripe.map { case (tUs, id) =>
         answerFwd(withVersions, tolUs, tUs, id, key)
@@ -235,7 +239,8 @@ object AsOfStream {
       else {
         state.update(AsOfState(StateVersion, pruned, stillPending))
         if (stillPending.nonEmpty)
-          state.setTimeoutTimestamp((stillPending.head._1 + tolUs) / 1000 + 1)
+          state.setTimeoutTimestamp(
+            windowEndUs(stillPending.head._1, tolUs) / 1000 + 1)
         else
           state.setTimeoutTimestamp(math.max(wmUs / 1000, 0L) + idleRetentionMs)
       }
@@ -244,24 +249,31 @@ object AsOfStream {
   }
 
   /** The per-key state transition (package-visible so the version-gate
-    * restore path is testable against a stubbed GroupState). */
+    * restore path is testable against a stubbed GroupState). A timed-out
+    * invocation arrives with an empty row iterator and is handled by the
+    * SAME transition — one code path, so probe-answering, version
+    * pruning, carried-version retention and idle-timeout registration
+    * cannot drift between the arrival and timeout cases (an earlier
+    * hand-copied timeout branch dropped the retained versions whenever
+    * the last pending probe ripened via timeout, making output depend on
+    * micro-batch slicing — the bug this unification removes; regression
+    * spec: "a timeout-answered probe does not evict the carried
+    * version"). Idle eviction still happens: with no pending probes the
+    * transition re-arms the idle timeout, and a later firing with still
+    * nothing pending removes the state only once `pruned` has emptied —
+    * or, for a pure-carry state, after the idle retention horizon via
+    * the explicit removal below. */
   private[streaming] def stateFn(idleRetentionMs: Long)(key: Long,
       rows: Iterator[Tick],
       state: GroupState[AsOfState]): Iterator[Enriched] =
-    if (state.hasTimedOut) {
-      val wmUs = state.getCurrentWatermarkMs() * 1000
-      val st = state.getOption.getOrElse(
-        AsOfState(StateVersion, Vector.empty, Vector.empty))
-      checkVersion(st)
-      val (ripe, stillPending) = st.pending.partition(_._1 < wmUs)
-      val out = ripe.map { case (tUs, id) =>
-        answer(st, tUs, id).copy(key = key)
-      }
-      if (stillPending.isEmpty) state.remove() // idle eviction
-      else {
-        state.update(st.copy(pending = stillPending))
-        state.setTimeoutTimestamp(stillPending.head._1 / 1000 + 1)
-      }
-      out.iterator
+    if (state.hasTimedOut && state.exists &&
+        state.get.pending.isEmpty && rows.isEmpty) {
+      // idle-retention expiry: nothing pending and nothing arriving —
+      // drop the whole key, including the carried version (documented:
+      // post-eviction probes lose history; raise idleRetentionMs if
+      // probes can trail versions further than the horizon)
+      checkVersion(state.get)
+      state.remove()
+      Iterator.empty
     } else step(idleRetentionMs)(key, rows, state)
 }

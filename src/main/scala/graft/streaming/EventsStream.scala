@@ -18,10 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timeout.
   *
   * STATE-SCHEMA COMPATIBILITY: [[SessionState]] carries an in-band schema
-  * version ([[StateVersion]]), checked on every restore — a checkpoint
-  * written by an incompatible operator version fails with an engine error
-  * naming this operator and the fix (new checkpoint directory), not a
-  * deserialization stack trace (the DedupStream contract). Bump
+  * version ([[StateVersion]]), checked on every restore (the DedupStream
+  * contract). The v1→v2 field addition itself changes the physical
+  * layout, which Spark's own state-schema validation rejects at restart
+  * (its error, before the operator runs); the in-band marker guards the
+  * cases Spark cannot see — SAME-LAYOUT semantic changes from v2 onward,
+  * which now fail with an engine error naming this operator and the fix
+  * (new checkpoint directory) instead of resuming silently wrong. Bump
   * [[StateVersion]] with any semantic change to the state.
   */
 object EventsStream {
@@ -93,9 +96,16 @@ object EventsStream {
           "resumed. Start a new checkpoint directory (stateful schema " +
           "evolution contract — see EventsStream scaladoc).")
     }
+    // emit at full µs too: new Timestamp(ms) would floor away the
+    // sub-millisecond part the gap arithmetic just started honoring
+    def usTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
     def toOut(s: SessionState, timedOut: Boolean) = SessionOut(
       userId, s.sessionSeq, s.nEvents,
-      new Timestamp(s.startUs / 1000), new Timestamp(s.lastUs / 1000), timedOut)
+      usTs(s.startUs), usTs(s.lastUs), timedOut)
 
     if (state.hasTimedOut) {
       val out = state.getOption.map(toOut(_, timedOut = true)).toIterator

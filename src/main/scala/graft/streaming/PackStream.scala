@@ -33,11 +33,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batchId-overwrite does.
   *
   * STATE-SCHEMA COMPATIBILITY: [[PackState]] carries an in-band schema
-  * version ([[StateVersion]]), checked on every restore — a checkpoint
-  * written by an incompatible operator version fails with an engine error
-  * naming this operator and the fix (new checkpoint directory), not a
-  * deserialization stack trace (the DedupStream contract). Bump
-  * [[StateVersion]] with any semantic change to the state.
+  * version ([[StateVersion]]), checked on every restore (the DedupStream
+  * contract). The v1 bare-Long → v2 envelope migration itself changes
+  * the physical layout, which Spark's own state-schema validation
+  * rejects at restart (its error, before the operator runs); the in-band
+  * marker guards the cases Spark cannot see — SAME-LAYOUT semantic
+  * changes from v2 onward, which now fail with an engine error naming
+  * this operator and the fix (new checkpoint directory) instead of
+  * resuming silently wrong. Bump [[StateVersion]] with any semantic
+  * change to the state.
   */
 object PackStream {
 

@@ -153,6 +153,46 @@ class AsOfStreamSpec extends SparkSpec {
     assert(ids.sorted === probes.map(_._1).sorted, "exactly-once emission")
   }
 
+  test("a timeout-answered probe does not evict the carried version") {
+    // regression: the pre-round-13 timeout branch removed the whole state
+    // once the last pending probe ripened via timeout, so a LATER probe
+    // (well within the idle retention) lost the carried newest-below-
+    // watermark version and answered NULL — output depended on whether
+    // the earlier probe happened to ripen via timeout or via an arrival
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[AsOfStream.Probe]
+    val vIn = MemoryStream[AsOfStream.Version]
+    val q = AsOfStream.enrich(pIn.toDS(), vIn.toDS(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("asof_timeout_carry")
+      .outputMode("append").start()
+    // key 10: one version, one probe after it
+    vIn.addData(AsOfStream.Version(10L, ts(5), 100L))
+    pIn.addData(AsOfStream.Probe(1L, 10L, ts(20)))
+    q.processAllAvailable()
+    // only OTHER keys advance the watermark: probe 1 must ripen via the
+    // event-time TIMEOUT (key 10 receives no rows in these batches)
+    (1 to 3).foreach { i =>
+      vIn.addData(AsOfStream.Version(-999L, ts(60L + i), -1L))
+      q.processAllAvailable()
+    }
+    // a later probe for key 10, inside the idle-retention horizon, must
+    // still see the carried version
+    pIn.addData(AsOfStream.Probe(2L, 10L, ts(60)))
+    q.processAllAvailable()
+    (4 to 5).foreach { i =>
+      vIn.addData(AsOfStream.Version(-999L, ts(200L + i), -1L))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("asof_timeout_carry").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.get(1L).flatten === Some(100L), s"probe 1: $got")
+    assert(got.get(2L).flatten === Some(100L),
+      s"probe 2 must still see the carried version: $got")
+  }
+
   test("restoring a v1 state blob fails with the engine's message, not a decode trace") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val v1 = AsOfStream.AsOfState(1, Vector((1L, 100L)), Vector((2L, 7L)))

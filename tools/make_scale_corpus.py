@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
 """Build the SCALING.md probe corpora (dev tool, driver-side only).
 
-Usage: python3 tools/make_scale_corpus.py <k> <outDir> [--mode cipher|heaps]
+Usage: python3 tools/make_scale_corpus.py <k> <outDir> [--mode cipher|heaps|zipf]
 
-Two replication modes, both salting doc_id by +5000*copy with copy 0
-kept as the identity so the 1x structure survives verbatim:
+Three modes. cipher and heaps replicate the base corpus, salting doc_id
+by +5000*copy with copy 0 kept as the identity so the 1x structure
+survives verbatim; zipf synthesizes a similarity-probe corpus from
+scratch (see zipf_corpus):
 
 cipher (default, the round-11 method): each copy's text mapped through
 a per-copy seeded random alphabet PERMUTATION over [a-zA-Z]
@@ -182,6 +184,10 @@ def main() -> int:
     mode = "cipher"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
+    if mode not in ("cipher", "heaps", "zipf"):
+        # a typo must not silently build a corpus with different
+        # statistics and contaminate a SCALING probe
+        raise SystemExit(f"unknown --mode {mode!r}: cipher | heaps | zipf")
     df = base_df()
     copies = (cipher_copies(df, k) if mode == "cipher"
               else heaps_copies(df, k) if mode == "heaps"
