@@ -322,5 +322,59 @@ object Similarity {
       ORDER BY query_id, rank"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38)
+  /** Q122: hard-negative mining — the contrastive-training data-prep
+    * step (ANCE, Xiong et al., ICLR'21 arXiv 2007.00808; DPR, Karpukhin
+    * et al., EMNLP'20 — public papers): for each anchor, the most-SIMILAR
+    * items carrying a DIFFERENT label are the informative negatives a
+    * dual-encoder trains against (random negatives are too easy; the
+    * near-boundary ones carry the gradient). Top-3 cross-label neighbors
+    * per anchor by exact cosine, both labels carried so the pair table
+    * feeds a training loader directly.
+    *
+    * Scale shape: q34's — the anchor side is broadcast and each executor
+    * scans its candidate partition once; the label filter rides in the
+    * join condition, so same-label pairs die at the probe. At corpus
+    * scale the exact scan swaps for q35's LSH candidate stream exactly
+    * as q34→q35 does (same verify-side arithmetic, recall audited by
+    * q112's machinery). */
+  private[queries] val q122 = GraftQuery(
+    "q122_hard_negatives",
+    (spark, dir) => {
+      val e = normedVectors(spark, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q.as("q")).join(e.as("c"),
+          col("q.vec_id") =!= col("c.vec_id") &&
+            col("q.label") =!= col("c.label"))
+        .select(col("q.vec_id").as("query_id"),
+          col("q.label").as("query_label"),
+          col("c.vec_id").as("neighbor_id"),
+          col("c.label").as("neighbor_label"),
+          cos.as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $normedVectorsSql,
+      scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+        FROM e q JOIN e c
+          ON q.vec_id <> c.vec_id AND q.label <> c.label
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122)
 }
