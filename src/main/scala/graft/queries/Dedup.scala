@@ -1121,21 +1121,21 @@ object Dedup {
       Q32Stages(cand, hashVerify, result)
   }
 
-  private val q67 = GraftQuery(
-    "q67_lsh_jaccard_dedup",
-    (spark, dir) => lshJaccardStages(spark, dir).result,
-    Some {
-      val sigExprs = (0 until 12)
-        .map(s => s"list_min(list_transform(gr, x -> md5('$s:' || x))) AS h$s")
-        .mkString(", ")
-      val bandExprs = (0 until 6)
-        .map(b => s"md5(h${2 * b} || h${2 * b + 1}) AS b$b")
-        .mkString(", ")
-      val bandRows = (0 until 6)
-        .map(b => s"SELECT doc_id, lang, $b AS band, b$b AS sig FROM band")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH g AS (
+  /** q67's oracle pair pipeline as reusable WITH-clauses ending in a
+    * `vpairs(doc_a, doc_b, jaccard >= 0.6)` CTE — shared by q67 itself
+    * and q123's threshold sweep so there is exactly one SQL definition
+    * of the verified pair stream. */
+  private def q67OracleCtes: String = {
+    val sigExprs = (0 until 12)
+      .map(s => s"list_min(list_transform(gr, x -> md5('$s:' || x))) AS h$s")
+      .mkString(", ")
+    val bandExprs = (0 until 6)
+      .map(b => s"md5(h${2 * b} || h${2 * b + 1}) AS b$b")
+      .mkString(", ")
+    val bandRows = (0 until 6)
+      .map(b => s"SELECT doc_id, lang, $b AS band, b$b AS sig FROM band")
+      .mkString(" UNION ALL ")
+    s"""g AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(generate_series(1, length(text)-3),
                  i -> substring(text, i, 4))) AS gr
@@ -1147,17 +1147,25 @@ object Dedup {
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM rows_ x JOIN rows_ y
           ON x.band = y.band AND x.sig = y.sig AND x.lang = y.lang
-         AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b,
-             CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
-               / len(list_distinct(a.gr || b.gr)) AS jaccard
-      FROM cand
-      JOIN g a ON a.doc_id = doc_a
-      JOIN g b ON b.doc_id = doc_b
-      WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
-              / len(list_distinct(a.gr || b.gr)) >= 0.6
-      ORDER BY doc_a, doc_b"""
-    },
+         AND x.doc_id < y.doc_id),
+      vpairs AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+                 / len(list_distinct(a.gr || b.gr)) AS jaccard
+        FROM cand
+        JOIN g a ON a.doc_id = doc_a
+        JOIN g b ON b.doc_id = doc_b
+        WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+                / len(list_distinct(a.gr || b.gr)) >= 0.6)"""
+  }
+
+  private val q67 = GraftQuery(
+    "q67_lsh_jaccard_dedup",
+    (spark, dir) => lshJaccardStages(spark, dir).result,
+    Some(s"""
+      WITH $q67OracleCtes
+      SELECT doc_a, doc_b, jaccard FROM vpairs
+      ORDER BY doc_a, doc_b"""),
     headline = true)
 
   /** Q68: cross-source duplication AUDIT — for every pair of corpus
@@ -1307,7 +1315,77 @@ object Dedup {
       ORDER BY 1"""},
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52, q67, q68, q85, q115)
+  /** Q123: dedup THRESHOLD SWEEP — the calibration table a curator reads
+    * before picking the near-dup cutoff: for each candidate threshold,
+    * how many verified pairs qualify and how many documents/tokens the
+    * keep-smaller-id rule would remove. q115 audits the ESTIMATOR's bias;
+    * this audits the POLICY's cost — together they are the two decisions
+    * a dedup deployment must justify (band/row shape, then threshold).
+    * Runs over q67's verified pair stream (floor 0.6, so the sweep covers
+    * 0.6–0.9); the drop rule is the deterministic "drop the larger
+    * doc_id of every qualifying pair" — a conservative upper bound on
+    * cluster-aware removal that needs no propagation and is therefore
+    * exactly reproducible in SQL.
+    *
+    * Scale shape: the pair stream's cost is q67's (probed linear); the
+    * sweep itself is a broadcast crossJoin against a 4-row threshold
+    * table + two partial-agg groupBys on a ≤4-key space; dropped-token
+    * accounting joins the distinct dropped-doc table (≤ corpus) to
+    * per-doc token counts once. */
+  private val q123 = GraftQuery(
+    "q123_dedup_threshold_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = lshJaccardStages(spark, dir).result
+      val thrDf = Seq(0.6, 0.7, 0.8, 0.9).toDF("thr")
+      val qualified = pairs.crossJoin(broadcast(thrDf))
+        .filter(col("jaccard") >= col("thr"))
+      val nPairs = qualified.groupBy("thr")
+        .agg(count(lit(1)).as("n_pairs"))
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+          .as("n_tok"))
+      val dropStats = qualified.select(col("thr"), col("doc_b")).distinct()
+        .join(toks, col("doc_b") === col("doc_id"))
+        .groupBy("thr")
+        .agg(count(lit(1)).as("n_docs_dropped"),
+          sum("n_tok").as("n_tokens_dropped"))
+      thrDf
+        .join(nPairs, Seq("thr"), "left")
+        .join(dropStats, Seq("thr"), "left")
+        .select(col("thr"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+          coalesce(col("n_tokens_dropped"), lit(0L)).as("n_tokens_dropped"))
+        .orderBy("thr")
+    },
+    Some(s"""
+      WITH $q67OracleCtes,
+      thr(thr) AS (VALUES (0.6), (0.7), (0.8), (0.9)),
+      q AS (
+        SELECT t.thr, p.doc_a, p.doc_b FROM vpairs p
+        CROSS JOIN thr t WHERE p.jaccard >= t.thr),
+      np AS (SELECT thr, count(*) AS n_pairs FROM q GROUP BY thr),
+      dd AS (SELECT DISTINCT thr, doc_b FROM q),
+      tok AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      ds AS (
+        SELECT thr, count(*) AS n_docs_dropped,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens_dropped
+        FROM dd JOIN tok ON doc_id = doc_b GROUP BY thr)
+      SELECT t.thr,
+             CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(coalesce(ds.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+             CAST(coalesce(ds.n_tokens_dropped, 0) AS BIGINT) AS n_tokens_dropped
+      FROM thr t
+      LEFT JOIN np USING (thr)
+      LEFT JOIN ds USING (thr)
+      ORDER BY thr"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52,
+    q67, q68, q85, q115, q123)
 }
 
 /** Engine-side enforcement of q33's documented scaling contract: the
