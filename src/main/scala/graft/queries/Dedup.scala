@@ -1336,7 +1336,12 @@ object Dedup {
     "q123_dedup_threshold_sweep",
     (spark, dir) => {
       import spark.implicits._
+      // materialized: `qualified` feeds TWO aggregation branches, and
+      // Spark shares no common subplans — without the checkpoint the
+      // whole verified-pair pipeline (gram build + exact verify, q67's
+      // dominant cost) would execute twice in one action
       val pairs = lshJaccardStages(spark, dir).result
+        .localCheckpoint(eager = true)
       val thrDf = Seq(0.6, 0.7, 0.8, 0.9).toDF("thr")
       val qualified = pairs.crossJoin(broadcast(thrDf))
         .filter(col("jaccard") >= col("thr"))

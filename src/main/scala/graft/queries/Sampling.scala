@@ -824,10 +824,13 @@ object Sampling {
           .orderBy("source")
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        // BigInt: c * 1e6 would overflow Long past ~9e12 chars per source
-        // (a 100 TB corpus easily exceeds it); DuckDB's side promotes to
-        // HUGEINT, so this is also the exact-parity spelling. The quotient
-        // itself (ppm chars/token) always fits a Long.
+        // BigInt: c * 1e6 would overflow Long SILENTLY past ~9e12 chars
+        // per source (a 100 TB corpus easily exceeds it) and feed garbage
+        // into the weight loop. DuckDB's BIGINT multiply does not promote
+        // — it ABORTS on overflow — so past that scale the oracle fails
+        // loudly while this side stays exact; at every oracle-checked
+        // scale both are exact and equal. The quotient itself (ppm
+        // chars/token) always fits a Long.
         val loss = agg.map { case (_, _, c, t) => (BigInt(c) * M / t).toLong }
         var w = Array.fill(agg.length)(M / agg.length)
         for (_ <- 1 to Rounds) {
@@ -836,7 +839,8 @@ object Sampling {
             wi * (M + math.max(li - m, 0L)) / M }
           val tot = raw.sum
           // BigInt again: raw * 1e6 approaches Long.MaxValue once the
-          // hardness proxy nears 1e7 ppm — DuckDB is in HUGEINT here
+          // hardness proxy nears 1e7 ppm (silent wrap here; loud abort in
+          // DuckDB — see the loss comment)
           w = raw.map(r => (BigInt(r) * M / tot).toLong)
         }
         agg.zipWithIndex.map { case ((s, n, _, _), i) =>

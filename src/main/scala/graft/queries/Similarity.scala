@@ -77,35 +77,65 @@ object Similarity {
     * query side is broadcast and each executor scans its candidate
     * partition once — still one shuffle (the top-k per query), handled as
     * partial per-partition heaps by TakeOrdered-style aggregation. */
-  private[queries] val q34 = GraftQuery(
-    "q34_knn_bruteforce",
-    (spark, dir) => {
-      val e = normedVectors(spark, dir)
-      val q = e.filter(col("vec_id") < 20)
-      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      broadcast(q.as("q")).join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
-        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-          cos.as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
+  /** Shared scaffold of q34 (all neighbors) and q122 (cross-label
+    * neighbors only): broadcast anchors (vec_id < 20) against the full
+    * candidate scan, exact cosine, row_number top-k per anchor — ONE
+    * definition of the tie rule and the anchor set, in both engines. */
+  private def cosineTopK(spark: SparkSession, dir: String, k: Int,
+      crossLabelOnly: Boolean): DataFrame = {
+    val e = normedVectors(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val base = col("q.vec_id") =!= col("c.vec_id")
+    val cond = if (crossLabelOnly) base && col("q.label") =!= col("c.label")
+               else base
+    val cols =
+      if (crossLabelOnly)
+        Seq(col("q.vec_id").as("query_id"), col("q.label").as("query_label"),
+          col("c.vec_id").as("neighbor_id"),
+          col("c.label").as("neighbor_label"), cos.as("cosine"))
+      else
+        Seq(col("q.vec_id").as("query_id"),
+          col("c.vec_id").as("neighbor_id"), cos.as("cosine"))
+    broadcast(q.as("q")).join(e.as("c"), cond)
+      .select(cols: _*)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  private def cosineTopKSql(k: Int, crossLabelOnly: Boolean): String = {
+    val labelCond = if (crossLabelOnly) " AND q.label <> c.label" else ""
+    val labelCols =
+      if (crossLabelOnly) "q.label AS query_label, c.label AS neighbor_label,"
+      else ""
+    val outCols =
+      if (crossLabelOnly)
+        "query_id, query_label, neighbor_id, neighbor_label, cosine, rank"
+      else "query_id, neighbor_id, cosine, rank"
+    s"""
       WITH $normedVectorsSql,
       scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        SELECT q.vec_id AS query_id, $labelCols
+               c.vec_id AS neighbor_id,
                ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
-        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id$labelCond
         WHERE q.vec_id < 20),
       ranked AS (
-        SELECT query_id, neighbor_id, cosine,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)
-      SELECT query_id, neighbor_id, cosine, rank
-      FROM ranked WHERE rank <= 5
-      ORDER BY query_id, rank"""),
+      SELECT $outCols
+      FROM ranked WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
+  private[queries] val q34 = GraftQuery(
+    "q34_knn_bruteforce",
+    (spark, dir) => cosineTopK(spark, dir, k = 5, crossLabelOnly = false),
+    Some(cosineTopKSql(k = 5, crossLabelOnly = false)),
     headline = true)
 
   /** Q35: LSH-bucketed ANN — 4 hash tables of 8 sign-bits each
@@ -339,41 +369,8 @@ object Similarity {
     * q112's machinery). */
   private[queries] val q122 = GraftQuery(
     "q122_hard_negatives",
-    (spark, dir) => {
-      val e = normedVectors(spark, dir)
-      val q = e.filter(col("vec_id") < 20)
-      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      broadcast(q.as("q")).join(e.as("c"),
-          col("q.vec_id") =!= col("c.vec_id") &&
-            col("q.label") =!= col("c.label"))
-        .select(col("q.vec_id").as("query_id"),
-          col("q.label").as("query_label"),
-          col("c.vec_id").as("neighbor_id"),
-          col("c.label").as("neighbor_label"),
-          cos.as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
-      WITH $normedVectorsSql,
-      scored AS (
-        SELECT q.vec_id AS query_id, q.label AS query_label,
-               c.vec_id AS neighbor_id, c.label AS neighbor_label,
-               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
-        FROM e q JOIN e c
-          ON q.vec_id <> c.vec_id AND q.label <> c.label
-        WHERE q.vec_id < 20),
-      ranked AS (
-        SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM scored)
-      SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
-      FROM ranked WHERE rank <= 3
-      ORDER BY query_id, rank"""),
+    (spark, dir) => cosineTopK(spark, dir, k = 3, crossLabelOnly = true),
+    Some(cosineTopKSql(k = 3, crossLabelOnly = true)),
     headline = true)
 
   val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122)

@@ -197,12 +197,25 @@ object AsOfStream {
   /** Saturating ts + tolerance: a caller passing an "effectively
     * unbounded" tolerance (e.g. Long.MaxValue) must not wrap negative —
     * the saturated window end never ripens and the timeout lands in the
-    * far future, which is the semantics such a caller asked for. */
+    * far future, which is the semantics such a caller asked for. The
+    * guard applies only for non-negative ts: for pre-epoch timestamps
+    * (tsUs < 0) the sum cannot overflow upward, and the naive check
+    * `tolUs > Long.MaxValue - tsUs` would itself wrap and wrongly
+    * saturate, losing the probe forever. */
   private def windowEndUs(tsUs: Long, tolUs: Long): Long =
-    if (tolUs > Long.MaxValue - tsUs) Long.MaxValue else tsUs + tolUs
+    if (tsUs > 0 && tolUs > Long.MaxValue - tsUs) Long.MaxValue
+    else tsUs + tolUs
 
   /** One code path for arrivals and timeouts (see stateFn's rationale);
-    * a timed-out invocation arrives with an empty iterator. */
+    * a timed-out invocation arrives with an empty iterator and flows
+    * through the same transition. Unlike backward, forward keeps NO
+    * explicit idle-eviction removal: there is no carry here — versions
+    * below min(watermark, oldest pending probe) are pruned every
+    * invocation, so state self-empties (and is removed) once the
+    * watermark passes the last version; versions still AT OR ABOVE the
+    * watermark are future-effective live data that a probe may yet need
+    * and must survive idle periods (dropping them on an idle timeout
+    * would silently null later enrichments). */
   private[streaming] def forwardFn(tolUs: Long, idleRetentionMs: Long)(
       key: Long, rows: Iterator[Tick],
       state: GroupState[AsOfState]): Iterator[Enriched] = {
@@ -210,17 +223,13 @@ object AsOfStream {
     val st0 = state.getOption.getOrElse(
       AsOfState(StateVersion, Vector.empty, Vector.empty))
     checkVersion(st0)
-    if (state.hasTimedOut && st0.pending.isEmpty && rows.isEmpty) {
-      state.remove() // idle-retention expiry (see stateFn)
-      Iterator.empty
-    } else {
-      val arrivals = rows.toVector
-      val newVersions =
-        (st0.versions ++ arrivals.filter(_.side == 0)
-          .map(t => (tsUs(t.ts), t.seq))).sorted
-      val allPending =
-        (st0.pending ++ arrivals.filter(_.side == 1)
-          .map(t => (tsUs(t.ts), t.seq))).sorted
+    val arrivals = rows.toVector
+    val newVersions =
+      (st0.versions ++ arrivals.filter(_.side == 0)
+        .map(t => (tsUs(t.ts), t.seq))).sorted
+    val allPending =
+      (st0.pending ++ arrivals.filter(_.side == 1)
+        .map(t => (tsUs(t.ts), t.seq))).sorted
       // ripe once the watermark is STRICTLY past ts + tolerance: the
       // admissible window [ts, ts + tol] is then sealed by the late filter
       val (ripe, stillPending) =
@@ -245,7 +254,6 @@ object AsOfStream {
           state.setTimeoutTimestamp(math.max(wmUs / 1000, 0L) + idleRetentionMs)
       }
       out.iterator
-    }
   }
 
   /** The per-key state transition (package-visible so the version-gate

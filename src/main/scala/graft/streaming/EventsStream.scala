@@ -97,10 +97,13 @@ object EventsStream {
           "evolution contract — see EventsStream scaladoc).")
     }
     // emit at full µs too: new Timestamp(ms) would floor away the
-    // sub-millisecond part the gap arithmetic just started honoring
+    // sub-millisecond part the gap arithmetic just started honoring.
+    // floorDiv/floorMod so pre-epoch times produce the (second, +nanos)
+    // pair Timestamp requires — `us % 1000000` would hand setNanos a
+    // negative value and crash the query on the first pre-1970 session
     def usTs(us: Long): Timestamp = {
-      val t = new Timestamp(us / 1000000 * 1000)
-      t.setNanos(((us % 1000000) * 1000).toInt)
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
       t
     }
     def toOut(s: SessionState, timedOut: Boolean) = SessionOut(
