@@ -210,11 +210,15 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        // Saturating: sentinel timestamps near ±Long.MaxValue must read as
+        // out-of-tolerance, not wrap to a small (accepting) delta.
         private def withinTol(l: InternalRow, r: InternalRow): Boolean =
           tol.isEmpty || {
             val d =
-              if (fwd) timeL(rTime.eval(r)) - timeL(lTime.eval(l))
-              else timeL(lTime.eval(l)) - timeL(rTime.eval(r))
+              try {
+                if (fwd) Math.subtractExact(timeL(rTime.eval(r)), timeL(lTime.eval(l)))
+                else Math.subtractExact(timeL(lTime.eval(l)), timeL(rTime.eval(r)))
+              } catch { case _: ArithmeticException => Long.MaxValue }
             d <= tol.get
           }
 

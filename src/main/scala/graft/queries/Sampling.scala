@@ -834,13 +834,17 @@ object Sampling {
         val loss = agg.map { case (_, _, c, t) => (BigInt(c) * M / t).toLong }
         var w = Array.fill(agg.length)(M / agg.length)
         for (_ <- 1 to Rounds) {
-          val m = w.zip(loss).map { case (wi, li) => wi * li }.sum / M
+          // BigInt on every product: wi·li and wi·(M + excess) are Long
+          // products that silently wrap once loss_ppm nears ~9.2e12
+          // (degenerate chars-per-token sources), while DuckDB aborts
+          // loudly on BIGINT overflow — keep both sides exact instead.
+          val m = (w.zip(loss).map { case (wi, li) => BigInt(wi) * li }
+            .sum / M).toLong
           val raw = w.zip(loss).map { case (wi, li) =>
-            wi * (M + math.max(li - m, 0L)) / M }
+            (BigInt(wi) * (M + math.max(li - m, 0L)) / M).toLong }
           val tot = raw.sum
-          // BigInt again: raw * 1e6 approaches Long.MaxValue once the
-          // hardness proxy nears 1e7 ppm (silent wrap here; loud abort in
-          // DuckDB — see the loss comment)
+          // raw * 1e6 approaches Long.MaxValue once the hardness proxy
+          // nears 1e7 ppm — same treatment
           w = raw.map(r => (BigInt(r) * M / tot).toLong)
         }
         agg.zipWithIndex.map { case ((s, n, _, _), i) =>

@@ -48,8 +48,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * in-band marker adds is protection against SAME-LAYOUT semantic
   * changes, which would otherwise resume silently wrong — those now
   * fail with an engine error naming this operator and the fix (new
-  * checkpoint directory). Bump [[StateVersion]] with any semantic
-  * change to the state.
+  * checkpoint directory). The join DIRECTION is itself such a semantic:
+  * backward ([[enrich]]) and forward ([[enrichForward]]) share the state
+  * layout but not its meaning, so each writes its own version constant
+  * ([[StateVersionBackward]] / [[StateVersionForward]]) and a checkpoint
+  * written by one direction is rejected — by name — when resumed by the
+  * other. Bump the direction's constant with any semantic change to its
+  * state.
   */
 object AsOfStream {
 
@@ -68,8 +73,19 @@ object AsOfStream {
       pending: Vector[(Long, Long)])  // (timeUs, event_id), unanswered
 
   /** v1 = pre-round-13 unversioned (versions, pending) pair; v2 = this
-    * envelope + strict-watermark ripening + full-µs event times. */
-  final val StateVersion = 2
+    * envelope + strict-watermark ripening + full-µs event times
+    * (BACKWARD direction); v3 = the FORWARD direction's same-layout
+    * state. Backward and forward share [[AsOfState]]'s physical layout
+    * but not its semantics (carry-one-version vs window-pruned versions,
+    * strict-past-ts vs strict-past-ts+tol ripening), so each direction
+    * writes its OWN version constant and rejects the other's checkpoints
+    * on restore — exactly the same-layout semantic divergence the
+    * envelope exists to catch. */
+  final val StateVersionBackward = 2
+  final val StateVersionForward = 3
+
+  /** Backward alias (the original single-direction constant). */
+  final val StateVersion = StateVersionBackward
 
   val IdleRetentionMs: Long = 24L * 3600 * 1000
 
@@ -78,13 +94,26 @@ object AsOfStream {
   private[streaming] def tsUs(ts: Timestamp): Long =
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
 
-  private[streaming] def checkVersion(st: AsOfState): Unit =
-    if (st.version != StateVersion) throw new IllegalStateException(
-      s"AsOfStream state carries schema v${st.version}, but this engine " +
-        s"writes v$StateVersion: the checkpoint was written by an " +
-        "incompatible version of the operator and cannot be resumed. " +
-        "Start a new checkpoint directory (stateful schema evolution " +
-        "contract — see AsOfStream scaladoc).")
+  private[streaming] def checkVersion(
+      st: AsOfState, expected: Int = StateVersionBackward): Unit =
+    if (st.version != expected) {
+      val crossMode = (expected, st.version) match {
+        case (StateVersionBackward, StateVersionForward) =>
+          "the checkpoint was written by the FORWARD direction " +
+            "(enrichForward) and cannot resume under backward semantics"
+        case (StateVersionForward, StateVersionBackward) =>
+          "the checkpoint was written by the BACKWARD direction " +
+            "(enrich) and cannot resume under forward semantics"
+        case _ =>
+          "the checkpoint was written by an incompatible version of the " +
+            "operator and cannot be resumed"
+      }
+      throw new IllegalStateException(
+        s"AsOfStream state carries schema v${st.version}, but this " +
+          s"operator writes v$expected: $crossMode. " +
+          "Start a new checkpoint directory (stateful schema evolution " +
+          "contract — see AsOfStream scaladoc).")
+    }
 
   def enrich(
       probes: Dataset[Probe],
@@ -114,8 +143,8 @@ object AsOfStream {
       state: GroupState[AsOfState]): Iterator[Enriched] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000
       val st0 = state.getOption.getOrElse(
-        AsOfState(StateVersion, Vector.empty, Vector.empty))
-      checkVersion(st0)
+        AsOfState(StateVersionBackward, Vector.empty, Vector.empty))
+      checkVersion(st0, StateVersionBackward)
       val arrivals = rows.toVector
       val newVersions =
         (st0.versions ++ arrivals.filter(_.side == 0)
@@ -140,8 +169,15 @@ object AsOfStream {
 
       if (stillPending.isEmpty && pruned.isEmpty) state.remove()
       else {
-        state.update(AsOfState(StateVersion, pruned, stillPending))
+        state.update(AsOfState(StateVersionBackward, pruned, stillPending))
         if (stillPending.nonEmpty)
+          // Registered at tsMs+1, and Spark fires timeouts once the
+          // watermark EXCEEDS the registered instant — so the timeout
+          // path ripens one watermark-millisecond later than the minimum
+          // the strict rule needs (wmUs > tsUs). Arrival-path ripening is
+          // not delayed; a timeout-answered probe just emits one
+          // watermark tick later. Harmless in append mode (eventually
+          // emitted, same answer) — documented asymmetry, not a bug.
           state.setTimeoutTimestamp(stillPending.head._1 / 1000 + 1)
         else
           state.setTimeoutTimestamp(math.max(wmUs / 1000, 0L) + idleRetentionMs)
@@ -221,8 +257,8 @@ object AsOfStream {
       state: GroupState[AsOfState]): Iterator[Enriched] = {
     val wmUs = state.getCurrentWatermarkMs() * 1000
     val st0 = state.getOption.getOrElse(
-      AsOfState(StateVersion, Vector.empty, Vector.empty))
-    checkVersion(st0)
+      AsOfState(StateVersionForward, Vector.empty, Vector.empty))
+    checkVersion(st0, StateVersionForward)
     val arrivals = rows.toVector
     val newVersions =
       (st0.versions ++ arrivals.filter(_.side == 0)
@@ -246,7 +282,7 @@ object AsOfStream {
       val pruned = newVersions.dropWhile(_._1 < fwdCutoff(wmUs, stillPending))
       if (stillPending.isEmpty && pruned.isEmpty) state.remove()
       else {
-        state.update(AsOfState(StateVersion, pruned, stillPending))
+        state.update(AsOfState(StateVersionForward, pruned, stillPending))
         if (stillPending.nonEmpty)
           state.setTimeoutTimestamp(
             windowEndUs(stillPending.head._1, tolUs) / 1000 + 1)

@@ -215,6 +215,36 @@ class AsOfStreamSpec extends SparkSpec {
     assert(out == Seq(AsOfStream.Enriched(7L, 10L, 2L, Some(100L))))
   }
 
+  test("a FORWARD checkpoint cannot resume under BACKWARD semantics (and names the direction)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fwdState = AsOfStream.AsOfState(AsOfStream.StateVersionForward,
+      Vector((1L, 100L)), Vector((2L, 7L)))
+    val restored = TestGroupState.create[AsOfStream.AsOfState](
+      org.apache.spark.api.java.Optional.of(fwdState),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(60000L), hasTimedOut = false)
+    val e = intercept[IllegalStateException] {
+      AsOfStream.stateFn(1000L)(10L, Iterator.empty, restored)
+    }
+    assert(e.getMessage.contains("FORWARD direction"), e.getMessage)
+    assert(e.getMessage.contains("new checkpoint directory"), e.getMessage)
+  }
+
+  test("a BACKWARD checkpoint cannot resume under FORWARD semantics (and names the direction)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val bwdState = AsOfStream.AsOfState(AsOfStream.StateVersionBackward,
+      Vector((1L, 100L)), Vector((2L, 7L)))
+    val restored = TestGroupState.create[AsOfStream.AsOfState](
+      org.apache.spark.api.java.Optional.of(bwdState),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(60000L), hasTimedOut = false)
+    val e = intercept[IllegalStateException] {
+      AsOfStream.forwardFn(1000000L, 1000L)(10L, Iterator.empty, restored)
+    }
+    assert(e.getMessage.contains("BACKWARD direction"), e.getMessage)
+    assert(e.getMessage.contains("new checkpoint directory"), e.getMessage)
+  }
+
   test("strict watermark boundary: a probe at exactly the watermark is not ripe") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val wmMs = 60000L // watermark at minute 1 -> 60 000 000 us
