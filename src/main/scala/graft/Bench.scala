@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   * lands in the "errors" list. Round 9's harness swallowed exceptions, so
   * a query breaking after 0.1 s looked like a 0.1 s speedup — the exact
   * inversion a regression harness exists to prevent.
+  *
+  * WALL-TIME BUDGET (round-over-round accounting rule): the suite total
+  * may grow ONLY with new or promoted headline rows. When comparing
+  * BENCH_r{N} to BENCH_r{N-1}, a total growing >25% on the COMMON row
+  * set (same query names) is a regression to investigate, not headline
+  * growth to wave through — subtract the new rows' medians first, then
+  * compare. New rows are an explicit per-round decision (the `headline`
+  * flag in each GraftQuery), never a side effect.
   */
 object Bench {
 

@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Q124: the end-to-end CURATION COMPOSITE — the README's "100 TB
+  * curation run" (ingest gate → score/calibrate → exact dedup → fuzzy
+  * sweep → decontaminate → domain caps → repeat tiers → leakage-safe
+  * split) as ONE executable pipeline instead of prose. Every stage is the
+  * library's already-oracle-checked operator applied to the PREVIOUS
+  * stage's survivors, so the cross-stage contracts (schema flowing
+  * between stages, quality scores reused by the dedup keep-rule and the
+  * domain caps, cluster labels reused by the split) are exercised
+  * together — the integration seam the per-stage oracles cannot see.
+  *
+  * Stage semantics (each the verified operator it names):
+  *  0. arriving    — docs outside the sealed slice (doc_id % 10 == 7 is
+  *                   the already-ingested corpus, q81's convention).
+  *  1. admitted    — ingest gate: arriving docs whose bag-of-words
+  *                   fingerprint (q81's fp) is NOT in the sealed corpus;
+  *                   spelled as the exact anti-join here (one fp-keyed
+  *                   shuffle; co-located over bucketed tables at scale) —
+  *                   q81 is the scan-local bloom variant of this gate.
+  *  2. scored      — q21 quality scoring + q99 per-source percentile
+  *                   calibration on the ADMITTED population; bottom
+  *                   quartile of every source dropped (q99's gate).
+  *  3. exact_kept  — q08 whole-document dedup: keep the smallest doc_id
+  *                   per content md5.
+  *  4. fuzzy_kept  — the q30/q36/q82 sweep on the exact-dedup survivors:
+  *                   banded-MinHash verified pairs (jaccard ≥ 0.5) →
+  *                   min-label cluster resolution → keep the
+  *                   best-quality member per cluster (STAGE-2 scores
+  *                   reused — the cross-stage contract).
+  *  5. clean       — q29 decontamination: drop survivors sharing an
+  *                   8-token n-gram with the held-out benchmark slice
+  *                   (doc_id % 20 == 7 — inside the sealed slice, so
+  *                   benchmark docs can never reach the training flow).
+  *  6. capped      — q91 domain caps keyed on source: keep the top
+  *                   [[Cap]] docs per source by (quality desc, doc_id) —
+  *                   the budget goes to the best documents.
+  *  7-9. split_*   — q104 repeat tiers (4×/2×/1× by re-calibrated
+  *                   quality quartile on the capped survivors; the 0×
+  *                   tier IS stage 2's gate, applied once) and q105's
+  *                   leakage-safe split: the split key is the FUZZY
+  *                   CLUSTER canonical (stage 4's labels), so near-dups
+  *                   can never straddle train/test.
+  *
+  * Output: the stage-boundary accounting table — (stage_ord, stage,
+  * n_docs, n_tokens, effective_tokens) — the numbers a curation run
+  * publishes (RefinedWeb §4.2-style removal accounting), oracle-checked
+  * end to end: the DuckDB twin replays every stage from the same base
+  * table through the same parameterized CTE chains the per-stage oracles
+  * use ([[Text.qualityScoredSqlFrom]], [[Dedup.minhashPairsSqlFrom]]).
+  *
+  * Scale shape: one keyed shuffle per rendezvous — fp for the gate,
+  * content-md5 for exact dedup, the banded buckets for the fuzzy sweep,
+  * gram keys for decontam, source for the calibrate/cap/tier windows —
+  * each over a strictly shrinking survivor set. Stage outputs are
+  * localCheckpoint barriers: in production each stage materializes to
+  * durable storage anyway (they are datasets, resumable per stage); here
+  * the barrier also stops Spark re-deriving the whole prefix once per
+  * accounting row and per downstream consumer. The per-source windows
+  * are catalog-bounded (q99's argument: sources are few, documents are
+  * not). Stage-boundary invariants (doc/token conservation, dedup
+  * idempotence, decontam completeness, split leakage-freedom, q53
+  * packing token conservation) are pinned in CurationPipelineSpec.
+  */
+object CurationPipeline {
+
+  /** Per-source survivor budget for the domain-cap stage: binds hard at
+    * sf0.1 (~150+ survivors/source) and marginally at sf0.01 (~15). */
+  private[queries] val Cap = 15
+
+  final case class Stages(
+      arriving: DataFrame,
+      admitted: DataFrame,
+      scored: DataFrame,
+      exactKept: DataFrame,
+      fuzzyKept: DataFrame,
+      labels: DataFrame,
+      contaminated: DataFrame,
+      clean: DataFrame,
+      capped: DataFrame,
+      split: DataFrame)
+
+  private def fpCol: Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+
+  /** Run the pipeline; every returned frame is a materialized stage
+    * boundary (localCheckpoint). */
+  def stages(spark: SparkSession, dir: String): Stages = {
+    graft.plans.GraftExtensions.install(spark)
+    val par = spark.sparkContext.defaultParallelism
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+
+    // 0/1 — ingest gate (q81 semantics, exact anti-join spelling)
+    val sealedFps = docs.filter(col("doc_id") % 10 === 7)
+      .select(fpCol.as("fp"))
+    val arriving = docs.filter(col("doc_id") % 10 =!= 7)
+      .localCheckpoint(true)
+    val admitted = arriving.withColumn("fp", fpCol)
+      .join(sealedFps, Seq("fp"), "left_anti")
+      .drop("fp")
+      .localCheckpoint(true)
+
+    // 2 — score + per-source calibration gate (q21 + q99)
+    val qual = Text.qualityScoredOn(admitted)
+      .select(col("doc_id"), col("quality_score"))
+    val wCal = Window.partitionBy("source")
+      .orderBy(col("quality_score"), col("doc_id"))
+    val scored = admitted.join(qual, "doc_id")
+      .withColumn("pct", percent_rank().over(wCal))
+      .filter(col("pct") >= 0.25)
+      .drop("pct")
+      .localCheckpoint(true)
+
+    // 3 — exact dedup (q08: min doc_id per content hash)
+    val wExact = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val exactKept = scored
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .localCheckpoint(true)
+
+    // 4 — fuzzy sweep on the survivors (q30 pairs → q36 clusters → q82
+    // keep-best; quality scores from stage 2 rank the keep choice)
+    val pairs = Dedup
+      .minhashPairsOn(spark, exactKept.select("doc_id", "text"))
+      .select("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(pairs) // already checkpointed
+    val wClus = Window.partitionBy("canonical")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val clusterDropped = exactKept.join(labels, "doc_id")
+      .withColumn("rn", row_number().over(wClus))
+      .filter(col("rn") > 1)
+      .select("doc_id")
+    val fuzzyKept = exactKept
+      .join(clusterDropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 5 — decontamination (q29: shared 8-gram with the benchmark slice)
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(split(col("text"), " ")) >= 8)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("gram"))
+    val benchGrams = grams(docs.filter(col("doc_id") % 20 === 7))
+      .select("gram").distinct()
+      .localCheckpoint(true)
+    val contaminated = grams(fuzzyKept)
+      .join(benchGrams, "gram")
+      .select("doc_id").distinct()
+      .localCheckpoint(true)
+    val clean = fuzzyKept.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 6 — domain caps (q91 keyed on source, ranked by quality)
+    val wCap = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val capped = clean
+      .withColumn("r", row_number().over(wCap))
+      .filter(col("r") <= Cap)
+      .drop("r")
+      .localCheckpoint(true)
+
+    // 7 — repeat tiers (q104, re-calibrated on the capped survivors; no
+    // second drop — the 0× tier is stage 2's gate) + leakage-safe split
+    // (q105: split key = fuzzy-cluster canonical)
+    val wTier = Window.partitionBy("source")
+      .orderBy(col("quality_score"), col("doc_id"))
+    val splitDf = capped
+      .withColumn("pct2", percent_rank().over(wTier))
+      .withColumn("repeats",
+        when(col("pct2") >= 0.75, 4L).when(col("pct2") >= 0.5, 2L)
+          .otherwise(1L))
+      .drop("pct2")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("canonical"), col("doc_id")))
+      .withColumn("u", Sampling.Rand.u32(
+        md5(concat(lit("gsplit:"), col("group_key").cast("string")))))
+      .withColumn("split",
+        when(col("u") < 3435973836L, "train")
+          .when(col("u") < 3865470566L, "val")
+          .otherwise("test"))
+      .drop("u", "canonical")
+      .localCheckpoint(true)
+
+    Stages(arriving, admitted, scored, exactKept, fuzzyKept, labels,
+      contaminated, clean, capped, splitDf)
+  }
+
+  /** One accounting row per stage boundary. */
+  private def acctRow(ord: Int, name: String, df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+      .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+        col("n_docs"), col("n_tokens"),
+        col("n_tokens").as("effective_tokens"))
+
+  def accounting(spark: SparkSession, dir: String): DataFrame = {
+    val st = stages(spark, dir)
+    val splitRows = st.split
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_tok") * col("repeats")), lit(0L))
+          .as("effective_tokens"))
+      .select(
+        when(col("split") === "train", 7)
+          .when(col("split") === "val", 8).otherwise(9).as("stage_ord"),
+        concat(lit("split_"), col("split")).as("stage"),
+        col("n_docs"), col("n_tokens"), col("effective_tokens"))
+    acctRow(0, "arriving", st.arriving)
+      .unionByName(acctRow(1, "admitted", st.admitted))
+      .unionByName(acctRow(2, "scored", st.scored))
+      .unionByName(acctRow(3, "exact_kept", st.exactKept))
+      .unionByName(acctRow(4, "fuzzy_kept", st.fuzzyKept))
+      .unionByName(acctRow(5, "clean", st.clean))
+      .unionByName(acctRow(6, "capped", st.capped))
+      .unionByName(splitRows)
+      .orderBy("stage_ord")
+  }
+
+  private val q124 = GraftQuery(
+    "q124_curation_pipeline",
+    (spark, dir) => accounting(spark, dir),
+    Some {
+      val gram8 = (base: String) =>
+        s"""SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                generate_series(1, len(string_split(text,' ')) - 7),
+                i -> concat_ws(' ', string_split(text,' ')[i],
+                  string_split(text,' ')[i+1], string_split(text,' ')[i+2],
+                  string_split(text,' ')[i+3], string_split(text,' ')[i+4],
+                  string_split(text,' ')[i+5], string_split(text,' ')[i+6],
+                  string_split(text,' ')[i+7])))) AS gram
+            FROM $base WHERE len(string_split(text,' ')) >= 8"""
+      val acct = (ord: Int, name: String, src: String) =>
+        s"""SELECT $ord AS stage_ord, '$name' AS stage,
+              count(*) AS n_docs,
+              CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+              CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS effective_tokens
+            FROM $src"""
+      s"""
+      WITH RECURSIVE
+      base AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents),
+      arriving AS (SELECT * FROM base WHERE doc_id % 10 <> 7),
+      admitted AS (
+        SELECT a.doc_id, a.source, a.text, a.n_tok FROM arriving a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM base s WHERE s.doc_id % 10 = 7 AND s.fp = a.fp)),
+      ${Text.qualityScoredSqlFrom("admitted")},
+      cal AS (
+        SELECT a.doc_id, a.source, a.text, a.n_tok, q.quality_score,
+               percent_rank() OVER (PARTITION BY a.source
+                 ORDER BY q.quality_score, a.doc_id) AS pct
+        FROM admitted a JOIN quality q USING (doc_id)),
+      scored AS (
+        SELECT doc_id, source, text, n_tok, quality_score
+        FROM cal WHERE pct >= 0.25),
+      exact_r AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+          ORDER BY doc_id) AS rn
+        FROM scored),
+      exact_kept AS (
+        SELECT doc_id, source, text, n_tok, quality_score
+        FROM exact_r WHERE rn = 1),
+      ${Dedup.minhashPairsSqlFrom("exact_kept")},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      labels AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical
+        FROM reach GROUP BY s),
+      ranked AS (
+        SELECT l.doc_id,
+               row_number() OVER (PARTITION BY l.canonical
+                 ORDER BY k.quality_score DESC, l.doc_id) AS crn
+        FROM labels l JOIN exact_kept k USING (doc_id)),
+      fuzzy_kept AS (
+        SELECT k.* FROM exact_kept k
+        LEFT JOIN ranked r USING (doc_id)
+        WHERE r.crn IS NULL OR r.crn = 1),
+      bg AS (
+        SELECT DISTINCT gram FROM (
+          ${gram8("documents")})
+        WHERE doc_id % 20 = 7),
+      cg AS (${gram8("fuzzy_kept")}),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id FROM cg c JOIN bg USING (gram)),
+      clean AS (
+        SELECT k.* FROM fuzzy_kept k
+        WHERE NOT EXISTS (
+          SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)),
+      capped_r AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY quality_score DESC, doc_id) AS r
+        FROM clean),
+      capped AS (
+        SELECT doc_id, source, text, n_tok, quality_score
+        FROM capped_r WHERE r <= $Cap),
+      tiered AS (
+        SELECT doc_id, source, n_tok,
+               CAST(CASE WHEN p >= 0.75 THEN 4 WHEN p >= 0.5 THEN 2
+                    ELSE 1 END AS BIGINT) AS repeats
+        FROM (SELECT *, percent_rank() OVER (PARTITION BY source
+                ORDER BY quality_score, doc_id) AS p
+              FROM capped)),
+      keyed AS (
+        SELECT t.*, coalesce(l.canonical, t.doc_id) AS group_key
+        FROM tiered t LEFT JOIN labels l USING (doc_id)),
+      spl AS (
+        SELECT *, CASE WHEN u < 3435973836 THEN 'train'
+                       WHEN u < 3865470566 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM (SELECT *,
+                ${Sampling.Rand.u32Sql("md5('gsplit:' || CAST(group_key AS VARCHAR))")} AS u
+              FROM keyed))
+      SELECT * FROM (
+        ${acct(0, "arriving", "arriving")}
+        UNION ALL ${acct(1, "admitted", "admitted")}
+        UNION ALL ${acct(2, "scored", "scored")}
+        UNION ALL ${acct(3, "exact_kept", "exact_kept")}
+        UNION ALL ${acct(4, "fuzzy_kept", "fuzzy_kept")}
+        UNION ALL ${acct(5, "clean", "clean")}
+        UNION ALL ${acct(6, "capped", "capped")}
+        UNION ALL
+        SELECT CASE split WHEN 'train' THEN 7 WHEN 'val' THEN 8
+                 ELSE 9 END AS stage_ord,
+               'split_' || split AS stage,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_tok * repeats) AS BIGINT) AS effective_tokens
+        FROM spl GROUP BY split)
+      ORDER BY stage_ord"""
+    },
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q124)
+}

@@ -27,9 +27,18 @@ object Dedup {
     * few-megabyte exchange back to one partition, re-serializing the
     * expensive projection ABOVE it — bytes are the wrong coalesce signal
     * when the cost lives downstream of the exchange. */
-  private def shingleDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def shingleDf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    shingleOn(spark, Tables.documents(spark, dir))
+
+  /** Shingle stage over an arbitrary (doc_id, text, …) frame — the
+    * composite pipeline (q124) runs the fuzzy sweep on each stage's
+    * SURVIVORS with the same compiled kernel the oracle-checked
+    * q30/q36/q67 use on the full table. */
+  private[queries] def shingleOn(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame) = {
     graft.plans.GraftExtensions.install(spark)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .filter(size(split(col("text"), " ")) >= 3)
@@ -39,13 +48,15 @@ object Dedup {
       .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
   }
 
-  private val shingleSql =
-    """s AS (
+  private def shingleSqlFrom(src: String) =
+    s"""s AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
                i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
                               string_split(text,' ')[i+2]))) AS sh
-      FROM documents WHERE len(string_split(text,' ')) >= 3)"""
+      FROM $src WHERE len(string_split(text,' ')) >= 3)"""
+
+  private val shingleSql = shingleSqlFrom("documents")
 
   /** MinHash+LSH verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
     * shared by q30 (pair report) and q36 (cluster resolution).
@@ -61,9 +72,14 @@ object Dedup {
   /** Shared MinHash front-end: (shingles, signatures, banded candidate
     * pairs) — consumed by q30/q36 (verified pairs) and q115 (estimator
     * calibration audit). */
-  private[queries] def minhashCand(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[queries] def minhashCand(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    minhashCandOn(spark, Tables.documents(spark, dir))
+
+  private[queries] def minhashCandOn(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame) = {
     graft.plans.GraftExtensions.install(spark)
-    val sh = shingleDf(spark, dir)
+    val sh = shingleOn(spark, docs)
     val sigs = sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val bandCols = (0 until 4).map(b =>
@@ -81,8 +97,13 @@ object Dedup {
     (sh, sigs, cand)
   }
 
-  private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val (sh, _, cand) = minhashCand(spark, dir)
+  private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    minhashPairsOn(spark, Tables.documents(spark, dir))
+
+  private[queries] def minhashPairsOn(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame) = {
+    val (sh, _, cand) = minhashCandOn(spark, docs)
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
     cand
@@ -95,7 +116,7 @@ object Dedup {
   /** The matching DuckDB CTE chain, ending in a `pairs` CTE. */
   /** DuckDB CTE chain through the banded candidates (`s`, `sig`, `cand`
     * visible downstream) — shared by q30/q36's `pairs` and q115. */
-  private[queries] val minhashCandSql: String = {
+  private[queries] def minhashCandSqlFrom(src: String): String = {
     val sigExprs = (0 until 12)
       .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x))) AS h$s")
       .mkString(", ")
@@ -105,7 +126,7 @@ object Dedup {
     val bandRows = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, b$b AS sig FROM band")
       .mkString(" UNION ALL ")
-    s"""$shingleSql,
+    s"""${shingleSqlFrom(src)},
       sig AS (SELECT doc_id, $sigExprs FROM s),
       band AS (SELECT doc_id, $bandExprs FROM sig),
       rows_ AS ($bandRows),
@@ -115,8 +136,10 @@ object Dedup {
           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
   }
 
-  private[queries] val minhashPairsSql: String = {
-    s"""$minhashCandSql,
+  private[queries] val minhashCandSql: String = minhashCandSqlFrom("documents")
+
+  private[queries] def minhashPairsSqlFrom(src: String): String = {
+    s"""${minhashCandSqlFrom(src)},
       pairs AS (
         SELECT doc_a, doc_b,
                CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -127,6 +150,8 @@ object Dedup {
         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                  / len(list_distinct(sa.sh || sb.sh)) >= 0.5)"""
   }
+
+  private[queries] val minhashPairsSql: String = minhashPairsSqlFrom("documents")
 
   /** Q27: exact SUBSTRING-level duplication via WINNOWING fingerprints
     * (Schleimer et al., SIGMOD'03 — the MOSS algorithm; public

@@ -49,7 +49,14 @@ object Text {
     * callers own the final ORDER BY. */
   private[queries] def qualityScored(
       spark: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(spark, dir)
+    qualityScoredOn(Tables.documents(spark, dir))
+
+  /** [[qualityScored]] over an arbitrary (doc_id, source, text, …) frame —
+    * the composite pipeline (q124) scores each stage's SURVIVORS with the
+    * same expression tree the oracle-checked q21/q99/q104 use on the full
+    * table. */
+  private[queries] def qualityScoredOn(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_ratio",
@@ -66,10 +73,11 @@ object Text {
           lit(0.3) * col("uniq_ratio")).as("quality_score"))
 
   /** The matching DuckDB CTE chain ending in a `quality` CTE with the same
-    * six columns. */
-  private[queries] val qualityScoredSql: String =
-    """qt AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    * six columns, parameterized over the source relation (q124 feeds it a
+    * survivor CTE instead of the base table). */
+  private[queries] def qualityScoredSqlFrom(src: String): String =
+    s"""qt AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM $src
       ), qf AS (
         SELECT doc_id,
                len(toks) AS n_tokens,
@@ -82,6 +90,9 @@ object Text {
                0.3 * len_score + 0.4 * (1.0 - stop_ratio) + 0.3 * uniq_ratio AS quality_score
         FROM qf
       )"""
+
+  private[queries] val qualityScoredSql: String =
+    qualityScoredSqlFrom("documents")
 
   /** Q21: document quality scoring — stopword ratio, vocabulary diversity,
     * length saturation, combined into one score. Mirrors the reference's

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Dev-only throughput/state-size probe for the stateful streaming twins
@@ -11,7 +11,19 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * bytes/key from the engine's own StateOperatorProgress. Verifies the
   * documented state bounds (AsOf: O(retained versions + pending probes)
   * per key; Quota: two Longs per domain) with measured numbers.
-  * Test scope, not shipped. */
+  *
+  * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
+  * [section...]"` — sections: asof pack mix dedup dedup-expr dedup-state
+  * quota (no args = all). Each section runs SPARK_GRAFT_STREAM_REPS
+  * times (default 3) with pinned micro-batch count/size, and the final
+  * `[streamprobe-best]` lines report the BEST run per section — the
+  * min-of-N rule the batch harness uses (a transient can only ADD time),
+  * which round 13's single-run rows lacked (run-to-run spread ~2×).
+  * The dedup-expr / dedup-state pair decomposes DedupStream's cost:
+  * expr = signatures+banding only (stateless noop sink); state = the
+  * same row volume and bucket keyspace through flatMapGroupsWithState
+  * with signatures replaced by 12 substrings of one md5 (trivial
+  * expression cost). Test scope, not shipped. */
 object StreamThroughputProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -23,18 +35,31 @@ object StreamThroughputProbe {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    val only = args.toSet
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, (Double, String)]
+
+    def section(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only(name)) (1 to reps).foreach(_ => body)
+
+    def reportPlain(name: String, wallS: Double, line: String): Unit = {
+      println(s"[streamprobe] $name: $line")
+      if (best.get(name).forall(wallS < _._1)) best(name) = (wallS, line)
+    }
+
     def report(name: String, q: org.apache.spark.sql.streaming.StreamingQuery,
         wallS: Double, nIn: Long, nKeys: Long): Unit = {
       val so = q.lastProgress.stateOperators
       val rows = if (so.isEmpty) -1L else so(0).numRowsTotal
       val bytes = if (so.isEmpty) -1L else so(0).memoryUsedBytes
-      println(f"[streamprobe] $name: $nIn%d events in $wallS%.2f s = " +
+      reportPlain(name, wallS,
+        f"$nIn%d events in $wallS%.2f s = " +
         f"${nIn / wallS}%.0f rec/s; state rows=$rows bytes=$bytes " +
         f"(${if (rows > 0) bytes.toDouble / rows else 0}%.0f B/row, $nKeys keys)")
     }
 
     // ---- AsOfStream: 500k versions + 500k probes over 10k keys --------
-    {
+    section("asof") {
       val pIn = MemoryStream[AsOfStream.Probe]
       val vIn = MemoryStream[AsOfStream.Version]
       val q = AsOfStream.enrich(pIn.toDS(), vIn.toDS(), lateness = "10 minutes")
@@ -62,7 +87,7 @@ object StreamThroughputProbe {
     }
 
     // ---- PackStream: 1M docs over 1k streams ---------------------------
-    {
+    section("pack") {
       val in = MemoryStream[(Long, String, Long)]
       val q = PackStream.packed(in.toDF().toDF("doc_id", "source", "n_tok"))
         .writeStream.format("noop").outputMode("append").start()
@@ -81,7 +106,7 @@ object StreamThroughputProbe {
     }
 
     // ---- MixStream: 1M docs over 50 sources (driver-state foreachBatch) -
-    {
+    section("mix") {
       val in = MemoryStream[(Long, String, Long)]
       var emitted = 0L
       val q = MixStream.writer(in.toDF().toDF("doc_id", "source", "n_tok")) {
@@ -96,39 +121,134 @@ object StreamThroughputProbe {
         q.processAllAvailable()
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[streamprobe] mix 1M (50 sources): 1000000 events in " +
-        f"$wall%.2f s = ${1000000 / wall}%.0f rec/s; admitted=$emitted " +
-        "(driver state: 50 Longs)")
+      reportPlain("mix 1M (50 sources)", wall,
+        f"1000000 events in $wall%.2f s = ${1000000 / wall}%.0f rec/s; " +
+        s"admitted=$emitted (driver state: 50 Longs)")
       q.stop()
     }
 
     // ---- DedupStream: 100k docs through the MinHash band pipeline ------
-    {
+    // shared generator: 12 words from a 400-word pool, every 10th doc a
+    // near-dup of its predecessor — sparse buckets, some candidates
+    val dedupWords = (0 until 400).map(i => s"w$i")
+    def dedupBatch(b: Int): Seq[(Long, String)] =
+      (0 until 10000).map { i =>
+        val id = b * 10000L + i
+        val base = if (i % 10 == 9) id - 1 else id
+        val txt = (0 until 12).map(j =>
+          dedupWords(((base * 31 + j * 7) % 400).toInt)).mkString(" ")
+        (id, txt)
+      }
+
+    def dedupRun(name: String,
+        pipe: DataFrame => DataFrame): Unit = {
       val in = MemoryStream[(Long, String)]
-      val q = DedupStream.nearDupCandidates(
-          in.toDF().toDF("doc_id", "text"))
+      val q = pipe(in.toDF().toDF("doc_id", "text"))
         .writeStream.format("noop").outputMode("append").start()
-      // synthetic docs: 12 words from a 400-word pool, every 10th doc a
-      // near-dup of its predecessor — sparse buckets, some candidates
-      val words = (0 until 400).map(i => s"w$i")
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData(dedupBatch(b))
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report(name, q, wall, 100000L, -1L)
+      q.stop()
+    }
+
+    section("dedup") {
+      dedupRun("dedup 100k (minhash bands)",
+        docs => DedupStream.nearDupCandidates(docs).toDF())
+    }
+
+    // expression cost alone: signatures + banding, stateless sink
+    section("dedup-expr") {
+      dedupRun("dedup-expr 100k (sigs+bands, no state)",
+        docs => DedupStream.bandRows(DedupStream.signatures(docs)).toDF())
+    }
+
+    // state cost alone: same row volume + bucket keyspace (docs with equal
+    // text still collide in all four bands), signatures replaced by 12
+    // substrings of ONE md5 — trivial expression cost, so the measured
+    // wall is the flatMapGroupsWithState + state-store side
+    section("dedup-state") {
+      dedupRun("dedup-state 100k (fake sigs, full state)", { docs =>
+        val fakeSigs = docs
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.expr(
+              "transform(sequence(1, 12), i -> substring(md5(text), 1, 8))")
+              .as("sigs"))
+        DedupStream.candidates(DedupStream.bandRows(fakeSigs)).toDF()
+      })
+    }
+
+    // realistic-occupancy run: mostly-UNIQUE docs (id-derived tokens) with
+    // 10% planted near-dups — buckets stay sparse (occupancy 1-2), which
+    // is the regime banding is designed for; the 400-word-pool generator
+    // above saturates EVERY bucket at maxPerBucket (only ~400 distinct
+    // texts), making each arrival pay the full 64x12 compare loop — the
+    // documented worst case, not the expected one
+    section("dedup-sparse") {
+      val in = MemoryStream[(Long, String)]
+      val q = DedupStream.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("noop").outputMode("append").start()
       val t0 = System.nanoTime()
       for (b <- 0 until 10) {
         in.addData((0 until 10000).map { i =>
           val id = b * 10000L + i
           val base = if (i % 10 == 9) id - 1 else id
-          val txt = (0 until 12).map(j =>
-            words(((base * 31 + j * 7) % 400).toInt)).mkString(" ")
+          val txt = (0 until 12).map(j => s"u${base}x$j").mkString(" ")
           (id, txt)
         })
         q.processAllAvailable()
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      report("dedup 100k (minhash bands)", q, wall, 100000L, -1L)
+      report("dedup-sparse 100k (unique docs)", q, wall, 100000L, -1L)
       q.stop()
     }
 
+    // same sparse run under the RocksDB state store provider — the
+    // documented Spark remedy when per-batch HDFSBackedStateStore
+    // maintenance dominates at large key counts
+    section("dedup-sparse-rocks") {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[(Long, String)]
+        val q = DedupStream.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+          .writeStream.format("noop").outputMode("append").start()
+        val t0 = System.nanoTime()
+        for (b <- 0 until 10) {
+          in.addData((0 until 10000).map { i =>
+            val id = b * 10000L + i
+            val base = if (i % 10 == 9) id - 1 else id
+            val txt = (0 until 12).map(j => s"u${base}x$j").mkString(" ")
+            (id, txt)
+          })
+          q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        report("dedup-sparse-rocks 100k (unique docs)", q, wall, 100000L, -1L)
+        q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // state cost with small buckets: if wall tracks maxPerBucket, the
+    // dominant cost is re-encoding/rewriting the whole bucket VALUE per
+    // arrival, not the per-row store round trip
+    section("dedup-state-cap8") {
+      dedupRun("dedup-state-cap8 100k (fake sigs, maxPerBucket=8)", { docs =>
+        val fakeSigs = docs
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.expr(
+              "transform(sequence(1, 12), i -> substring(md5(text), 1, 8))")
+              .as("sigs"))
+        DedupStream.candidates(DedupStream.bandRows(fakeSigs),
+          maxPerBucket = 8).toDF()
+      })
+    }
+
     // ---- QuotaStream: 1M docs over 20k domains ------------------------
-    {
+    section("quota") {
       val in = MemoryStream[(Long, Long, Long)]
       val q = QuotaStream.capped(
           in.toDF().toDF("doc_id", "domain", "n_chars"))
@@ -145,6 +265,9 @@ object StreamThroughputProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       report("quota 1M (20k domains)", q, wall, 1000000L, nKeys)
       q.stop()
+    }
+    best.foreach { case (name, (_, line)) =>
+      println(s"[streamprobe-best] $name: $line")
     }
     spark.stop()
   }
