@@ -145,68 +145,106 @@ object Similarity {
     * Scale shape: signatures are a narrow map; the candidate join is keyed
     * on (table, signature) so work scales with bucket occupancy, not N².
     * Recall vs q34 is checked in SimilaritySpec. */
+  /** Shared LSH scaffold of q35 (all neighbors) and q125 (cross-label
+    * neighbors only — the corpus-scale hard-negative path): 4-table ×
+    * 8-bit sign signatures, candidate join keyed on (table, signature),
+    * exact cosine re-rank, top-k per query — ONE definition of the
+    * banding, candidate dedup, and tie rule, in both engines. The
+    * cross-label filter rides in the CANDIDATE join, so same-label pairs
+    * die at the bucket probe before any cosine is computed. */
+  private def lshTopK(spark: SparkSession, dir: String, k: Int,
+      crossLabelOnly: Boolean, tables: Int = 4, bits: Int = 8): DataFrame = {
+    require(tables * bits <= 32, "only 32 hyperplanes are defined")
+    val e = normedVectors(spark, dir)
+    def sig(t: Int): Column = concat((0 until bits).map { j =>
+      val hp = typedLit(hyperplanes(t * bits + j))
+      when(dot(col("v"), hp) > 0, "1").otherwise("0")
+    }: _*)
+    val sigCols = Seq(col("vec_id")) ++
+      (if (crossLabelOnly) Seq(col("label")) else Nil) ++
+      (0 until tables).map(t => sig(t).as(s"s$t"))
+    val explodeCols = Seq(col("vec_id")) ++
+      (if (crossLabelOnly) Seq(col("label")) else Nil) :+
+      posexplode(array((0 until tables).map(t => col(s"s$t")): _*))
+    val sigNames = (Seq("vec_id") ++
+      (if (crossLabelOnly) Seq("label") else Nil)) ++ Seq("tbl", "sig")
+    val sigs = e.select(sigCols: _*)
+      .select(explodeCols: _*)
+      .toDF(sigNames: _*)
+    val baseCond = col("x.tbl") === col("y.tbl") &&
+      col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id")
+    val cond = if (crossLabelOnly) baseCond && col("x.label") =!= col("y.label")
+               else baseCond
+    val cand = sigs.as("x").join(sigs.as("y"), cond)
+      .filter(col("x.vec_id") < 20)
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val outCols =
+      if (crossLabelOnly)
+        Seq(col("query_id"), col("q.label").as("query_label"),
+          col("neighbor_id"), col("c.label").as("neighbor_label"),
+          cos.as("cosine"))
+      else Seq(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    cand
+      .join(e.as("q"), col("q.vec_id") === col("query_id"))
+      .join(e.as("c"), col("c.vec_id") === col("neighbor_id"))
+      .select(outCols: _*)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  private def lshTopKSql(k: Int, crossLabelOnly: Boolean,
+      tables: Int = 4, bits: Int = 8): String = {
+    def hpLit(p: Int): String = hyperplanes(p).mkString("[", ", ", "]")
+    def sigSql(t: Int): String = (0 until bits).map { j =>
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+            i -> v[i] * (${hpLit(t * bits + j)})[i]), (x, y) -> x + y) > 0
+          THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
+    val labelSel = if (crossLabelOnly) "label, " else ""
+    val sigSelect = (0 until tables).map(t => s"${sigSql(t)} AS s$t").mkString(", ")
+    val sigRows = (0 until tables)
+      .map(t => s"SELECT vec_id, $labelSel$t AS tbl, s$t AS sig FROM sigs")
+      .mkString(" UNION ALL ")
+    val labelCond = if (crossLabelOnly) " AND x.label <> y.label" else ""
+    val labelCols =
+      if (crossLabelOnly) "q.label AS query_label, c.label AS neighbor_label,"
+      else ""
+    val outCols =
+      if (crossLabelOnly)
+        "query_id, query_label, neighbor_id, neighbor_label, cosine, rank"
+      else "query_id, neighbor_id, cosine, rank"
+    s"""
+    WITH $normedVectorsSql,
+    sigs AS (SELECT vec_id, $labelSel$sigSelect FROM e),
+    rows_ AS ($sigRows),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+      FROM rows_ x JOIN rows_ y
+        ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id$labelCond
+      WHERE x.vec_id < 20),
+    scored AS (
+      SELECT query_id, $labelCols neighbor_id,
+             ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      FROM cand
+      JOIN e q ON q.vec_id = query_id
+      JOIN e c ON c.vec_id = neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT $outCols
+    FROM ranked WHERE rank <= $k
+    ORDER BY query_id, rank"""
+  }
+
   private[queries] val q35 = GraftQuery(
     "q35_ann_lsh",
-    (spark, dir) => {
-      val e = normedVectors(spark, dir)
-      def sig(t: Int): Column = concat((0 until 8).map { j =>
-        val hp = typedLit(hyperplanes(t * 8 + j))
-        when(dot(col("v"), hp) > 0, "1").otherwise("0")
-      }: _*)
-      val sigs = e.select(col("vec_id") +: (0 until 4).map(t => sig(t).as(s"s$t")): _*)
-        .select(col("vec_id"), posexplode(array((0 until 4).map(t => col(s"s$t")): _*)))
-        .toDF("vec_id", "tbl", "sig")
-      val cand = sigs.as("x").join(sigs.as("y"),
-          col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .filter(col("x.vec_id") < 20)
-        .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
-        .distinct()
-      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      cand
-        .join(e.as("q"), col("q.vec_id") === col("query_id"))
-        .join(e.as("c"), col("c.vec_id") === col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .orderBy("query_id", "rank")
-    },
-    Some {
-      def hpLit(p: Int): String = hyperplanes(p).mkString("[", ", ", "]")
-      def sigSql(t: Int): String = (0 until 8).map { j =>
-        s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
-              i -> v[i] * (${hpLit(t * 8 + j)})[i]), (x, y) -> x + y) > 0
-            THEN '1' ELSE '0' END"""
-      }.mkString(" || ")
-      val sigSelect = (0 until 4).map(t => s"${sigSql(t)} AS s$t").mkString(", ")
-      val sigRows = (0 until 4)
-        .map(t => s"SELECT vec_id, $t AS tbl, s$t AS sig FROM sigs")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH $normedVectorsSql,
-      sigs AS (SELECT vec_id, $sigSelect FROM e),
-      rows_ AS ($sigRows),
-      cand AS (
-        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
-        FROM rows_ x JOIN rows_ y
-          ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id
-        WHERE x.vec_id < 20),
-      scored AS (
-        SELECT query_id, neighbor_id,
-               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
-        FROM cand
-        JOIN e q ON q.vec_id = query_id
-        JOIN e c ON c.vec_id = neighbor_id),
-      ranked AS (
-        SELECT query_id, neighbor_id, cosine,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM scored)
-      SELECT query_id, neighbor_id, cosine, rank
-      FROM ranked WHERE rank <= 5
-      ORDER BY query_id, rank"""
-    },
+    (spark, dir) => lshTopK(spark, dir, k = 5, crossLabelOnly = false),
+    Some(lshTopKSql(k = 5, crossLabelOnly = false)),
     headline = true)
 
   /** Q37: IVF-style ANN — coarse quantization against 8 deterministic
@@ -364,14 +402,42 @@ object Similarity {
     * Scale shape: q34's — the anchor side is broadcast and each executor
     * scans its candidate partition once; the label filter rides in the
     * join condition, so same-label pairs die at the probe. At corpus
-    * scale the exact scan swaps for q35's LSH candidate stream exactly
-    * as q34→q35 does (same verify-side arithmetic, recall audited by
-    * q112's machinery). */
+    * scale the exact scan swaps for q35's LSH candidate stream — that
+    * variant is BUILT (q125, the same lshTopK scaffold with the
+    * cross-label filter in the candidate join) and recall-audited
+    * against this exact ranking in SimilaritySpec, the q34→q35→q112
+    * pattern applied once more. */
   private[queries] val q122 = GraftQuery(
     "q122_hard_negatives",
     (spark, dir) => cosineTopK(spark, dir, k = 3, crossLabelOnly = true),
     Some(cosineTopKSql(k = 3, crossLabelOnly = true)),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122)
+  /** Q125: hard-negative mining at CORPUS scale — q122's semantics over
+    * q35's LSH candidate stream instead of the exact anchor×corpus scan
+    * (the scale-killer q122's scaladoc names at millions of anchors):
+    * candidates come from sign-hyperplane bucket collisions with the
+    * cross-label filter IN the candidate join, then the exact-cosine
+    * re-rank and tie rule shared with q122. The banding is 8 tables ×
+    * 4 bits (same 32-hyperplane pool as q35's 4×8): hard negatives live
+    * at LOWER cosine than same-label neighbors (the decision-boundary
+    * region), where 8-bit bands almost never collide — measured
+    * recall@3 was 0.03 under q35's banding; shorter bands with more
+    * OR-amplification trade bucket occupancy for recall in exactly the
+    * regime this operator targets. Recall@3 against exact q122 is
+    * pinned in DedupSimilaritySpec (the q112 audit pattern); q122 stays
+    * the oracle-checked exact headline.
+    *
+    * Scale shape: q35's — signatures are a narrow map, the candidate
+    * join keys on (table, signature) so work tracks bucket occupancy,
+    * never anchors × corpus; the label predicate discards same-label
+    * collisions at the bucket probe before any cosine is computed. */
+  private[queries] val q125 = GraftQuery(
+    "q125_hard_negatives_lsh",
+    (spark, dir) => lshTopK(spark, dir, k = 3, crossLabelOnly = true,
+      tables = 8, bits = 4),
+    Some(lshTopKSql(k = 3, crossLabelOnly = true, tables = 8, bits = 4)),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122, q125)
 }

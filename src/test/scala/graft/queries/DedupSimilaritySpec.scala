@@ -208,6 +208,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q125 LSH hard negatives: recall@3 vs exact q122, identical cosines on shared pairs") {
+    val exact = SparkEntry.queries("q122_hard_negatives")(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("q125_hard_negatives_lsh")(spark, sfDir).collect()
+    // the q112 audit rule: LSH candidates are a subset, and every pair
+    // the LSH path surfaces that the exact path also ranks must carry
+    // the IDENTICAL exact cosine (same fold, same arithmetic)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
+      // the cross-label contract survives the candidate swap
+      assert(r.getAs[Any]("query_label") != r.getAs[Any]("neighbor_label"))
+    }
+    val lshPairs = lsh.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact.keySet & lshPairs).size.toDouble / exact.size
+    // 4 OR-amplified 8-bit tables on 64-dim data: high-cosine cross-label
+    // neighbors collide in at least one table with high probability
+    assert(recall >= 0.5, s"LSH hard-negative recall@3 = $recall")
+    assert(lsh.nonEmpty)
+  }
+
   test("q31 simhash emits only low-hamming pairs") {
     SparkEntry.queries("q31_simhash_dedup")(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[Long]("hamming") <= 3)
