@@ -196,6 +196,25 @@ class PlanShapeSpec extends SparkSpec {
       s"bucket join must key on (band, sig), got: $joinKeys")
   }
 
+  test("q125: hard-negative candidates come from a keyed (tbl, sig) bucket join " +
+      "with the cross-label filter in the join, never all-pairs") {
+    val s = planString("q125_hard_negatives_lsh")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q125 degraded to an all-pairs join:\n$s")
+    val joinKeys =
+      "(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\]"
+        .r.findAllIn(s).toList
+    assert(joinKeys.exists(k => k.contains("tbl") && k.contains("sig")),
+      s"bucket join must key on (tbl, sig), got: $joinKeys")
+    // the label inequality must sit in the CANDIDATE join (same-label
+    // collisions die at the bucket probe, before any cosine), which in
+    // the plan is the bucket join carrying a label-vs-label condition
+    val bucketJoinRegion = s.split("\\n").filter(l =>
+      l.contains("Join") && l.contains("tbl")).mkString("\n")
+    assert(bucketJoinRegion.contains("label"),
+      s"cross-label predicate not in the bucket join:\n$bucketJoinRegion")
+  }
+
   test("q67: candidates come from a keyed (band, sig, lang) bucket join, never all-pairs") {
     // the scale contract that motivates q67 (SCALING.md round 11): the
     // candidate generator must block on the unbounded md5 band keyspace,
