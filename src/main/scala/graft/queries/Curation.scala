@@ -124,11 +124,20 @@ object Curation {
     * all. The inline build here scans the sealed keys once (plus a count
     * for sizing); ~1.2 KB of bits per 1 000 keys at fpp 0.01 rides to
     * executors as a literal. */
+  /** Bag-of-words content fingerprint (order-insensitive), ONE definition
+    * shared by q81's bloom gate and the q124 ingest gate (both dialects):
+    * md5 of the sorted distinct token list. */
+  private[queries] def bowFingerprint: org.apache.spark.sql.Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+
+  private[queries] val bowFingerprintSql: String =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
   private val q81 = GraftQuery(
     "q81_bloom_incremental_dedup",
     (spark, dir) => {
       graft.plans.GraftExtensions.install(spark)
-      val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+      val fp = bowFingerprint
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val corpus = docs.filter(col("doc_id") % 10 =!= 7).select(fp.as("fp"))
       val batch = docs.filter(col("doc_id") % 10 === 7)
@@ -144,10 +153,9 @@ object Curation {
           .select(col("doc_id"), col("fp")))
       admitted.select(col("doc_id"), col("fp")).orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH fp AS (
-        SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        SELECT doc_id, $bowFingerprintSql AS fp
         FROM documents)
       SELECT b.doc_id, b.fp FROM fp b
       WHERE b.doc_id % 10 = 7

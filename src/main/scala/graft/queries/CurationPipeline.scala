@@ -86,14 +86,13 @@ object CurationPipeline {
       capped: DataFrame,
       split: DataFrame)
 
-  private def fpCol: Column =
-    md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+  /** q81's bag-of-words fingerprint — the shared definition. */
+  private def fpCol: Column = Curation.bowFingerprint
 
   /** Run the pipeline; every returned frame is a materialized stage
     * boundary (localCheckpoint). */
   def stages(spark: SparkSession, dir: String): Stages = {
     graft.plans.GraftExtensions.install(spark)
-    val par = spark.sparkContext.defaultParallelism
 
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
@@ -144,15 +143,12 @@ object CurationPipeline {
       .join(clusterDropped, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
-    // 5 — decontamination (q29: shared 8-gram with the benchmark slice)
-    def grams(df: DataFrame): DataFrame = df
-      .filter(size(split(col("text"), " ")) >= 8)
-      .repartition(par, col("doc_id"))
-      .select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("gram"))
-    val benchGrams = grams(docs.filter(col("doc_id") % 20 === 7))
+    // 5 — decontamination (q29's shared gram8On stage: 8-gram overlap
+    // with the benchmark slice)
+    val benchGrams = Dedup.gram8On(spark, docs.filter(col("doc_id") % 20 === 7))
       .select("gram").distinct()
       .localCheckpoint(true)
-    val contaminated = grams(fuzzyKept)
+    val contaminated = Dedup.gram8On(spark, fuzzyKept)
       .join(benchGrams, "gram")
       .select("doc_id").distinct()
       .localCheckpoint(true)
@@ -181,13 +177,8 @@ object CurationPipeline {
       .drop("pct2")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("group_key", coalesce(col("canonical"), col("doc_id")))
-      .withColumn("u", Sampling.Rand.u32(
-        md5(concat(lit("gsplit:"), col("group_key").cast("string")))))
-      .withColumn("split",
-        when(col("u") < 3435973836L, "train")
-          .when(col("u") < 3865470566L, "val")
-          .otherwise("test"))
-      .drop("u", "canonical")
+      .withColumn("split", Sampling.GroupSplit.splitCol(col("group_key")))
+      .drop("canonical")
       .localCheckpoint(true)
 
     Stages(arriving, admitted, scored, exactKept, fuzzyKept, labels,
@@ -232,16 +223,6 @@ object CurationPipeline {
     "q124_curation_pipeline",
     (spark, dir) => accounting(spark, dir),
     Some {
-      val gram8 = (base: String) =>
-        s"""SELECT doc_id,
-              unnest(list_distinct(list_transform(
-                generate_series(1, len(string_split(text,' ')) - 7),
-                i -> concat_ws(' ', string_split(text,' ')[i],
-                  string_split(text,' ')[i+1], string_split(text,' ')[i+2],
-                  string_split(text,' ')[i+3], string_split(text,' ')[i+4],
-                  string_split(text,' ')[i+5], string_split(text,' ')[i+6],
-                  string_split(text,' ')[i+7])))) AS gram
-            FROM $base WHERE len(string_split(text,' ')) >= 8"""
       val acct = (ord: Int, name: String, src: String) =>
         s"""SELECT $ord AS stage_ord, '$name' AS stage,
               count(*) AS n_docs,
@@ -253,7 +234,7 @@ object CurationPipeline {
       base AS (
         SELECT doc_id, source, text,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+               ${Curation.bowFingerprintSql} AS fp
         FROM documents),
       arriving AS (SELECT * FROM base WHERE doc_id % 10 <> 7),
       admitted AS (
@@ -299,9 +280,9 @@ object CurationPipeline {
         WHERE r.crn IS NULL OR r.crn = 1),
       bg AS (
         SELECT DISTINCT gram FROM (
-          ${gram8("documents")})
+          ${Dedup.gram8SqlFrom("documents")})
         WHERE doc_id % 20 = 7),
-      cg AS (${gram8("fuzzy_kept")}),
+      cg AS (${Dedup.gram8SqlFrom("fuzzy_kept")}),
       contaminated AS (
         SELECT DISTINCT c.doc_id FROM cg c JOIN bg USING (gram)),
       clean AS (
@@ -326,12 +307,8 @@ object CurationPipeline {
         SELECT t.*, coalesce(l.canonical, t.doc_id) AS group_key
         FROM tiered t LEFT JOIN labels l USING (doc_id)),
       spl AS (
-        SELECT *, CASE WHEN u < 3435973836 THEN 'train'
-                       WHEN u < 3865470566 THEN 'val'
-                       ELSE 'test' END AS split
-        FROM (SELECT *,
-                ${Sampling.Rand.u32Sql("md5('gsplit:' || CAST(group_key AS VARCHAR))")} AS u
-              FROM keyed))
+        SELECT *, ${Sampling.GroupSplit.splitSql("group_key")} AS split
+        FROM keyed)
       SELECT * FROM (
         ${acct(0, "arriving", "arriving")}
         UNION ALL ${acct(1, "admitted", "admitted")}

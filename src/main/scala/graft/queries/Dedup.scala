@@ -458,14 +458,32 @@ object Dedup {
     * with the corpus and break at scale — AQE sees the materialized
     * side's true size and broadcasts exactly when it is actually small.
     * The pair counter is a partial-agg groupBy. */
+  /** The 8-token decontamination shingle stage, ONE definition shared by
+    * q29 and the q124 curation composite (both dialects): docs under 8
+    * tokens cannot complete a gram and are filtered identically. */
+  private[queries] def gram8On(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    df.filter(size(split(col("text"), " ")) >= 8)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("gram"))
+  }
+
+  /** DuckDB twin of [[gram8On]] — a (doc_id, gram) relation over `src`;
+    * splits the text once in an inner select (the O(len) spelling). */
+  private[queries] def gram8SqlFrom(src: String): String =
+    s"""SELECT doc_id,
+          unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                t[i+4], t[i+5], t[i+6], t[i+7])))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src
+              WHERE len(string_split(text, ' ')) >= 8)"""
+
   private val q29 = GraftQuery(
     "q29_decontaminate",
     (spark, dir) => {
-      graft.plans.GraftExtensions.install(spark)
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .filter(size(split(col("text"), " ")) >= 8)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("gram"))
+      def grams(df: org.apache.spark.sql.DataFrame) = gram8On(spark, df)
       val docs = Tables.documents(spark, dir)
       val bench = grams(docs.filter(col("doc_id") % 20 === 7))
         .withColumnRenamed("doc_id", "benchmark_id")
@@ -476,16 +494,8 @@ object Dedup {
         .agg(countDistinct(col("c.gram")).as("n_shared"))
         .orderBy("doc_id", "benchmark_id")
     },
-    Some("""
-      WITH sp AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        WHERE len(string_split(text, ' ')) >= 8),
-      g AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
-                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-                                     t[i+4], t[i+5], t[i+6], t[i+7])))) AS gram
-        FROM sp)
+    Some(s"""
+      WITH g AS (${gram8SqlFrom("documents")})
       SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
              CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared
       FROM g c JOIN g b

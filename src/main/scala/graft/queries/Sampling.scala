@@ -48,6 +48,27 @@ object Sampling {
 
   private val TwoPow32 = 4294967296L
 
+  /** The leakage-safe 80/10/10 group-split rule, ONE definition shared by
+    * q105 and the q124 curation composite (both dialects): split by the
+    * md5-uniform of "gsplit:" + the group key — train below 0.8·2³²,
+    * val below 0.9·2³², else test. */
+  object GroupSplit {
+    val TrainBound = 3435973836L // floor(0.8 * 2^32)
+    val ValBound = 3865470566L   // floor(0.9 * 2^32)
+
+    /** Spark side: split column from a (string-castable) group key. */
+    def splitCol(groupKey: Column): Column = {
+      val u = Rand.u32(md5(concat(lit("gsplit:"), groupKey.cast("string"))))
+      when(u < TrainBound, "train").when(u < ValBound, "val").otherwise("test")
+    }
+
+    /** DuckDB side: the same rule over a column expression. */
+    def splitSql(groupKey: String): String =
+      s"""CASE WHEN ${Rand.u32Sql(s"md5('gsplit:' || CAST($groupKey AS VARCHAR))")} < $TrainBound THEN 'train'
+               WHEN ${Rand.u32Sql(s"md5('gsplit:' || CAST($groupKey AS VARCHAR))")} < $ValBound THEN 'val'
+               ELSE 'test' END"""
+  }
+
   /** Q60: inverse-frequency weighted categorical sampling (R2): weight each
     * brand 1/(count+1)^1.5, draw 100 picks by inverse-CDF over the integer
     * cumulative weights. The weights table is tiny at any scale (distinct
@@ -753,12 +774,8 @@ object Sampling {
       Tables.documents(spark, dir).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .withColumn("group_key", coalesce(col("canonical"), col("doc_id")))
-        .withColumn("u", Rand.u32(
-          md5(concat(lit("gsplit:"), col("group_key").cast("string")))))
         .select(col("doc_id"), col("group_key"),
-          when(col("u") < 3435973836L, "train")
-            .when(col("u") < 3865470566L, "val")
-            .otherwise("test").as("split"))
+          GroupSplit.splitCol(col("group_key")).as("split"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -776,16 +793,10 @@ object Sampling {
         FROM reach GROUP BY s),
       k AS (
         SELECT d.doc_id, coalesce(l.canonical, d.doc_id) AS group_key
-        FROM documents d LEFT JOIN labels l USING (doc_id)),
-      u AS (
-        SELECT doc_id, group_key,
-               ${Rand.u32Sql("md5('gsplit:' || CAST(group_key AS VARCHAR))")} AS u
-        FROM k)
+        FROM documents d LEFT JOIN labels l USING (doc_id))
       SELECT doc_id, group_key,
-             CASE WHEN u < 3435973836 THEN 'train'
-                  WHEN u < 3865470566 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM u ORDER BY doc_id"""),
+             ${GroupSplit.splitSql("group_key")} AS split
+      FROM k ORDER BY doc_id"""),
     headline = true)
 
   /** Q120: domain mixture reweighting — the multiplicative-weights

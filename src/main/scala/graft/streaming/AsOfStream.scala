@@ -102,8 +102,12 @@ object AsOfStream {
           "the checkpoint was written by the FORWARD direction " +
             "(enrichForward) and cannot resume under backward semantics"
         case (StateVersionForward, StateVersionBackward) =>
-          "the checkpoint was written by the BACKWARD direction " +
-            "(enrich) and cannot resume under forward semantics"
+          // v2 is ambiguous: the BACKWARD direction writes it today, and
+          // pre-direction-split builds of enrichForward also wrote it —
+          // neither can resume under the current forward constant
+          "v2 state was written either by the BACKWARD direction " +
+            "(enrich) or by a pre-direction-split forward operator; " +
+            "neither can resume under the current forward semantics"
         case _ =>
           "the checkpoint was written by an incompatible version of the " +
             "operator and cannot be resumed"

@@ -36,11 +36,9 @@ class CurationPipelineSpec extends SparkSpec {
     // gate: arriving splits exactly into admitted + fp-hit
     val sealedFps = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 === 7)
-      .select(md5(concat_ws(" ",
-        array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .select(Curation.bowFingerprint.as("fp"))
     val gateDropped = st.arriving
-      .withColumn("fp", md5(concat_ws(" ",
-        array_sort(array_distinct(split(col("text"), " "))))))
+      .withColumn("fp", Curation.bowFingerprint)
       .join(sealedFps, Seq("fp"), "left_semi")
     assert(st.arriving.count() == st.admitted.count() + gateDropped.count())
     assert(toks(st.arriving) == toks(st.admitted) + toks(gateDropped))
@@ -70,14 +68,9 @@ class CurationPipelineSpec extends SparkSpec {
   }
 
   test("decontamination is complete: clean docs share no 8-gram with the benchmark") {
-    graft.plans.GraftExtensions.install(spark)
-    def grams(df: DataFrame) = df
-      .filter(size(split(col("text"), " ")) >= 8)
-      .select(col("doc_id"),
-        explode(expr("word_shingles(text, 8)")).as("gram"))
-    val bench = grams(graft.Tables.documents(spark, sfDir)
+    val bench = Dedup.gram8On(spark, graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 20 === 7)).select("gram").distinct()
-    assert(grams(st.clean).join(bench, "gram").isEmpty)
+    assert(Dedup.gram8On(spark, st.clean).join(bench, "gram").isEmpty)
   }
 
   test("benchmark and sealed docs never reach the split output") {

@@ -14,7 +14,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *
   * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
   * [section...]"` — sections: asof pack mix dedup dedup-expr dedup-state
-  * quota (no args = all). Each section runs SPARK_GRAFT_STREAM_REPS
+  * dedup-state-cap8 dedup-sparse dedup-sparse-rocks quota (no args =
+  * all; unknown names abort). Each section runs SPARK_GRAFT_STREAM_REPS
   * times (default 3) with pinned micro-batch count/size, and the final
   * `[streamprobe-best]` lines report the BEST run per section — the
   * min-of-N rule the batch harness uses (a transient can only ADD time),
@@ -35,7 +36,13 @@ object StreamThroughputProbe {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
+      "dedup-state", "dedup-state-cap8", "dedup-sparse",
+      "dedup-sparse-rocks", "quota")
     val only = args.toSet
+    val unknown = only -- known
+    require(unknown.isEmpty,
+      s"unknown section(s) ${unknown.mkString(", ")}; known: ${known.toSeq.sorted.mkString(", ")}")
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt
     val best = scala.collection.mutable.LinkedHashMap.empty[String, (Double, String)]
 
@@ -131,23 +138,30 @@ object StreamThroughputProbe {
     // shared generator: 12 words from a 400-word pool, every 10th doc a
     // near-dup of its predecessor — sparse buckets, some candidates
     val dedupWords = (0 until 400).map(i => s"w$i")
-    def dedupBatch(b: Int): Seq[(Long, String)] =
+    // pooled text: only ~400 distinct texts — every bucket saturates at
+    // maxPerBucket, the documented worst case
+    def pooledText(base: Long): String =
+      (0 until 12).map(j =>
+        dedupWords(((base * 31 + j * 7) % 400).toInt)).mkString(" ")
+    // unique text: id-derived tokens — sparse buckets, the expected case
+    def uniqueText(base: Long): String =
+      (0 until 12).map(j => s"u${base}x$j").mkString(" ")
+
+    def dedupBatch(b: Int, text: Long => String): Seq[(Long, String)] =
       (0 until 10000).map { i =>
         val id = b * 10000L + i
-        val base = if (i % 10 == 9) id - 1 else id
-        val txt = (0 until 12).map(j =>
-          dedupWords(((base * 31 + j * 7) % 400).toInt)).mkString(" ")
-        (id, txt)
+        val base = if (i % 10 == 9) id - 1 else id // every 10th a near-dup
+        (id, text(base))
       }
 
-    def dedupRun(name: String,
-        pipe: DataFrame => DataFrame): Unit = {
+    def dedupRun(name: String, pipe: DataFrame => DataFrame,
+        text: Long => String = pooledText): Unit = {
       val in = MemoryStream[(Long, String)]
       val q = pipe(in.toDF().toDF("doc_id", "text"))
         .writeStream.format("noop").outputMode("append").start()
       val t0 = System.nanoTime()
       for (b <- 0 until 10) {
-        in.addData(dedupBatch(b))
+        in.addData(dedupBatch(b, text))
         q.processAllAvailable()
       }
       val wall = (System.nanoTime() - t0) / 1e9
@@ -181,29 +195,12 @@ object StreamThroughputProbe {
       })
     }
 
-    // realistic-occupancy run: mostly-UNIQUE docs (id-derived tokens) with
-    // 10% planted near-dups — buckets stay sparse (occupancy 1-2), which
-    // is the regime banding is designed for; the 400-word-pool generator
-    // above saturates EVERY bucket at maxPerBucket (only ~400 distinct
-    // texts), making each arrival pay the full 64x12 compare loop — the
-    // documented worst case, not the expected one
+    // realistic-occupancy run: mostly-unique docs keep buckets sparse
+    // (occupancy 1-2) — the regime banding is designed for, vs the
+    // pooled generator's every-bucket-at-cap worst case
     section("dedup-sparse") {
-      val in = MemoryStream[(Long, String)]
-      val q = DedupStream.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
-        .writeStream.format("noop").outputMode("append").start()
-      val t0 = System.nanoTime()
-      for (b <- 0 until 10) {
-        in.addData((0 until 10000).map { i =>
-          val id = b * 10000L + i
-          val base = if (i % 10 == 9) id - 1 else id
-          val txt = (0 until 12).map(j => s"u${base}x$j").mkString(" ")
-          (id, txt)
-        })
-        q.processAllAvailable()
-      }
-      val wall = (System.nanoTime() - t0) / 1e9
-      report("dedup-sparse 100k (unique docs)", q, wall, 100000L, -1L)
-      q.stop()
+      dedupRun("dedup-sparse 100k (unique docs)",
+        docs => DedupStream.nearDupCandidates(docs).toDF(), uniqueText)
     }
 
     // same sparse run under the RocksDB state store provider — the
@@ -212,24 +209,9 @@ object StreamThroughputProbe {
     section("dedup-sparse-rocks") {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val in = MemoryStream[(Long, String)]
-        val q = DedupStream.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
-          .writeStream.format("noop").outputMode("append").start()
-        val t0 = System.nanoTime()
-        for (b <- 0 until 10) {
-          in.addData((0 until 10000).map { i =>
-            val id = b * 10000L + i
-            val base = if (i % 10 == 9) id - 1 else id
-            val txt = (0 until 12).map(j => s"u${base}x$j").mkString(" ")
-            (id, txt)
-          })
-          q.processAllAvailable()
-        }
-        val wall = (System.nanoTime() - t0) / 1e9
-        report("dedup-sparse-rocks 100k (unique docs)", q, wall, 100000L, -1L)
-        q.stop()
-      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      try dedupRun("dedup-sparse-rocks 100k (unique docs)",
+        docs => DedupStream.nearDupCandidates(docs).toDF(), uniqueText)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
     // state cost with small buckets: if wall tracks maxPerBucket, the
