@@ -461,7 +461,7 @@ object Dedup {
   /** The 8-token decontamination shingle stage, ONE definition shared by
     * q29 and the q124 curation composite (both dialects): docs under 8
     * tokens cannot complete a gram and are filtered identically. */
-  private[queries] def gram8On(
+  private[graft] def gram8On(
       spark: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.plans.GraftExtensions.install(spark)
