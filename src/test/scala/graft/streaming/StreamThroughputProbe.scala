@@ -38,7 +38,7 @@ object StreamThroughputProbe {
 
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
-      "dedup-sparse-rocks", "quota")
+      "dedup-sparse-rocks", "decontam", "quota")
     val only = args.toSet
     val unknown = only -- known
     require(unknown.isEmpty,
@@ -227,6 +227,48 @@ object StreamThroughputProbe {
         DedupStream.candidates(DedupStream.bandRows(fakeSigs),
           maxPerBucket = 8).toDF()
       })
+    }
+
+    // ---- DecontamStream: 1M docs vs a 1k-doc benchmark (stateless) ----
+    section("decontam") {
+      import spark.implicits._
+      // benchmark: 1k docs of 16 tokens from a "bench" namespace; stream
+      // docs are 16 unique tokens each, every 50th carrying a benchmark
+      // doc's text verbatim (planted contamination, ~2%)
+      def benchText(k: Long): String =
+        (0 until 16).map(j => s"bm${k}t$j").mkString(" ")
+      val benchDf = (0 until 1000).map(k => (k.toLong, benchText(k)))
+        .toDF("doc_id", "text")
+      val bg = DecontamStream.benchmarkGrams(spark, benchDf)
+        .localCheckpoint(true)
+      val in = MemoryStream[(Long, String)]
+      var verdicts = 0L
+      var contaminated = 0L
+      val q = DecontamStream.writer(in.toDF().toDF("doc_id", "text"), bg) {
+        (v, _) =>
+          val c = v.agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("contaminated"), 1L)
+                .otherwise(0L))).head()
+          verdicts += c.getLong(0); contaminated += c.getLong(1)
+      }.start()
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 100000).map { i =>
+          val id = b * 100000L + i
+          val txt = if (i % 50 == 49) benchText(id % 1000)
+                    else (0 until 16).map(j => s"u${id}x$j").mkString(" ")
+          (id, txt)
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      reportPlain("decontam 1M (1k-doc benchmark)", wall,
+        f"1000000 events in $wall%.2f s = ${1000000 / wall}%.0f rec/s; " +
+        s"verdicts=$verdicts contaminated=$contaminated (state: none)")
+      q.stop()
     }
 
     // ---- QuotaStream: 1M docs over 20k domains ------------------------
