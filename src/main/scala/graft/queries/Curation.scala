@@ -350,11 +350,19 @@ object Curation {
     * directory is produced by the executor that already holds its rows;
     * `maxRecordsPerFile` bounds individual file size inside a shard. */
   def writeShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, budget: Long = 2048L): Unit =
+    writeShardsOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")), outDir, budget)
+
+  /** [[writeShards]] over an arbitrary (doc_id, source, text, …) frame —
+    * extra columns (e.g. the composite's `repeats`) ride into the shard
+    * store; the q124 composite exports its train split through this
+    * exact writer ([[CurationPipeline.exportTrainShards]]). */
+  def writeShardsOf(docs: org.apache.spark.sql.DataFrame,
       outDir: String, budget: Long = 2048L): Unit = {
     val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("shard", floor((col("cum") - col("n_tok")) / budget))
       .drop("cum")

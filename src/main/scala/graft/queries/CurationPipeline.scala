@@ -66,7 +66,10 @@ import graft.{GraftQuery, Tables}
   * are catalog-bounded (q99's argument: sources are few, documents are
   * not). Stage-boundary invariants (doc/token conservation, dedup
   * idempotence, decontam completeness, split leakage-freedom, q53
-  * packing token conservation) are pinned in CurationPipelineSpec.
+  * packing token conservation, [[exportTrainShards]] round-trip) are
+  * pinned in CurationPipelineSpec; CurationPlantedSpec additionally
+  * pins DETECTIONS on a synthetic corpus with known planted defects
+  * (each stage removes exactly its plant).
   */
 object CurationPipeline {
 
@@ -184,6 +187,22 @@ object CurationPipeline {
     Stages(arriving, admitted, scored, exactKept, fuzzyKept, labels,
       contaminated, clean, capped, splitDf)
   }
+
+  /** Terminal export: the pipeline's TRAIN split written as q90's
+    * hive-partitioned token-budget shard layout (`source=<s>/shard=<n>`)
+    * through the shared [[Curation.writeShardsOf]] writer — the durable
+    * artifact a training loader consumes, closing the run at an actual
+    * dataset instead of an accounting table. Repeat multiplicities are
+    * the LOADER's schedule (q102's epoch shuffle consumes them); the
+    * shard store carries each kept document once, with its repeats
+    * column. */
+  def exportTrainShards(spark: SparkSession, dir: String, outDir: String,
+      budget: Long = 2048L): Unit =
+    Curation.writeShardsOf(
+      stages(spark, dir).split
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("source"), col("text"), col("repeats")),
+      outDir, budget)
 
   /** One accounting row per stage boundary. */
   private def acctRow(ord: Int, name: String, df: DataFrame): DataFrame =

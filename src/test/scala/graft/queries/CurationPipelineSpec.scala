@@ -124,6 +124,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(short.isEmpty, "a non-final sequence is not exactly full")
   }
 
+  test("train-shard export carries exactly the train split, hive-partitioned, with repeats") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    CurationPipeline.exportTrainShards(spark, sfDir, out)
+    val back = spark.read.parquet(out)
+    val train = st.split.filter(col("split") === "train")
+    // exact doc set, one row each, repeats preserved
+    val expected = train.select("doc_id", "repeats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = back.select("doc_id", "repeats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "shard store does not match the train split")
+    // hive layout: partition columns recovered, every source directory
+    // present, shard numbering starts at 0 per source
+    assert(back.columns.contains("source") && back.columns.contains("shard"))
+    val perSource = back.groupBy("source")
+      .agg(min(col("shard")).as("minShard")).collect()
+    // partition-column types are inferred on read (int here), so compare
+    // through Number rather than pinning the width
+    perSource.foreach(r => assert(r.getAs[Number]("minShard").longValue == 0L,
+      s"source ${r.getString(0)} shards do not start at 0"))
+  }
+
   test("accounting rows agree with the stage frames they summarize") {
     val acct = CurationPipeline.accounting(spark, sfDir)
       .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
