@@ -93,8 +93,15 @@ object CurationPipeline {
   private def fpCol: Column = Curation.bowFingerprint
 
   /** Run the pipeline; every returned frame is a materialized stage
-    * boundary (localCheckpoint). */
-  def stages(spark: SparkSession, dir: String): Stages = {
+    * boundary (localCheckpoint). `materialize = false` returns the same
+    * frames UN-checkpointed so their full logical plans stay visible —
+    * the plan-audit hook (PlanShapeSpec pins the stage shapes through
+    * it); never use it for execution, where each stage would re-derive
+    * its whole prefix once per consumer. */
+  def stages(spark: SparkSession, dir: String,
+      materialize: Boolean = true): Stages = {
+    def barrier(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     graft.plans.GraftExtensions.install(spark)
 
     val docs = Tables.documents(spark, dir)
@@ -105,11 +112,11 @@ object CurationPipeline {
     val sealedFps = docs.filter(col("doc_id") % 10 === 7)
       .select(fpCol.as("fp"))
     val arriving = docs.filter(col("doc_id") % 10 =!= 7)
-      .localCheckpoint(true)
+      .transform(barrier)
     val admitted = arriving.withColumn("fp", fpCol)
       .join(sealedFps, Seq("fp"), "left_anti")
       .drop("fp")
-      .localCheckpoint(true)
+      .transform(barrier)
 
     // 2 — score + per-source calibration gate (q21 + q99)
     val qual = Text.qualityScoredOn(admitted)
@@ -120,7 +127,7 @@ object CurationPipeline {
       .withColumn("pct", percent_rank().over(wCal))
       .filter(col("pct") >= 0.25)
       .drop("pct")
-      .localCheckpoint(true)
+      .transform(barrier)
 
     // 3 — exact dedup (q08: min doc_id per content hash)
     val wExact = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
@@ -128,7 +135,7 @@ object CurationPipeline {
       .withColumn("rn", row_number().over(wExact))
       .filter(col("rn") === 1)
       .drop("rn")
-      .localCheckpoint(true)
+      .transform(barrier)
 
     // 4 — fuzzy sweep on the survivors (q30 pairs → q36 clusters → q82
     // keep-best; quality scores from stage 2 rank the keep choice)
@@ -144,19 +151,19 @@ object CurationPipeline {
       .select("doc_id")
     val fuzzyKept = exactKept
       .join(clusterDropped, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(barrier)
 
     // 5 — decontamination (q29's shared gram8On stage: 8-gram overlap
     // with the benchmark slice)
     val benchGrams = Dedup.gram8On(spark, docs.filter(col("doc_id") % 20 === 7))
       .select("gram").distinct()
-      .localCheckpoint(true)
+      .transform(barrier)
     val contaminated = Dedup.gram8On(spark, fuzzyKept)
       .join(benchGrams, "gram")
       .select("doc_id").distinct()
-      .localCheckpoint(true)
+      .transform(barrier)
     val clean = fuzzyKept.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(barrier)
 
     // 6 — domain caps (q91 keyed on source, ranked by quality)
     val wCap = Window.partitionBy("source")
@@ -165,7 +172,7 @@ object CurationPipeline {
       .withColumn("r", row_number().over(wCap))
       .filter(col("r") <= Cap)
       .drop("r")
-      .localCheckpoint(true)
+      .transform(barrier)
 
     // 7 — repeat tiers (q104, re-calibrated on the capped survivors; no
     // second drop — the 0× tier is stage 2's gate) + leakage-safe split
@@ -182,7 +189,7 @@ object CurationPipeline {
       .withColumn("group_key", coalesce(col("canonical"), col("doc_id")))
       .withColumn("split", Sampling.GroupSplit.splitCol(col("group_key")))
       .drop("canonical")
-      .localCheckpoint(true)
+      .transform(barrier)
 
     Stages(arriving, admitted, scored, exactKept, fuzzyKept, labels,
       contaminated, clean, capped, splitDf)

@@ -196,6 +196,29 @@ class PlanShapeSpec extends SparkSpec {
       s"bucket join must key on (band, sig), got: $joinKeys")
   }
 
+  test("q124 stage plans: keyed rendezvous everywhere, no all-pairs joins, " +
+      "scan pruned to the pipeline's columns") {
+    // materialize = false keeps the stage plans visible (no checkpoint
+    // barriers); resolveClusters still runs its bounded loop
+    val st = CurationPipeline.stages(spark, sfDir, materialize = false)
+    def p(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val gate = p(st.admitted)
+    // the ingest gate is a hash-keyed LeftAnti on fp — never nested-loop
+    assert(gate.contains("LeftAnti"), s"gate is not an anti-join:\n$gate")
+    assert(!gate.contains("BroadcastNestedLoopJoin") &&
+      !gate.contains("CartesianProduct"), s"gate degraded:\n$gate")
+    // column pruning: the documents scan reads only what the pipeline
+    // needs (doc_id, source, text) — lang and n_chars must be pruned
+    assert(!gate.split("ReadSchema")(1).take(200).contains("n_chars"),
+      s"n_chars not pruned from the scan:\n$gate")
+    // decontam rendezvous keys on gram; split/caps windows key on source;
+    // nothing anywhere degrades to an unkeyed join
+    val full = p(st.split)
+    assert(!full.contains("CartesianProduct"),
+      s"a pipeline stage degraded to a cartesian product:\n$full")
+  }
+
   test("q125: hard-negative candidates come from a keyed (tbl, sig) bucket join " +
       "with the cross-label filter in the join, never all-pairs") {
     val s = planString("q125_hard_negatives_lsh")
