@@ -205,8 +205,14 @@ object CurationPipeline {
     * column. */
   def exportTrainShards(spark: SparkSession, dir: String, outDir: String,
       budget: Long = 2048L): Unit =
+    exportTrainShards(stages(spark, dir), outDir, budget)
+
+  /** Overload over already-computed stages — callers that hold a
+    * [[Stages]] (a driver program running the stages anyway, the spec)
+    * export without re-deriving the pipeline. */
+  def exportTrainShards(st: Stages, outDir: String, budget: Long): Unit =
     Curation.writeShardsOf(
-      stages(spark, dir).split
+      st.split
         .filter(col("split") === "train")
         .select(col("doc_id"), col("source"), col("text"), col("repeats")),
       outDir, budget)

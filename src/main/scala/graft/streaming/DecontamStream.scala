@@ -29,21 +29,34 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * offsets, which any engine version can resume.
   *
   * Scale shape: the benchmark is a real eval set (10³–10⁵ docs of
-  * grams) — broadcast-able and explicitly broadcast, so the 100 TB
-  * stream passes it map-side with NO shuffle of the stream except the
-  * batch-local doc_id re-group of gram rows (q85's broadcast-eval-side
-  * argument applied to tokens). Docs under 8 tokens cannot form a gram
-  * and are clean by definition — same rule as the batch gram stage,
-  * spelled as an explode_outer so every doc still emits its verdict. */
+  * grams), materialized ONCE ([[benchmarkGrams]] checkpoints eagerly)
+  * and joined per batch; the join carries NO broadcast hint — batch
+  * q29's documented stance: a forced broadcast grows with the benchmark
+  * and breaks past the broadcast limit, while AQE sees the materialized
+  * side's true size and broadcasts exactly when it is actually small.
+  * The only stream shuffle is the batch-local doc_id rendezvous (dedupe
+  * + regroup share one exchange). Docs under 8 tokens cannot form a
+  * gram and are clean by definition — word_shingles yields an empty
+  * array, explode_outer keeps the doc's verdict row.
+  *
+  * Delivery semantics: duplicate deliveries of a document WITHIN a
+  * micro-batch collapse (dropDuplicates on doc_id before the gram
+  * explode), so n_shared never double-counts; a re-delivery in a LATER
+  * batch re-emits the SAME verdict (the verdict value is a pure
+  * function of (text, benchmark) — delivery-invariant, spec-pinned),
+  * so sinks dedupe by doc_id or run the exact-dedup stage
+  * (EventsStream.dedupe) upstream — the same note DedupStream carries. */
 object DecontamStream {
 
   /** Distinct 8-grams of a static benchmark frame (doc_id, text) —
-    * computed once (the batch q29 gram stage, shared code), joined by
-    * every micro-batch. */
+    * MATERIALIZED here (eager localCheckpoint, the q29 pattern) so every
+    * micro-batch joins the computed frame instead of re-running the
+    * benchmark scan + shingle + distinct for the life of the stream. */
   def benchmarkGrams(spark: org.apache.spark.sql.SparkSession,
       bench: DataFrame): DataFrame =
     graft.queries.Dedup.gram8On(spark, bench)
       .select("gram").distinct()
+      .localCheckpoint(true)
 
   /** Batch kernel: (doc_id, text) rows → one verdict row per document.
     * Used per micro-batch by [[writer]] and directly by batch callers /
@@ -51,13 +64,14 @@ object DecontamStream {
   def verdictsBatch(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.install(spark)
-    val toks = split(col("text"), " ")
     docs
-      .select(col("doc_id"),
-        when(size(toks) >= 8, expr("word_shingles(text, 8)"))
-          .otherwise(array()).as("grams"))
-      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      // collapse same-batch duplicate deliveries; the doc_id exchange is
+      // reused by the verdict regroup below (one stream shuffle total)
+      .dropDuplicates("doc_id")
+      // word_shingles yields [] below 8 tokens; explode_outer keeps the
+      // doc as a NULL-gram row so short docs still get a clean verdict
+      .select(col("doc_id"), explode_outer(expr("word_shingles(text, 8)")).as("gram"))
+      .join(benchGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(col("hit")).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)

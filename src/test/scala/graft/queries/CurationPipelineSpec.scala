@@ -126,7 +126,9 @@ class CurationPipelineSpec extends SparkSpec {
 
   test("train-shard export carries exactly the train split, hive-partitioned, with repeats") {
     val out = java.nio.file.Files.createTempDirectory("shards").toString
-    CurationPipeline.exportTrainShards(spark, sfDir, out)
+    // the Stages overload: export without re-deriving the pipeline the
+    // suite already materialized as `st`
+    CurationPipeline.exportTrainShards(st, out, 2048L)
     val back = spark.read.parquet(out)
     val train = st.split.filter(col("split") === "train")
     // exact doc set, one row each, repeats preserved

@@ -210,7 +210,8 @@ class PlanShapeSpec extends SparkSpec {
       !gate.contains("CartesianProduct"), s"gate degraded:\n$gate")
     // column pruning: the documents scan reads only what the pipeline
     // needs (doc_id, source, text) — lang and n_chars must be pruned
-    assert(!gate.split("ReadSchema")(1).take(200).contains("n_chars"),
+    assert(!gate.contains("ReadSchema") ||
+      !gate.split("ReadSchema")(1).take(200).contains("n_chars"),
       s"n_chars not pruned from the scan:\n$gate")
     // decontam rendezvous keys on gram; split/caps windows key on source;
     // nothing anywhere degrades to an unkeyed join

@@ -16,7 +16,6 @@ class DecontamStreamSpec extends SparkSpec {
 
   private lazy val bench = DecontamStream.benchmarkGrams(spark,
     Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 7))
-    .localCheckpoint(true)
 
   private def streamVerdicts(nSlices: Int): Map[Long, (Long, Boolean)] = {
     implicit val sqlCtx = spark.sqlContext
@@ -56,6 +55,26 @@ class DecontamStreamSpec extends SparkSpec {
       .filter(size(split(col("text"), " ")) < 8)
       .collect().map(_.getLong(0))
     short.foreach(id => assert(oneBatch(id) == ((0L, false))))
+  }
+
+  test("duplicate deliveries: same-batch copies collapse; cross-batch re-emit the identical verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val doc = corpusDocs.join(
+        spark.createDataset(Seq(1L)).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).head
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = DecontamStream.writer(
+      in.toDF().toDF("doc_id", "text"), bench) { (v, _) =>
+        got ++= v.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }.start()
+    in.addData(Seq(doc, doc)); q.processAllAvailable() // same-batch dup
+    in.addData(Seq(doc)); q.processAllAvailable()      // cross-batch redelivery
+    q.stop()
+    assert(got.size == 2, s"same-batch duplicates must collapse: $got")
+    assert(got(0) == got(1), s"re-delivered verdict must be identical: $got")
   }
 
   test("n_shared counts the doc's distinct grams found anywhere in the benchmark") {

@@ -14,8 +14,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *
   * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
   * [section...]"` — sections: asof pack mix dedup dedup-expr dedup-state
-  * dedup-state-cap8 dedup-sparse dedup-sparse-rocks quota (no args =
-  * all; unknown names abort). Each section runs SPARK_GRAFT_STREAM_REPS
+  * dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam quota (no
+  * args = all; unknown names abort). Each section runs SPARK_GRAFT_STREAM_REPS
   * times (default 3) with pinned micro-batch count/size, and the final
   * `[streamprobe-best]` lines report the BEST run per section — the
   * min-of-N rule the batch harness uses (a transient can only ADD time),
@@ -239,8 +239,7 @@ object StreamThroughputProbe {
         (0 until 16).map(j => s"bm${k}t$j").mkString(" ")
       val benchDf = (0 until 1000).map(k => (k.toLong, benchText(k)))
         .toDF("doc_id", "text")
-      val bg = DecontamStream.benchmarkGrams(spark, benchDf)
-        .localCheckpoint(true)
+      val bg = DecontamStream.benchmarkGrams(spark, benchDf) // materialized inside
       val in = MemoryStream[(Long, String)]
       var verdicts = 0L
       var contaminated = 0L
@@ -248,10 +247,12 @@ object StreamThroughputProbe {
         (v, _) =>
           val c = v.agg(org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.when(
-                org.apache.spark.sql.functions.col("contaminated"), 1L)
-                .otherwise(0L))).head()
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.when(
+                  org.apache.spark.sql.functions.col("contaminated"), 1L)
+                  .otherwise(0L)),
+              org.apache.spark.sql.functions.lit(0L))).head()
           verdicts += c.getLong(0); contaminated += c.getLong(1)
       }.start()
       val t0 = System.nanoTime()
