@@ -26,7 +26,13 @@ import graft.{GraftQuery, Tables}
   *                   q81 is the scan-local bloom variant of this gate.
   *  2. scored      — q21 quality scoring + q99 per-source percentile
   *                   calibration on the ADMITTED population; bottom
-  *                   quartile of every source dropped (q99's gate).
+  *                   quartile of every source dropped (q99's gate),
+  *                   EXCEPT sources with fewer than [[MinCalibrationDocs]]
+  *                   admitted docs, which skip the gate entirely: a
+  *                   percentile gate over n < 4 docs always kills at
+  *                   least one (percent_rank = 0 even when n = 1), so
+  *                   without the guard a single-doc source is silently
+  *                   annihilated by its own calibration.
   *  3. exact_kept  — q08 whole-document dedup: keep the smallest doc_id
   *                   per content md5.
   *  4. fuzzy_kept  — the q30/q36/q82 sweep on the exact-dedup survivors:
@@ -77,6 +83,13 @@ object CurationPipeline {
     * sf0.1 (~150+ survivors/source) and marginally at sf0.01 (~15). */
   private[queries] val Cap = 15
 
+  /** Stage-2 small-source guard: the per-source quality gate only
+    * applies to sources with at least this many ADMITTED docs. Below it
+    * percent_rank's denominator (n-1) makes the bottom-quartile cut
+    * degenerate — at n = 1 the only doc has rank 0 and dies. 4 is the
+    * smallest n where the gate drops exactly the intended one-in-four. */
+  private[queries] val MinCalibrationDocs = 4
+
   final case class Stages(
       arriving: DataFrame,
       admitted: DataFrame,
@@ -99,7 +112,23 @@ object CurationPipeline {
     * it); never use it for execution, where each stage would re-derive
     * its whole prefix once per consumer. */
   def stages(spark: SparkSession, dir: String,
-      materialize: Boolean = true): Stages = {
+      materialize: Boolean = true): Stages =
+    stagesImpl(spark, dir, materialize, labelsOverride = None)
+
+  /** Plan-audit hook: [[Dedup.resolveClusters]] runs eager per-round
+    * actions (count/cache) REGARDLESS of `materialize`, so a plan-only
+    * audit through [[stages]](materialize = false) would still execute
+    * the pipeline's heaviest stage over the un-checkpointed prefix.
+    * This entry point injects a precomputed (or stub) labels frame —
+    * (doc_id, canonical) — so every stage plan builds lazily. The pair
+    * CANDIDATE plan shape is pinned separately (q30's bucket-join test);
+    * never use this for execution. */
+  private[graft] def stagesForPlanAudit(spark: SparkSession, dir: String,
+      labels: DataFrame): Stages =
+    stagesImpl(spark, dir, materialize = false, labelsOverride = Some(labels))
+
+  private def stagesImpl(spark: SparkSession, dir: String,
+      materialize: Boolean, labelsOverride: Option[DataFrame]): Stages = {
     def barrier(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
     graft.plans.GraftExtensions.install(spark)
@@ -125,8 +154,9 @@ object CurationPipeline {
       .orderBy(col("quality_score"), col("doc_id"))
     val scored = admitted.join(qual, "doc_id")
       .withColumn("pct", percent_rank().over(wCal))
-      .filter(col("pct") >= 0.25)
-      .drop("pct")
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("pct") >= 0.25 || col("n_src") < MinCalibrationDocs)
+      .drop("pct", "n_src")
       .transform(barrier)
 
     // 3 — exact dedup (q08: min doc_id per content hash)
@@ -139,10 +169,12 @@ object CurationPipeline {
 
     // 4 — fuzzy sweep on the survivors (q30 pairs → q36 clusters → q82
     // keep-best; quality scores from stage 2 rank the keep choice)
-    val pairs = Dedup
-      .minhashPairsOn(spark, exactKept.select("doc_id", "text"))
-      .select("doc_a", "doc_b")
-    val labels = Dedup.resolveClusters(pairs) // already checkpointed
+    val labels = labelsOverride.getOrElse {
+      val pairs = Dedup
+        .minhashPairsOn(spark, exactKept.select("doc_id", "text"))
+        .select("doc_a", "doc_b")
+      Dedup.resolveClusters(pairs) // already checkpointed
+    }
     val wClus = Window.partitionBy("canonical")
       .orderBy(col("quality_score").desc, col("doc_id"))
     val clusterDropped = exactKept.join(labels, "doc_id")
@@ -202,15 +234,13 @@ object CurationPipeline {
     * dataset instead of an accounting table. Repeat multiplicities are
     * the LOADER's schedule (q102's epoch shuffle consumes them); the
     * shard store carries each kept document once, with its repeats
-    * column. */
-  def exportTrainShards(spark: SparkSession, dir: String, outDir: String,
-      budget: Long = 2048L): Unit =
-    exportTrainShards(stages(spark, dir), outDir, budget)
-
-  /** Overload over already-computed stages — callers that hold a
-    * [[Stages]] (a driver program running the stages anyway, the spec)
-    * export without re-deriving the pipeline. */
-  def exportTrainShards(st: Stages, outDir: String, budget: Long): Unit =
+    * column.
+    *
+    * Takes an already-computed [[Stages]] — deliberately the ONLY entry
+    * point: a convenience overload that re-ran [[stages]] internally let
+    * a driver calling both [[accounting]] and the export derive the
+    * whole pipeline twice. Run [[stages]] once, export from it. */
+  def exportTrainShards(st: Stages, outDir: String, budget: Long = 2048L): Unit =
     Curation.writeShardsOf(
       st.split
         .filter(col("split") === "train")
@@ -277,11 +307,12 @@ object CurationPipeline {
       cal AS (
         SELECT a.doc_id, a.source, a.text, a.n_tok, q.quality_score,
                percent_rank() OVER (PARTITION BY a.source
-                 ORDER BY q.quality_score, a.doc_id) AS pct
+                 ORDER BY q.quality_score, a.doc_id) AS pct,
+               count(*) OVER (PARTITION BY a.source) AS n_src
         FROM admitted a JOIN quality q USING (doc_id)),
       scored AS (
         SELECT doc_id, source, text, n_tok, quality_score
-        FROM cal WHERE pct >= 0.25),
+        FROM cal WHERE pct >= 0.25 OR n_src < $MinCalibrationDocs),
       exact_r AS (
         SELECT *, row_number() OVER (PARTITION BY md5(text)
           ORDER BY doc_id) AS rn

@@ -45,7 +45,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * batch re-emits the SAME verdict (the verdict value is a pure
   * function of (text, benchmark) — delivery-invariant, spec-pinned),
   * so sinks dedupe by doc_id or run the exact-dedup stage
-  * (EventsStream.dedupe) upstream — the same note DedupStream carries. */
+  * (EventsStream.dedupe) upstream — the same note DedupStream carries.
+  *
+  * OUTPUT GRAIN vs batch q29: q29 emits one row per (doc, benchmark
+  * DOC) pair whose `n_shared` counts grams shared with THAT benchmark
+  * document; this stream emits ONE row per corpus doc whose `n_shared`
+  * counts the doc's distinct grams found anywhere in the sealed
+  * benchmark. The contaminated SET is identical (spec-pinned), but the
+  * two `n_shared` columns live at different grains and are NOT
+  * numerically comparable — do not diff them row-for-row. */
 object DecontamStream {
 
   /** Distinct 8-grams of a static benchmark frame (doc_id, text) —
@@ -60,10 +68,18 @@ object DecontamStream {
 
   /** Batch kernel: (doc_id, text) rows → one verdict row per document.
     * Used per micro-batch by [[writer]] and directly by batch callers /
-    * the parity spec. */
+    * the parity spec.
+    *
+    * `benchGrams` is re-distinct'd on `gram` here defensively: n_shared
+    * counts each doc-gram at most once ONLY when the benchmark side is
+    * gram-unique, and this entry point is public for direct batch
+    * callers who may not have gone through [[benchmarkGrams]]. The
+    * distinct is a no-op exchange-wise when the input already is
+    * ([[benchmarkGrams]] output is both distinct and materialized). */
   def verdictsBatch(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.install(spark)
+    val benchDistinct = benchGrams.select("gram").distinct()
     docs
       // collapse same-batch duplicate deliveries; the doc_id exchange is
       // reused by the verdict regroup below (one stream shuffle total)
@@ -71,7 +87,7 @@ object DecontamStream {
       // word_shingles yields [] below 8 tokens; explode_outer keeps the
       // doc as a NULL-gram row so short docs still get a clean verdict
       .select(col("doc_id"), explode_outer(expr("word_shingles(text, 8)")).as("gram"))
-      .join(benchGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .join(benchDistinct.withColumn("hit", lit(1)), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(col("hit")).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)

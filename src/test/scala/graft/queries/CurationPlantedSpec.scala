@@ -52,7 +52,11 @@ class CurationPlantedSpec extends SparkSpec {
         (14L, dDoc, "en", "sD"),
         (131L, filler("junkD1"), "en", "sD"),
         (132L, filler("junkD2"), "en", "sD"),
-        (133L, filler("junkD3"), "en", "sD")) ++
+        (133L, filler("junkD3"), "en", "sD"),
+        // sF: single-doc source — the stage-2 small-source guard's plant:
+        // a percentile gate over n=1 gives the doc percent_rank 0 and
+        // would annihilate the source without the guard
+        (401L, tokens("f", 40).mkString(" "), "en", "sF")) ++
       // sE: over-quota source — 28 docs, quality strictly increasing
       // with doc_id (72..99 all-unique tokens), disjoint namespaces
       (0 until 28).map { i =>
@@ -100,6 +104,24 @@ class CurationPlantedSpec extends SparkSpec {
       s"expected only the planted doc contaminated, got ${ids(st.contaminated)}")
     val clean = ids(st.clean)
     assert(!clean.contains(14L) && clean.contains(12L) && clean.contains(13L))
+  }
+
+  test("small-source guard: the quality gate spares sources under MinCalibrationDocs") {
+    // sF has exactly one admitted doc (percent_rank 0 — the un-guarded
+    // gate would drop it); sA has three after the sealed twin dies at
+    // the ingest gate. Both are under the guard threshold, so ALL their
+    // admitted docs must survive stage 2.
+    val scored = ids(st.scored)
+    assert(scored.contains(401L), "single-doc source annihilated by its own calibration")
+    assert(Set(101L, 102L, 103L).subsetOf(scored),
+      "three-doc source lost a doc to a gate the guard should have skipped")
+    // ...and the guard does NOT spare sources at/over the threshold: sE
+    // (28 admitted) still loses its bottom quartile
+    assert(st.scored.filter(col("source") === "sE").count() == 21)
+  }
+
+  test("the single-doc source's doc reaches the split output") {
+    assert(ids(st.split).contains(401L))
   }
 
   test("domain cap keeps exactly the top-15 by quality in the over-quota source") {

@@ -198,9 +198,14 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q124 stage plans: keyed rendezvous everywhere, no all-pairs joins, " +
       "scan pruned to the pipeline's columns") {
-    // materialize = false keeps the stage plans visible (no checkpoint
-    // barriers); resolveClusters still runs its bounded loop
-    val st = CurationPipeline.stages(spark, sfDir, materialize = false)
+    // the plan-audit hook: un-materialized stage frames (full plans
+    // visible) AND a stub labels frame, so inspecting plans never
+    // executes cluster resolution (whose per-round actions would run the
+    // whole un-checkpointed prefix). The pair-candidate plan shape is
+    // pinned by the q30 test above.
+    val stubLabels = spark.range(0)
+      .selectExpr("id AS doc_id", "id AS canonical")
+    val st = CurationPipeline.stagesForPlanAudit(spark, sfDir, stubLabels)
     def p(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
     val gate = p(st.admitted)

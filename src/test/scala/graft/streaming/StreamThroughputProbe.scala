@@ -13,9 +13,16 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * per key; Quota: two Longs per domain) with measured numbers.
   *
   * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
-  * [section...]"` — sections: asof pack mix dedup dedup-expr dedup-state
-  * dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam quota (no
-  * args = all; unknown names abort). Each section runs SPARK_GRAFT_STREAM_REPS
+  * [rocksdb] [section...]"` — sections: asof pack mix dedup dedup-expr
+  * dedup-state dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam
+  * quota (no args = all; unknown names abort). The `rocksdb` flag runs
+  * every selected section under RocksDBStateStoreProvider — the
+  * documented PRODUCTION default for the stateful twins (round-14
+  * measurement: identical wall, 10× lower state memory; see SCALING.md
+  * round 15) — and tags each report line `[rocksdb]`. Note the provider
+  * is checkpoint-bound in real deployments: this probe's streams are
+  * throwaway, so flipping it here is safe.
+  * Each section runs SPARK_GRAFT_STREAM_REPS
   * times (default 3) with pinned micro-batch count/size, and the final
   * `[streamprobe-best]` lines report the BEST run per section — the
   * min-of-N rule the batch harness uses (a transient can only ADD time),
@@ -39,7 +46,11 @@ object StreamThroughputProbe {
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
       "dedup-sparse-rocks", "decontam", "quota")
-    val only = args.toSet
+    val rocksAll = args.contains("rocksdb")
+    if (rocksAll)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val only = args.toSet - "rocksdb"
     val unknown = only -- known
     require(unknown.isEmpty,
       s"unknown section(s) ${unknown.mkString(", ")}; known: ${known.toSeq.sorted.mkString(", ")}")
@@ -49,7 +60,8 @@ object StreamThroughputProbe {
     def section(name: String)(body: => Unit): Unit =
       if (only.isEmpty || only(name)) (1 to reps).foreach(_ => body)
 
-    def reportPlain(name: String, wallS: Double, line: String): Unit = {
+    def reportPlain(name0: String, wallS: Double, line: String): Unit = {
+      val name = if (rocksAll) s"$name0 [rocksdb]" else name0
       println(s"[streamprobe] $name: $line")
       if (best.get(name).forall(wallS < _._1)) best(name) = (wallS, line)
     }
@@ -211,7 +223,8 @@ object StreamThroughputProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try dedupRun("dedup-sparse-rocks 100k (unique docs)",
         docs => DedupStream.nearDupCandidates(docs).toDF(), uniqueText)
-      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      finally if (!rocksAll) // keep the global flag's provider in force
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
     // state cost with small buckets: if wall tracks maxPerBucket, the
