@@ -61,16 +61,70 @@ object Similarity {
       WHERE nrm > 0)"""
 
   /** Deterministic ±1.0 hyperplanes: component d of plane p is +1 iff the
-    * first hex nibble of md5("p:d") has its high bit set. 32 planes (4 LSH
-    * tables × 8 bits) × 64 dims, computed once here and embedded as
-    * literals in both the Spark plan and the oracle SQL. */
-  private[queries] val hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
+    * first hex nibble of md5("p:d") has its high bit set. The formula
+    * defines plane p for EVERY p, so the pool is unbounded — adaptive
+    * bandings ([[adaptiveBanding]]) that need more than the default 32
+    * planes (4 LSH tables × 8 bits) simply read further into it; the
+    * first 32 are byte-identical to the original pool, so every embedded
+    * literal (and the oracle SQL) is unchanged. */
+  private[queries] def hyperplanePool(count: Int): IndexedSeq[IndexedSeq[Double]] = {
     val mdig = MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =
       mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (0 until 32).map(p => (0 until 64).map(d =>
+    (0 until count).map(p => (0 until 64).map(d =>
       if (md5hex(s"$p:$d").charAt(0) >= '8') 1.0 else -1.0))
   }
+  private[queries] val hyperplanes: IndexedSeq[IndexedSeq[Double]] =
+    hyperplanePool(32)
+
+  /** Corpus-adaptive LSH banding for the hard-negative path (q125's
+    * scale knob, derived instead of statically sized) — two cost terms,
+    * calibrated by the round-15 probe (SCALING.md):
+    *
+    *  - `bits` from COST BALANCE between the two stages that actually
+    *    pay for banding: signatures cost n·tables·bits plane-dots, the
+    *    candidate re-rank costs anchors·tables·(n/2^bits) cosine-dots,
+    *    so their ratio is anchors/(bits·2^bits) and the balanced width
+    *    is the smallest b with b·2^b ≥ anchors. At q125's 20-anchor set
+    *    that is b ≤ 4 — which is WHY the probe measured the static 8×4
+    *    beating a pure occupancy-driven sizing (recall 0.87–0.90 vs
+    *    0.63–0.65 at 30×/100×, AND faster wall: extra tables×bits buys
+    *    signature cost that a 20-anchor probe volume never repays). At
+    *    a production anchor set (10⁶ anchors — every doc mined for
+    *    negatives) the same balance gives b = 16.
+    *  - `bits` also floors at an OCCUPANCY CAP: expected bucket size
+    *    n/2^bits stays under [[MaxBucketOccupancy]] so per-bucket
+    *    shuffle/memory stays bounded however few anchors there are.
+    *    The cap is generous (16 384) because the probe measured
+    *    occupancy 12 400/bucket (100×, 4 bits) as NOT binding — the
+    *    re-rank there is 2M dots, cheaper than one extra signature bit.
+    *  - `tables` from RECALL: longer bands collide less (per-bit
+    *    collision prob p < 1 ⇒ per-table p^bits), so OR-amplification
+    *    must grow with bits. Exact compensation needs tables ∝ p^-Δbits
+    *    (exponential — its own blow-up); 4 extra tables per extra bit
+    *    is the linear compromise, capped at [[MaxTables]].
+    *
+    * Floor of [[MinBits]] = 4 — the measured sweet spot for the
+    * low-cosine hard-negative regime (recall 0.67–0.77 at 8×4 vs 0.03
+    * at 4×8 on the test corpus). At the oracle corpora (n = 500 / 2000,
+    * 20 anchors) everything resolves to the DEFAULT 8×4, which is what
+    * keeps q125 hash-checkable against its static oracle SQL — pinned
+    * in DedupSimilaritySpec so a testdata resize fails loudly there,
+    * not silently at the oracle gate. Probed recall at 30×/100×/300×
+    * is in SCALING.md round 15. */
+  def adaptiveBanding(n: Long, anchors: Long = 20L): (Int, Int) = {
+    val bitsBalance = (1 to 30)
+      .find(b => b.toLong * (1L << b) >= anchors).getOrElse(30)
+    val bitsOcc = math.ceil(
+      math.log(math.max(n, 1L).toDouble / MaxBucketOccupancy) /
+        math.log(2.0)).toInt
+    val bits = Seq(MinBits, bitsBalance, bitsOcc).max
+    val tables = math.min(MaxTables, 8 + 4 * (bits - MinBits))
+    (tables, bits)
+  }
+  private[queries] val MaxBucketOccupancy = 16384
+  private[queries] val MinBits = 4
+  private[queries] val MaxTables = 32
 
   /** Q34: brute-force cosine top-5 for the first 20 vectors as queries.
     * The full candidate scan is the recall=1.0 baseline; at 100 TB the
@@ -81,7 +135,7 @@ object Similarity {
     * neighbors only): broadcast anchors (vec_id < 20) against the full
     * candidate scan, exact cosine, row_number top-k per anchor — ONE
     * definition of the tie rule and the anchor set, in both engines. */
-  private def cosineTopK(spark: SparkSession, dir: String, k: Int,
+  private[queries] def cosineTopK(spark: SparkSession, dir: String, k: Int,
       crossLabelOnly: Boolean): DataFrame = {
     val e = normedVectors(spark, dir)
     val q = e.filter(col("vec_id") < 20)
@@ -152,12 +206,13 @@ object Similarity {
     * banding, candidate dedup, and tie rule, in both engines. The
     * cross-label filter rides in the CANDIDATE join, so same-label pairs
     * die at the bucket probe before any cosine is computed. */
-  private def lshTopK(spark: SparkSession, dir: String, k: Int,
+  private[queries] def lshTopK(spark: SparkSession, dir: String, k: Int,
       crossLabelOnly: Boolean, tables: Int = 4, bits: Int = 8): DataFrame = {
-    require(tables * bits <= 32, "only 32 hyperplanes are defined")
+    val pool =
+      if (tables * bits <= 32) hyperplanes else hyperplanePool(tables * bits)
     val e = normedVectors(spark, dir)
     def sig(t: Int): Column = concat((0 until bits).map { j =>
-      val hp = typedLit(hyperplanes(t * bits + j))
+      val hp = typedLit(pool(t * bits + j))
       when(dot(col("v"), hp) > 0, "1").otherwise("0")
     }: _*)
     val sigCols = Seq(col("vec_id")) ++
@@ -198,7 +253,9 @@ object Similarity {
 
   private def lshTopKSql(k: Int, crossLabelOnly: Boolean,
       tables: Int = 4, bits: Int = 8): String = {
-    def hpLit(p: Int): String = hyperplanes(p).mkString("[", ", ", "]")
+    val pool =
+      if (tables * bits <= 32) hyperplanes else hyperplanePool(tables * bits)
+    def hpLit(p: Int): String = pool(p).mkString("[", ", ", "]")
     def sigSql(t: Int): String = (0 until bits).map { j =>
       s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
             i -> v[i] * (${hpLit(t * bits + j)})[i]), (x, y) -> x + y) > 0
@@ -239,6 +296,17 @@ object Similarity {
     SELECT $outCols
     FROM ranked WHERE rank <= $k
     ORDER BY query_id, rank"""
+  }
+
+  /** [[lshTopK]] with (tables, bits) CHOSEN by [[adaptiveBanding]] from
+    * the corpus count — the q125 entry point. The count is one narrow
+    * columnar scan (driver-side, before the plan is built: banding shapes
+    * the plan's signature columns, so it cannot be a runtime expression);
+    * at 100 TB the vector count is catalog metadata, not a scan. */
+  private[queries] def lshTopKAdaptive(spark: SparkSession, dir: String,
+      k: Int, crossLabelOnly: Boolean): DataFrame = {
+    val (tables, bits) = adaptiveBanding(normedVectors(spark, dir).count())
+    lshTopK(spark, dir, k, crossLabelOnly, tables, bits)
   }
 
   private[queries] val q35 = GraftQuery(
@@ -418,14 +486,18 @@ object Similarity {
     * (the scale-killer q122's scaladoc names at millions of anchors):
     * candidates come from sign-hyperplane bucket collisions with the
     * cross-label filter IN the candidate join, then the exact-cosine
-    * re-rank and tie rule shared with q122. The banding is 8 tables ×
-    * 4 bits (same 32-hyperplane pool as q35's 4×8): hard negatives live
-    * at LOWER cosine than same-label neighbors (the decision-boundary
-    * region), where 8-bit bands almost never collide — measured
-    * recall@3 was 0.03 under q35's banding; shorter bands with more
-    * OR-amplification trade bucket occupancy for recall in exactly the
-    * regime this operator targets. Recall@3 against exact q122 is
-    * pinned in DedupSimilaritySpec (the q112 audit pattern); q122 stays
+    * re-rank and tie rule shared with q122. The banding is CHOSEN by
+    * [[adaptiveBanding]] from the corpus count (bits from a bucket-
+    * occupancy target, tables growing with bits to hold recall), which
+    * resolves to 8 tables × 4 bits at both oracle corpora — short bands
+    * because hard negatives live at LOWER cosine than same-label
+    * neighbors (the decision-boundary region), where 8-bit bands almost
+    * never collide: measured recall@3 was 0.03 under q35's 4×8 banding.
+    * The static oracle SQL is generated at that same 8×4 (the resolution
+    * is pinned in DedupSimilaritySpec, so a testdata resize fails there
+    * loudly, not silently at the oracle gate). Recall@3 against exact
+    * q122 is pinned in DedupSimilaritySpec (the q112 audit pattern) and
+    * probed at 30×/100× corpus scale in SCALING.md round 15; q122 stays
     * the oracle-checked exact headline.
     *
     * Scale shape: q35's — signatures are a narrow map, the candidate
@@ -434,8 +506,7 @@ object Similarity {
     * collisions at the bucket probe before any cosine is computed. */
   private[queries] val q125 = GraftQuery(
     "q125_hard_negatives_lsh",
-    (spark, dir) => lshTopK(spark, dir, k = 3, crossLabelOnly = true,
-      tables = 8, bits = 4),
+    (spark, dir) => lshTopKAdaptive(spark, dir, k = 3, crossLabelOnly = true),
     Some(lshTopKSql(k = 3, crossLabelOnly = true, tables = 8, bits = 4)),
     headline = true)
 

@@ -233,6 +233,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("q125 adaptive banding resolves to the oracle SQL's 8x4 at both test corpora") {
+    // q125's Spark side derives (tables, bits) from the corpus count but
+    // its oracle SQL is STATIC at 8x4 — this is the tripwire that makes a
+    // testdata resize fail here by name instead of as a silent oracle
+    // hash mismatch. Embeddings: sf0.01 = 500 vecs, sf0.1 = 2000 vecs.
+    assert(Similarity.adaptiveBanding(500L) == ((8, 4)))
+    assert(Similarity.adaptiveBanding(2000L) == ((8, 4)))
+    val here = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(Similarity.adaptiveBanding(here) == ((8, 4)),
+      s"this corpus ($here vecs) no longer resolves to the static oracle banding — " +
+        "regenerate q125's oracle SQL at the new (tables, bits)")
+  }
+
+  test("adaptive banding: anchor balance + occupancy cap, tables grow with bits") {
+    // at the probe's 20-anchor set the balance term keeps 4 bits through
+    // 100x — the round-15 probe MEASURED that (8x4 recall 0.87-0.90 and
+    // faster wall than wider bandings; occupancy 12.4k/bucket not binding)
+    assert(Similarity.adaptiveBanding(60000L) == ((8, 4)))   // 30x probe corpus
+    assert(Similarity.adaptiveBanding(198020L) == ((8, 4)))  // 100x probe corpus
+    // ...until the occupancy cap (16384) binds: the 300x corpus crosses it
+    assert(Similarity.adaptiveBanding(594050L) == ((16, 6))) // 300x probe corpus
+    // anchor-balance term: a production-size anchor set (mine negatives
+    // for EVERY doc) pushes bits to the b·2^b >= anchors solution
+    assert(Similarity.adaptiveBanding(1000000L, anchors = 1000000L)._2 == 16)
+    // tables cap: amplification growth is bounded
+    assert(Similarity.adaptiveBanding(Long.MaxValue / 4)._1 == 32)
+    // monotone non-decreasing in n (no resize can shrink the index)
+    val pts = Seq(1L, 512L, 2048L, 10000L, 60000L, 200000L, 1000000L, 100000000L)
+      .map(Similarity.adaptiveBanding(_))
+    pts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 >= a._1 && b._2 >= a._2)
+    }
+    // the extended hyperplane pool is a prefix-stable extension: the
+    // first 32 planes are byte-identical to the original static pool
+    assert(Similarity.hyperplanePool(40).take(32) == Similarity.hyperplanes)
+  }
+
   test("q31 simhash emits only low-hamming pairs") {
     SparkEntry.queries("q31_simhash_dedup")(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[Long]("hamming") <= 3)
