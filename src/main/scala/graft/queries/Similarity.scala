@@ -112,7 +112,7 @@ object Similarity {
     * in DedupSimilaritySpec so a testdata resize fails loudly there,
     * not silently at the oracle gate. Probed recall at 30×/100×/300×
     * is in SCALING.md round 15. */
-  def adaptiveBanding(n: Long, anchors: Long = 20L): (Int, Int) = {
+  def adaptiveBanding(n: Long, anchors: Long = AnchorCount): (Int, Int) = {
     val bitsBalance = (1 to 30)
       .find(b => b.toLong * (1L << b) >= anchors).getOrElse(30)
     val bitsOcc = math.ceil(
@@ -125,6 +125,16 @@ object Similarity {
   private[queries] val MaxBucketOccupancy = 16384
   private[queries] val MinBits = 4
   private[queries] val MaxTables = 32
+
+  /** The anchor-set size of THIS module's query fixtures — the literal
+    * count behind every `vec_id < 20` anchor predicate (q34/q35/q37/q38/
+    * q122/q125). It is also [[adaptiveBanding]]'s `anchors` default, so
+    * the default is only right for callers sharing that predicate:
+    * production callers (mine negatives for every doc ⇒ anchors ≈ n)
+    * must pass their own estimate or the balance term under-sizes
+    * `bits`. [[lshTopKAdaptive]] passes it explicitly to keep the
+    * coupling visible. */
+  private[queries] val AnchorCount = 20L
 
   /** Q34: brute-force cosine top-5 for the first 20 vectors as queries.
     * The full candidate scan is the recall=1.0 baseline; at 100 TB the
@@ -298,15 +308,43 @@ object Similarity {
     ORDER BY query_id, rank"""
   }
 
+  /** RAW embeddings row count — what [[adaptiveBanding]] sizes against.
+    * A count() over a bare parquet scan is answered from footer metadata
+    * (no column decode), unlike normedVectors().count() which decodes
+    * every vector and computes norms just to drop the zero-norm rows;
+    * banding needs order-of-magnitude n only, so the handful of
+    * zero-norm vectors the plan later excludes cannot move the chosen
+    * (tables, bits). At 100 TB this really is catalog metadata. The
+    * DedupSimilaritySpec tripwire counts THIS SAME number, so the spec
+    * and the live entry point can never straddle a banding boundary. */
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
+    Tables.embeddings(spark, dir).count()
+
   /** [[lshTopK]] with (tables, bits) CHOSEN by [[adaptiveBanding]] from
-    * the corpus count — the q125 entry point. The count is one narrow
-    * columnar scan (driver-side, before the plan is built: banding shapes
-    * the plan's signature columns, so it cannot be a runtime expression);
-    * at 100 TB the vector count is catalog metadata, not a scan. */
+    * [[corpusCount]] — the q125 entry point. The count is driver-side,
+    * before the plan is built: banding shapes the plan's signature
+    * columns, so it cannot be a runtime expression. The anchor estimate
+    * passed to the balance term is [[AnchorCount]] — the literal count
+    * of q125's own anchor predicate (`vec_id < 20`), not a guess; a
+    * caller mining negatives for a different anchor set owns its own
+    * estimate and calls [[adaptiveBanding]]/[[lshTopK]] directly.
+    *
+    * `oracleBanding`: when this entry point carries a STATIC oracle SQL
+    * (q125 does — DuckDB replays a fixed 8×4), the adaptive resolution
+    * must match it or the oracle gate would hash-compare two different
+    * plans; the require fails loudly AT THE GATE with the regeneration
+    * instruction, complementing the DedupSimilaritySpec tripwire. */
   private[queries] def lshTopKAdaptive(spark: SparkSession, dir: String,
-      k: Int, crossLabelOnly: Boolean): DataFrame = {
-    val (tables, bits) = adaptiveBanding(normedVectors(spark, dir).count())
-    lshTopK(spark, dir, k, crossLabelOnly, tables, bits)
+      k: Int, crossLabelOnly: Boolean,
+      oracleBanding: Option[(Int, Int)] = None): DataFrame = {
+    val n = corpusCount(spark, dir)
+    val banding = adaptiveBanding(n, anchors = AnchorCount)
+    oracleBanding.foreach { ob =>
+      require(banding == ob,
+        s"corpus ($n vecs) resolves adaptive banding $banding but the attached " +
+          s"oracle SQL is static at $ob — regenerate the oracle at the new banding")
+    }
+    lshTopK(spark, dir, k, crossLabelOnly, banding._1, banding._2)
   }
 
   private[queries] val q35 = GraftQuery(
@@ -506,7 +544,8 @@ object Similarity {
     * collisions at the bucket probe before any cosine is computed. */
   private[queries] val q125 = GraftQuery(
     "q125_hard_negatives_lsh",
-    (spark, dir) => lshTopKAdaptive(spark, dir, k = 3, crossLabelOnly = true),
+    (spark, dir) => lshTopKAdaptive(spark, dir, k = 3, crossLabelOnly = true,
+      oracleBanding = Some((8, 4))),
     Some(lshTopKSql(k = 3, crossLabelOnly = true, tables = 8, bits = 4)),
     headline = true)
 

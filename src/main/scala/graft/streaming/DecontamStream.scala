@@ -76,10 +76,17 @@ object DecontamStream {
     * callers who may not have gone through [[benchmarkGrams]]. The
     * distinct is a no-op exchange-wise when the input already is
     * ([[benchmarkGrams]] output is both distinct and materialized). */
-  def verdictsBatch(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+  def verdictsBatch(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    verdictsOnDistinct(docs, benchGrams.select("gram").distinct())
+
+  /** Kernel over a benchmark side the CALLER guarantees gram-unique —
+    * [[writer]] pays the defensive distinct once per stream and calls
+    * this per micro-batch; [[verdictsBatch]] keeps the distinct for the
+    * public direct-batch entry. */
+  private def verdictsOnDistinct(docs: DataFrame,
+      benchDistinct: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.install(spark)
-    val benchDistinct = benchGrams.select("gram").distinct()
     docs
       // collapse same-batch duplicate deliveries; the doc_id exchange is
       // reused by the verdict regroup below (one stream shuffle total)
@@ -94,10 +101,22 @@ object DecontamStream {
   }
 
   /** (doc_id, text) stream → per-batch verdict frames delivered to
-    * `emit` (the MixStream writer shape). */
+    * `emit` (the MixStream writer shape).
+    *
+    * The defensive gram-distinct is HOISTED here — paid once at stream
+    * start, not as a per-micro-batch HashAggregate over the full
+    * benchmark gram set (the round-15 hot-path cost): the distinct'd
+    * side is materialized (eager localCheckpoint) so every batch joins
+    * the computed frame. When `benchGrams` already came through
+    * [[benchmarkGrams]] this re-materializes one extra copy of an
+    * already-distinct frame — a bounded one-time memory cost, against
+    * an unbounded per-batch aggregate for the life of the stream. */
   def writer(docs: DataFrame, benchGrams: DataFrame)(
-      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val benchDistinct =
+      benchGrams.select("gram").distinct().localCheckpoint(true)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      emit(verdictsBatch(batch, benchGrams), batchId)
+      emit(verdictsOnDistinct(batch, benchDistinct), batchId)
     }
+  }
 }

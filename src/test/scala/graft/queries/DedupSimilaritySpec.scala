@@ -240,7 +240,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // hash mismatch. Embeddings: sf0.01 = 500 vecs, sf0.1 = 2000 vecs.
     assert(Similarity.adaptiveBanding(500L) == ((8, 4)))
     assert(Similarity.adaptiveBanding(2000L) == ((8, 4)))
-    val here = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // the SAME count the live entry point sizes against (raw parquet
+    // rows via Similarity.corpusCount) — spec and lshTopKAdaptive can
+    // never straddle a banding boundary on different counts
+    val here = Similarity.corpusCount(spark, sfDir)
     assert(Similarity.adaptiveBanding(here) == ((8, 4)),
       s"this corpus ($here vecs) no longer resolves to the static oracle banding — " +
         "regenerate q125's oracle SQL at the new (tables, bits)")

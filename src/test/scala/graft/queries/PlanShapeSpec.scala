@@ -203,7 +203,11 @@ class PlanShapeSpec extends SparkSpec {
     // executes cluster resolution (whose per-round actions would run the
     // whole un-checkpointed prefix). The pair-candidate plan shape is
     // pinned by the q30 test above.
-    val stubLabels = spark.range(0)
+    // 1-row stub, NOT empty: an empty relation would let the optimizer
+    // propagate emptiness through the inner joins and the very joins
+    // being audited would vanish from the plan — the negative assertions
+    // below would then pass vacuously
+    val stubLabels = spark.range(1)
       .selectExpr("id AS doc_id", "id AS canonical")
     val st = CurationPipeline.stagesForPlanAudit(spark, sfDir, stubLabels)
     def p(df: org.apache.spark.sql.DataFrame): String =
@@ -223,6 +227,14 @@ class PlanShapeSpec extends SparkSpec {
     val full = p(st.split)
     assert(!full.contains("CartesianProduct"),
       s"a pipeline stage degraded to a cartesian product:\n$full")
+    // positive pin: the joins being audited are actually IN the plan —
+    // the labels frame joins the survivors on doc_id, so a doc_id-keyed
+    // hash/merge join must appear (guards the negative assertions above
+    // against vacuity if the optimizer ever simplifies the stages away)
+    assert(
+      "(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*doc_id[^\\]]*\\]"
+        .r.findFirstIn(full).isDefined,
+      s"no doc_id-keyed join in the split plan — audit is vacuous:\n$full")
   }
 
   test("q125: hard-negative candidates come from a keyed (tbl, sig) bucket join " +
