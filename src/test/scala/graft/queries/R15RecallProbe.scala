@@ -19,7 +19,9 @@ object R15RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val n = Similarity.normedVectors(spark, dir).count()
+    // size banding from the SAME count the q125 entry point uses
+    // (raw parquet rows — metadata-served, see Similarity.corpusCount)
+    val n = Similarity.corpusCount(spark, dir)
     val (tables, bits) = Similarity.adaptiveBanding(n)
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -39,6 +41,7 @@ object R15RecallProbe {
     def recall(s: Set[(Long, Long)]): Double =
       if (exact.isEmpty) 1.0 else (exact & s).size.toDouble / exact.size
     println(f"[r15recall] dir=$dir n=$n adaptive=${tables}x$bits " +
+      f"occ=${n / (1L << bits)}/bucket (static occ=${n / 16}) " +
       f"exactPairs=${exact.size} exactWall=$tExact%.2f s | " +
       f"adaptive recall@3=${recall(adaptive)}%.3f wall=$tAdapt%.2f s | " +
       f"static 8x4 recall@3=${recall(static84)}%.3f wall=$tStatic%.2f s")
