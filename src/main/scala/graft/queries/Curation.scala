@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -687,6 +688,117 @@ object Curation {
       FROM d GROUP BY source ORDER BY source"""),
     headline = true)
 
+  /** The ITERATED ingest loop kernel — q81's bloom-gated admission run
+    * over a SEQUENCE of batches where each epoch's admissions become
+    * sealed corpus for the next (the production ingestion loop q124's
+    * single-shot gate stands in for). Pure driver-side iteration over
+    * lazy frames; each epoch's admitted set is a materialized stage
+    * boundary (localCheckpoint) because epoch k+1's anti-join and the
+    * final union both consume it.
+    *
+    * Admission rule per epoch: a document is admitted iff its content
+    * fingerprint is (a) unseen in the sealed set entering the epoch and
+    * (b) first within its own batch (smallest doc_id wins — Lee et al.,
+    * ACL'22 keep-first). The bloom routes exactly as in q81: misses admit
+    * without joining (no false negatives), only probe POSITIVES reach
+    * the exact anti-join, so output is exact and the sketch only routes.
+    *
+    * BLOOM-REFRESH COST STORY: the filter is sized ONCE for the final
+    * capacity (sealed + every future batch, `fpp` 0.01 at that fill), so
+    * each epoch's refresh builds a DELTA filter over only that epoch's
+    * admitted rows — same (numBits, numHashes) by construction, merged
+    * driver-side by bit-OR (`BloomFilter.mergeInPlace`). The sealed
+    * corpus is scanned exactly once (epoch 0); per-epoch cost is
+    * O(|batch|) probe + O(|admitted|) delta build, never O(|sealed|).
+    * Under-estimating capacity only degrades fpp (more exact-join
+    * traffic), never correctness. At 100 TB the sealed fp table is kept
+    * bucketed by fp (`sources/Bucketing.scala`) and each epoch APPENDS
+    * its admitted fps to those buckets, so the exact anti-join shuffles
+    * nothing on the corpus side in any epoch; the running filter
+    * persists beside the corpus as ~1.2 KB per 1 000 keys.
+    *
+    * The growing sealed side is a UNION of the epoch-0 checkpoint and
+    * each epoch's admitted checkpoint — k materialized scans, zero
+    * re-materialization of the whole set per epoch.
+    *
+    * @param sealedFps0 sealed corpus fingerprints entering epoch 1 —
+    *                   one `fp` column
+    * @param batches    per-epoch (doc_id, fp) frames, epoch order
+    * @param capacity   bloom sizing: expected |sealed ∪ all batches| */
+  private[queries] def iteratedIngest(sealedFps0: DataFrame,
+      batches: Seq[DataFrame], capacity: Long): DataFrame = {
+    val spark = sealedFps0.sparkSession
+    graft.plans.GraftExtensions.install(spark)
+    def deltaBloom(fps: DataFrame) = fps
+      .select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", math.max(capacity, 1L), 0.01)
+
+    val sealed0 = sealedFps0.select("fp").localCheckpoint(true)
+    val bloom = deltaBloom(sealed0)
+    var sealedFps = sealed0
+    val admittedEpochs = batches.zipWithIndex.map { case (batch, i) =>
+      val wFirst = Window.partitionBy("fp").orderBy("doc_id")
+      val firstInBatch = batch.select(col("doc_id"), col("fp"))
+        .withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") === 1).drop("rn")
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val hit = call_function("bloom_might_contain",
+        lit(bos.toByteArray), xxhash64(col("fp")))
+      val admitted = firstInBatch.filter(!hit)
+        .unionByName(firstInBatch.filter(hit)
+          .join(sealedFps, Seq("fp"), "left_anti"))
+        .localCheckpoint(true)
+      bloom.mergeInPlace(deltaBloom(admitted.select("fp")))
+      sealedFps = sealedFps.unionByName(admitted.select("fp"))
+      admitted.withColumn("epoch", lit((i + 1).toLong))
+    }
+    admittedEpochs.reduce(_ unionByName _)
+      .select(col("epoch"), col("doc_id"), col("fp"))
+  }
+
+  /** Q126: iterated incremental ingestion — 3 epochs of q81's gate where
+    * each epoch's admissions SEAL for the next ([[iteratedIngest]]; the
+    * non-sealed corpus arrives as 3 batches by doc_id % 3). The oracle is
+    * the CLOSED FORM of the loop: a document is admitted iff its
+    * fingerprint is absent from the sealed set and it is the globally
+    * first arrival of that fingerprint (ordered by epoch, then doc_id) —
+    * the two spellings agreeing hash-exactly is the cross-epoch
+    * correctness statement (a doc admitted in epoch 1 rejects its twin
+    * in epoch 3; a sealed fingerprint rejects in every epoch; in-batch
+    * twins resolve keep-first). At sf0.01 every path is non-vacuous:
+    * 400 admitted, 34 sealed-rejected, 14 rejected by an earlier epoch's
+    * admission, 2 by a same-batch twin. */
+  private val q126 = GraftQuery(
+    "q126_iterated_ingest",
+    (spark, dir) => {
+      val fp = bowFingerprint
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val sealed0 = docs.filter(col("doc_id") % 10 === 7).select(fp.as("fp"))
+      val rest = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), fp.as("fp"))
+      val batches = (0 until 3).map(k => rest.filter(col("doc_id") % 3 === k))
+      iteratedIngest(sealed0, batches, capacity = docs.count())
+        .orderBy("epoch", "doc_id")
+    },
+    Some(s"""
+      WITH fp AS (
+        SELECT doc_id, (doc_id % 3) + 1 AS epoch, $bowFingerprintSql AS fp
+        FROM documents WHERE doc_id % 10 <> 7),
+      sealed AS (
+        SELECT DISTINCT $bowFingerprintSql AS fp
+        FROM documents WHERE doc_id % 10 = 7),
+      ranked AS (
+        SELECT epoch, doc_id, fp,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY epoch, doc_id) AS rn
+        FROM fp)
+      SELECT epoch, doc_id, fp FROM ranked b
+      WHERE rn = 1
+        AND NOT EXISTS (SELECT 1 FROM sealed s WHERE s.fp = b.fp)
+      ORDER BY epoch, doc_id"""),
+    headline = true)
+
   val all: Seq[GraftQuery] =
-    Seq(q80, q81, q82, q83, q90, q91, q98, q99, q104, q109)
+    Seq(q80, q81, q82, q83, q90, q91, q98, q99, q104, q109, q126)
 }
