@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode}
+
+/** The streaming twins COMPOSED into one curation chain — the
+  * cross-twin contract the individual twins' specs cannot exercise:
+  * schema handoff between stages, verdict conventions, and state
+  * co-existence of multiple stateful operators in a single streaming
+  * plan and checkpoint.
+  *
+  * Two composition shapes, which together cover every twin style the
+  * engine ships:
+  *
+  *  - [[curatedPacked]] — THREE STATEFUL TWINS IN ONE PLAN:
+  *    exact dedup (EventsStream.dedupe, DeduplicateWithinWatermark) →
+  *    per-source quota (QuotaStream's fold, flatMapGroupsWithState) →
+  *    sequence packing (PackStream.packed, flatMapGroupsWithState).
+  *    All three run in append mode — Spark's multiple-stateful-operator
+  *    support (both fMGWS all-append; the dedup emits rows immediately,
+  *    so no stage delays a downstream stateful operator) — and share
+  *    ONE checkpoint, so exactly-once covers the whole chain, not each
+  *    stage separately.
+  *  - [[curatedVerdicts]] — the foreachBatch SPLICE: the same
+  *    deduped → capped plan, terminated by the stateless decontamination
+  *    kernel (DecontamStream) inside the sink, the composition rule for
+  *    foreachBatch-shaped twins (Decontam/Mix): plan-native stateful
+  *    stages first, stateless verdict stages in the terminal sink where
+  *    they are plain batch code.
+  *
+  * Stage ORDER follows the batch composite's relative order for the
+  * stages present (q124: exact dedup → … → decontam / caps): dedup
+  * always first (every downstream stage's state budget shrinks), caps
+  * before packing (pack offsets are meaningless for docs the quota
+  * rejects). Parity contract (StreamingChainSpec): one-batch delivery
+  * reproduces the batch stages composed in the same order; multi-batch
+  * delivery preserves each twin's own cross-batch semantics (dedup
+  * drops re-deliveries, quota binds across batches, pack offsets never
+  * re-scan).
+  *
+  * Scale shape: one keyed exchange per stateful stage (doc_id, then
+  * source, then source again — the quota and pack stages share the key,
+  * and Spark reuses the partitioning between them), state per stage is
+  * the twin's own documented bound (watermark-bounded dedup keys, O(1)
+  * per source for quota and pack). Run under RocksDB in production
+  * (SCALING.md round 15) — the chain's three state stores ride the same
+  * provider config. */
+object CurationChain {
+
+  /** The chain's interchange row — what survives each handoff. `ts`
+    * exists only for the dedup watermark and is dropped after it. */
+  final case class ChainDoc(
+      doc_id: Long, source: String, text: String, n_tok: Long, n_chars: Long)
+
+  final case class ChainDecision(
+      doc_id: Long, source: String, text: String, n_tok: Long, n_chars: Long,
+      kept: Boolean, admitted_after: Long, seen_after: Long)
+
+  /** (doc_id, ts, source, text) stream → exact-deduped, per-source
+    * quota decisions with the document payload CARRIED THROUGH the cap
+    * (the schema handoff [[QuotaStream.capped]]'s fixed decision row
+    * cannot do) — same fold, same state schema, same cap. */
+  def cappedDocs(docs: DataFrame, lateness: String = "1 hour")
+      : Dataset[ChainDecision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val deduped = EventsStream.dedupe(docs, Seq("doc_id"), lateness)
+    deduped.select(col("doc_id").cast("long"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .as[ChainDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[ChainDoc],
+            state: org.apache.spark.sql.streaming.GroupState[QuotaStream.QuotaState]) =>
+          QuotaStream.quotaFold(it, state)(_.doc_id, _.n_chars).map {
+            case (d, keep, admitted, seen) =>
+              ChainDecision(d.doc_id, d.source, d.text, d.n_tok, d.n_chars,
+                keep, admitted, seen)
+          })
+  }
+
+  /** dedup → quota → pack, one streaming plan, one checkpoint: span
+    * assignments for exactly the quota-admitted, first-delivery
+    * documents. */
+  def curatedPacked(docs: DataFrame, lateness: String = "1 hour")
+      : Dataset[PackStream.PackedDoc] =
+    PackStream.packed(
+      cappedDocs(docs, lateness).filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("n_tok")))
+
+  /** dedup → quota → decontam: the kept documents of each micro-batch
+    * run through the stateless benchmark-overlap kernel in the terminal
+    * sink; `emit` receives (doc_id, source, n_tok, n_shared,
+    * contaminated) per batch. The benchmark distinct is hoisted once
+    * per stream, DecontamStream.writer's rule. */
+  def curatedVerdicts(docs: DataFrame, benchGrams: DataFrame,
+      lateness: String = "1 hour")(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val benchDistinct =
+      benchGrams.select("gram").distinct().localCheckpoint(true)
+    cappedDocs(docs, lateness).filter(col("kept"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = DecontamStream.verdictsBatch(
+          batch.select("doc_id", "text"), benchDistinct)
+        emit(batch.select("doc_id", "source", "n_tok")
+          .join(verdicts, "doc_id"), batchId)
+      }
+  }
+}

@@ -46,6 +46,32 @@ object QuotaStream {
       doc_id: Long, domain: Long, n_chars: Long,
       kept: Boolean, admitted_after: Long, seen_after: Long)
 
+  /** The quota state transition, factored out of [[capped]] so chain
+    * compositions carrying a WIDER row (CurationChain keeps source/text
+    * through the cap — the cross-twin schema handoff) run the IDENTICAL
+    * fold against the identical [[QuotaState]]: q91's rank order within
+    * the batch (largest docs first, doc_id ties), admit while under
+    * [[Cap]], versioned-state resume check. Returns each input row with
+    * (kept, admitted_after, seen_after). */
+  private[streaming] def quotaFold[A](it: Iterator[A],
+      state: GroupState[QuotaState])(
+      docId: A => Long, nChars: A => Long): Iterator[(A, Boolean, Long, Long)] = {
+    val st0 = state.getOption.getOrElse(QuotaState(StateVersion, 0L, 0L))
+    require(st0.version == StateVersion,
+      s"quota state v${st0.version} cannot resume under v$StateVersion " +
+        "- restart from a fresh checkpoint")
+    var admitted = st0.admitted
+    var seen = st0.seen
+    val out = it.toSeq.sortBy(a => (-nChars(a), docId(a))).map { a =>
+      seen += 1
+      val keep = admitted < Cap
+      if (keep) admitted += 1
+      (a, keep, admitted, seen)
+    }
+    state.update(QuotaState(StateVersion, admitted, seen))
+    out.iterator
+  }
+
   /** (doc_id, domain, n_chars) stream → per-document admit/drop decisions. */
   def capped(docs: DataFrame): Dataset[QuotaDecision] = {
     val spark = docs.sparkSession
@@ -56,24 +82,11 @@ object QuotaStream {
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (domain: Long, it: Iterator[(Long, Long, Long)],
-            state: GroupState[QuotaState]) => {
-          val st0 = state.getOption.getOrElse(QuotaState(StateVersion, 0L, 0L))
-          require(st0.version == StateVersion,
-            s"quota state v${st0.version} cannot resume under v$StateVersion " +
-              "- restart from a fresh checkpoint")
-          var admitted = st0.admitted
-          var seen = st0.seen
-          // q91's rank order within the batch: largest docs first, doc_id ties
-          val out = it.toSeq.sortBy(d => (-d._3, d._1)).map {
-            case (docId, _, nChars) =>
-              seen += 1
-              val keep = admitted < Cap
-              if (keep) admitted += 1
+            state: GroupState[QuotaState]) =>
+          quotaFold(it, state)(_._1, _._3).map {
+            case ((docId, _, nChars), keep, admitted, seen) =>
               QuotaDecision(docId, domain, nChars, keep, admitted, seen)
-          }
-          state.update(QuotaState(StateVersion, admitted, seen))
-          out.iterator
-        })
+          })
   }
 
   /** Convenience: derive q91's synthesized domain key from a

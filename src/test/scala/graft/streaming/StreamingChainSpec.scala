@@ -1,0 +1,178 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The composed streaming curation chain (CurationChain): three
+  * stateful twins in one plan (dedup → quota → pack), the foreachBatch
+  * splice (dedup → quota → decontam), end-state parity against the
+  * batch stages composed in the same order, cross-batch state
+  * co-existence in one checkpoint — all run under the production
+  * RocksDB state-store provider (SCALING.md round 15). */
+class StreamingChainSpec extends SparkSpec {
+
+  private val T0 = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** Run every chain query under the documented production provider —
+    * the chain's state stores (dedup + two fMGWS) share it. */
+  private def withRocksDB[T](f: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private def streamOf(batches: Seq[Seq[(Long, String, String)]])(
+      drive: org.apache.spark.sql.DataFrame => (
+          () => Unit) => Unit): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "source", "text")
+    var i = 0
+    drive(docs) { () =>
+      input.addData(batches(i).map(r => (r._1, T0, r._2, r._3)): _*)
+      i += 1
+    }
+  }
+
+  /** Batch reference for the chain's stages in the chain's order over a
+    * SINGLE delivery: distinct by doc_id (first wins), per-source
+    * top-Cap by (n_chars desc, doc_id), then q53-style packing of the
+    * kept docs in doc_id order per source. */
+  private def batchReference(rows: Seq[(Long, String, String)])
+      : (Set[Long], Map[Long, (Long, Long, Long)]) = {
+    val uniq = rows.foldLeft(Vector.empty[(Long, String, String)]) {
+      (acc, r) => if (acc.exists(_._1 == r._1)) acc else acc :+ r
+    }
+    val kept = uniq.groupBy(_._2).flatMap { case (_, ds) =>
+      ds.sortBy(d => (-d._3.length.toLong, d._1))
+        .take(QuotaStream.Cap.toInt).map(_._1)
+    }.toSet
+    val spans = uniq.filter(d => kept(d._1)).groupBy(_._2).flatMap {
+      case (_, ds) =>
+        var off = 0L
+        ds.sortBy(_._1).map { case (id, _, text) =>
+          val n = text.split(" ").length.toLong
+          val s = off; off += n
+          id -> (n, s, s / PackStream.SeqLen)
+        }
+    }.toMap
+    (kept, spans)
+  }
+
+  test("one-batch delivery: dedup -> quota -> pack matches the batch " +
+      "stages composed in the same order (RocksDB provider)") {
+    // sA: 25 docs (5 over quota), varying lengths; sB: 5 docs; one
+    // same-batch duplicate delivery of doc 3
+    val sA = (1L to 25L).map(i =>
+      (i, "sA", (0 until (4 + (i % 3)).toInt).map(k => s"a${i}w$k").mkString(" ")))
+    val sB = (101L to 105L).map(i => (i, "sB", s"b$i x y z"))
+    val rows = sA ++ Seq(sA(2)) ++ sB
+    val (kept, spans) = batchReference(rows)
+    assert(kept.size == 25, "20 of sA + all 5 of sB survive the cap")
+
+    withRocksDB {
+      streamOf(Seq(rows)) { docs => push =>
+        val q = CurationChain.curatedPacked(docs)
+          .writeStream.format("memory").queryName("chain_one")
+          .outputMode("append").start()
+        push(); q.processAllAvailable(); q.stop()
+      }
+    }
+    val got = spark.table("chain_one").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("start_tok"),
+          r.getAs[Long]("first_seq"))).toMap
+    assert(got.keySet == kept,
+      s"packed exactly the kept docs; diff=${got.keySet.diff(kept) ++ kept.diff(got.keySet)}")
+    assert(got == spans)
+  }
+
+  test("cross-batch: a re-delivery never re-enters the quota, the cap " +
+      "binds across batches, pack offsets continue (one checkpoint)") {
+    val b1 = (1L to 15L).map(i => (i, "s1", s"d$i t u"))
+    // batch 2: 15 new docs + a RE-DELIVERY of doc 7 (identical row)
+    val b2 = (16L to 30L).map(i => (i, "s1", s"d$i t u")) :+ b1(6)
+
+    withRocksDB {
+      streamOf(Seq(b1, b2)) { docs => push =>
+        val dec = CurationChain.cappedDocs(docs)
+          .writeStream.format("memory").queryName("chain_dec")
+          .outputMode("append").start()
+        push(); dec.processAllAvailable()
+        push(); dec.processAllAvailable(); dec.stop()
+      }
+      streamOf(Seq(b1, b2)) { docs => push =>
+        val q = CurationChain.curatedPacked(docs)
+          .writeStream.format("memory").queryName("chain_pack")
+          .outputMode("append").start()
+        push(); q.processAllAvailable()
+        push(); q.processAllAvailable(); q.stop()
+      }
+    }
+
+    val dec = spark.table("chain_dec").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("kept"), r.getAs[Long]("seen_after"))).toMap
+    // dedup dropped the re-delivery BEFORE the quota: 30 decisions, not
+    // 31, and the domain's seen counter tops at 30
+    assert(dec.size == 30)
+    assert(dec.values.map(_._2).max == 30L)
+    // all of batch 1 fits; batch 2 admits its 5 best = lowest doc_ids
+    // (equal lengths, doc_id ties) among the NEW docs
+    assert((1L to 15L).forall(dec(_)._1))
+    assert((16L to 30L).filter(dec(_)._1).toSet == Set(16L, 17L, 18L, 19L, 20L))
+
+    val packed = spark.table("chain_pack").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_tok")).toMap
+    assert(packed.keySet == (1L to 20L).toSet)
+    // batch-1 spans: ids 1..15 in doc_id order, 3 tokens each; batch-2
+    // spans CONTINUE at offset 45 without re-scanning the packed prefix
+    (1L to 15L).foreach(i => assert(packed(i) == (i - 1) * 3))
+    (16L to 20L).foreach(i => assert(packed(i) == 45 + (i - 16) * 3))
+  }
+
+  test("foreachBatch splice: dedup -> quota -> decontam emits verdicts " +
+      "for exactly the kept docs, matching the stateless kernel") {
+    import spark.implicits._
+    // 22 docs: 2 lose the quota; doc 1 carries the benchmark 8-gram run
+    val benchRun = (0 until 8).map(i => s"g$i").mkString(" ")
+    val rows = (1L to 22L).map { i =>
+      val filler = (0 until 10).map(k => s"c${i}w$k").mkString(" ")
+      (i, "sC", if (i == 1) s"$benchRun $filler" else s"$filler extra$i pad")
+    }
+    val bench = Seq((900L, benchRun + " tail0 tail1")).toDF("doc_id", "text")
+    val benchGrams = DecontamStream.benchmarkGrams(spark, bench)
+
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    withRocksDB {
+      streamOf(Seq(rows)) { docs => push =>
+        val q = CurationChain.curatedVerdicts(docs, benchGrams) { (df, _) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r => (r.getAs[Long]("doc_id"),
+              r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated")))
+          }
+        }.start()
+        push(); q.processAllAvailable(); q.stop()
+      }
+    }
+    val (kept, _) = batchReference(rows)
+    assert(buf.map(_._1).toSet == kept, "verdicts for exactly the kept docs")
+    // the planted doc is kept (longest text -> top quota rank) and dirty
+    val byId = buf.map(b => b._1 -> b).toMap
+    assert(byId(1L)._3 && byId(1L)._2 >= 1L)
+    assert(buf.filter(_._1 != 1L).forall(!_._3), "only the plant is dirty")
+    // parity with the stateless kernel run directly on the kept set
+    val direct = DecontamStream.verdictsBatch(
+        rows.filter(r => kept(r._1)).map(r => (r._1, r._3))
+          .toDF("doc_id", "text"), benchGrams)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toSet
+    assert(buf.toSet == direct)
+  }
+}
