@@ -373,6 +373,25 @@ object Curation {
       .parquet(outDir)
   }
 
+  /** [[writeShardsOf]]'s reader half — the LOADER side that closes the
+    * export loop: the hive layout (`source=<s>/shard=<n>/…`) back as one
+    * frame carrying every exported column plus the two partition
+    * columns. Partition discovery infers `shard` directory values as
+    * int; normalize to long so the loader sees the manifest's (q90)
+    * type. Downstream: feed [[Sampling.epochShuffleOn]] (or
+    * [[Sampling.epochScheduleOn]] when the store carries `repeats`) to
+    * derive each epoch's read order — spec-pinned to match the schedule
+    * computed on the pre-export frame, so export → read loses nothing
+    * the loader needs.
+    *
+    * Scale shape: shard/source pruning is free (partition columns), so
+    * a loader worker reading its assigned shards scans only their
+    * directories; no shuffle until the consumer adds one. */
+  def readShards(spark: org.apache.spark.sql.SparkSession,
+      shardDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(shardDir)
+      .withColumn("shard", col("shard").cast("long"))
+
   /** Q91: per-domain frequency capping — the quota rule crawl-scale
     * curation applies so no single site dominates the corpus (Penedo et
     * al., 2023 RefinedWeb §3.2 url-level filtering; Rae et al., 2021

@@ -638,20 +638,53 @@ object Sampling {
     * Scale shape: one HashPartitioning(shard) exchange; per-shard sort of
     * n/S rows. S scales with the cluster (here 16); the output pairs with
     * q90's manifest for the physical write. */
+  /** q102's schedule kernel over an ARBITRARY (doc_id, …) frame — the
+    * loader-side entry point ([[graft.queries.Curation.readShards]]'s
+    * stated consumer): two-level reproducible shuffle keyed by
+    * (epoch, doc_id). Extracted from q102 so the schedule computed on a
+    * read-back shard store is definitionally the same computation as on
+    * the pre-export frame. */
+  def epochShuffleOn(docs: org.apache.spark.sql.DataFrame,
+      epoch: String = "epoch1", shards: Int = 16): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit(s"$epoch:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard", Rand.u32(col("k")) % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** [[epochShuffleOn]] honoring REPEAT MULTIPLICITIES (q104's
+    * data-constrained schedule, carried by the shard store's `repeats`
+    * column): each document appears `repeats` times in the epoch order,
+    * each instance independently placed by hashing (epoch, doc_id,
+    * instance) — so a 4-epoch-tier document's four instances spread
+    * across shards instead of clumping, and a 0-repeats document never
+    * schedules. Same two-level shape: one hash shuffle, per-shard sorts;
+    * the explode multiplies rows by the mean repeat factor (≤ 4) before
+    * the exchange, nothing else changes. */
+  def epochScheduleOn(docs: org.apache.spark.sql.DataFrame,
+      epoch: String = "epoch1", shards: Int = 16): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"), col("rep"))
+    docs
+      .filter(col("repeats") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("repeats").cast("long"))).as("rep"))
+      .withColumn("k", md5(concat_ws(":", lit(epoch),
+        col("doc_id").cast("string"), col("rep").cast("string"))))
+      .withColumn("shard", Rand.u32(col("k")) % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rep"), col("shard"), col("pos"))
+  }
+
   private val q102 = {
     val shards = 16
     GraftQuery(
       "q102_epoch_shuffle",
-      (spark, dir) => {
-        val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
-        Tables.documents(spark, dir)
-          .select(col("doc_id"),
-            md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("k"))
-          .withColumn("shard", Rand.u32(col("k")) % shards)
-          .withColumn("pos", row_number().over(w).cast("long"))
-          .select(col("doc_id"), col("shard"), col("pos"))
-          .orderBy("shard", "pos")
-      },
+      (spark, dir) =>
+        epochShuffleOn(Tables.documents(spark, dir), "epoch1", shards)
+          .orderBy("shard", "pos"),
       Some(s"""
         WITH d AS (
           SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
