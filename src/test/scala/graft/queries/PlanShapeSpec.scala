@@ -237,6 +237,29 @@ class PlanShapeSpec extends SparkSpec {
       s"no doc_id-keyed join in the split plan — audit is vacuous:\n$full")
   }
 
+  test("q126 epoch plan: bloom-routed probe, hash-keyed LeftAnti for " +
+      "positives, keep-first window — never a nested-loop membership test") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Curation.bowFingerprint.as("fp"))
+    val sealedFps = docs.filter(col("doc_id") % 10 === 7).select("fp")
+    val batch = docs.filter(col("doc_id") % 10 =!= 7)
+    val bloom = sealedFps.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", 1000L, 0.01)
+    val s = Curation.epochAdmit(batch, sealedFps, bloom)
+      .queryExecution.executedPlan.toString
+    // the sketch routes: both union branches carry the compiled probe
+    assert("might_contain".r.findAllIn(s).length >= 2,
+      s"bloom probe missing from the epoch plan:\n$s")
+    // positives decide at a hash-keyed exact anti-join, never nested-loop
+    assert(s.contains("LeftAnti"), s"no anti-join in the epoch plan:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"epoch membership test degraded:\n$s")
+    // in-batch keep-first is a window on fp (one keyed shuffle), whose
+    // top-1 compiles to the map-side group limit
+    assert(s.contains("WindowGroupLimit"), s"keep-first not group-limited:\n$s")
+  }
+
   test("q125: hard-negative candidates come from a keyed (tbl, sig) bucket join " +
       "with the cross-label filter in the join, never all-pairs") {
     val s = planString("q125_hard_negatives_lsh")
