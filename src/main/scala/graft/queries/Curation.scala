@@ -744,22 +744,74 @@ object Curation {
     *                   one `fp` column
     * @param batches    per-epoch (doc_id, fp) frames, epoch order
     * @param capacity   bloom sizing: expected |sealed ∪ all batches| */
+  /** The ingest loop's RESUMABLE state: the sealed fingerprint set, the
+    * running bloom, and the capacity it was sized at (new delta blooms
+    * must share (numBits, numHashes) to stay mergeable, and those derive
+    * from capacity+fpp). [[saveIngestState]]/[[loadIngestState]] persist
+    * it between RUNS — a production crawl ends each run by saving and
+    * opens the next by loading, so no run ever re-derives the sealed
+    * corpus; q126's in-process loop is the same fold without the disk
+    * round-trip. */
+  final case class IngestState(sealedFps: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter, capacity: Long)
+
+  private def deltaBloomOf(fps: DataFrame, capacity: Long) = fps
+    .select(xxhash64(col("fp")).as("h"))
+    .stat.bloomFilter("h", math.max(capacity, 1L), 0.01)
+
+  /** Open a fresh ingest state over an initial sealed corpus. */
+  def ingestStateOf(sealedFps0: DataFrame, capacity: Long): IngestState = {
+    graft.plans.GraftExtensions.install(sealedFps0.sparkSession)
+    val sealed0 = sealedFps0.select("fp").localCheckpoint(true)
+    IngestState(sealed0, deltaBloomOf(sealed0, capacity), capacity)
+  }
+
+  /** One epoch step: admit `batch` (doc_id, fp) against the state,
+    * return the admitted frame (materialized) and the advanced state
+    * (delta-bloom merge + sealed-set append — never a sealed re-scan). */
+  def ingestEpoch(state: IngestState, batch: DataFrame)
+      : (DataFrame, IngestState) = {
+    val admitted =
+      epochAdmit(batch, state.sealedFps, state.bloom).localCheckpoint(true)
+    state.bloom.mergeInPlace(
+      deltaBloomOf(admitted.select("fp"), state.capacity))
+    (admitted, IngestState(
+      state.sealedFps.unionByName(admitted.select("fp")),
+      state.bloom, state.capacity))
+  }
+
+  /** Persist an [[IngestState]]: sealed fps as parquet (production
+    * keeps this table BUCKETED by fp and APPENDS each run's admitted
+    * delta instead of rewriting — `sources/Bucketing.scala`; the
+    * save-side compaction here is the single-store equivalent), the
+    * bloom's bits and the capacity beside it. */
+  def saveIngestState(state: IngestState, dir: String): Unit = {
+    state.sealedFps.write.mode("overwrite").parquet(s"$dir/sealed_fps")
+    val bos = new java.io.ByteArrayOutputStream()
+    state.bloom.writeTo(bos)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bloom.bin"), bos.toByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "capacity"),
+      state.capacity.toString.getBytes("UTF-8"))
+  }
+
+  def loadIngestState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IngestState = {
+    graft.plans.GraftExtensions.install(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "bloom.bin"))))
+    val capacity = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "capacity")), "UTF-8").trim.toLong
+    IngestState(spark.read.parquet(s"$dir/sealed_fps"), bloom, capacity)
+  }
+
   private[queries] def iteratedIngest(sealedFps0: DataFrame,
       batches: Seq[DataFrame], capacity: Long): DataFrame = {
-    val spark = sealedFps0.sparkSession
-    graft.plans.GraftExtensions.install(spark)
-    def deltaBloom(fps: DataFrame) = fps
-      .select(xxhash64(col("fp")).as("h"))
-      .stat.bloomFilter("h", math.max(capacity, 1L), 0.01)
-
-    val sealed0 = sealedFps0.select("fp").localCheckpoint(true)
-    val bloom = deltaBloom(sealed0)
-    var sealedFps = sealed0
+    var state = ingestStateOf(sealedFps0, capacity)
     val admittedEpochs = batches.zipWithIndex.map { case (batch, i) =>
-      val admitted =
-        epochAdmit(batch, sealedFps, bloom).localCheckpoint(true)
-      bloom.mergeInPlace(deltaBloom(admitted.select("fp")))
-      sealedFps = sealedFps.unionByName(admitted.select("fp"))
+      val (admitted, next) = ingestEpoch(state, batch)
+      state = next
       admitted.withColumn("epoch", lit((i + 1).toLong))
     }
     admittedEpochs.reduce(_ unionByName _)

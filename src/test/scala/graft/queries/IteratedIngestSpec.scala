@@ -69,4 +69,32 @@ class IteratedIngestSpec extends SparkSpec {
     // capacity = 1: near-every probe is a (false) positive -> exact join
     assert(run(1L) == run(1000L))
   }
+
+  test("save/load between runs: a resumed loop admits exactly what the " +
+      "uninterrupted loop admits (cross-RUN dedup, no sealed re-derive)") {
+    val sealed0 = Seq("S").toDF("fp")
+    val b1 = fps(1L -> "A", 2L -> "S", 3L -> "B")
+    val b2 = fps(10L -> "A", 11L -> "C")
+    val b3 = fps(20L -> "A", 21L -> "C", 22L -> "B", 23L -> "D")
+
+    // run 1: epochs 1-2, then persist the state
+    val dir = java.nio.file.Files.createTempDirectory("ingeststate").toString
+    var st = Curation.ingestStateOf(sealed0, capacity = 100L)
+    val (a1, st1) = Curation.ingestEpoch(st, b1)
+    val (a2, st2) = Curation.ingestEpoch(st1, b2)
+    Curation.saveIngestState(st2, dir)
+
+    // run 2 (fresh state object from disk): epoch 3
+    val resumed = Curation.loadIngestState(spark, dir)
+    val (a3, _) = Curation.ingestEpoch(resumed, b3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 23 ("D") is the only novel fingerprint in epoch 3: A/B sealed
+    // by run 1's epoch 1 (ACROSS the save/load), C by its epoch 2
+    assert(ids(a1) == Set(1L, 3L) && ids(a2) == Set(11L))
+    assert(ids(a3) == Set(23L))
+    // and the resumed loop's union equals the uninterrupted loop
+    val direct = Curation.iteratedIngest(sealed0, Seq(b1, b2, b3), 100L)
+    assert(ids(direct) == ids(a1) ++ ids(a2) ++ ids(a3))
+  }
 }
