@@ -45,7 +45,7 @@ object StreamThroughputProbe {
 
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
-      "dedup-sparse-rocks", "decontam", "quota")
+      "dedup-sparse-rocks", "decontam", "quota", "chain")
     val rocksAll = args.contains("rocksdb")
     if (rocksAll)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -304,6 +304,37 @@ object StreamThroughputProbe {
       report("quota 1M (20k domains)", q, wall, 1000000L, nKeys)
       q.stop()
     }
+    // ---- CurationChain: 1M docs, dedup -> quota -> pack in ONE plan ----
+    // 5% of each batch re-delivers earlier doc_ids (the dedup stage's
+    // work), 20k sources (the quota/pack keyspace). Measures the
+    // COMPOSED cost against the individual quota/pack sections above —
+    // the delta is the dedup stage + the extra exchange, not a new
+    // state regime.
+    section("chain") {
+      val in = MemoryStream[(Long, Timestamp, String, String)]
+      val q = CurationChain.curatedPacked(
+          in.toDF().toDF("doc_id", "ts", "source", "text"))
+        .writeStream.format("noop").outputMode("append").start()
+      val nKeys = 20000L
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 100000).map { i =>
+          val fresh = b * 95000L + (i % 95000)
+          val id = if (i >= 95000) math.max(0L, fresh - 95000L) else fresh
+          (id, new Timestamp(3600000L * b),
+            s"s${id % nKeys}", s"w${id} x y z")
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val so = q.lastProgress.stateOperators
+      reportPlain("chain 1M (dedup->quota->pack, 20k sources)", wall,
+        f"1000000 events in $wall%.2f s = ${1000000L / wall}%.0f rec/s; " +
+        s"state ops=${so.length} rows=${so.map(_.numRowsTotal).mkString("/")} " +
+        s"bytes=${so.map(_.memoryUsedBytes).sum}")
+      q.stop()
+    }
+
     best.foreach { case (name, (_, line)) =>
       println(s"[streamprobe-best] $name: $line")
     }
