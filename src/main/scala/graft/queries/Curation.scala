@@ -734,7 +734,15 @@ object Curation {
     * bucketed by fp (`sources/Bucketing.scala`) and each epoch APPENDS
     * its admitted fps to those buckets, so the exact anti-join shuffles
     * nothing on the corpus side in any epoch; the running filter
-    * persists beside the corpus as ~1.2 KB per 1 000 keys.
+    * persists beside the corpus as ~1.2 KB per 1 000 keys. That rate
+    * bounds the single-filter regime: at fpp 0.01 a 10⁹-key capacity is
+    * a ~1.2 GB filter — still broadcastable, but the ceiling; past it,
+    * split the filter ALONG THE EXISTING fp BUCKETS (one bloom per
+    * bucket of the sealed table, probed after the same hash routes the
+    * row to its bucket) so each piece stays executor-sized and delta
+    * merges stay per-bucket. Raising fpp is the cheaper lever first:
+    * the filter only routes, so 0.1 fpp just sends 10× more (still few)
+    * rows to the exact join at half the bits.
     *
     * The growing sealed side is a UNION of the epoch-0 checkpoint and
     * each epoch's admitted checkpoint — k materialized scans, zero

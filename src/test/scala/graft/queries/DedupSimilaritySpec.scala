@@ -253,10 +253,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // at the probe's 20-anchor set the balance term keeps 4 bits through
     // 100x — the round-15 probe MEASURED that (8x4 recall 0.87-0.90 and
     // faster wall than wider bandings; occupancy 12.4k/bucket not binding)
-    assert(Similarity.adaptiveBanding(60000L) == ((8, 4)))   // 30x probe corpus
+    assert(Similarity.adaptiveBanding(59420L) == ((8, 4)))   // 30x probe corpus
     assert(Similarity.adaptiveBanding(198020L) == ((8, 4)))  // 100x probe corpus
     // ...until the occupancy cap (16384) binds: the 300x corpus crosses it
-    assert(Similarity.adaptiveBanding(594050L) == ((16, 6))) // 300x probe corpus
+    assert(Similarity.adaptiveBanding(594020L) == ((16, 6))) // 300x probe corpus
     // anchor-balance term: a production-size anchor set (mine negatives
     // for EVERY doc) pushes bits to the b·2^b >= anchors solution
     assert(Similarity.adaptiveBanding(1000000L, anchors = 1000000L)._2 == 16)
