@@ -857,10 +857,12 @@ object Curation {
     * twins resolve keep-first). At sf0.01 every path is non-vacuous:
     * 400 admitted, 34 sealed-rejected, 14 rejected by an earlier epoch's
     * admission, 2 by a same-batch twin. Probed sub-linear at
-    * 30×/100×/300× on both corpus modes (tail exps 0.88 then 0.75
-    * cipher, 0.72 heaps — SCALING.md round 16): the gate's work tracks
-    * admissions, not arrivals, and fixed per-run costs amortize as the
-    * corpus grows. */
+    * 30×/100×/300× on both corpus modes (tail exps 0.88→0.75 cipher,
+    * 0.72→0.90 heaps — SCALING.md round 16): the gate's cost tracks
+    * ADMISSIONS (the corpus's novelty rate), not arrivals — the heaps
+    * exponent rises exactly when that corpus stops yielding new
+    * cross-copy collisions, the cipher exponent falls as fixed per-run
+    * costs amortize. */
   private val q126 = GraftQuery(
     "q126_iterated_ingest",
     (spark, dir) => {
