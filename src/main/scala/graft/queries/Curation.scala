@@ -776,7 +776,16 @@ object Curation {
 
   /** One epoch step: admit `batch` (doc_id, fp) against the state,
     * return the admitted frame (materialized) and the advanced state
-    * (delta-bloom merge + sealed-set append — never a sealed re-scan). */
+    * (delta-bloom merge + sealed-set append — never a sealed re-scan).
+    *
+    * The bloom is advanced IN PLACE (`mergeInPlace` — copying a
+    * gigabyte-class filter per epoch would defeat the delta design), so
+    * the pre-step state aliases the advanced filter and MUST NOT be
+    * reused after this call: the returned state is the only valid
+    * continuation. A stale pre-step state is still SAFE on the admit
+    * side — extra bloom bits only create false positives, which the
+    * exact anti-join re-decides — but its sealedFps lacks this epoch's
+    * admissions, so treat the old reference as consumed. */
   def ingestEpoch(state: IngestState, batch: DataFrame)
       : (DataFrame, IngestState) = {
     val admitted =
@@ -794,7 +803,12 @@ object Curation {
     * save-side compaction here is the single-store equivalent), the
     * bloom's bits and the capacity beside it. */
   def saveIngestState(state: IngestState, dir: String): Unit = {
-    state.sealedFps.write.mode("overwrite").parquet(s"$dir/sealed_fps")
+    // materialize BEFORE the overwrite: a loaded state's sealedFps READS
+    // from this very path, and Spark's overwrite deletes the target
+    // before the (lazy) plan would scan it — the round-trip save into
+    // the same state dir must not destroy its own input
+    state.sealedFps.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/sealed_fps")
     val bos = new java.io.ByteArrayOutputStream()
     state.bloom.writeTo(bos)
     java.nio.file.Files.write(

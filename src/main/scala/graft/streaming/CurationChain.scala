@@ -29,15 +29,23 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Outp
   *    stages first, stateless verdict stages in the terminal sink where
   *    they are plain batch code.
   *
-  * Stage ORDER follows the batch composite's relative order for the
-  * stages present (q124: exact dedup → … → decontam / caps): dedup
-  * always first (every downstream stage's state budget shrinks), caps
-  * before packing (pack offsets are meaningless for docs the quota
-  * rejects). Parity contract (StreamingChainSpec): one-batch delivery
-  * reproduces the batch stages composed in the same order; multi-batch
-  * delivery preserves each twin's own cross-batch semantics (dedup
-  * drops re-deliveries, quota binds across batches, pack offsets never
-  * re-scan).
+  * Stage ORDER: dedup always first (every downstream stage's state
+  * budget shrinks), caps before packing (pack offsets are meaningless
+  * for docs the quota rejects) — matching the batch composite's
+  * relative order for those stages. The verdict splice is the ONE
+  * deliberate order deviation: q124 decontaminates BEFORE capping,
+  * while [[curatedVerdicts]] must verdict after the cap (foreachBatch
+  * is terminal), so a contaminated document can still consume a quota
+  * slot here. The verdict itself is unaffected (it is a pure function
+  * of (text, benchmark) — delivery- and position-invariant), but the
+  * KEPT SET is the conservative one: treat contaminated-kept rows as
+  * dropped-with-slot-consumed, or run DecontamStream as its own
+  * upstream stage feeding this chain when q124's exact admission
+  * accounting is required. Parity contract (StreamingChainSpec):
+  * one-batch delivery reproduces the batch stages composed in THIS
+  * chain's order; multi-batch delivery preserves each twin's own
+  * cross-batch semantics (dedup drops re-deliveries, quota binds
+  * across batches, pack offsets never re-scan).
   *
   * Scale shape: one keyed exchange per stateful stage (doc_id, then
   * source, then source again — the quota and pack stages share the key,

@@ -97,4 +97,25 @@ class IteratedIngestSpec extends SparkSpec {
     val direct = Curation.iteratedIngest(sealed0, Seq(b1, b2, b3), 100L)
     assert(ids(direct) == ids(a1) ++ ids(a2) ++ ids(a3))
   }
+
+  test("saving into the SAME state dir a loaded state reads from does " +
+      "not destroy its own input (the production run-over-run cycle)") {
+    val dir = java.nio.file.Files.createTempDirectory("ingestcycle").toString
+    val st0 = Curation.ingestStateOf(Seq("S").toDF("fp"), capacity = 100L)
+    val (_, st1) = Curation.ingestEpoch(st0, fps(1L -> "A", 2L -> "B"))
+    Curation.saveIngestState(st1, dir)
+    // run 2: load from dir, advance, save BACK INTO dir (lazy sealedFps
+    // reads the very parquet the save overwrites)
+    val r2 = Curation.loadIngestState(spark, dir)
+    val (a2, st2) = Curation.ingestEpoch(r2, fps(10L -> "A", 11L -> "C"))
+    Curation.saveIngestState(st2, dir)
+    // run 3 sees the full sealed set: S, A, B, C all reject
+    val r3 = Curation.loadIngestState(spark, dir)
+    assert(r3.sealedFps.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("A", "B", "C", "S"))
+    val (a3, _) = Curation.ingestEpoch(r3,
+      fps(20L -> "A", 21L -> "B", 22L -> "C", 23L -> "S", 24L -> "E"))
+    assert(a2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+    assert(a3.select("doc_id").collect().map(_.getLong(0)).toSet == Set(24L))
+  }
 }
