@@ -47,11 +47,18 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Outp
   * cross-batch semantics (dedup drops re-deliveries, quota binds
   * across batches, pack offsets never re-scan).
   *
-  * Scale shape: one keyed exchange per stateful stage (doc_id, then
-  * source, then source again — the quota and pack stages share the key,
-  * and Spark reuses the partitioning between them), state per stage is
-  * the twin's own documented bound (watermark-bounded dedup keys, O(1)
-  * per source for quota and pack). Run under RocksDB in production
+  * Scale shape: one keyed exchange per stateful stage — THREE total
+  * (doc_id, then source, then source again; plan-verified). The
+  * quota→pack re-exchange is real even though both key on source: each
+  * typed groupByKey re-derives its key expression (appendColumns), and
+  * Catalyst cannot prove the two derived keys equal across the fMGWS
+  * boundary — the known cost of the typed API. It shuffles only the
+  * quota's KEPT rows (cap-bounded per source per batch), so it is the
+  * cheapest of the three; eliminating it would mean a combined
+  * quota+pack state transition, a fusion to reach for only if the
+  * exchange ever shows up in a profile. State per stage is the twin's
+  * own documented bound (watermark-bounded dedup keys, O(1) per source
+  * for quota and pack). Run under RocksDB in production
   * (SCALING.md round 15) — the chain's three state stores ride the same
   * provider config. */
 object CurationChain {
