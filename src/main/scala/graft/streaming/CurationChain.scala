@@ -108,20 +108,19 @@ object CurationChain {
   /** dedup → quota → decontam: the kept documents of each micro-batch
     * run through the stateless benchmark-overlap kernel in the terminal
     * sink; `emit` receives (doc_id, source, n_tok, n_shared,
-    * contaminated) per batch. The benchmark distinct is hoisted once
-    * per stream, DecontamStream.writer's rule. */
+    * contaminated) per batch. The benchmark gram-distinct runs inside
+    * the batch kernel — DecontamStream.writer's measured rule (the
+    * per-batch aggregate broadcasts better than a hoisted checkpoint
+    * join; SCALING.md round 16). */
   def curatedVerdicts(docs: DataFrame, benchGrams: DataFrame,
       lateness: String = "1 hour")(
-      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val benchDistinct =
-      benchGrams.select("gram").distinct().localCheckpoint(true)
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     cappedDocs(docs, lateness).filter(col("kept"))
       .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val verdicts = DecontamStream.verdictsBatch(
-          batch.select("doc_id", "text"), benchDistinct)
+          batch.select("doc_id", "text"), benchGrams)
         emit(batch.select("doc_id", "source", "n_tok")
           .join(verdicts, "doc_id"), batchId)
       }
-  }
 }

@@ -83,7 +83,7 @@ object DecontamStream {
     * [[writer]] pays the defensive distinct once per stream and calls
     * this per micro-batch; [[verdictsBatch]] keeps the distinct for the
     * public direct-batch entry. */
-  private def verdictsOnDistinct(docs: DataFrame,
+  private[streaming] def verdictsOnDistinct(docs: DataFrame,
       benchDistinct: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.install(spark)
@@ -103,20 +103,23 @@ object DecontamStream {
   /** (doc_id, text) stream → per-batch verdict frames delivered to
     * `emit` (the MixStream writer shape).
     *
-    * The defensive gram-distinct is HOISTED here — paid once at stream
-    * start, not as a per-micro-batch HashAggregate over the full
-    * benchmark gram set (the round-15 hot-path cost): the distinct'd
-    * side is materialized (eager localCheckpoint) so every batch joins
-    * the computed frame. When `benchGrams` already came through
-    * [[benchmarkGrams]] this re-materializes one extra copy of an
-    * already-distinct frame — a bounded one-time memory cost, against
-    * an unbounded per-batch aggregate for the life of the stream. */
+    * The per-batch gram-distinct stays IN the batch kernel by
+    * MEASUREMENT: round 16 built the advice-suggested hoisted variant
+    * (distinct+checkpoint once per stream) and ran both through the
+    * probe pair (`StreamThroughputProbe decontam decontam-hoisted`)
+    * repeatedly — isolated fresh-JVM runs land within ~5% of each other
+    * (142 k vs 150 k rec/s min-of-6), inside the harness's section-order
+    * JIT bias, which a naive same-JVM comparison mis-read as 13% both
+    * ways depending on which section ran second. With no real
+    * throughput difference, the per-batch spelling wins on design: one
+    * entry point that is correct for ANY caller's benchmark frame, and
+    * no second materialized gram-set copy in the block store. The
+    * distinct is an aggregate over an already-distinct bounded set —
+    * batch-local and benchmark-sized, never corpus-sized. SCALING.md
+    * round 16 records the full comparison. */
   def writer(docs: DataFrame, benchGrams: DataFrame)(
-      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val benchDistinct =
-      benchGrams.select("gram").distinct().localCheckpoint(true)
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      emit(verdictsOnDistinct(batch, benchDistinct), batchId)
+      emit(verdictsBatch(batch, benchGrams), batchId)
     }
-  }
 }
