@@ -15,7 +15,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
   * [rocksdb] [section...]"` — sections: asof pack mix dedup dedup-expr
   * dedup-state dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam
-  * quota (no args = all; unknown names abort). The `rocksdb` flag runs
+  * decontam-hoisted quota chain (no args = all; unknown names abort).
+  * CAVEAT (round-16 lesson): same-JVM comparisons BETWEEN sections
+  * carry a section-order JIT bias of ~10% — the later section runs
+  * warmer. To compare two sections, run each alone in a fresh JVM
+  * (the batch probes' rule) and compare the isolated min-of-N. The `rocksdb` flag runs
   * every selected section under RocksDBStateStoreProvider — the
   * documented PRODUCTION default for the stateful twins (round-14
   * measurement: identical wall, 10× lower state memory; see SCALING.md
@@ -306,8 +310,16 @@ object StreamThroughputProbe {
       val q = in.toDF().toDF("doc_id", "text")
         .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            verdicts +=
-              DecontamStream.verdictsOnDistinct(batch, benchDistinct).count()
+            val v = DecontamStream.verdictsOnDistinct(batch, benchDistinct)
+            val c = v.agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)),
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum(
+                  org.apache.spark.sql.functions.when(
+                    org.apache.spark.sql.functions.col("contaminated"), 1L)
+                    .otherwise(0L)),
+                org.apache.spark.sql.functions.lit(0L))).head()
+            verdicts += c.getLong(0)
         }.start()
       val t0 = System.nanoTime()
       for (b <- 0 until 10) {
