@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Clustering, Converter, Curation, CurationPipeline, Dedup, Evaluation, Multimodal, Relational, Sampling, Services, Similarity, Text, Windows}
+import graft.queries.{Advanced, Clustering, Converter, Curation, CurationPipeline, Dedup, Evaluation, Multimodal, Relational, Retrieval, Sampling, Services, Similarity, Text, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are declared once as [[GraftQuery]] values in `graft.queries.*`
@@ -14,7 +14,7 @@ object SparkEntry {
     Relational.all ++ Windows.all ++ Advanced.all ++ Text.all ++ Dedup.all ++
       Curation.all ++ Similarity.all ++ Clustering.all ++ Sampling.all ++
       Converter.all ++ Multimodal.all ++ Services.all ++ Evaluation.all ++
-      CurationPipeline.all
+      CurationPipeline.all ++ Retrieval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 3-way join + aggregation (exercises scan, shuffle join, broadcast,

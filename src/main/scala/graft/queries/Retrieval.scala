@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical + hybrid retrieval over the `documents` corpus — the
+  * data-selection primitives a training-data pipeline runs constantly
+  * (more-like-this mining for domain data, retrieval-based decontamination,
+  * hybrid candidate generation for hard negatives). Beyond-reference
+  * additions; the reference ships no retrieval code.
+  *
+  * Q127 — Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's always-positive idf
+  * ln(1 + (N − df + ½)/(df + ½))) in "more-like-this" form: the query set
+  * is the first [[NAnchors]] documents, each querying with its own distinct
+  * token set; top-[[TopK]] matches per query, self excluded.
+  *
+  * Q128 — hybrid retrieval: BM25's lexical top-20 fused with exact-cosine
+  * embedding top-20 (doc_id ≡ vec_id in the testdata corpus) by reciprocal
+  * rank fusion, rrf = Σ 1/(60 + rank) (Cormack et al., SIGIR'09).
+  *
+  * Bit-exactness: per-term BM25 contributions are summed by an ORDERED
+  * left fold (terms sorted; Spark `aggregate` over `array_sort`, DuckDB
+  * `list_reduce` over `list(... ORDER BY term)` with a prepended 0.0) —
+  * a plain SUM(double) is summation-order-nondeterministic and would
+  * hash-flap. The idf's log goes through [[DetMath]] (libm `ln` differs
+  * between engines in the last ulp; measured, see DetMath's scaladoc).
+  * Decimal literals that would meet integers in DuckDB are cast to DOUBLE
+  * first — DuckDB decimal arithmetic rounds differently than IEEE.
+  *
+  * 100 TB shape (q127): the full-corpus inverted index is never
+  * materialized — postings are joined against the BROADCAST query
+  * vocabulary, so df/idf and the scoring join only ever touch the ≤|query
+  * vocab| term slice of the corpus (a semi-join the optimizer pushes to
+  * the scan); corpus stats (N, Σdl) are metadata-class one-row aggregates;
+  * the per-(query, doc) fold is a keyed shuffle bounded by matched pairs;
+  * top-k is a per-query rank filter (partial per-partition heaps). The
+  * idf's wide DetMath tree runs on the per-TERM frame (|query vocab| rows),
+  * not per posting. q128 adds one (query_id, doc_id)-keyed full-outer join
+  * of two already-top-20 (i.e. anchors×20-row) frames — broadcast-scale.
+  */
+object Retrieval {
+
+  private val NAnchors = 8
+  private val TopK = 10
+  private val FuseDepth = 20
+
+  /** BM25 more-like-this ranking, Spark side: every (query, doc, rank ≤ k)
+    * with the ordered-fold score and matched-term count. */
+  private[queries] def bm25Ranked(spark: SparkSession, dir: String,
+      nAnchors: Int, k: Int): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("sum_dl"))
+    val qterms = toks.filter(col("doc_id") < nAnchors)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val qvocabTerms = qterms.select("term").distinct()
+    // The query-vocabulary broadcast filter sits BELOW the tf aggregation
+    // (plan-audited): the exploded posting stream is hash-probed map-side
+    // before any shuffle, so the full-corpus inverted index is never
+    // built — only the |query vocab| term slice is aggregated. dl is the
+    // FULL document length (computed from toks before the filter).
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qvocabTerms), Seq("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qvocab = dfreq.crossJoin(broadcast(stats))
+      .withColumn("x",
+        lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("idf", DetMath.lnCol(col("x")))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .select("term", "idf", "avgdl")
+    val contrib = col("idf") * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    broadcast(qterms.as("q"))
+      .join(postings.as("p"),
+        col("p.term") === col("q.term") && col("p.doc_id") =!= col("q.query_id"))
+      .join(broadcast(qvocab.as("f")), col("f.term") === col("q.term"))
+      .select(col("q.query_id"), col("p.doc_id"), col("q.term"), contrib.as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("c")))),
+          lit(0.0), (acc, t) => acc + t.getField("c")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The matching DuckDB CTE chain, ending in relation `lex` with columns
+    * (query_id, doc_id, n_terms, score, rank ≤ k). */
+  private def bm25RankedSqlCtes(nAnchors: Int, k: Int): String =
+    s"""btoks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), bpost AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM btoks)
+        GROUP BY doc_id, dl, term
+      ), bstats AS (
+        SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+        FROM btoks
+      ), bq AS (
+        SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+        FROM btoks WHERE doc_id < $nAnchors
+      ), bdf AS (
+        SELECT p.term, count(*) AS df
+        FROM bpost p WHERE p.term IN (SELECT term FROM bq)
+        GROUP BY p.term
+      ), bx AS (
+        SELECT term, df,
+               1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+                     (CAST(df AS DOUBLE) + 0.5) AS x
+        FROM bdf CROSS JOIN bstats
+      ), ${DetMath.lnSqlCtes("bx", "x", "idf")},
+      bscore AS (
+        SELECT q.query_id, p.doc_id, q.term,
+               f.idf * (CAST(p.tf AS DOUBLE) * 2.2) /
+               (CAST(p.tf AS DOUBLE) +
+                1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) /
+                       (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS c
+        FROM bq q
+        JOIN bpost p ON p.term = q.term AND p.doc_id <> q.query_id
+        JOIN idf_fin f ON f.term = q.term
+        CROSS JOIN bstats s
+      ), bsum AS (
+        SELECT query_id, doc_id,
+               list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                                        list(c ORDER BY term)),
+                           (u, v) -> u + v) AS score,
+               count(*) AS n_terms
+        FROM bscore GROUP BY query_id, doc_id
+      ), lex AS (
+        SELECT query_id, doc_id, n_terms, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM bsum QUALIFY rank <= $k
+      )"""
+
+  private[queries] val q127 = GraftQuery(
+    "q127_bm25_retrieval",
+    (spark, dir) =>
+      bm25Ranked(spark, dir, NAnchors, TopK)
+        .select("query_id", "doc_id", "n_terms", "score", "rank")
+        .orderBy("query_id", "rank"),
+    Some(s"""
+      WITH ${bm25RankedSqlCtes(NAnchors, TopK)}
+      SELECT query_id, doc_id, n_terms, score, rank
+      FROM lex ORDER BY query_id, rank"""),
+    headline = true)
+
+  /** Exact-cosine ranking of the same anchor set over embeddings (the
+    * doc_id ≡ vec_id corpus alignment), reusing the compiled dot fold. */
+  private[queries] def cosineRanked(spark: SparkSession, dir: String,
+      nAnchors: Int, k: Int): DataFrame = {
+    val e = Similarity.normedVectors(spark, dir)
+    val q = e.filter(col("vec_id") < nAnchors)
+    val cos = Similarity.dot(col("q.v"), col("c.v")) /
+      (col("q.nrm") * col("c.nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("doc_id"))
+    broadcast(q.as("q"))
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("doc_id"),
+        cos.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  private[queries] val q128 = GraftQuery(
+    "q128_hybrid_rrf",
+    (spark, dir) => {
+      val lex = bm25Ranked(spark, dir, NAnchors, FuseDepth)
+        .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank0"))
+      val vec = cosineRanked(spark, dir, NAnchors, FuseDepth)
+        .select(col("query_id"), col("doc_id"), col("rank").as("vec_rank0"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_rank0"), lit(-1)).cast("long").as("lex_rank"),
+          coalesce(col("vec_rank0"), lit(-1)).cast("long").as("vec_rank"),
+          (coalesce(lit(1.0) / (lit(60) + col("lex_rank0")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank0")), lit(0.0)))
+            .as("rrf_score"))
+        .withColumn("fused_rank", row_number().over(w))
+        .filter(col("fused_rank") <= TopK)
+        .orderBy("query_id", "fused_rank")
+    },
+    Some(s"""
+      WITH ${bm25RankedSqlCtes(NAnchors, FuseDepth)},
+      ${Similarity.normedVectorsSql},
+      vscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               ${Similarity.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < $NAnchors
+      ), vec AS (
+        SELECT query_id, doc_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS rank
+        FROM vscored QUALIFY rank <= $FuseDepth
+      ), fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(l.rank, -1) AS lex_rank,
+               coalesce(v.rank, -1) AS vec_rank,
+               coalesce(CAST('1.0' AS DOUBLE) / (60 + l.rank),
+                        CAST('0.0' AS DOUBLE)) +
+               coalesce(CAST('1.0' AS DOUBLE) / (60 + v.rank),
+                        CAST('0.0' AS DOUBLE)) AS rrf_score
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+      ), franked AS (
+        SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id) AS fused_rank
+        FROM fused QUALIFY fused_rank <= $TopK
+      )
+      SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, fused_rank
+      FROM franked ORDER BY query_id, fused_rank"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q127, q128)
+}

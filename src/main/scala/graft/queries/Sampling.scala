@@ -930,7 +930,68 @@ object Sampling {
       headline = true)
   }
 
+  /** Q129: annealing-phase schedule — the end-of-training quality anneal
+    * (Llama-3-style: finish training on the best data) as a DATA operator.
+    * The highest-quality documents whose cumulative token mass stays within
+    * 1/10 of the corpus total form the `anneal` phase (trained last);
+    * everything else is `main`. The split is BUCKET-granular (1024
+    * fixed-width quality buckets), deliberately: an exact per-document
+    * cumulative sum is a global single-partition window — a scale-killer at
+    * 100 TB — while the bucket rollup is one keyed aggregation to ≤1024
+    * rows, a driver-scale window over those, and a broadcast join back; the
+    * phase boundary lands within one bucket (≤0.1% of the quality range) of
+    * the exact token budget. The gate arithmetic is all-integer
+    * (`cum*10 <= total` — no float comparison to drift); quality_score
+    * reuses q21's bit-exact expression tree. */
+  private val q129 = GraftQuery(
+    "q129_anneal_schedule",
+    (spark, dir) => {
+      val bucketed = Text.qualityScoredOn(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          least(floor(col("quality_score") * lit(1024.0)), lit(1023L))
+            .as("bucket"))
+      val byBucket = bucketed.groupBy("bucket")
+        .agg(sum("n_tokens").as("bucket_tokens"))
+      val totals = byBucket.agg(sum("bucket_tokens").as("total_tokens"))
+      val w = Window.partitionBy(oneGroup(col("bucket").cast("string")))
+        .orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phased = byBucket
+        .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          when(col("cum_tokens") * 10 <= col("total_tokens"), lit("anneal"))
+            .otherwise(lit("main")).as("phase"))
+      bucketed.join(broadcast(phased), Seq("bucket"))
+        .select("doc_id", "bucket", "n_tokens", "quality_score", "phase")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${Text.qualityScoredSql},
+      bucketed AS (
+        SELECT doc_id, n_tokens, quality_score,
+               least(CAST(floor(quality_score * 1024.0) AS BIGINT), 1023) AS bucket
+        FROM quality
+      ), by_bucket AS (
+        SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+        FROM bucketed GROUP BY bucket
+      ), phased AS (
+        SELECT bucket,
+               CAST(sum(bucket_tokens) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM by_bucket
+      ), tot AS (
+        SELECT CAST(sum(bucket_tokens) AS BIGINT) AS total_tokens FROM by_bucket
+      )
+      SELECT b.doc_id, b.bucket, b.n_tokens, b.quality_score,
+             CASE WHEN p.cum_tokens * 10 <= t.total_tokens
+                  THEN 'anneal' ELSE 'main' END AS phase
+      FROM bucketed b JOIN phased p USING (bucket) CROSS JOIN tot t
+      ORDER BY doc_id"""),
+    headline = true)
+
   val all: Seq[GraftQuery] =
     Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103, q105,
-      q120)
+      q120, q129)
 }

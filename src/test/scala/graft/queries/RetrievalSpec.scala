@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-structure tests for the retrieval family (q127 BM25
+  * more-like-this, q128 hybrid RRF) plus property pins for the q129
+  * annealing schedule and the DetMath deterministic-ln kernel they ride on.
+  *
+  * The planted corpus: anchor doc 0 carries 20 rare terms; doc 50 is its
+  * exact bag twin (must top the lexical list AND the fused list — it also
+  * gets a near-identical embedding), doc 60 shares half the terms
+  * (lexical-only candidate), doc 70 is textually disjoint but
+  * embedding-close (vector-only candidate: must surface in the fusion with
+  * lex_rank = −1). Filler docs 20..45 share nothing with anchor 0, so its
+  * lexical candidate set is exactly {50, 60}.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("retrieval").toString
+    import spark.implicits._
+    val rare = words("zq", 20)
+    val docs =
+      // anchors 0..7 — disjoint vocabularies so each query's candidates
+      // are independent
+      Seq((0L, rare.mkString(" "))) ++
+      (1 to 7).map(i => (i.toLong, words(s"anch$i", 12).mkString(" "))) ++
+      // filler: common words only, no overlap with any anchor
+      (20 to 45).map(i => (i.toLong, Seq.fill(15)(s"w${i % 5}").mkString(" "))) ++
+      Seq(
+        (50L, rare.mkString(" ")),                                // bag twin
+        (60L, (rare.take(10) ++ words("only60", 10)).mkString(" ")), // half overlap
+        (70L, words("v70", 20).mkString(" ")))                    // disjoint text
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    def unit(dim: Int): Seq[Float] =
+      (0 until 64).map(j => if (j == dim) 1.0f else 0.0f)
+    def mix(a: Int, b: Int, wa: Float, wb: Float): Seq[Float] =
+      (0 until 64).map(j =>
+        (if (j == a) wa else 0.0f) + (if (j == b) wb else 0.0f))
+    val vecs =
+      Seq((0L, unit(0), 0)) ++
+      (1 to 7).map(i => (i.toLong, unit(i), 0)) ++
+      Seq(
+        (50L, mix(0, 8, 0.99f, 0.05f), 0),  // near anchor 0
+        (60L, unit(9), 0),                  // orthogonal to anchor 0
+        (70L, mix(0, 10, 0.9f, 0.3f), 0))   // embedding-close, text-disjoint
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private lazy val lex =
+    Retrieval.bm25Ranked(spark, dir, nAnchors = 8, k = 10)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_terms")),
+        r.getDouble(r.fieldIndex("score")),
+        r.getInt(r.fieldIndex("rank"))))
+
+  test("q127: the planted bag twin tops anchor 0's lexical list") {
+    val q0 = lex.filter(_._1 == 0L).sortBy(_._5)
+    assert(q0.map(_._2).toSeq == Seq(50L, 60L),
+      s"query 0 candidates must be exactly twin+half-overlap: ${q0.toSeq}")
+    val (_, top, nTerms, _, _) = (q0.head._1, q0.head._2, q0.head._3, q0.head._4, q0.head._5)
+    assert(top == 50L && nTerms == 20L)
+  }
+
+  test("q127: more matched terms at equal tf beats fewer (score order)") {
+    val q0 = lex.filter(_._1 == 0L)
+    val s50 = q0.find(_._2 == 50L).get._4
+    val s60 = q0.find(_._2 == 60L).get._4
+    assert(s50 > s60, s"twin score $s50 must exceed half-overlap $s60")
+    assert(q0.find(_._2 == 60L).get._3 == 10L)
+  }
+
+  test("q127: textually disjoint docs never surface (no dense scoring)") {
+    assert(!lex.exists(t => t._1 == 0L && t._2 == 70L))
+    assert(!lex.exists(t => t._1 == 0L && (20L to 45L).contains(t._2)))
+  }
+
+  test("q128: fusion ranks the both-list twin first; vector-only doc carries lex_rank = -1") {
+    val fused = SparkEntry_q128(dir)
+    val q0 = fused.filter(_._1 == 0L)
+    assert(q0.minBy(_._6)._2 == 50L, s"fused top-1 for query 0: ${q0.toSeq}")
+    val d70 = q0.find(_._2 == 70L)
+    assert(d70.isDefined, "embedding-close doc 70 must surface via the vector list")
+    assert(d70.get._3 == -1L && d70.get._4 > 0L,
+      "doc 70 is vector-only: lex_rank -1, vec_rank set")
+    val d60 = q0.find(_._2 == 60L)
+    assert(d60.isDefined && d60.get._3 > 0L)
+  }
+
+  test("q128: rrf_score is exactly the rank-reciprocal sum of its two columns") {
+    val fused = SparkEntry_q128(dir)
+    fused.foreach { case (_, _, lexR, vecR, rrf, _) =>
+      val expect =
+        (if (lexR > 0) 1.0 / (60 + lexR) else 0.0) +
+          (if (vecR > 0) 1.0 / (60 + vecR) else 0.0)
+      assert(math.abs(rrf - expect) < 1e-15, s"rrf $rrf != $expect")
+    }
+  }
+
+  private def SparkEntry_q128(d: String) =
+    graft.SparkEntry.queries("q128_hybrid_rrf")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+
+  test("q129: anneal buckets sit strictly above main buckets and respect the token budget greedily") {
+    val out = graft.SparkEntry.queries("q129_anneal_schedule")(spark, sfDir)
+      .select("bucket", "n_tokens", "phase").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+    val total = out.map(_._2).sum
+    val anneal = out.filter(_._3 == "anneal")
+    val main = out.filter(_._3 == "main")
+    assert(main.nonEmpty, "a 10% budget can never swallow the whole corpus")
+    if (anneal.nonEmpty) {
+      assert(anneal.map(_._1).min > main.map(_._1).max,
+        "anneal must be a quality-bucket prefix from the top")
+      assert(anneal.map(_._2).sum * 10 <= total, "anneal overshot the budget")
+    }
+    // Greedy maximality: pulling in the next (highest main) bucket must
+    // break the budget.
+    val nextBucket = main.map(_._1).max
+    val withNext = anneal.map(_._2).sum +
+      main.filter(_._1 == nextBucket).map(_._2).sum
+    assert(withNext * 10 > total,
+      "the highest main bucket would still have fit — split is not greedy-maximal")
+  }
+}
