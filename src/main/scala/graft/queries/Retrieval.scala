@@ -50,7 +50,12 @@ object Retrieval {
     * with the ordered-fold score and matched-term count. */
   private[queries] def bm25Ranked(spark: SparkSession, dir: String,
       nAnchors: Int, k: Int): DataFrame = {
+    // Explicit-count repartition: the testdata tables are one parquet file
+    // each (one scan partition), and AQE coalesces small exchanges by BYTES
+    // — without this the explode + broadcast probe + partial aggregation
+    // run near-single-threaded (the repo-wide single-file gotcha).
     val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val stats = toks.agg(
       count(lit(1)).as("n_docs"),
@@ -64,12 +69,19 @@ object Retrieval {
     // before any shuffle, so the full-corpus inverted index is never
     // built — only the |query vocab| term slice is aggregated. dl is the
     // FULL document length (computed from toks before the filter).
+    // localCheckpoint barrier (house idiom, see CurationPipeline): postings
+    // feeds BOTH the df aggregation and the scoring join — without the
+    // barrier Spark re-derives the whole scan→split→explode→probe→agg
+    // prefix once per consumer (sf0.1 probe, min-of-3 fresh JVM: 6.2 s
+    // unpartitioned → 4.4 s after the repartition → 3.8 s with this
+    // barrier + the once-per-posting contrib below).
     val postings = toks
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .join(broadcast(qvocabTerms), Seq("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val qvocab = dfreq.crossJoin(broadcast(stats))
       .withColumn("x",
@@ -81,13 +93,21 @@ object Retrieval {
     val contrib = col("idf") * (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    // The BM25 contribution depends only on (term, doc) — never on the
+    // query (more-like-this query term weight ≡ 1) — so it is computed
+    // ONCE per posting, below the anchor fan-out: the per-pair join emits
+    // pre-scored narrow rows instead of redoing the arithmetic per
+    // (anchor, posting). Same IEEE ops on the same inputs as the oracle's
+    // per-pair spelling, so bit-identical.
+    val scored = postings
+      .join(broadcast(qvocab), Seq("term"))
+      .select(col("doc_id"), col("term"), contrib.as("c"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     broadcast(qterms.as("q"))
-      .join(postings.as("p"),
+      .join(scored.as("p"),
         col("p.term") === col("q.term") && col("p.doc_id") =!= col("q.query_id"))
-      .join(broadcast(qvocab.as("f")), col("f.term") === col("q.term"))
-      .select(col("q.query_id"), col("p.doc_id"), col("q.term"), contrib.as("c"))
+      .select(col("q.query_id"), col("p.doc_id"), col("q.term"), col("p.c"))
       .groupBy("query_id", "doc_id")
       .agg(
         aggregate(
