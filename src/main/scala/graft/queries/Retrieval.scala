@@ -39,6 +39,11 @@ import org.apache.spark.sql.functions._
   * idf's wide DetMath tree runs on the per-TERM frame (|query vocab| rows),
   * not per posting. q128 adds one (query_id, doc_id)-keyed full-outer join
   * of two already-top-20 (i.e. anchors×20-row) frames — broadcast-scale.
+  * q128's vector half is deliberately the EXACT cosine ranking — the
+  * honest O(anchors·n) RRF ground input at anchor scale (probed 0.79
+  * tail exponent, SCALING.md round 16); at production anchor counts the
+  * documented swap is [[Similarity.lshTopKAdaptive]], which emits the
+  * same (query, doc, rank) shape.
   */
 object Retrieval {
 

@@ -644,4 +644,37 @@ class PlanShapeSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(s).length
     assert(hashEx == 0, s"projection must not hash-shuffle:\n$s")
   }
+
+  test("q127: anchor filter at the scan, all term joins broadcast, top-k via " +
+      "WindowGroupLimit, the only nested-loop is the one-row stats cross") {
+    // Building the plan executes q127's small eager postings checkpoint —
+    // acceptable at the fixture SF (the audited shape is everything above
+    // and below that barrier). exprIds stripped for literal matching.
+    val s = planString("q127_bm25_retrieval").replaceAll("#\\d+L?", "")
+    assert(!s.contains("CartesianProduct"), s"q127 went all-pairs:\n$s")
+    assert(s.contains("(doc_id < 8)"),
+      s"anchor predicate must reach the documents scan:\n$s")
+    // the postings fan-out joins must hash-probe a broadcast on term —
+    // never sort-merge the exploded token stream on the Zipf-skewed key
+    assert(s.contains("BroadcastHashJoin [term"),
+      s"term joins must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"token stream must never sort-merge on term:\n$s")
+    // Spark 4's rank-limit pushdown: per-query top-k must pre-truncate
+    // partially before the query_id shuffle, not globally sort scores
+    assert(s.contains("WindowGroupLimit"),
+      s"expected partial+final WindowGroupLimit for the top-k:\n$s")
+    // the single permitted nested-loop: the one-row corpus-stats cross
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).length
+    assert(bnlj <= 1, s"expected at most the one-row stats cross, got $bnlj:\n$s")
+  }
+
+  test("q128: the fusion is a keyed full-outer of two anchor-scale frames") {
+    val s = planString("q128_hybrid_rrf")
+    assert(!s.contains("CartesianProduct"), s"q128 went all-pairs:\n$s")
+    val fullOuter = "(?s)Join [^\\n]*FullOuter".r.findFirstIn(s)
+    assert(fullOuter.isDefined, s"expected a FullOuter fusion join:\n$s")
+    assert(fullOuter.get.contains("query_id") && fullOuter.get.contains("doc_id"),
+      s"fusion join must key on (query_id, doc_id): ${fullOuter.get}")
+  }
 }
