@@ -202,26 +202,38 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion of two ranked lists — the kernel q128
+    * registers with the exact-cosine vector list, and the seam where the
+    * documented production swap plugs in: any frame with
+    * (query_id, doc_id, rank) fuses, in particular
+    * [[Similarity.lshTopKAdaptive]]'s output (composition spec-pinned in
+    * RetrievalSpec). Docs on one list only carry rank −1 for the other. */
+  private[queries] def fuseRrf(lex: DataFrame, vec: DataFrame,
+      k: Int): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").as("lex_rank0"))
+    val v = vec.select(col("query_id"), col("doc_id"),
+      col("rank").as("vec_rank0"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank0"), lit(-1)).cast("long").as("lex_rank"),
+        coalesce(col("vec_rank0"), lit(-1)).cast("long").as("vec_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank0")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank0")), lit(0.0)))
+          .as("rrf_score"))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .orderBy("query_id", "fused_rank")
+  }
+
   private[queries] val q128 = GraftQuery(
     "q128_hybrid_rrf",
-    (spark, dir) => {
-      val lex = bm25Ranked(spark, dir, NAnchors, FuseDepth)
-        .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank0"))
-      val vec = cosineRanked(spark, dir, NAnchors, FuseDepth)
-        .select(col("query_id"), col("doc_id"), col("rank").as("vec_rank0"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("rrf_score").desc, col("doc_id"))
-      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          coalesce(col("lex_rank0"), lit(-1)).cast("long").as("lex_rank"),
-          coalesce(col("vec_rank0"), lit(-1)).cast("long").as("vec_rank"),
-          (coalesce(lit(1.0) / (lit(60) + col("lex_rank0")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("vec_rank0")), lit(0.0)))
-            .as("rrf_score"))
-        .withColumn("fused_rank", row_number().over(w))
-        .filter(col("fused_rank") <= TopK)
-        .orderBy("query_id", "fused_rank")
-    },
+    (spark, dir) => fuseRrf(
+      bm25Ranked(spark, dir, NAnchors, FuseDepth),
+      cosineRanked(spark, dir, NAnchors, FuseDepth),
+      TopK),
     Some(s"""
       WITH ${bm25RankedSqlCtes(NAnchors, FuseDepth)},
       ${Similarity.normedVectorsSql},

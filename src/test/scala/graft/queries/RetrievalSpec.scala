@@ -119,6 +119,31 @@ class RetrievalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getInt(5)))
 
+  test("the documented production swap composes: fuseRrf over lshTopKAdaptive's list " +
+      "surfaces the same planted structure as the exact fusion") {
+    import org.apache.spark.sql.functions.col
+    val lex = Retrieval.bm25Ranked(spark, dir, nAnchors = 8, k = 20)
+    // lshTopKAdaptive anchors on vec_id < 20 (its own predicate) — wider
+    // than the 8 BM25 anchors; restrict to the shared anchor set. The
+    // planted unit-vector corpus resolves the static 8x4 banding, and the
+    // cosine-0.9+ plants collide in some table with near-certainty.
+    val vecLsh = Similarity.lshTopKAdaptive(spark, dir, k = 20,
+        crossLabelOnly = false)
+      .filter(col("query_id") < 8)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = Retrieval.fuseRrf(lex, vecLsh, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q0 = fused.filter(_._1 == 0L)
+    assert(q0.nonEmpty)
+    // the bag twin (both lists) must still rank first under the LSH list
+    assert(q0.head._2 == 50L, s"LSH-fused top-1 for query 0: ${q0.toSeq}")
+    // the embedding-close, textually disjoint plant must still surface
+    // through the LSH list alone (lex_rank = -1)
+    val d70 = q0.find(_._2 == 70L)
+    assert(d70.isDefined && d70.get._3 == -1L,
+      s"doc 70 must arrive vector-only via LSH: ${q0.toSeq}")
+  }
+
   test("q129: anneal buckets sit strictly above main buckets and respect the token budget greedily") {
     val out = graft.SparkEntry.queries("q129_anneal_schedule")(spark, sfDir)
       .select("bucket", "n_tokens", "phase").collect()
