@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -943,31 +943,34 @@ object Sampling {
     * the exact token budget. The gate arithmetic is all-integer
     * (`cum*10 <= total` — no float comparison to drift); quality_score
     * reuses q21's bit-exact expression tree. */
-  private val q129 = GraftQuery(
-    "q129_anneal_schedule",
-    (spark, dir) => {
-      val bucketed = Text.qualityScoredOn(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
-          least(floor(col("quality_score") * lit(1024.0)), lit(1023L))
-            .as("bucket"))
-      val byBucket = bucketed.groupBy("bucket")
-        .agg(sum("n_tokens").as("bucket_tokens"))
-      val totals = byBucket.agg(sum("bucket_tokens").as("total_tokens"))
-      val w = Window.partitionBy(oneGroup(col("bucket").cast("string")))
-        .orderBy(col("bucket").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val phased = byBucket
-        .withColumn("cum_tokens", sum("bucket_tokens").over(w))
-        .crossJoin(broadcast(totals))
-        .select(col("bucket"),
-          when(col("cum_tokens") * 10 <= col("total_tokens"), lit("anneal"))
-            .otherwise(lit("main")).as("phase"))
-      bucketed.join(broadcast(phased), Seq("bucket"))
-        .select("doc_id", "bucket", "n_tokens", "quality_score", "phase")
-        .orderBy("doc_id")
-    },
-    Some(s"""
-      WITH ${Text.qualityScoredSql},
+  /** q129's phase assignment over an arbitrary documents frame — the
+    * (doc_id, bucket, n_tokens, quality_score, phase) schedule q130's
+    * curriculum ordering consumes. */
+  private[queries] def annealPhasedOn(docs: DataFrame): DataFrame = {
+    val bucketed = Text.qualityScoredOn(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        least(floor(col("quality_score") * lit(1024.0)), lit(1023L))
+          .as("bucket"))
+    val byBucket = bucketed.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val totals = byBucket.agg(sum("bucket_tokens").as("total_tokens"))
+    val w = Window.partitionBy(oneGroup(col("bucket").cast("string")))
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phased = byBucket
+      .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        when(col("cum_tokens") * 10 <= col("total_tokens"), lit("anneal"))
+          .otherwise(lit("main")).as("phase"))
+    bucketed.join(broadcast(phased), Seq("bucket"))
+      .select("doc_id", "bucket", "n_tokens", "quality_score", "phase")
+  }
+
+  /** The matching DuckDB CTE chain, ending in relation `anneal_phase`
+    * with columns (doc_id, bucket, n_tokens, quality_score, phase). */
+  private[queries] val annealPhasedSqlCtes: String = s"""
+      ${Text.qualityScoredSql},
       bucketed AS (
         SELECT doc_id, n_tokens, quality_score,
                least(CAST(floor(quality_score * 1024.0) AS BIGINT), 1023) AS bucket
@@ -983,15 +986,76 @@ object Sampling {
         FROM by_bucket
       ), tot AS (
         SELECT CAST(sum(bucket_tokens) AS BIGINT) AS total_tokens FROM by_bucket
-      )
-      SELECT b.doc_id, b.bucket, b.n_tokens, b.quality_score,
-             CASE WHEN p.cum_tokens * 10 <= t.total_tokens
-                  THEN 'anneal' ELSE 'main' END AS phase
-      FROM bucketed b JOIN phased p USING (bucket) CROSS JOIN tot t
+      ), anneal_phase AS (
+        SELECT b.doc_id, b.bucket, b.n_tokens, b.quality_score,
+               CASE WHEN p.cum_tokens * 10 <= t.total_tokens
+                    THEN 'anneal' ELSE 'main' END AS phase
+        FROM bucketed b JOIN phased p USING (bucket) CROSS JOIN tot t
+      )"""
+
+  private val q129 = GraftQuery(
+    "q129_anneal_schedule",
+    (spark, dir) =>
+      annealPhasedOn(Tables.documents(spark, dir)).orderBy("doc_id"),
+    Some(s"""
+      WITH $annealPhasedSqlCtes
+      SELECT doc_id, bucket, n_tokens, quality_score, phase
+      FROM anneal_phase
       ORDER BY doc_id"""),
     headline = true)
 
+  /** Q130: curriculum order — q129's phase schedule composed with q102's
+    * two-level reproducible shuffle into the order a training loader
+    * actually consumes: all `main`-phase documents first (phase_order 0),
+    * the `anneal` phase last (phase_order 1, Llama-3's end-of-training
+    * anneal), each phase independently md5-shuffled into [[shards]]
+    * shards with dense per-shard positions. The loader reads
+    * (phase_order, shard, pos) ascending.
+    *
+    * Scale shape is exactly q102's: one hash exchange keyed on
+    * (phase_order, shard) — 2×16 groups here, shards sized to the
+    * cluster in production — then perfectly parallel per-shard sorts;
+    * never a global ORDER BY over the corpus. The phase assignment
+    * rides q129's bucket-granular machinery (≤1024-row control plane),
+    * so the composition adds NO new scale risk to either ingredient. */
+  private val q130 = {
+    val shards = 16
+    GraftQuery(
+      "q130_curriculum_order",
+      (spark, dir) => {
+        val w = Window.partitionBy("phase_order", "shard")
+          .orderBy(col("k"), col("doc_id"))
+        annealPhasedOn(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("phase"),
+            when(col("phase") === "main", lit(0)).otherwise(lit(1))
+              .as("phase_order"),
+            md5(concat(lit("cur1:"), col("doc_id").cast("string"))).as("k"))
+          .withColumn("shard", Rand.u32(col("k")) % shards)
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("phase"), col("phase_order"),
+            col("shard"), col("pos"))
+          .orderBy("phase_order", "shard", "pos")
+      },
+      Some(s"""
+        WITH $annealPhasedSqlCtes,
+        cu AS (
+          SELECT doc_id, phase,
+                 CASE WHEN phase = 'main' THEN 0 ELSE 1 END AS phase_order,
+                 md5('cur1:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM anneal_phase),
+        s AS (
+          SELECT doc_id, phase, phase_order, k,
+                 ${Rand.u32Sql("k")} % $shards AS shard
+          FROM cu)
+        SELECT doc_id, phase, phase_order, shard,
+               CAST(row_number() OVER (PARTITION BY phase_order, shard
+                                       ORDER BY k, doc_id) AS BIGINT) AS pos
+        FROM s
+        ORDER BY phase_order, shard, pos"""),
+      headline = true)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q53, q56, q59, q60, q61, q62, q63, q64, q65, q69, q102, q103, q105,
-      q120, q129)
+      q120, q129, q130)
 }

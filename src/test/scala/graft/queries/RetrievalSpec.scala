@@ -165,4 +165,36 @@ class RetrievalSpec extends SparkSpec {
     assert(withNext * 10 > total,
       "the highest main bucket would still have fit — split is not greedy-maximal")
   }
+
+  test("q130: a complete permutation, phase-major (anneal strictly last), " +
+      "dense per-(phase, shard) positions, and phase parity with q129") {
+    val rows = graft.SparkEntry.queries("q130_curriculum_order")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    val allIds = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == allIds && rows.length == allIds.size,
+      "every document schedules exactly once")
+    // phase_order encodes the phase, and anneal is the LAST block in the
+    // loader's (phase_order, shard, pos) consumption order by construction
+    rows.foreach { case (_, phase, po, _, _) =>
+      assert((phase == "main") == (po == 0), s"phase/phase_order disagree: $phase/$po")
+    }
+    // dense positions within each (phase, shard)
+    rows.groupBy(r => (r._3, r._4)).foreach { case (g, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1L to rs.length.toLong),
+        s"group $g positions not dense")
+    }
+    // the phase sets equal q129's (same machinery, spec'd as the contract)
+    val q129Phases = graft.SparkEntry.queries("q129_anneal_schedule")(spark, sfDir)
+      .select("doc_id", "phase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, phase, _, _, _) =>
+      assert(q129Phases(id) == phase, s"doc $id phase differs from q129")
+    }
+    // within a phase the order is a real shuffle, not the identity
+    val mainInOrder = rows.filter(_._3 == 0).sortBy(r => (r._4, r._5)).map(_._1)
+    assert(mainInOrder.toSeq != mainInOrder.sorted.toSeq)
+  }
 }
