@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1332,7 +1333,119 @@ object Text {
       FROM s ORDER BY source"""),
     headline = true)
 
+  /** Q131: quality-classifier TRAINING, distributed — the missing third of
+    * the classifier triptych (q86 scores a fixed hashed model, q110 audits
+    * one; this TRAINS one): the GPT-3/CCNet quality-filter recipe (Brown
+    * et al. 2020 App. A) where positives are a curated reference corpus
+    * and negatives the raw crawl, here `src0` vs the rest, over q100's
+    * hashed-bigram feature space (md5 → 256 buckets).
+    *
+    * The model is a BATCH PERCEPTRON run for a fixed [[PerceptronRounds]]
+    * rounds in ALL-INTEGER arithmetic — counts, weights, margins — so
+    * both engines agree bit-exactly (the q120 MW-rounds discipline; no
+    * learning-rate floats, no libm): round r scores every doc with
+    * w_{r−1} (w_0 = 0), collects the misclassified set (y=+1 with margin
+    * ≤ 0, y=−1 with margin > 0 — the zero margin deliberately counts
+    * against positives so round 1 is the class-prior update), and adds
+    * Σ y·n_b over misclassified docs to each bucket weight. Output: each
+    * doc's final margin, prediction, and label.
+    *
+    * 100 TB shape: the (doc, bucket, n) table is checkpointed once
+    * (bounded at ≤256 rows/doc); each round is two keyed aggregations
+    * over it (margins by doc_id, updates by bucket after a hash join
+    * against the misclassified doc set) plus a 256-row driver collect —
+    * the k-means/q120 pattern: driver state is model-sized, never
+    * corpus-sized, and the round count is a constant. The oracle unrolls
+    * the identical rounds as CTEs. */
+  private val PerceptronRounds = 3
+  private val q131 = GraftQuery(
+    "q131_classifier_train",
+    (spark, dir) => {
+      val db = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+        .select(col("doc_id"),
+          when(col("source") === "src0", 1L).otherwise(-1L).as("y"),
+          conv(substring(md5(concat_ws(" ", col("bg.0"), col("bg.1"))), 1, 2),
+            16, 10).cast("long").as("bucket"))
+        .groupBy("doc_id", "y", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      def wCol(w: Array[Long]): Column =
+        element_at(typedLit(w), (col("bucket") + 1).cast("int"))
+      def marginsWith(w: Array[Long]): DataFrame =
+        db.groupBy("doc_id", "y")
+          .agg(sum(col("n") * wCol(w)).as("margin"))
+      val misCond = (col("y") === 1L && col("margin") <= 0L) ||
+        (col("y") === -1L && col("margin") > 0L)
+      var w = Array.fill(256)(0L)
+      for (_ <- 1 to PerceptronRounds) {
+        val mis = marginsWith(w).filter(misCond).select("doc_id")
+        val upd = db.join(mis, Seq("doc_id"))
+          .groupBy("bucket").agg(sum(col("y") * col("n")).as("u"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        w = w.zipWithIndex.map { case (v, b) => v + upd.getOrElse(b, 0L) }
+      }
+      marginsWith(w)
+        .select(col("doc_id"), col("y").as("label"), col("margin"),
+          when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val db = """
+        t AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        big AS (
+          SELECT doc_id, source,
+                 unnest(toks[1:len(toks)-1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2
+          FROM t WHERE len(toks) >= 2),
+        db AS (
+          SELECT doc_id,
+                 CASE WHEN source = 'src0' THEN 1 ELSE -1 END AS y,
+                 CAST((strpos('0123456789abcdef', substring(md5(w1 || ' ' || w2), 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substring(md5(w1 || ' ' || w2), 2, 1)) - 1
+                   AS BIGINT) AS bucket,
+                 count(*) AS n
+          FROM big GROUP BY doc_id, y, bucket),
+        bk AS (SELECT DISTINCT bucket FROM db),
+        w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS w FROM bk)"""
+      val rounds = (1 to PerceptronRounds).map { r =>
+        s"""
+        m$r AS (
+          SELECT d.doc_id, max(d.y) AS y,
+                 CAST(sum(d.n * w.w) AS BIGINT) AS margin
+          FROM db d JOIN w${r - 1} w USING (bucket)
+          GROUP BY d.doc_id),
+        mis$r AS (
+          SELECT doc_id FROM m$r
+          WHERE (y = 1 AND margin <= 0) OR (y = -1 AND margin > 0)),
+        u$r AS (
+          SELECT d.bucket, CAST(sum(d.y * d.n) AS BIGINT) AS u
+          FROM db d JOIN mis$r USING (doc_id)
+          GROUP BY d.bucket),
+        w$r AS (
+          SELECT w.bucket, w.w + coalesce(u.u, 0) AS w
+          FROM w${r - 1} w LEFT JOIN u$r u USING (bucket))"""
+      }.mkString(",")
+      s"""
+      WITH $db, $rounds
+      SELECT d.doc_id, max(d.y) AS label,
+             CAST(sum(d.n * w.w) AS BIGINT) AS margin,
+             CAST(CASE WHEN sum(d.n * w.w) > 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS predicted
+      FROM db d JOIN w$PerceptronRounds w USING (bucket)
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id"""
+    },
+    headline = true)
+
   val all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q39, q54, q55, q86, q87, q89,
-      q93, q95, q96, q100, q101, q121)
+      q93, q95, q96, q100, q101, q121, q131)
 }
