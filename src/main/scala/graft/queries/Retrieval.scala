@@ -40,10 +40,11 @@ import org.apache.spark.sql.functions._
   * not per posting. q128 adds one (query_id, doc_id)-keyed full-outer join
   * of two already-top-20 (i.e. anchors×20-row) frames — broadcast-scale.
   * q128's vector half is deliberately the EXACT cosine ranking — the
-  * honest O(anchors·n) RRF ground input at anchor scale (probed 0.79
-  * tail exponent, SCALING.md round 16); at production anchor counts the
-  * documented swap is [[Similarity.lshTopKAdaptive]], which emits the
-  * same (query, doc, rank) shape.
+  * honest O(anchors·n) RRF ground input at anchor scale (composite
+  * probed sub-linear 0.46/0.50 through 300×, the BM25 half dominating —
+  * SCALING.md round 16); at production anchor counts the documented
+  * swap is [[Similarity.lshTopKAdaptive]], which emits the same
+  * (query, doc, rank) shape (composition spec-pinned in RetrievalSpec).
   */
 object Retrieval {
 

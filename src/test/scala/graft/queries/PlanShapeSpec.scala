@@ -669,6 +669,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the one-row stats cross, got $bnlj:\n$s")
   }
 
+  test("q130: the curriculum window is keyed on (phase_order, shard) — never a " +
+      "global corpus sort; the only broadcast-scale pieces are q129's control plane") {
+    val s = planString("q130_curriculum_order").replaceAll("#\\d+L?", "")
+    // the per-position window must partition on BOTH keys (2×16 groups,
+    // parallel per-shard sorts); a missing key would serialize the corpus
+    val winSpec = "windowspecdefinition\\(phase_order, shard,".r
+    assert(winSpec.findFirstIn(s).isDefined,
+      s"curriculum window must key on (phase_order, shard):\n$s")
+    // no global ORDER BY anywhere below the presentation sort: exactly
+    // one range exchange (the final ORDER BY), everything else hashed
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(finalPlan(s)).length
+    assert(rangeEx == 1, s"expected only the presentation range exchange, got $rangeEx:\n$s")
+  }
+
+  test("q131: scoring is one keyed aggregation over the checkpointed feature " +
+      "table with the weights as a literal array — no model join, no corpus self-join") {
+    val s = planString("q131_classifier_train").replaceAll("#\\d+L?", "")
+    // the registered query's final frame: margins groupBy + presentation
+    // sort over the checkpointed (doc, y, bucket, n) RDD scan — the
+    // training rounds have already collapsed into the literal weights
+    assert(!s.contains("Join"), s"final scoring must not join:\n$s")
+    assert(s.contains("Scan ExistingRDD") || s.contains("ExistingRDD"),
+      s"scoring must read the checkpointed feature table:\n$s")
+    assert(s.contains("element_at"),
+      s"weights must be a literal-array lookup, not a joined table:\n$s")
+  }
+
   test("q128: the fusion is a keyed full-outer of two anchor-scale frames") {
     val s = planString("q128_hybrid_rrf")
     assert(!s.contains("CartesianProduct"), s"q128 went all-pairs:\n$s")
