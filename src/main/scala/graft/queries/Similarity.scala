@@ -559,5 +559,88 @@ object Similarity {
     Some(lshTopKSql(k = 3, crossLabelOnly = true, tables = 8, bits = 4)),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122, q125)
+  /** Q132: contrastive TRIPLET export — where q122/q125's mining actually
+    * lands in a training pipeline (DPR, Karpukhin EMNLP'20 / ANCE): each
+    * anchor paired with its nearest SAME-label neighbor (the positive)
+    * and its [[TripletNegK]] nearest CROSS-label neighbors (the
+    * negatives), one row per (anchor, negative) carrying both cosines
+    * and the contrastive margin pos − neg. Anchors missing either side
+    * (no same-label or no cross-label neighbor in the corpus) export no
+    * triplet — a triplet needs both by definition.
+    *
+    * One pass: the anchor×corpus cosine stream is scored ONCE, ranked by
+    * one window over (query_id, same-label flag) — so positive and
+    * negatives come from the same shuffle — pre-truncated by the plain
+    * `r ≤ negK` predicate (WindowGroupLimit pushes it partial), then the
+    * anchors×(negK+1)-row survivor frame is checkpointed (bounded) and
+    * self-assembled by a broadcast-scale join. The margin is a plain
+    * IEEE subtraction of two already-bit-exact cosine folds, so it
+    * hash-matches. At corpus scale the exact stream swaps for q125's
+    * LSH candidates exactly as q122's does; the assembly is
+    * anchors-bounded either way. */
+  private val TripletNegK = 3
+  private[queries] val q132 = GraftQuery(
+    "q132_contrastive_triplets",
+    (spark, dir) => {
+      val e = normedVectors(spark, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+      val w = Window.partitionBy("query_id", "same")
+        .orderBy(col("cosine").desc, col("cand_id"))
+      val small = broadcast(q.as("q"))
+        .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("q.label").as("query_label"),
+          col("c.vec_id").as("cand_id"), col("c.label").as("cand_label"),
+          cos.as("cosine"))
+        .withColumn("same",
+          when(col("cand_label") === col("query_label"), 1).otherwise(0))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= TripletNegK)
+        .filter(!(col("same") === 1 && col("r") > 1))
+        .localCheckpoint(true)
+      val pos = small.filter(col("same") === 1)
+        .select(col("query_id"), col("query_label"),
+          col("cand_id").as("positive_id"), col("cosine").as("pos_cosine"))
+      val neg = small.filter(col("same") === 0)
+        .select(col("query_id"), col("cand_id").as("negative_id"),
+          col("cosine").as("neg_cosine"), col("r").as("neg_rank"))
+      pos.join(neg, Seq("query_id"))
+        .select(col("query_id"), col("query_label"), col("positive_id"),
+          col("negative_id"), col("neg_rank"), col("pos_cosine"),
+          col("neg_cosine"),
+          (col("pos_cosine") - col("neg_cosine")).as("margin"))
+        .orderBy("query_id", "neg_rank")
+    },
+    Some(s"""
+      WITH $normedVectorsSql,
+      pairs AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS cand_id, c.label AS cand_label,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS same,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id, same
+                                     ORDER BY cosine DESC, cand_id) AS r
+        FROM pairs),
+      small AS (
+        SELECT * FROM ranked
+        WHERE r <= $TripletNegK AND NOT (same = 1 AND r > 1)),
+      pos AS (
+        SELECT query_id, query_label, cand_id AS positive_id,
+               cosine AS pos_cosine
+        FROM small WHERE same = 1),
+      neg AS (
+        SELECT query_id, cand_id AS negative_id, cosine AS neg_cosine,
+               r AS neg_rank
+        FROM small WHERE same = 0)
+      SELECT p.query_id, p.query_label, p.positive_id, n.negative_id,
+             n.neg_rank, p.pos_cosine, n.neg_cosine,
+             p.pos_cosine - n.neg_cosine AS margin
+      FROM pos p JOIN neg n USING (query_id)
+      ORDER BY query_id, neg_rank"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122, q125, q132)
 }
