@@ -1358,40 +1358,61 @@ object Text {
     * corpus-sized, and the round count is a constant. The oracle unrolls
     * the identical rounds as CTEs. */
   private val PerceptronRounds = 3
+
+  /** q131's checkpointed feature table: (doc_id, y = ±1 by source,
+    * bucket = md5-bigram → 256, n). Shared by the training loop and the
+    * final scoring pass; checkpointed because every round reads it
+    * twice. */
+  private[graft] def perceptronDb(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("doc_id"),
+        when(col("source") === "src0", 1L).otherwise(-1L).as("y"),
+        conv(substring(md5(concat_ws(" ", col("bg.0"), col("bg.1"))), 1, 2),
+          16, 10).cast("long").as("bucket"))
+      .groupBy("doc_id", "y", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+
+  private def wCol(w: Array[Long]): Column =
+    element_at(typedLit(w), (col("bucket") + 1).cast("int"))
+
+  private def marginsWith(db: DataFrame, w: Array[Long]): DataFrame =
+    db.groupBy("doc_id", "y")
+      .agg(sum(col("n") * wCol(w)).as("margin"))
+
+  /** The q131 training loop over a [[perceptronDb]] frame → the 256
+    * bucket weights. Public seam: `streaming.ClassifierStream` trains
+    * here once and deploys the weights as a fused stream-scoring
+    * expression (train batch, score stream). */
+  private[graft] def perceptronTrain(db: DataFrame,
+      rounds: Int = PerceptronRounds): Array[Long] = {
+    val misCond = (col("y") === 1L && col("margin") <= 0L) ||
+      (col("y") === -1L && col("margin") > 0L)
+    var w = Array.fill(256)(0L)
+    for (_ <- 1 to rounds) {
+      val mis = marginsWith(db, w).filter(misCond).select("doc_id")
+      val upd = db.join(mis, Seq("doc_id"))
+        .groupBy("bucket").agg(sum(col("y") * col("n")).as("u"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (v, b) => v + upd.getOrElse(b, 0L) }
+    }
+    w
+  }
+
   private val q131 = GraftQuery(
     "q131_classifier_train",
     (spark, dir) => {
-      val db = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("source"),
-          explode(arrays_zip(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
-        .select(col("doc_id"),
-          when(col("source") === "src0", 1L).otherwise(-1L).as("y"),
-          conv(substring(md5(concat_ws(" ", col("bg.0"), col("bg.1"))), 1, 2),
-            16, 10).cast("long").as("bucket"))
-        .groupBy("doc_id", "y", "bucket")
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = true)
-      def wCol(w: Array[Long]): Column =
-        element_at(typedLit(w), (col("bucket") + 1).cast("int"))
-      def marginsWith(w: Array[Long]): DataFrame =
-        db.groupBy("doc_id", "y")
-          .agg(sum(col("n") * wCol(w)).as("margin"))
-      val misCond = (col("y") === 1L && col("margin") <= 0L) ||
-        (col("y") === -1L && col("margin") > 0L)
-      var w = Array.fill(256)(0L)
-      for (_ <- 1 to PerceptronRounds) {
-        val mis = marginsWith(w).filter(misCond).select("doc_id")
-        val upd = db.join(mis, Seq("doc_id"))
-          .groupBy("bucket").agg(sum(col("y") * col("n")).as("u"))
-          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-        w = w.zipWithIndex.map { case (v, b) => v + upd.getOrElse(b, 0L) }
-      }
-      marginsWith(w)
+      val db = perceptronDb(spark, Tables.documents(spark, dir))
+      val w = perceptronTrain(db)
+      marginsWith(db, w)
         .select(col("doc_id"), col("y").as("label"), col("margin"),
           when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
         .orderBy("doc_id")
