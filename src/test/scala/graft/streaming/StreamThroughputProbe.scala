@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *
   * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
   * [rocksdb] [section...]"` — sections: asof pack mix dedup dedup-expr
-  * dedup-state dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam
+  * dedup-state dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam classifier
   * decontam-hoisted quota chain (no args = all; unknown names abort).
   * CAVEAT (round-16 lesson): same-JVM comparisons BETWEEN sections
   * carry a section-order JIT bias of ~10% — the later section runs
@@ -49,7 +49,8 @@ object StreamThroughputProbe {
 
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
-      "dedup-sparse-rocks", "decontam", "decontam-hoisted", "quota", "chain")
+      "dedup-sparse-rocks", "decontam", "decontam-hoisted", "quota", "chain",
+      "classifier")
     val rocksAll = args.contains("rocksdb")
     if (rocksAll)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -286,6 +287,38 @@ object StreamThroughputProbe {
       reportPlain("decontam 1M (1k-doc benchmark)", wall,
         f"1000000 events in $wall%.2f s = ${1000000 / wall}%.0f rec/s; " +
         s"verdicts=$verdicts contaminated=$contaminated (state: none)")
+      q.stop()
+    }
+
+    // ---- ClassifierStream: 1M docs scored by TRAINED literal weights --
+    section("classifier") {
+      import spark.implicits._
+      // weights through the real training path on a small separable
+      // labeled corpus (training cost is q131's probe story, not this
+      // section's — here it is one-time setup)
+      val trainDocs = (0 until 2000).map { i =>
+        val words =
+          if (i % 4 == 0) (0 until 16).map(j => s"g${(i + j) % 32}")
+          else (0 until 16).map(j => s"b${(i + j) % 64}")
+        (i.toLong, words.mkString(" "), if (i % 4 == 0) "src0" else "src1")
+      }.toDF("doc_id", "text", "source")
+      val w = graft.queries.Text.perceptronTrain(
+        graft.queries.Text.perceptronDb(spark, trainDocs))
+      val in = MemoryStream[(Long, String)]
+      val q = ClassifierStream.verdicts(in.toDF().toDF("doc_id", "text"), w)
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 100000).map { i =>
+          val id = b * 100000L + i
+          (id, (0 until 16).map(j => s"u${id}x$j").mkString(" "))
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      reportPlain("classifier 1M (trained literal weights)", wall,
+        f"1000000 events in $wall%.2f s = ${1000000 / wall}%.0f rec/s " +
+        "(stateless narrow map, state: none)")
       q.stop()
     }
 
