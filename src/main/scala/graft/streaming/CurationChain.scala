@@ -123,4 +123,19 @@ object CurationChain {
         emit(batch.select("doc_id", "source", "n_tok")
           .join(verdicts, "doc_id"), batchId)
       }
+
+  /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
+    * filter (ClassifierStream's fused literal-weights margin) rides IN
+    * the streaming plan between the cap and packing — it is a stateless
+    * narrow map, so unlike the aggregation-shaped decontam kernel it
+    * needs no foreachBatch splice: four logical stages, still ONE plan,
+    * one checkpoint, the same three state stores. Only documents the
+    * classifier predicts positive (margin > 0) reach packing — the
+    * production "filter before you pay sequence budget" order. */
+  def curatedQualityPacked(docs: DataFrame, weights: Array[Long],
+      lateness: String = "1 hour"): Dataset[PackStream.PackedDoc] =
+    PackStream.packed(
+      cappedDocs(docs, lateness).filter(col("kept"))
+        .filter(ClassifierStream.marginCol(weights, col("text")) > 0)
+        .select(col("doc_id"), col("source"), col("n_tok")))
 }

@@ -137,6 +137,63 @@ class StreamingChainSpec extends SparkSpec {
     (16L to 20L).foreach(i => assert(packed(i) == 45 + (i - 16) * 3))
   }
 
+  test("plan-native classifier gate: dedup -> quota -> classifier -> pack " +
+      "stays ONE plan; only positive-margin docs reach packing") {
+    import spark.implicits._
+    // hash-collision-free class vocabularies (the ClassifierTrainSpec
+    // rule: a good/junk bucket collision would leak updates across
+    // classes and make a junk doc's margin nonzero)
+    def bucketOf(bigram: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Integer.parseInt(
+        md.digest(bigram.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString, 16)
+    }
+    def pairBuckets(ws: Seq[String]): Set[Int] =
+      (for (a <- ws; b <- ws) yield bucketOf(s"$a $b")).toSet
+    val good = (0 until 4).map(i => s"fine$i")
+    val junk = (0 until 1000).iterator
+      .map(seed => (0 until 4).map(i => s"junk${seed}x$i"))
+      .find(ws => pairBuckets(ws).intersect(pairBuckets(good)).isEmpty).get
+    def text(ws: Seq[String], salt: Long): String =
+      (0 until 12).map(j => ws(((salt + j) % 4).toInt)).mkString(" ")
+    val trainDocs = (
+      (0 until 8).map(i => (i.toLong, text(good, i), "src0")) ++
+      (8 until 24).map(i => (i.toLong, text(junk, i), "src1"))
+    ).toDF("doc_id", "text", "source")
+    val w = graft.queries.Text.perceptronTrain(
+      graft.queries.Text.perceptronDb(spark, trainDocs))
+
+    // chain input: 10 docs under the cap, even ids good-vocab, odd junk;
+    // doc 1 re-delivered in-batch (dedup must keep the first)
+    val rows = (1L to 10L).map { i =>
+      (i, "sC", text(if (i % 2 == 0) good else junk, i))
+    } :+ (1L, "sC", text(good, 99L))
+    val packed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    withRocksDB {
+      streamOf(Seq(rows)) { docs => push =>
+        val q = CurationChain.curatedQualityPacked(docs, w)
+          .writeStream.format("memory").queryName("chain_quality")
+          .outputMode("append").start()
+        push(); q.processAllAvailable(); q.stop()
+      }
+    }
+    val got = spark.table("chain_quality")
+      .select("doc_id", "n_tok", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly the even (good-vocab) docs pass the gate; doc 1's
+    // re-delivered good-vocab copy must NOT resurrect it (dedup kept the
+    // first, junk-vocab, delivery — the stage ORDER is observable here)
+    assert(got.map(_._1).toSet == (2L to 10L by 2).toSet,
+      s"gate kept: ${got.map(_._1).sorted.toSeq}")
+    // packing is contiguous in doc_id order over the FILTERED set
+    val inOrder = got.sortBy(_._1)
+    var off = 0L
+    inOrder.foreach { case (id, n, start) =>
+      assert(start == off, s"doc $id starts at $start, expected $off")
+      off += n
+    }
+  }
+
   test("foreachBatch splice: dedup -> quota -> decontam emits verdicts " +
       "for exactly the kept docs, matching the stateless kernel") {
     import spark.implicits._
