@@ -209,6 +209,27 @@ object Similarity {
     * Scale shape: signatures are a narrow map; the candidate join is keyed
     * on (table, signature) so work scales with bucket occupancy, not N².
     * Recall vs q34 is checked in SimilaritySpec. */
+  /** One signature row per (vector, table): (vec_id, label, tbl, sig,
+    * v, nrm) — the persistable form of the LSH index ([[graft.sources.
+    * AnnIndex]] writes it bucketed by sig for bucket-pruned probes). v
+    * and nrm ride along (×tables storage) so the exact re-rank needs no
+    * second corpus join. Same pool, same sign rule as [[lshTopK]]. */
+  private[graft] def signatureRows(spark: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame = {
+    val pool =
+      if (tables * bits <= 32) hyperplanes else hyperplanePool(tables * bits)
+    def sig(t: Int): Column = concat((0 until bits).map { j =>
+      val hp = typedLit(pool(t * bits + j))
+      when(dot(col("v"), hp) > 0, "1").otherwise("0")
+    }: _*)
+    val e = normedVectors(spark, dir)
+    e.select(col("vec_id") +: col("label") +: col("v") +: col("nrm") +:
+        (0 until tables).map(t => sig(t).as(s"s$t")): _*)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        posexplode(array((0 until tables).map(t => col(s"s$t")): _*)))
+      .toDF("vec_id", "label", "v", "nrm", "tbl", "sig")
+  }
+
   /** Shared LSH scaffold of q35 (all neighbors) and q125 (cross-label
     * neighbors only — the corpus-scale hard-negative path): 4-table ×
     * 8-bit sign signatures, candidate join keyed on (table, signature),
