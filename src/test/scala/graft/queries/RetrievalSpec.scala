@@ -144,6 +144,45 @@ class RetrievalSpec extends SparkSpec {
       s"doc 70 must arrive vector-only via LSH: ${q0.toSeq}")
   }
 
+  test("q133: a paraphrase sharing the benchmark's rare terms tops its review " +
+      "list; the benchmark slice never searches itself") {
+    import org.apache.spark.sql.functions.lit
+    val d = java.nio.file.Files.createTempDirectory("rdecontam").toString
+    import spark.implicits._
+    val bmTerms = words("bmrare", 12)
+    val otherBm = words("bmother", 12)
+    val docs = Seq(
+      // benchmark slice (doc_id % 100 == 7)
+      (7L, bmTerms.mkString(" ")),
+      (107L, otherBm.mkString(" ")),
+      // the paraphrase: half of benchmark 7's rare terms + its own filler
+      (1L, (bmTerms.take(6) ++ words("para", 6)).mkString(" ")),
+      // clean corpus docs — no overlap with either benchmark item
+      (2L, words("clean2", 12).mkString(" ")),
+      (3L, words("clean3", 12).mkString(" ")),
+      // a SECOND benchmark-slice doc carrying bm 7's terms: must never
+      // appear as a candidate (the slice is not part of the collection)
+      (207L, bmTerms.mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("q133_retrieval_decontam")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    // benchmark 7's strongest lexical match is the paraphrase
+    val b7 = rows.filter(_._1 == 7L).sortBy(_._3)
+    assert(b7.nonEmpty && b7.head._2 == 1L,
+      s"bench 7 must surface the paraphrase first: ${b7.toSeq}")
+    // candidates only ever come from the corpus side: no benchmark-slice
+    // doc (7, 107, 207) appears as a matched document
+    assert(rows.forall(r => r._2 % 100 != 7),
+      s"benchmark slice leaked into the candidates: ${rows.toSeq}")
+    // no cross-benchmark noise: bench 107 shares no terms with the corpus
+    assert(!rows.exists(_._1 == 107L),
+      s"bench 107 has no lexical matches, got: ${rows.filter(_._1 == 107L).toSeq}")
+  }
+
   test("q129: anneal buckets sit strictly above main buckets and respect the token budget greedily") {
     val out = graft.SparkEntry.queries("q129_anneal_schedule")(spark, sfDir)
       .select("bucket", "n_tokens", "phase").collect()
