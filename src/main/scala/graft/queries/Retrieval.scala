@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * embedding top-20 (doc_id ≡ vec_id in the testdata corpus) by reciprocal
   * rank fusion, rrf = Σ 1/(60 + rank) (Cormack et al., SIGIR'09).
   *
+  * Q133 — retrieval-scored decontamination: a fixed-size held-out
+  * benchmark slice queries the remaining corpus through the same BM25
+  * plan ([[bm25RankedWhere]]); see its own scaladoc for the measured
+  * benchmark-cap rationale.
+  *
   * Bit-exactness: per-term BM25 contributions are summed by an ORDERED
   * left fold (terms sorted; Spark `aggregate` over `array_sort`, DuckDB
   * `list_reduce` over `list(... ORDER BY term)` with a prepended 0.0) —

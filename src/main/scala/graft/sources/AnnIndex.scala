@@ -45,6 +45,20 @@ object AnnIndex {
       Similarity.signatureRows(spark, dir, tables, bits),
       table, "sig", buckets)
 
+  /** Incremental maintenance — the ingest path: compute signatures for a
+    * NEW batch of vectors and append them honoring the table's bucket
+    * spec (datasource bucketed tables bucket on insert, so probes keep
+    * pruning over the union with no rebuild). Caller contract: the new
+    * vec_ids are disjoint from the indexed set (the q81/q126 ingest gate
+    * runs upstream of indexing) and (tables, bits) match the build —
+    * signatures from a different banding would silently never collide.
+    * insertInto is POSITIONAL; [[build]] and this method both emit
+    * [[Similarity.signatureRows]]'s column order. */
+  def append(spark: SparkSession, dir: String, table: String,
+      tables: Int = 4, bits: Int = 8): Unit =
+    Similarity.signatureRows(spark, dir, tables, bits)
+      .write.mode("append").insertInto(table)
+
   /** Top-k nearest (exact re-rank over bucket-pruned candidates) for the
     * anchor set `vec_id < nAnchors` of the INDEXED corpus itself —
     * mirroring lshTopK's more-like-this anchor convention. */

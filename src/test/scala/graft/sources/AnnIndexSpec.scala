@@ -20,6 +20,32 @@ class AnnIndexSpec extends SparkSpec {
       s"index probe diverges from lshTopK: got=${got.take(5).toSeq} want=${want.take(5).toSeq}")
   }
 
+  test("incremental append: build on half the corpus, append the rest — " +
+      "probes equal the full build, still pruned") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val d = java.nio.file.Files.createTempDirectory("annappend").toString
+    e.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/half_a/embeddings.parquet")
+    e.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/half_b/embeddings.parquet")
+    AnnIndex.build(spark, s"$d/half_a", "ann_idx_inc", tables = 4, bits = 8,
+      buckets = 16)
+    AnnIndex.append(spark, s"$d/half_b", "ann_idx_inc", tables = 4, bits = 8)
+    AnnIndex.build(spark, sfDir, "ann_idx_whole", tables = 4, bits = 8,
+      buckets = 16)
+    def rows(t: String) = AnnIndex.topK(spark, t, nAnchors = 20, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows("ann_idx_inc") == rows("ann_idx_whole"),
+      "incrementally-built index diverges from the full build")
+    // appended files still participate in pruning (bucketed on insert)
+    val plan = AnnIndex.topK(spark, "ann_idx_inc", nAnchors = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"append broke bucket pruning:\n$plan")
+  }
+
   test("a small probe set prunes buckets: the scan reads a strict subset") {
     AnnIndex.build(spark, sfDir, "ann_idx_prune", tables = 4, bits = 8,
       buckets = 64)
