@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
   * [rocksdb] [section...]"` — sections: asof pack mix dedup dedup-expr
   * dedup-state dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam classifier
-  * decontam-hoisted quota chain (no args = all; unknown names abort).
+  * decontam-hoisted quota chain chain-quality (no args = all; unknown names abort).
   * CAVEAT (round-16 lesson): same-JVM comparisons BETWEEN sections
   * carry a section-order JIT bias of ~10% — the later section runs
   * warmer. To compare two sections, run each alone in a fresh JVM
@@ -50,7 +50,7 @@ object StreamThroughputProbe {
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
       "dedup-sparse-rocks", "decontam", "decontam-hoisted", "quota", "chain",
-      "classifier")
+      "classifier", "chain-quality")
     val rocksAll = args.contains("rocksdb")
     if (rocksAll)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -418,6 +418,45 @@ object StreamThroughputProbe {
         f"1000000 events in $wall%.2f s = ${1000000L / wall}%.0f rec/s; " +
         s"state ops=${so.length} rows=${so.map(_.numRowsTotal).mkString("/")} " +
         s"bytes=${so.map(_.memoryUsedBytes).sum}")
+      q.stop()
+    }
+
+    // ---- Chain + plan-native classifier gate (curatedQualityPacked) ----
+    section("chain-quality") {
+      // trained weights over a tiny separable corpus (setup, not timed);
+      // the probe stream's texts are all "junk"-class so roughly half the
+      // quota-kept docs pass the gate only if their tokens collide into
+      // positive buckets — use good-vocab text on even ids so the gate
+      // does real selective work on a realistic ~50% pass rate
+      val trainDocs2 = (0 until 2000).map { i =>
+        val words =
+          if (i % 4 == 0) (0 until 8).map(j => s"g${(i + j) % 32}")
+          else (0 until 8).map(j => s"b${(i + j) % 64}")
+        (i.toLong, words.mkString(" "), if (i % 4 == 0) "src0" else "src1")
+      }.toDF("doc_id", "text", "source")
+      val w2 = graft.queries.Text.perceptronTrain(
+        graft.queries.Text.perceptronDb(spark, trainDocs2))
+      val in = MemoryStream[(Long, Timestamp, String, String)]
+      val q = CurationChain.curatedQualityPacked(
+          in.toDF().toDF("doc_id", "ts", "source", "text"), w2)
+        .writeStream.format("noop").outputMode("append").start()
+      val nKeys = 20000L
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 100000).map { i =>
+          val id = b * 100000L + i
+          val txt =
+            if (id % 2 == 0) (0 until 4).map(j => s"g${(id + j) % 32}").mkString(" ")
+            else (0 until 4).map(j => s"b${(id + j) % 64}").mkString(" ")
+          (id, new Timestamp(3600000L * b), s"s${id % nKeys}", txt)
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val so = q.lastProgress.stateOperators
+      reportPlain("chain-quality 1M (dedup->quota->classifier->pack)", wall,
+        f"1000000 events in $wall%.2f s = ${1000000L / wall}%.0f rec/s; " +
+        s"state ops=${so.length} rows=${so.map(_.numRowsTotal).mkString("/")}")
       q.stop()
     }
 
