@@ -736,7 +736,10 @@ object Curation {
     * nothing on the corpus side in any epoch; the running filter
     * persists beside the corpus as ~1.2 KB per 1 000 keys. That rate
     * bounds the single-filter regime: at fpp 0.01 a 10⁹-key capacity is
-    * a ~1.2 GB filter — still broadcastable, but the ceiling; past it,
+    * a ~1.2 GB filter — deliverable only as a broadcast VARIABLE, which
+    * is what [[bloomHitCol]] routes to past its 16 MB plan-literal
+    * ceiling (a literal rides in every referencing stage's serialized
+    * task binary); that is the single-filter ceiling — past it,
     * split the filter ALONG THE EXISTING fp BUCKETS (one bloom per
     * bucket of the sealed table, probed after the same hash routes the
     * row to its bucket) so each piece stays executor-sized and delta
@@ -850,13 +853,39 @@ object Curation {
     val firstInBatch = batch.select(col("doc_id"), col("fp"))
       .withColumn("rn", row_number().over(wFirst))
       .filter(col("rn") === 1).drop("rn")
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val hit = call_function("bloom_might_contain",
-      lit(bos.toByteArray), xxhash64(col("fp")))
+    val hit = bloomHitCol(batch.sparkSession, bloom)
     firstInBatch.filter(!hit)
       .unionByName(firstInBatch.filter(hit)
         .join(sealedFps, Seq("fp"), "left_anti"))
+  }
+
+  /** The sealed-set membership probe, SIZE-ROUTED: small filters embed
+    * as a plan literal feeding the codegen'd `bloom_might_contain`
+    * (constant-folded bit probe, no closure, no broadcast bookkeeping);
+    * past [[BloomLiteralCeiling]] the filter ships as a BROADCAST
+    * VARIABLE probed by a UDF instead — a plan literal rides inside the
+    * serialized task binary, so a GB-scale filter (the scaladoc's 10⁹-key
+    * ~1.2 GB ceiling) would be re-serialized into every stage's binary
+    * that references the plan, where TorrentBroadcast ships it once per
+    * executor and re-USES it across the epoch loop's stages. Both
+    * branches probe the identical `mightContainLong(xxhash64(fp))`, so
+    * routing never changes admissions — only where the bytes live. The
+    * 16 MB ceiling is deliberately far below broadcast limits: it is the
+    * point where re-serializing per referencing stage starts to dominate
+    * the one-time broadcast setup, not a correctness bound. */
+  private[queries] val BloomLiteralCeiling: Long = 16L << 20
+  private def bloomHitCol(spark: org.apache.spark.sql.SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.sql.Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    if (bytes.length <= BloomLiteralCeiling)
+      call_function("bloom_might_contain", lit(bytes), xxhash64(col("fp")))
+    else {
+      val bc = spark.sparkContext.broadcast(bloom)
+      udf((h: Long) => bc.value.mightContainLong(h)).apply(xxhash64(col("fp")))
+    }
   }
 
   /** Q126: iterated incremental ingestion — 3 epochs of q81's gate where

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * Every constant is rendered from the SAME Scala double: Spark gets the
   * double via `lit`, DuckDB gets `CAST('<toString>' AS DOUBLE)` whose
   * correctly-rounding parse returns the identical bits (shortest-round-trip
-  * repr by construction). Accuracy ≤ 1 ulp vs Math.log over the idf domain
+  * repr by construction). Accuracy ≤ 2 ulp vs Math.log over the idf domain
   * (DetMathSpec); determinism exact by construction.
   *
   * Domain: x ∈ [1, 2^41). Out-of-range inputs produce garbage, not errors —

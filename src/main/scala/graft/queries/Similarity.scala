@@ -39,10 +39,16 @@ object Similarity {
     * order ranks NaN above everything, so the same threshold admits the
     * pair in the oracle and drops it in the engine. No current testdata
     * vector is zero (hashes unchanged); the guard closes the class. */
-  def normedVectors(spark: SparkSession, dir: String): DataFrame = {
+  def normedVectors(spark: SparkSession, dir: String): DataFrame =
+    normedVectorsOf(spark, Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[normedVectors]] — for callers whose vectors
+    * do not live in a corpus dir (a query batch, an ingest epoch's
+    * admitted slice). Expects (vec_id, label, embedding). */
+  def normedVectorsOf(spark: SparkSession, embeddings: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.install(spark)
     val v = transform(col("embedding"), x => x.cast("double"))
-    Tables.embeddings(spark, dir)
+    embeddings
       .select(col("vec_id"), col("label"), v.as("v"))
       // explicit-count repartition: one source file = one scan partition,
       // and AQE would coalesce this small exchange (see Dedup.shingleDf)
@@ -215,6 +221,14 @@ object Similarity {
     * and nrm ride along (×tables storage) so the exact re-rank needs no
     * second corpus join. Same pool, same sign rule as [[lshTopK]]. */
   private[graft] def signatureRows(spark: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame =
+    signatureRowsOf(normedVectors(spark, dir), tables, bits)
+
+  /** [[signatureRows]] over an already-normed vector frame (vec_id,
+    * label, v, nrm) — the form a point-query caller uses to sign its OWN
+    * query vectors for [[graft.sources.AnnIndex.topKFor]], and the
+    * ingest path uses to sign an admitted epoch before append. */
+  private[graft] def signatureRowsOf(vectors: DataFrame,
       tables: Int, bits: Int): DataFrame = {
     val pool =
       if (tables * bits <= 32) hyperplanes else hyperplanePool(tables * bits)
@@ -222,8 +236,7 @@ object Similarity {
       val hp = typedLit(pool(t * bits + j))
       when(dot(col("v"), hp) > 0, "1").otherwise("0")
     }: _*)
-    val e = normedVectors(spark, dir)
-    e.select(col("vec_id") +: col("label") +: col("v") +: col("nrm") +:
+    vectors.select(col("vec_id") +: col("label") +: col("v") +: col("nrm") +:
         (0 until tables).map(t => sig(t).as(s"s$t")): _*)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
         posexplode(array((0 until tables).map(t => col(s"s$t")): _*)))
@@ -338,18 +351,38 @@ object Similarity {
     * (tables, bits). At 100 TB this really is catalog metadata. The
     * DedupSimilaritySpec tripwire counts THIS SAME number, so the spec
     * and the live entry point can never straddle a banding boundary. */
-  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
-    corpusCountCache.computeIfAbsent(dir,
-      _ => Tables.embeddings(spark, dir).count())
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long = {
+    val sig = listingSignature(dir)
+    corpusCountCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else (sig, Tables.embeddings(spark, dir).count()))._2
+  }
 
-  /** Per-directory memo: the count is immutable for a given corpus dir
-    * within a process (testdata never changes mid-run; production reads
-    * it from the catalog, which is exactly what a driver-side memo of a
-    * footer-metadata count emulates). Keeps repeated q125 invocations —
-    * bench passes, composed pipelines — from re-running even the
-    * metadata job. */
+  /** Per-directory memo KEYED ON the file-listing signature: the count
+    * is immutable for a given (dir, files) pair (production reads it
+    * from the catalog, which is exactly what a driver-side memo of a
+    * footer-metadata count emulates), but a dir REWRITTEN in-process —
+    * overwrite writes, as several specs do to temp dirs — must not serve
+    * the stale count and silently size the wrong banding. The signature
+    * is a driver-side listing (name, length, mtime per data file):
+    * metadata-class like the count itself, so the memo still saves the
+    * Spark job on repeated q125 invocations — bench passes, composed
+    * pipelines — while any rewrite invalidates it. */
   private val corpusCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def listingSignature(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) ""
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted.mkString("|")
+    }
+  }
 
   /** [[lshTopK]] with (tables, bits) CHOSEN by [[adaptiveBanding]] from
     * [[corpusCount]] — the q125 entry point. The count is driver-side,

@@ -38,39 +38,80 @@ object AnnIndex {
 
   /** Compute signatures for every corpus vector and persist them
     * bucketed by `sig` in the session catalog (the [[Bucketing]]
-    * warehouse rules apply: one write, every later probe prunes). */
+    * warehouse rules apply: one write, every later probe prunes). The
+    * banding is RECORDED as table properties so [[append]] can enforce
+    * it — the banding is part of the index's physical identity, exactly
+    * like the bucket count. */
   def build(spark: SparkSession, dir: String, table: String,
-      tables: Int = 4, bits: Int = 8, buckets: Int = 16): Unit =
+      tables: Int = 4, bits: Int = 8, buckets: Int = 16): Unit = {
     Bucketing.writeBucketed(
       Similarity.signatureRows(spark, dir, tables, bits),
       table, "sig", buckets)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.lsh.tables' = '$tables', 'graft.lsh.bits' = '$bits')")
+  }
+
+  private def banding(spark: SparkSession, table: String): (Int, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (props.get("graft.lsh.tables"), props.get("graft.lsh.bits")) match {
+      case (Some(t), Some(b)) => (t.toInt, b.toInt)
+      case _ => throw new IllegalStateException(
+        s"$table carries no graft.lsh.* banding properties — not built by AnnIndex.build")
+    }
+  }
 
   /** Incremental maintenance — the ingest path: compute signatures for a
     * NEW batch of vectors and append them honoring the table's bucket
     * spec (datasource bucketed tables bucket on insert, so probes keep
-    * pruning over the union with no rebuild). Caller contract: the new
-    * vec_ids are disjoint from the indexed set (the q81/q126 ingest gate
-    * runs upstream of indexing) and (tables, bits) match the build —
-    * signatures from a different banding would silently never collide.
-    * insertInto is POSITIONAL; [[build]] and this method both emit
-    * [[Similarity.signatureRows]]'s column order. */
+    * pruning over the union with no rebuild). The batch's (tables, bits)
+    * are CHECKED against the build's recorded properties — signatures
+    * from a different banding would silently never collide, a recall
+    * loss with no error, so a mismatch fails here instead. Remaining
+    * caller contract: the new vec_ids are disjoint from the indexed set
+    * (the q81/q126 ingest gate runs upstream of indexing — pinned
+    * end-to-end by IngestIndexSpec). insertInto is POSITIONAL; [[build]]
+    * and this method both emit [[Similarity.signatureRows]]'s column
+    * order. */
   def append(spark: SparkSession, dir: String, table: String,
-      tables: Int = 4, bits: Int = 8): Unit =
+      tables: Int = 4, bits: Int = 8): Unit = {
+    val built = banding(spark, table)
+    require(built == ((tables, bits)),
+      s"$table was built at banding $built but append was asked for " +
+        s"(${tables}, ${bits}) — mismatched signatures never collide")
     Similarity.signatureRows(spark, dir, tables, bits)
       .write.mode("append").insertInto(table)
+  }
 
   /** Top-k nearest (exact re-rank over bucket-pruned candidates) for the
     * anchor set `vec_id < nAnchors` of the INDEXED corpus itself —
-    * mirroring lshTopK's more-like-this anchor convention. */
+    * mirroring lshTopK's more-like-this anchor convention. SELF-PROBE
+    * CONVENIENCE: deriving the anchors from the index means one
+    * UN-pruned scan of the index (the table is bucketed by sig, so a
+    * vec_id predicate prunes nothing) to fetch them before the pruned
+    * candidate scan — fine for specs and more-like-this batch jobs,
+    * wrong for a serving path. A point-query caller holds its anchor
+    * signature rows already (the vector-DB-client model: a query carries
+    * its own signatures) and calls [[topKFor]] directly, which scans the
+    * index exactly once, pruned. */
   def topK(spark: SparkSession, table: String, nAnchors: Int,
+      k: Int): DataFrame =
+    topKFor(spark, table,
+      spark.table(table).filter(col("vec_id") < nAnchors), k)
+
+  /** The serving-path probe: `anchors` are the query's OWN signature
+    * rows in [[Similarity.signatureRows]] layout (vec_id, tbl, sig, v,
+    * nrm) — one row per (query, table), computed at query time by the
+    * caller ([[Similarity.signatureRowsOf]] over the query vectors),
+    * never read from the index. The index is scanned ONCE, bucket-pruned
+    * by the anchors' signature literals. */
+  def topKFor(spark: SparkSession, table: String, anchorRows: DataFrame,
       k: Int): DataFrame = {
-    val idx = spark.table(table)
-    // the probe side: anchor signature rows (with their vectors),
-    // collected as literals for the pruning predicate (anchors are
-    // query-scale)
-    val anchors = idx.filter(col("vec_id") < nAnchors)
+    val anchors = anchorRows
       .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
         col("sig").as("qsig"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // anchor signatures collect to the driver for the pruning predicate
+    // (anchors are query-scale by the q122/q125 contract)
     val probeSigs = anchors.select("qsig").distinct()
       .collect().map(_.getString(0)).toSeq
     // ONE index scan: bucket-pruned by the literal signature set, hash-
@@ -82,7 +123,7 @@ object AnnIndex {
     val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    idx
+    spark.table(table)
       .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
       .join(broadcast(anchors),
         col("tbl") === col("qtbl") && col("sig") === col("qsig") &&

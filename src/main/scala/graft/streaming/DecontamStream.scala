@@ -79,10 +79,13 @@ object DecontamStream {
   def verdictsBatch(docs: DataFrame, benchGrams: DataFrame): DataFrame =
     verdictsOnDistinct(docs, benchGrams.select("gram").distinct())
 
-  /** Kernel over a benchmark side the CALLER guarantees gram-unique —
-    * [[writer]] pays the defensive distinct once per stream and calls
-    * this per micro-batch; [[verdictsBatch]] keeps the distinct for the
-    * public direct-batch entry. */
+  /** Kernel over a benchmark side the CALLER guarantees gram-unique.
+    * In the shipped paths it is reached only THROUGH [[verdictsBatch]]
+    * (whose defensive distinct is a no-op exchange on an already-unique
+    * side) — [[writer]] calls verdictsBatch per micro-batch, the
+    * measured spelling documented there. The only direct caller is the
+    * REJECTED hoisted-distinct probe variant kept in
+    * StreamThroughputProbe as the comparison guard. */
   private[streaming] def verdictsOnDistinct(docs: DataFrame,
       benchDistinct: DataFrame): DataFrame = {
     val spark = docs.sparkSession
