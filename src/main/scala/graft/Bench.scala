@@ -46,8 +46,17 @@ object Bench {
     * heavy-family row (their noise handling is the point) or a row
     * added in the current round (new rows earn stability first).
     * PROMOTE a tracked row back (remove it here) the round its tracked
-    * sample exceeds 0.6 s. */
+    * sample exceeds 0.6 s.
+    *
+    * Second demotion category (round 17): a row SUPERSEDED by its
+    * production spelling — q133's recompute decontam is demoted not for
+    * stability but because q134 (the persisted-postings-index probe,
+    * same output, same oracle) is the shape a recurring decontam
+    * actually runs; keeping both at headline would double-bill the
+    * family for one operator. The tracked pass still regression-guards
+    * the recompute path every round. */
   private[graft] val demoted: Set[String] = Set(
+    "q133_retrieval_decontam",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",
     "q106_frame_sample", "q108_snapshot_drift", "q110_classifier_auc",
     "q111_gram_matrix", "q114_calibration_bins", "q117_corpus_profile_approx",

@@ -29,6 +29,25 @@ object Tables {
   def documents(s: SparkSession, d: String)  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
+  /** Driver-side freshness signature of one table's data files — (name,
+    * length, mtime) per file, sorted. Metadata-class (a local listing, no
+    * Spark job): build-once consumers (Similarity.corpusCount's memo, the
+    * index ensure-built memos) key on it so an in-process rewrite of the
+    * dir invalidates them, while repeated reads of an unchanged dir stay
+    * free. */
+  private[graft] def listingSignature(dir: String, name: String): String = {
+    val root = java.nio.file.Paths.get(dir, s"$name.parquet")
+    if (!java.nio.file.Files.exists(root)) ""
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted.mkString("|")
+    }
+  }
+
   /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark
     * cannot read natively — surfaces as a nanos LongType under the legacy
     * switch) and TIMESTAMP(MICROS) (reads natively as TimestampType).

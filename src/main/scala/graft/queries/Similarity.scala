@@ -371,18 +371,8 @@ object Similarity {
   private val corpusCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  private def listingSignature(dir: String): String = {
-    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    if (!java.nio.file.Files.exists(root)) ""
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator.asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        .toSeq.sorted.mkString("|")
-    }
-  }
+  private def listingSignature(dir: String): String =
+    Tables.listingSignature(dir, "embeddings")
 
   /** [[lshTopK]] with (tables, bits) CHOSEN by [[adaptiveBanding]] from
     * [[corpusCount]] — the q125 entry point. The count is driver-side,

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted lexical index: bit-exact parity with the
+  * recompute-per-run BM25 path at the same corpus, the bucket-pruning
+  * property that makes it an index, and stats-correct incremental
+  * append (the AnnIndexSpec pattern applied to the BM25 twin). */
+class PostingsIndexSpec extends SparkSpec {
+
+  private def queryDocs(nAnchors: Int) =
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < nAnchors)
+      .select(col("doc_id").as("query_id"), col("text"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "doc_id", "n_terms", "score", "rank")
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+      .toSeq
+
+  test("topKFor over the persisted index equals bm25RankedWhere exactly " +
+      "(same corpus, same anchors, bit-equal scores)") {
+    PostingsIndex.build(spark, sfDir, "postings_parity")
+    val got = rows(PostingsIndex.topKFor(spark, "postings_parity",
+      queryDocs(8), k = 10))
+    val want = rows(graft.queries.Retrieval.bm25Ranked(spark, sfDir,
+      nAnchors = 8, k = 10))
+    assert(got == want,
+      s"index probe diverges from recompute: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("the probe scan is bucket-pruned by the query vocabulary") {
+    PostingsIndex.build(spark, sfDir, "postings_prune", buckets = 64)
+    // a query with a SMALL vocabulary so the literal set hits few buckets
+    import spark.implicits._
+    val q = Seq((0L, "the quick brown fox")).toDF("query_id", "text")
+    val probe = PostingsIndex.topKFor(spark, "postings_prune", q, k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the probe scan:\n$plan")
+    val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(total == 64 && selected <= 4 && selected < total,
+      s"expected ≤4 of 64 buckets for a 4-term query, got $selected out of $total")
+  }
+
+  test("incremental append: build on half the corpus, append the rest — " +
+      "probes equal the full build (stats folded in), still pruned") {
+    PostingsIndex.build(spark, sfDir, "postings_inc",
+      corpusPred = col("doc_id") % 2 === 0)
+    PostingsIndex.append(spark, sfDir, "postings_inc",
+      pred = col("doc_id") % 2 =!= 0)
+    PostingsIndex.build(spark, sfDir, "postings_whole")
+    assert(PostingsIndex.stats(spark, "postings_inc") ==
+      PostingsIndex.stats(spark, "postings_whole"),
+      "appended stats must fold to the full build's (n_docs, sum_dl)")
+    val q = queryDocs(8)
+    assert(rows(PostingsIndex.topKFor(spark, "postings_inc", q, k = 10)) ==
+      rows(PostingsIndex.topKFor(spark, "postings_whole", q, k = 10)),
+      "incrementally-built index diverges from the full build")
+    val plan = PostingsIndex.topKFor(spark, "postings_inc",
+      spark.createDataFrame(Seq((0L, "alpha beta"))).toDF("query_id", "text"),
+      k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"append broke bucket pruning:\n$plan")
+  }
+
+  test("stats() fails loudly on a table not built by PostingsIndex") {
+    import spark.implicits._
+    Bucketing.writeBucketed(
+      Seq(("t", 1L, 2L, 1L)).toDF("term", "doc_id", "dl", "tf"),
+      "postings_unbuilt", "term", 2)
+    val e = intercept[IllegalStateException] {
+      PostingsIndex.stats(spark, "postings_unbuilt")
+    }
+    assert(e.getMessage.contains("graft.bm25"))
+  }
+}
