@@ -128,7 +128,7 @@ object Curation {
   /** Bag-of-words content fingerprint (order-insensitive), ONE definition
     * shared by q81's bloom gate and the q124 ingest gate (both dialects):
     * md5 of the sorted distinct token list. */
-  private[queries] def bowFingerprint: org.apache.spark.sql.Column =
+  private[graft] def bowFingerprint: org.apache.spark.sql.Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
 
   private[queries] val bowFingerprintSql: String =
@@ -831,7 +831,7 @@ object Curation {
     IngestState(spark.read.parquet(s"$dir/sealed_fps"), bloom, capacity)
   }
 
-  private[queries] def iteratedIngest(sealedFps0: DataFrame,
+  private[graft] def iteratedIngest(sealedFps0: DataFrame,
       batches: Seq[DataFrame], capacity: Long): DataFrame = {
     var state = ingestStateOf(sealedFps0, capacity)
     val admittedEpochs = batches.zipWithIndex.map { case (batch, i) =>

@@ -261,10 +261,13 @@ object Retrieval {
 
   /** Reciprocal-rank fusion of two ranked lists — the kernel q128
     * registers with the exact-cosine vector list, and the seam where the
-    * documented production swap plugs in: any frame with
-    * (query_id, doc_id, rank) fuses, in particular
-    * [[Similarity.lshTopKAdaptive]]'s output (composition spec-pinned in
-    * RetrievalSpec). Docs on one list only carry rank −1 for the other. */
+    * documented production swaps plug in: any frame with
+    * (query_id, doc_id, rank) fuses — [[Similarity.lshTopKAdaptive]]'s
+    * recompute output AND the fully index-served stack
+    * ([[graft.sources.PostingsIndex.topKFor]] lexical +
+    * [[graft.sources.AnnIndex.topK]] vector), both compositions
+    * spec-pinned in RetrievalSpec. Docs on one list only carry rank −1
+    * for the other. */
   private[queries] def fuseRrf(lex: DataFrame, vec: DataFrame,
       k: Int): DataFrame = {
     val l = lex.select(col("query_id"), col("doc_id"),

@@ -144,6 +144,41 @@ class RetrievalSpec extends SparkSpec {
       s"doc 70 must arrive vector-only via LSH: ${q0.toSeq}")
   }
 
+  test("the INDEX-SERVED hybrid composes: fuseRrf over the persisted " +
+      "AnnIndex probe — the production stack (persisted lexical + " +
+      "persisted vector) through the same fusion seam") {
+    import org.apache.spark.sql.functions.col
+    // vector side: the persisted index probe (build-once, bucket-pruned),
+    // not a recompute — AnnIndex.topK output is already (query_id,
+    // neighbor_id, cosine, rank)
+    graft.sources.AnnIndex.build(spark, dir, "retr_ann_idx")
+    val vecIdx = graft.sources.AnnIndex.topK(spark, "retr_ann_idx",
+        nAnchors = 8, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    // lexical side: the persisted postings index probe, same corpus
+    graft.sources.PostingsIndex.build(spark, dir, "retr_post_idx")
+    val lexIdx = graft.sources.PostingsIndex.topKFor(spark, "retr_post_idx",
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("text")),
+      k = 20)
+    val fused = Retrieval.fuseRrf(lexIdx, vecIdx, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q0 = fused.filter(_._1 == 0L)
+    assert(q0.nonEmpty)
+    // the bag twin (both lists) must still rank first under the
+    // fully-index-served fusion
+    assert(q0.head._2 == 50L, s"index-served top-1 for query 0: ${q0.toSeq}")
+    // the embedding-close, textually disjoint plant must still surface
+    // through the persisted vector index alone (lex_rank = -1)
+    val d70 = q0.find(_._2 == 70L)
+    assert(d70.isDefined && d70.get._3 == -1L,
+      s"doc 70 must arrive vector-only via the AnnIndex probe: ${q0.toSeq}")
+    // and the lexical-only plant through the postings index alone
+    val d60 = q0.find(_._2 == 60L)
+    assert(d60.isDefined && d60.get._3 > 0L,
+      s"doc 60 must carry a lexical rank from the postings probe: ${q0.toSeq}")
+  }
+
   test("q133: a paraphrase sharing the benchmark's rare terms tops its review " +
       "list; the benchmark slice never searches itself") {
     import org.apache.spark.sql.functions.lit
