@@ -43,7 +43,10 @@ import org.apache.spark.sql.functions._
   * measures that source's few-partition delivery, not the map.
   * Retraining swaps the literal by restarting the query (the standard
   * stream-config rollover; checkpoints carry only source offsets
-  * because there is no state). */
+  * because there is no state) — spec-pinned: ClassifierStreamSpec's
+  * rollover case restarts on the same checkpoint with new weights and
+  * shows offsets resume (no re-delivery) while the new margins apply
+  * from the first post-restart batch. */
 object ClassifierStream {
 
   /** The fused margin expression over a `text` column: Σ over adjacent

@@ -124,6 +124,60 @@ object CurationChain {
           .join(verdicts, "doc_id"), batchId)
       }
 
+  /** dedup → quota → RETRIEVAL decontam: the q133 kernel spliced into
+    * the terminal sink — the THIRD decontam modality joins the chain
+    * (q29's exact 8-grams ride [[curatedVerdicts]]; this catches the
+    * paraphrase that shares a benchmark item's RARE TERMS but no 8-token
+    * run, the case grams structurally miss — spec-planted in
+    * StreamingChainSpec). BM25 is aggregation-shaped (df/stats
+    * aggregations, a top-k window), so per the chain's composition rule
+    * it cannot ride the streaming plan like the classifier's narrow map;
+    * it runs per micro-batch in foreachBatch, where it is plain batch
+    * code: the FIXED benchmark queries the batch's kept documents
+    * through [[graft.queries.Retrieval.bm25On]] (benchmark = query
+    * side, batch = collection side, the q133 framing), and every batch
+    * doc surfacing in any benchmark item's lexical top-`k` comes back
+    * flagged with (n_bench_hits, top_score).
+    *
+    * Stated deviation from the batch q133: collection stats (N, avgdl,
+    * df) are BATCH-LOCAL — a doc's rank competes against its
+    * micro-batch, not the full corpus, so a verdict is batch-relative
+    * where the gram kernel is delivery-invariant. That is inherent to
+    * rank-based flagging over an unbounded stream (the corpus "so far"
+    * is exactly what a stream cannot re-scan per batch); consumers
+    * needing corpus-calibrated ranks run q134's persisted-index probe
+    * over the accumulated corpus instead — this splice is the
+    * low-latency screen, q133/q134 the authoritative batch sweep.
+    * Benchmark toks are derived once per stream and materialized (the
+    * [[DecontamStream.benchmarkGrams]] rule); benchmark ids must not
+    * collide with document ids (the kernel's self-exclusion is keyed on
+    * id, the q133 same-table framing). */
+  def curatedRetrievalVerdicts(docs: DataFrame, benchDocs: DataFrame,
+      k: Int = 5, lateness: String = "1 hour")(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val benchToks = benchDocs
+      .select(col("doc_id").as("query_id"),
+        split(col("text"), " ").as("toks"))
+      .localCheckpoint(true)
+    cappedDocs(docs, lateness).filter(col("kept"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val corpusToks = batch
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val hits = graft.queries.Retrieval.bm25On(benchToks, corpusToks, k)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bench_hits"),
+            max(col("score")).as("top_score"))
+        emit(batch.select("doc_id", "source", "n_tok")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+            col("top_score"),
+            (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("flagged")),
+          batchId)
+      }
+  }
+
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN
     * the streaming plan between the cap and packing — it is a stateless

@@ -62,6 +62,49 @@ class ClassifierStreamSpec extends SparkSpec {
     assert(oneBatch.size == batchByDoc.size + shortIds.length)
   }
 
+  test("retrain rollover: restarting on the SAME checkpoint with new weights " +
+      "resumes offsets (no re-delivery) and applies the new margins from " +
+      "the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("clfroll").toString
+    val seen =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (doc_id, margin)
+    def start(weights: Array[Long]) =
+      ClassifierStream.verdicts(in.toDF().toDF("doc_id", "text"), weights)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= batch.select("doc_id", "margin").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    // closed-form weight vectors: margin = w × (n_tokens − 1) bigrams
+    val wOld = Array.fill(256)(1L)
+    val wNew = Array.fill(256)(3L)
+    val q1 = start(wOld)
+    in.addData((1L, "a b c"), (2L, "d e f g"))
+    q1.processAllAvailable(); q1.stop()
+    // the rollover: same checkpoint, new literal — the scaladoc's
+    // "restart the query" contract; checkpoints carry only source offsets
+    val q2 = start(wNew)
+    in.addData((3L, "h i j"))
+    q2.processAllAvailable(); q2.stop()
+    val byDoc = seen.groupBy(_._1)
+    // offsets resumed: batch-1 docs delivered exactly once, under the OLD
+    // weights — never re-scored by the restarted query
+    assert(byDoc(1L).toSeq == Seq((1L, 2L)) && byDoc(2L).toSeq == Seq((2L, 3L)),
+      s"pre-rollover docs must score once with the old weights: $seen")
+    // the new literal applies from the first post-restart batch
+    assert(byDoc(3L).toSeq == Seq((3L, 6L)),
+      s"post-rollover doc must score with the new weights: $seen")
+    assert(seen.size == 3, s"re-delivery after restart: $seen")
+  }
+
   test("the scoring plan is a stateless narrow map: no state store, no exchange") {
     import spark.implicits._
     // verdicts() is source-agnostic — the batch twin resolves the same

@@ -232,4 +232,47 @@ class StreamingChainSpec extends SparkSpec {
         r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toSet
     assert(buf.toSet == direct)
   }
+
+  test("retrieval-verdict splice: a planted paraphrase sharing the " +
+      "benchmark's rare terms (but no 8-gram run) is caught by the BM25 " +
+      "splice and MISSED by the gram kernel") {
+    import spark.implicits._
+    val bmTerms = (0 until 12).map(i => s"bmr$i")
+    // the paraphrase: half the benchmark's rare terms, each term
+    // separated by its own filler so no 8 consecutive tokens match
+    val para = (0 until 6).flatMap(i => Seq(bmTerms(i), s"own$i")).mkString(" ")
+    val rows = Seq((1L, "sR", para)) ++
+      (2L to 10L).map(i =>
+        (i, "sR", (0 until 12).map(k => s"c${i}w$k").mkString(" ")))
+    val bench = Seq((900L, bmTerms.mkString(" "))).toDF("doc_id", "text")
+
+    // the gram kernel structurally misses it: zero shared 8-grams
+    val gram = DecontamStream.verdictsBatch(
+        rows.map(r => (r._1, r._3)).toDF("doc_id", "text"),
+        DecontamStream.benchmarkGrams(spark, bench))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    assert(!gram(1L), "grams must miss the paraphrase (no 8-token run)")
+
+    val buf =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    withRocksDB {
+      streamOf(Seq(rows)) { docs => push =>
+        val q = CurationChain.curatedRetrievalVerdicts(docs, bench) { (df, _) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r => (r.getAs[Long]("doc_id"),
+              r.getAs[Long]("n_bench_hits"), r.getAs[Boolean]("flagged")))
+          }
+        }.start()
+        push(); q.processAllAvailable(); q.stop()
+      }
+    }
+    // every kept doc gets a verdict (all 10 fit the cap here)
+    assert(buf.map(_._1).toSet == (1L to 10L).toSet)
+    val byId = buf.map(b => b._1 -> b).toMap
+    assert(byId(1L)._3 && byId(1L)._2 >= 1L,
+      s"retrieval must flag the paraphrase: ${buf.toSeq}")
+    assert(buf.filter(_._1 != 1L).forall(!_._3),
+      s"term-disjoint docs never surface: ${buf.toSeq}")
+  }
 }
