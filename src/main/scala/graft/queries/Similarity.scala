@@ -407,6 +407,25 @@ object Similarity {
     Some(lshTopKSql(k = 5, crossLabelOnly = false)),
     headline = true)
 
+  /** Q135: the INDEX-SERVED spelling of q35 — q134's symmetry on the
+    * vector side: same anchors, same banding, same output, SAME DuckDB
+    * oracle; the signatures come from the persisted
+    * [[graft.sources.AnnIndex]] (built once per corpus via the
+    * listing-keyed memo, probed bucket-pruned) instead of being
+    * recomputed per run. The oracle gate hash-comparing this row
+    * against q35's SQL at both SFs is the end-to-end parity proof on
+    * top of AnnIndexSpec's direct probe≡lshTopK pin — the
+    * build-once/probe-many deployment is now oracle-gated on BOTH index
+    * families. */
+  private[queries] val q135 = GraftQuery(
+    "q135_ann_index_probe",
+    (spark, dir) => {
+      val table = graft.sources.AnnIndex.ensureFor(spark, dir, tag = "q135")
+      graft.sources.AnnIndex.topK(spark, table, nAnchors = 20, k = 5)
+    },
+    Some(lshTopKSql(k = 5, crossLabelOnly = false)),
+    headline = true)
+
   /** Q37: IVF-style ANN — coarse quantization against 8 deterministic
     * centroids (the first 8 vectors stand in for k-means centers; the
     * assignment machinery is identical), then exact top-3 over the
@@ -686,5 +705,5 @@ object Similarity {
       ORDER BY query_id, neg_rank"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122, q125, q132)
+  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122, q125, q132, q135)
 }

@@ -51,6 +51,29 @@ object AnnIndex {
       s"'graft.lsh.tables' = '$tables', 'graft.lsh.bits' = '$bits')")
   }
 
+  /** Build-once memo for dir-derived indexes — the deployment shape the
+    * registered q135 runs through (PostingsIndex.ensureFor's rule on the
+    * vector side): first call builds, later calls return the table name
+    * for free; keyed on the embeddings listing signature so an
+    * in-process corpus rewrite rebuilds instead of probing stale
+    * signatures. */
+  def ensureFor(spark: SparkSession, dir: String, tag: String,
+      tables: Int = 4, bits: Int = 8, buckets: Int = 16): String = {
+    val sig = graft.Tables.listingSignature(dir, "embeddings")
+    ensured.compute(s"$tag|$dir", (_, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else {
+        val table = s"ann_${tag}_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        build(spark, dir, table, tables, bits, buckets)
+        (sig, table)
+      })._2
+  }
+
+  private val ensured =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   private def banding(spark: SparkSession, table: String): (Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

@@ -60,4 +60,24 @@ class AnnIndexSpec extends SparkSpec {
     // and the pruned probe still returns ranked neighbors
     assert(probe.collect().nonEmpty)
   }
+
+  test("topKFor with externally-computed anchor signatures (the " +
+      "vector-DB-client model) equals the self-probe — the query never " +
+      "reads the index to fetch its own anchors") {
+    import org.apache.spark.sql.functions.col
+    AnnIndex.build(spark, sfDir, "ann_idx_client", tables = 4, bits = 8,
+      buckets = 16)
+    // the client signs its OWN query vectors — same banding, computed
+    // from the corpus dir, never from the index table
+    val anchors = graft.queries.Similarity.signatureRowsOf(
+      graft.queries.Similarity.normedVectors(spark, sfDir)
+        .filter(col("vec_id") < 20),
+      tables = 4, bits = 8)
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(tup(AnnIndex.topKFor(spark, "ann_idx_client", anchors, 5)) ==
+      tup(AnnIndex.topK(spark, "ann_idx_client", nAnchors = 20, k = 5)),
+      "client-computed anchor signatures diverge from the self-probe")
+  }
 }
