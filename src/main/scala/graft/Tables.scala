@@ -38,14 +38,24 @@ object Tables {
   private[graft] def listingSignature(dir: String, name: String): String = {
     val root = java.nio.file.Paths.get(dir, s"$name.parquet")
     if (!java.nio.file.Files.exists(root)) ""
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator.asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        .toSeq.sorted.mkString("|")
-    }
+    else
+      // Files.walk must be closed (it holds directory handles), and a
+      // file vanishing mid-listing is exactly the concurrent-rewrite
+      // case the signature exists to catch — treat any listing race as
+      // "changed" (a unique signature that matches no memo entry) rather
+      // than crashing the caller or leaking the stream's fds.
+      try scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator.asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toSeq.sorted.mkString("|")
+      }
+      catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          s"listing-race:${java.util.UUID.randomUUID()}"
+      }
   }
 
   /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark

@@ -791,8 +791,12 @@ object Curation {
     * admissions, so treat the old reference as consumed. */
   def ingestEpoch(state: IngestState, batch: DataFrame)
       : (DataFrame, IngestState) = {
-    val admitted =
-      epochAdmit(batch, state.sealedFps, state.bloom).localCheckpoint(true)
+    val (adm, cleanup) = epochAdmitManaged(batch, state.sealedFps, state.bloom)
+    val admitted = adm.localCheckpoint(true)
+    // the eager checkpoint severed the lineage: the epoch's probe
+    // broadcast (if the filter routed past the literal ceiling) is
+    // unreferenced from here on — free it now, not at some future GC
+    cleanup()
     state.bloom.mergeInPlace(
       deltaBloomOf(admitted.select("fp"), state.capacity))
     (admitted, IngestState(
@@ -848,15 +852,28 @@ object Curation {
     * window, bloom-routed probe, hash-keyed LeftAnti for the positives)
     * without executing the loop's checkpoints. */
   private[queries] def epochAdmit(batch: DataFrame, sealedFps: DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    epochAdmitManaged(batch, sealedFps, bloom)._1
+
+  /** [[epochAdmit]] plus the probe's resource handle: callers that
+    * MATERIALIZE the admissions (ingestEpoch's eager checkpoint severs
+    * the lineage) call the cleanup to destroy the epoch's broadcast
+    * immediately — without it a long ingest loop past the literal
+    * ceiling would accumulate one GB-scale broadcast per epoch in the
+    * executors' block managers until driver GC happens to trigger the
+    * ContextCleaner. The literal branch's cleanup is a no-op. */
+  private def epochAdmitManaged(batch: DataFrame, sealedFps: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      : (DataFrame, () => Unit) = {
     val wFirst = Window.partitionBy("fp").orderBy("doc_id")
     val firstInBatch = batch.select(col("doc_id"), col("fp"))
       .withColumn("rn", row_number().over(wFirst))
       .filter(col("rn") === 1).drop("rn")
-    val hit = bloomHitCol(batch.sparkSession, bloom)
-    firstInBatch.filter(!hit)
+    val (hit, cleanup) = bloomHitCol(batch.sparkSession, bloom)
+    (firstInBatch.filter(!hit)
       .unionByName(firstInBatch.filter(hit)
-        .join(sealedFps, Seq("fp"), "left_anti"))
+        .join(sealedFps, Seq("fp"), "left_anti")),
+      cleanup)
   }
 
   /** The sealed-set membership probe, SIZE-ROUTED: small filters embed
@@ -867,7 +884,11 @@ object Curation {
     * serialized task binary, so a GB-scale filter (the scaladoc's 10⁹-key
     * ~1.2 GB ceiling) would be re-serialized into every stage's binary
     * that references the plan, where TorrentBroadcast ships it once per
-    * executor and re-USES it across the epoch loop's stages. Both
+    * executor and re-USES it across the epoch loop's stages. The route
+    * decision reads `bitSize()/8` — sizing a GB-scale filter must not
+    * itself serialize GB onto the driver heap just to pick the branch
+    * (and a >2 GB serialized form could never materialize as one byte
+    * array at all); only the literal branch pays the writeTo. Both
     * branches probe the identical `mightContainLong(xxhash64(fp))`, so
     * routing never changes admissions — only where the bytes live. The
     * 16 MB ceiling is deliberately far below broadcast limits: it is the
@@ -876,17 +897,17 @@ object Curation {
   private[queries] val BloomLiteralCeiling: Long = 16L << 20
   private def bloomHitCol(spark: org.apache.spark.sql.SparkSession,
       bloom: org.apache.spark.util.sketch.BloomFilter)
-      : org.apache.spark.sql.Column = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val bytes = bos.toByteArray
-    if (bytes.length <= BloomLiteralCeiling)
-      call_function("bloom_might_contain", lit(bytes), xxhash64(col("fp")))
-    else {
+      : (org.apache.spark.sql.Column, () => Unit) =
+    if (bloom.bitSize() / 8 <= BloomLiteralCeiling) {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      (call_function("bloom_might_contain", lit(bos.toByteArray),
+        xxhash64(col("fp"))), () => ())
+    } else {
       val bc = spark.sparkContext.broadcast(bloom)
-      udf((h: Long) => bc.value.mightContainLong(h)).apply(xxhash64(col("fp")))
+      (udf((h: Long) => bc.value.mightContainLong(h))
+        .apply(xxhash64(col("fp"))), () => bc.destroy())
     }
-  }
 
   /** Q126: iterated incremental ingestion — 3 epochs of q81's gate where
     * each epoch's admissions SEAL for the next ([[iteratedIngest]]; the

@@ -56,23 +56,14 @@ object AnnIndex {
     * vector side): first call builds, later calls return the table name
     * for free; keyed on the embeddings listing signature so an
     * in-process corpus rewrite rebuilds instead of probing stale
-    * signatures. */
+    * signatures, with (tables, bits, buckets) folded into the memo key
+    * AND the table name ([[IndexMemo]]) so a different banding can
+    * never be served a table built at another. */
   def ensureFor(spark: SparkSession, dir: String, tag: String,
-      tables: Int = 4, bits: Int = 8, buckets: Int = 16): String = {
-    val sig = graft.Tables.listingSignature(dir, "embeddings")
-    ensured.compute(s"$tag|$dir", (_, prev) =>
-      if (prev != null && prev._1 == sig) prev
-      else {
-        val table = s"ann_${tag}_" + java.security.MessageDigest
-          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(8)
-        build(spark, dir, table, tables, bits, buckets)
-        (sig, table)
-      })._2
-  }
-
-  private val ensured =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+      tables: Int = 4, bits: Int = 8, buckets: Int = 16): String =
+    IndexMemo.ensure(s"ann|$tag|$dir|$tables|$bits|$buckets",
+      graft.Tables.listingSignature(dir, "embeddings"), s"ann_$tag")(
+      t => build(spark, dir, t, tables, bits, buckets))
 
   private def banding(spark: SparkSession, table: String): (Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
@@ -130,11 +121,16 @@ object AnnIndex {
     * by the anchors' signature literals. */
   def topKFor(spark: SparkSession, table: String, anchorRows: DataFrame,
       k: Int): DataFrame = {
+    // materialize the anchor rows ONCE (they are query-scale by the
+    // q122/q125 contract): both consumers below — the driver-side
+    // signature collect and the broadcast join — would otherwise
+    // re-execute the caller's whole anchor pipeline (topK's index scan,
+    // or a client's read→norm→sign chain)
     val anchors = anchorRows
       .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
         col("sig").as("qsig"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .localCheckpoint(true)
     // anchor signatures collect to the driver for the pruning predicate
-    // (anchors are query-scale by the q122/q125 contract)
     val probeSigs = anchors.select("qsig").distinct()
       .collect().map(_.getString(0)).toSeq
     // ONE index scan: bucket-pruned by the literal signature set, hash-

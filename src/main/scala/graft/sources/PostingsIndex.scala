@@ -62,23 +62,46 @@ object PostingsIndex {
   }
 
   /** Incremental maintenance — the ingest path: tokenize a NEW batch of
-    * documents, append their postings honoring the table's bucket spec
-    * (datasource bucketed tables bucket on insert, so probes keep
-    * pruning over the union with no rebuild), and FOLD the batch's
-    * (n_docs, sum_dl) into the recorded collection stats — stale stats
-    * would silently mis-weight every idf/avgdl, so the stats update is
-    * part of the append, not a caller chore. Caller contract: the new
-    * doc_ids are disjoint from the indexed set (the q81/q126 ingest gate
-    * runs upstream — pinned end-to-end by IngestIndexSpec). insertInto
-    * is POSITIONAL; build and append both emit [[postingsOf]]'s column
-    * order. */
+    * documents ONCE (the batch's token arrays checkpoint so the insert
+    * and the stats aggregate share one scan — batches are epoch-sized,
+    * so materializing them is cheap, unlike [[build]]'s corpus where the
+    * two-pass C4 rule applies), append their postings honoring the
+    * table's bucket spec (datasource bucketed tables bucket on insert,
+    * so probes keep pruning over the union with no rebuild), and FOLD
+    * the batch's (n_docs, sum_dl) into the recorded collection stats —
+    * stale stats would silently mis-weight every idf/avgdl, so the
+    * stats update rides in the same driver call as the insert, not a
+    * caller chore. Honesty about the failure window: the insert and the
+    * property write are two catalog operations, not one transaction — a
+    * crash between them leaves the new rows in with old stats, and
+    * concurrent appends can lose a fold (last property write wins).
+    * Appends are SINGLE-WRITER by contract, like the bucketed table
+    * itself; after a suspected partial append, [[refreshStats]]
+    * recomputes the properties from the table in one scan. Caller
+    * contract: the new doc_ids are disjoint from the indexed set (the
+    * q81/q126 ingest gate runs upstream — pinned end-to-end by
+    * IngestIndexSpec). insertInto is POSITIONAL; build and append both
+    * emit [[postingsOf]]'s column order. */
   def append(spark: SparkSession, dir: String, table: String,
       pred: Column = lit(true)): Unit = {
     val toks = Retrieval.tokenizedDocs(spark, dir).filter(pred)
+      .localCheckpoint(true)
     postingsOf(toks).write.mode("append").insertInto(table)
     val (n0, s0) = stats(spark, table)
     val (n1, s1) = collectionStats(toks)
     writeStats(spark, table, (n0 + n1, s0 + s1))
+  }
+
+  /** Recompute (n_docs, sum_dl) FROM the postings table and rewrite the
+    * properties — the recovery path for an interrupted [[append]].
+    * Exact because every document owns ≥ 1 posting row (Spark's
+    * split("", " ") yields [""], so even an empty text emits one term)
+    * and dl is constant across a doc's rows. */
+  def refreshStats(spark: SparkSession, table: String): Unit = {
+    val r = spark.table(table)
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    writeStats(spark, table, (r.getLong(0), r.getLong(1)))
   }
 
   /** (term, doc_id, dl, tf) for a tokenized (doc_id, toks) frame — the
@@ -108,25 +131,16 @@ object PostingsIndex {
     * builds the index, every later call (bench passes, repeated probes)
     * returns the table name for free. Keyed on the corpus dir's
     * file-listing signature so an in-process rewrite rebuilds instead of
-    * probing a stale index (the corpusCount memo's rule). `tag` is part
-    * of the table identity — callers with different `corpusPred`s use
-    * different tags. */
+    * probing a stale index (the corpusCount memo's rule), with `buckets`
+    * folded into the key and table name ([[IndexMemo]]). `tag` is part
+    * of the identity too — callers with different `corpusPred`s use
+    * different tags (a Column has no stable serialized form to key on,
+    * so the tag CARRIES the predicate identity by contract). */
   def ensureFor(spark: SparkSession, dir: String, tag: String,
-      corpusPred: Column = lit(true), buckets: Int = 64): String = {
-    val sig = graft.Tables.listingSignature(dir, "documents")
-    ensured.compute(s"$tag|$dir", (_, prev) =>
-      if (prev != null && prev._1 == sig) prev
-      else {
-        val table = s"postings_${tag}_" + java.security.MessageDigest
-          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(8)
-        build(spark, dir, table, corpusPred, buckets)
-        (sig, table)
-      })._2
-  }
-
-  private val ensured =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+      corpusPred: Column = lit(true), buckets: Int = 64): String =
+    IndexMemo.ensure(s"postings|$tag|$dir|$buckets",
+      graft.Tables.listingSignature(dir, "documents"), s"postings_$tag")(
+      t => build(spark, dir, t, corpusPred, buckets))
 
   /** The recorded collection stats (n_docs, sum_dl). */
   def stats(spark: SparkSession, table: String): (Long, Long) = {

@@ -61,6 +61,20 @@ class AnnIndexSpec extends SparkSpec {
     assert(probe.collect().nonEmpty)
   }
 
+  test("ensureFor folds the banding into the table identity: a different " +
+      "(tables, bits) builds its own index instead of serving the memo hit") {
+    val t1 = AnnIndex.ensureFor(spark, sfDir, tag = "memokey",
+      tables = 4, bits = 8)
+    val t2 = AnnIndex.ensureFor(spark, sfDir, tag = "memokey",
+      tables = 2, bits = 4)
+    assert(t1 != t2, "banding change must not be served the memoized table")
+    // each table records ITS OWN banding (so append's require sees the truth)
+    def prop(t: String, k: String) =
+      spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap.apply(k)
+    assert(prop(t1, "graft.lsh.tables") == "4" && prop(t2, "graft.lsh.tables") == "2")
+  }
+
   test("topKFor with externally-computed anchor signatures (the " +
       "vector-DB-client model) equals the self-probe — the query never " +
       "reads the index to fetch its own anchors") {

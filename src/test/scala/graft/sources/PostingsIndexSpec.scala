@@ -70,6 +70,27 @@ class PostingsIndexSpec extends SparkSpec {
       s"append broke bucket pruning:\n$plan")
   }
 
+  test("refreshStats recomputes the recorded stats from the table itself " +
+      "(the interrupted-append recovery path)") {
+    PostingsIndex.build(spark, sfDir, "postings_refresh")
+    val want = PostingsIndex.stats(spark, "postings_refresh")
+    // simulate a lost stats fold (crash between insert and property write)
+    spark.sql("ALTER TABLE postings_refresh SET TBLPROPERTIES (" +
+      "'graft.bm25.n_docs' = '1', 'graft.bm25.sum_dl' = '1')")
+    PostingsIndex.refreshStats(spark, "postings_refresh")
+    assert(PostingsIndex.stats(spark, "postings_refresh") == want,
+      "refreshStats must restore the build-time collection stats")
+  }
+
+  test("ensureFor folds layout parameters into the table identity: a " +
+      "different bucket count builds a different table, never a stale hit") {
+    val t1 = PostingsIndex.ensureFor(spark, sfDir, tag = "memokey", buckets = 8)
+    val t2 = PostingsIndex.ensureFor(spark, sfDir, tag = "memokey", buckets = 16)
+    assert(t1 != t2, "layout change must not be served the memoized table")
+    assert(PostingsIndex.ensureFor(spark, sfDir, tag = "memokey",
+      buckets = 8) == t1, "same layout must hit the memo")
+  }
+
   test("stats() fails loudly on a table not built by PostingsIndex") {
     import spark.implicits._
     Bucketing.writeBucketed(
