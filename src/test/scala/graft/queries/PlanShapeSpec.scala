@@ -669,6 +669,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the one-row stats cross, got $bnlj:\n$s")
   }
 
+  test("q134/q135: the registered index probes read their persisted tables " +
+      "bucket-pruned — the corpus is never re-scanned for postings/signatures") {
+    // building the plans runs ensureFor's one-time builds at the fixture SF
+    val s134 = planString("q134_postings_decontam")
+    assert(s134.contains("postings_decontam"),
+      s"q134 must scan the persisted postings table:\n$s134")
+    assert(s134.contains("SelectedBucketsCount"),
+      s"q134's index scan must be bucket-pruned:\n$s134")
+    val s135 = planString("q135_ann_index_probe")
+    assert(s135.contains("ann_q135"),
+      s"q135 must scan the persisted signature table:\n$s135")
+    assert(s135.contains("SelectedBucketsCount"),
+      s"q135's index scan must be bucket-pruned:\n$s135")
+  }
+
   test("q130: the curriculum window is keyed on (phase_order, shard) — never a " +
       "global corpus sort; the only broadcast-scale pieces are q129's control plane") {
     val s = planString("q130_curriculum_order").replaceAll("#\\d+L?", "")

@@ -50,7 +50,7 @@ object StreamThroughputProbe {
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
       "dedup-sparse-rocks", "decontam", "decontam-hoisted", "quota", "chain",
-      "classifier", "chain-quality")
+      "classifier", "chain-quality", "chain-retrieval")
     val rocksAll = args.contains("rocksdb")
     if (rocksAll)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -457,6 +457,48 @@ object StreamThroughputProbe {
       reportPlain("chain-quality 1M (dedup->quota->classifier->pack)", wall,
         f"1000000 events in $wall%.2f s = ${1000000L / wall}%.0f rec/s; " +
         s"state ops=${so.length} rows=${so.map(_.numRowsTotal).mkString("/")}")
+      q.stop()
+    }
+
+    // ---- Chain + retrieval-verdict splice (curatedRetrievalVerdicts) ----
+    section("chain-retrieval") {
+      import spark.implicits._
+      // fixed benchmark: 100 items × 10 rare terms (the eval-set-bounded
+      // query side); every 100th stream doc embeds two bench terms so
+      // the per-batch BM25 rendezvous does real selective work
+      val bench = (0 until 100).map(b =>
+          (100000000L + b, (0 until 10).map(j => s"bench${b}t$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val in = MemoryStream[(Long, Timestamp, String, String)]
+      var verdicts = 0L
+      var flagged = 0L
+      val q = CurationChain.curatedRetrievalVerdicts(
+          in.toDF().toDF("doc_id", "ts", "source", "text"), bench) { (df, _) =>
+        import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+        val f = df.groupBy().agg(
+          count(lit(1)),
+          coalesce(sum(when(
+            org.apache.spark.sql.functions.col("flagged"), 1L)
+            .otherwise(0L)), lit(0L))).head()
+        verdicts += f.getLong(0); flagged += f.getLong(1)
+      }.start()
+      val nKeys = 20000L
+      val t0 = System.nanoTime()
+      for (b <- 0 until 10) {
+        in.addData((0 until 100000).map { i =>
+          val id = b * 100000L + i
+          val txt =
+            if (id % 100 == 0)
+              s"bench${id % 100000 / 1000}t1 bench${id % 100000 / 1000}t2 w$id x y"
+            else s"w$id x y z"
+          (id, new Timestamp(3600000L * b), s"s${id % nKeys}", txt)
+        })
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      reportPlain("chain-retrieval 1M (dedup->quota->BM25 verdict splice)", wall,
+        f"1000000 events in $wall%.2f s = ${1000000L / wall}%.0f rec/s; " +
+        s"verdicts=$verdicts flagged=$flagged")
       q.stop()
     }
 
