@@ -121,6 +121,10 @@ object AnnIndex {
     * by the anchors' signature literals. */
   def topKFor(spark: SparkSession, table: String, anchorRows: DataFrame,
       k: Int): DataFrame = {
+    // read-your-committed-appends: a writer in another session (the
+    // streaming ingestion pattern) cannot invalidate this session's
+    // cached file listing — refresh before probing (PostingsIndex rule)
+    spark.catalog.refreshTable(table)
     // materialize the anchor rows ONCE (they are query-scale by the
     // q122/q125 contract): both consumers below — the driver-side
     // signature collect and the broadcast join — would otherwise

@@ -83,8 +83,20 @@ object PostingsIndex {
     * IngestIndexSpec). insertInto is POSITIONAL; build and append both
     * emit [[postingsOf]]'s column order. */
   def append(spark: SparkSession, dir: String, table: String,
-      pred: Column = lit(true)): Unit = {
-    val toks = Retrieval.tokenizedDocs(spark, dir).filter(pred)
+      pred: Column = lit(true)): Unit =
+    appendDocs(spark, table,
+      graft.Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(pred).select(col("doc_id"), col("text")))
+
+  /** [[append]] over a (doc_id, text) FRAME — the form the streaming
+    * ingestion path uses (CurationChain.curatedIndexed appends each
+    * micro-batch's kept documents). Same single-tokenize-pass shape and
+    * the same stats fold / single-writer contract as the dir-based
+    * entry. */
+  def appendDocs(spark: SparkSession, table: String,
+      docs: DataFrame): Unit = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .localCheckpoint(true)
     postingsOf(toks).write.mode("append").insertInto(table)
     val (n0, s0) = stats(spark, table)
@@ -167,6 +179,12 @@ object PostingsIndex {
     * matching the recompute path. */
   def topKFor(spark: SparkSession, table: String, queryDocs: DataFrame,
       k: Int): DataFrame = {
+    // a probe against a GROWING index must see committed appends: writers
+    // may run in another session (the streaming ingestion path's cloned
+    // micro-batch session), whose inserts cannot invalidate THIS
+    // session's cached file listing for the table — refresh is the
+    // read-your-committed-appends contract, and costs one listing
+    spark.catalog.refreshTable(table)
     val qterms = queryDocs
       .select(col("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))

@@ -178,6 +178,37 @@ object CurationChain {
       }
   }
 
+  /** dedup → quota → POSTINGS INDEX: the streaming half of the
+    * build-once/probe-many deployment — each micro-batch's kept
+    * documents append to the persisted
+    * [[graft.sources.PostingsIndex]], so the index GROWS WITH THE
+    * STREAM (bucketed-on-insert, stats folded per batch) and every
+    * q134-style decontam probe between batches runs against the corpus
+    * ingested so far. This closes the production loop end to end:
+    * stream → dedup gate → quota → index → bucket-pruned probe
+    * (IngestIndexSpec pinned the BATCH gate feeding append; the
+    * StreamingChainSpec case pins this streaming spelling equal to the
+    * batch rebuild over the same kept set).
+    *
+    * Delivery contract, stated: appends are NOT idempotent — a
+    * foreachBatch retry after a sink-side failure would re-append the
+    * batch's postings (Spark's exactly-once covers sources and state,
+    * not arbitrary external writes). The chain's dedup stage already
+    * suppresses re-DELIVERIES upstream, so the remaining window is the
+    * crash-between-insert-and-commit one the append scaladoc names;
+    * recover with [[graft.sources.PostingsIndex.refreshStats]] plus a
+    * doc_id-dedup rebuild, or give each batch a staging write if the
+    * deployment needs strict exactly-once. Single-writer like every
+    * append path. */
+  def curatedIndexed(docs: DataFrame, table: String,
+      lateness: String = "1 hour"): DataStreamWriter[Row] =
+    cappedDocs(docs, lateness).filter(col("kept"))
+      .select(col("doc_id"), col("text"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.PostingsIndex.appendDocs(batch.sparkSession, table,
+          batch)
+      }
+
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN
     * the streaming plan between the cap and packing — it is a stateless

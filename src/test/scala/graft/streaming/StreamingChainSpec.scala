@@ -233,6 +233,64 @@ class StreamingChainSpec extends SparkSpec {
     assert(buf.toSet == direct)
   }
 
+  test("streaming index ingestion: the chain's kept docs grow the postings " +
+      "index per batch — probes see exactly the corpus ingested so far, " +
+      "dedup protects the index from a re-delivery, and the final index " +
+      "equals the batch rebuild over the same kept set") {
+    import spark.implicits._
+    import graft.sources.PostingsIndex
+    def text(i: Long, extra: String = ""): String =
+      ((0 until 8).map(k => s"v${i}w$k") ++
+        (if (extra.nonEmpty) Seq(extra) else Nil)).mkString(" ")
+    // batch 1 doc 1 and batch 3 doc 11 carry the bench term; doc 1 is
+    // RE-DELIVERED in batch 2 (dedup must keep the index single-copy)
+    val b1 = (1L to 5L).map(i => (i, "sI", text(i, if (i == 1) "probeterm" else "")))
+    val b2 = (6L to 10L).map(i => (i, "sI", text(i))) :+ b1.head
+    val b3 = (11L to 15L).map(i => (i, "sI", text(i, if (i == 11) "probeterm" else "")))
+    val bench = Seq((900L, "probeterm alone")).toDF()
+      .toDF("query_id", "text")
+
+    // empty seed: the stream owns the whole corpus
+    PostingsIndex.build(spark, sfDir, "stream_post",
+      corpusPred = org.apache.spark.sql.functions.lit(false))
+    assert(PostingsIndex.stats(spark, "stream_post") == ((0L, 0L)))
+
+    def probeIds(): Set[Long] =
+      PostingsIndex.topKFor(spark, "stream_post", bench, k = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    withRocksDB {
+      streamOf(Seq(b1, b2, b3)) { docs => push =>
+        val q = CurationChain.curatedIndexed(docs, "stream_post").start()
+        push(); q.processAllAvailable()
+        assert(probeIds() == Set(1L),
+          "after batch 1 the probe must see exactly batch 1's plant")
+        push(); q.processAllAvailable()
+        push(); q.processAllAvailable(); q.stop()
+      }
+    }
+    assert(probeIds() == Set(1L, 11L),
+      "after batch 3 both plants are indexed, nothing else matches")
+    // dedup protected the index: 15 docs, not 16
+    assert(PostingsIndex.stats(spark, "stream_post")._1 == 15L)
+
+    // the streamed index equals the batch rebuild over the same kept set
+    val d = java.nio.file.Files.createTempDirectory("streampost").toString
+    (b1 ++ b2.dropRight(1) ++ b3).map(r => (r._1, r._3))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    PostingsIndex.build(spark, d, "stream_post_rebuild")
+    assert(PostingsIndex.stats(spark, "stream_post") ==
+      PostingsIndex.stats(spark, "stream_post_rebuild"))
+    def rows(t: String) = PostingsIndex.topKFor(spark, t, bench, k = 10)
+      .select("query_id", "doc_id", "n_terms", "score", "rank")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    assert(rows("stream_post") == rows("stream_post_rebuild"),
+      "stream-grown index diverges from the batch rebuild")
+  }
+
   test("retrieval-verdict splice: a planted paraphrase sharing the " +
       "benchmark's rare terms (but no 8-gram run) is caught by the BM25 " +
       "splice and MISSED by the gram kernel") {
