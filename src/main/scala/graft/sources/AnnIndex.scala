@@ -88,12 +88,23 @@ object AnnIndex {
     * and this method both emit [[Similarity.signatureRows]]'s column
     * order. */
   def append(spark: SparkSession, dir: String, table: String,
-      tables: Int = 4, bits: Int = 8): Unit = {
+      tables: Int = 4, bits: Int = 8): Unit =
+    appendVectors(spark, table,
+      graft.Tables.embeddings(spark, dir), tables, bits)
+
+  /** [[append]] over an (vec_id, label, embedding) FRAME — the form a
+    * streaming vector-ingestion path uses (the PostingsIndex.appendDocs
+    * twin): sign the batch with the table's banding and insert
+    * bucketed. Same banding require() and disjoint-ids contract as the
+    * dir-based entry. */
+  def appendVectors(spark: SparkSession, table: String,
+      embeddings: DataFrame, tables: Int = 4, bits: Int = 8): Unit = {
     val built = banding(spark, table)
     require(built == ((tables, bits)),
       s"$table was built at banding $built but append was asked for " +
         s"(${tables}, ${bits}) — mismatched signatures never collide")
-    Similarity.signatureRows(spark, dir, tables, bits)
+    Similarity.signatureRowsOf(
+        Similarity.normedVectorsOf(spark, embeddings), tables, bits)
       .write.mode("append").insertInto(table)
   }
 
