@@ -84,9 +84,16 @@ object Retrieval {
     * broadcast probe + partial aggregation run near-single-threaded (the
     * repo-wide single-file gotcha). */
   private[graft] def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    tokenizedDocsOf(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+
+  /** THE tokenizer, one definition: every postings producer — the
+    * recompute path, PostingsIndex.build, and the frame-based
+    * streaming appends — splits text through this, so the
+    * append≡rebuild bit-exact contract can never drift on a
+    * tokenization change. */
+  private[graft] def tokenizedDocsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
 
   /** The frame-based recompute core: `queryToks` = (query_id, toks),
     * `corpusToks` = (doc_id, toks). Besides the dir-sliced batch entries

@@ -89,16 +89,17 @@ object AnnIndex {
     * order. */
   def append(spark: SparkSession, dir: String, table: String,
       tables: Int = 4, bits: Int = 8): Unit =
-    appendVectors(spark, table,
-      graft.Tables.embeddings(spark, dir), tables, bits)
+    appendVectors(table, graft.Tables.embeddings(spark, dir), tables, bits)
 
   /** [[append]] over an (vec_id, label, embedding) FRAME — the form a
     * streaming vector-ingestion path uses (the PostingsIndex.appendDocs
     * twin): sign the batch with the table's banding and insert
-    * bucketed. Same banding require() and disjoint-ids contract as the
+    * bucketed. The session derives from the frame (the appendDocs
+    * rule). Same banding require() and disjoint-ids contract as the
     * dir-based entry. */
-  def appendVectors(spark: SparkSession, table: String,
-      embeddings: DataFrame, tables: Int = 4, bits: Int = 8): Unit = {
+  def appendVectors(table: String, embeddings: DataFrame,
+      tables: Int = 4, bits: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
     val built = banding(spark, table)
     require(built == ((tables, bits)),
       s"$table was built at banding $built but append was asked for " +
@@ -120,9 +121,15 @@ object AnnIndex {
     * its own signatures) and calls [[topKFor]] directly, which scans the
     * index exactly once, pruned. */
   def topK(spark: SparkSession, table: String, nAnchors: Int,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // refresh BEFORE resolving the anchor scan: topKFor's own refresh
+    // runs after this spark.table call has captured a file listing, and
+    // a stale anchor side against a fresh candidate side would make the
+    // self-probe internally inconsistent under concurrent appends
+    spark.catalog.refreshTable(table)
     topKFor(spark, table,
       spark.table(table).filter(col("vec_id") < nAnchors), k)
+  }
 
   /** The serving-path probe: `anchors` are the query's OWN signature
     * rows in [[Similarity.signatureRows]] layout (vec_id, tbl, sig, v,

@@ -84,20 +84,21 @@ object PostingsIndex {
     * emit [[postingsOf]]'s column order. */
   def append(spark: SparkSession, dir: String, table: String,
       pred: Column = lit(true)): Unit =
-    appendDocs(spark, table,
+    appendDocs(table,
       graft.Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .filter(pred).select(col("doc_id"), col("text")))
 
   /** [[append]] over a (doc_id, text) FRAME — the form the streaming
     * ingestion path uses (CurationChain.curatedIndexed appends each
-    * micro-batch's kept documents). Same single-tokenize-pass shape and
-    * the same stats fold / single-writer contract as the dir-based
-    * entry. */
-  def appendDocs(spark: SparkSession, table: String,
-      docs: DataFrame): Unit = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .localCheckpoint(true)
+    * micro-batch's kept documents). The session derives from the frame
+    * (a split insert-session/stats-session would only be correct by the
+    * accident of a shared catalog). Same single-tokenize-pass shape,
+    * the same [[Retrieval.tokenizedDocsOf]] tokenizer as build, and the
+    * same stats fold / single-writer contract as the dir-based entry. */
+  def appendDocs(table: String, docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val toks = Retrieval.tokenizedDocsOf(docs).localCheckpoint(true)
     postingsOf(toks).write.mode("append").insertInto(table)
     val (n0, s0) = stats(spark, table)
     val (n1, s1) = collectionStats(toks)

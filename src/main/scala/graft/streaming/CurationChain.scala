@@ -193,20 +193,27 @@ object CurationChain {
     * Delivery contract, stated: appends are NOT idempotent — a
     * foreachBatch retry after a sink-side failure would re-append the
     * batch's postings (Spark's exactly-once covers sources and state,
-    * not arbitrary external writes). The chain's dedup stage already
-    * suppresses re-DELIVERIES upstream, so the remaining window is the
-    * crash-between-insert-and-commit one the append scaladoc names;
-    * recover with [[graft.sources.PostingsIndex.refreshStats]] plus a
-    * doc_id-dedup rebuild, or give each batch a staging write if the
-    * deployment needs strict exactly-once. Single-writer like every
-    * append path. */
+    * not arbitrary external writes). The chain's dedup stage suppresses
+    * re-deliveries only WITHIN its watermark: a duplicate arriving more
+    * than `lateness` of event time after its first delivery passes the
+    * evicted dedup state and double-appends permanently, so size
+    * `lateness` to the source's real re-delivery horizon (or doc_id
+    * anti-join the index in the sink when the horizon is unbounded).
+    * The remaining window is the crash-between-insert-and-commit one
+    * the append scaladoc names; recover with
+    * [[graft.sources.PostingsIndex.refreshStats]] plus a doc_id-dedup
+    * rebuild, or give each batch a staging write if the deployment
+    * needs strict exactly-once. Single-writer like every append path. */
   def curatedIndexed(docs: DataFrame, table: String,
       lateness: String = "1 hour"): DataStreamWriter[Row] =
     cappedDocs(docs, lateness).filter(col("kept"))
       .select(col("doc_id"), col("text"))
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.PostingsIndex.appendDocs(batch.sparkSession, table,
-          batch)
+        // skip no-data batches (watermark ticks) and all-rejected ones:
+        // an empty append would still pay a write commit + two catalog
+        // property operations per tick
+        if (!batch.isEmpty)
+          graft.sources.PostingsIndex.appendDocs(table, batch)
       }
 
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality

@@ -15,7 +15,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * Usage: `sbt "Test/runMain graft.streaming.StreamThroughputProbe
   * [rocksdb] [section...]"` — sections: asof pack mix dedup dedup-expr
   * dedup-state dedup-state-cap8 dedup-sparse dedup-sparse-rocks decontam classifier
-  * decontam-hoisted quota chain chain-quality (no args = all; unknown names abort).
+  * decontam-hoisted quota chain chain-quality chain-retrieval
+  * (no args = all; unknown names abort).
   * CAVEAT (round-16 lesson): same-JVM comparisons BETWEEN sections
   * carry a section-order JIT bias of ~10% — the later section runs
   * warmer. To compare two sections, run each alone in a fresh JVM

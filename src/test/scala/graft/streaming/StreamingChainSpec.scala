@@ -262,11 +262,15 @@ class StreamingChainSpec extends SparkSpec {
     withRocksDB {
       streamOf(Seq(b1, b2, b3)) { docs => push =>
         val q = CurationChain.curatedIndexed(docs, "stream_post").start()
-        push(); q.processAllAvailable()
-        assert(probeIds() == Set(1L),
-          "after batch 1 the probe must see exactly batch 1's plant")
-        push(); q.processAllAvailable()
-        push(); q.processAllAvailable(); q.stop()
+        // mid-stream assert: stop the query even on failure, or it keeps
+        // appending under later tests in the suite
+        try {
+          push(); q.processAllAvailable()
+          assert(probeIds() == Set(1L),
+            "after batch 1 the probe must see exactly batch 1's plant")
+          push(); q.processAllAvailable()
+          push(); q.processAllAvailable()
+        } finally q.stop()
       }
     }
     assert(probeIds() == Set(1L, 11L),
