@@ -203,7 +203,10 @@ object CurationChain {
     * the append scaladoc names; recover with
     * [[graft.sources.PostingsIndex.refreshStats]] plus a doc_id-dedup
     * rebuild, or give each batch a staging write if the deployment
-    * needs strict exactly-once. Single-writer like every append path. */
+    * needs strict exactly-once. Single-writer like every append path.
+    * Maintenance: each batch's insert adds a file per touched bucket,
+    * so run [[graft.sources.Bucketing.compact]] on a cadence (probes
+    * are row-identical across it, CompactionSpec). */
   def curatedIndexed(docs: DataFrame, table: String,
       lateness: String = "1 hour"): DataStreamWriter[Row] =
     cappedDocs(docs, lateness).filter(col("kept"))
