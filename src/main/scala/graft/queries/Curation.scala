@@ -850,10 +850,21 @@ object Curation {
   /** One epoch of [[iteratedIngest]], un-materialized — package-visible
     * so PlanShapeSpec can pin the per-epoch plan (in-batch keep-first
     * window, bloom-routed probe, hash-keyed LeftAnti for the positives)
-    * without executing the loop's checkpoints. */
+    * without executing the loop's checkpoints. LITERAL-BRANCH ONLY by
+    * construction: this convenience discards the managed variant's
+    * cleanup handle, which past [[BloomLiteralCeiling]] is the ONLY
+    * reference to the epoch's GB-scale probe broadcast — exactly the
+    * accumulation hazard [[epochAdmitManaged]] exists to close — so a
+    * past-ceiling filter is refused here rather than silently leaked. */
   private[queries] def epochAdmit(batch: DataFrame, sealedFps: DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    require(bloom.bitSize() / 8 <= BloomLiteralCeiling,
+      s"epochAdmit serves only the plan-literal probe branch (filter is " +
+        s"${bloom.bitSize() / 8} bytes, ceiling $BloomLiteralCeiling); a " +
+        "past-ceiling filter routes to a broadcast whose cleanup handle " +
+        "this wrapper discards — use epochAdmitManaged and invoke its cleanup")
     epochAdmitManaged(batch, sealedFps, bloom)._1
+  }
 
   /** [[epochAdmit]] plus the probe's resource handle: callers that
     * MATERIALIZE the admissions (ingestEpoch's eager checkpoint severs
@@ -862,7 +873,7 @@ object Curation {
     * ceiling would accumulate one GB-scale broadcast per epoch in the
     * executors' block managers until driver GC happens to trigger the
     * ContextCleaner. The literal branch's cleanup is a no-op. */
-  private def epochAdmitManaged(batch: DataFrame, sealedFps: DataFrame,
+  private[queries] def epochAdmitManaged(batch: DataFrame, sealedFps: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter)
       : (DataFrame, () => Unit) = {
     val wFirst = Window.partitionBy("fp").orderBy("doc_id")

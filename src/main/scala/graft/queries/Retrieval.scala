@@ -91,9 +91,16 @@ object Retrieval {
     * recompute path, PostingsIndex.build, and the frame-based
     * streaming appends — splits text through this, so the
     * append≡rebuild bit-exact contract can never drift on a
-    * tokenization change. */
+    * tokenization change. Null text coalesces to "" BEFORE the split
+    * (split(null) is null, and the downstream explode would silently
+    * DROP the document from its own postings while collection stats
+    * still count it — the every-doc-owns-≥1-posting-row invariant
+    * PostingsIndex.refreshStats recovers by must hold by construction,
+    * not by corpus luck): a null-text doc tokenizes like an empty one,
+    * to the single [""] term. */
   private[graft] def tokenizedDocsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs.select(col("doc_id"),
+      split(coalesce(col("text"), lit("")), " ").as("toks"))
 
   /** The frame-based recompute core: `queryToks` = (query_id, toks),
     * `corpusToks` = (doc_id, toks). Besides the dir-sliced batch entries
@@ -143,8 +150,21 @@ object Retrieval {
     * index probe bit-equal to the recompute spelling (PostingsIndexSpec
     * pins it). */
   private[graft] def scoreTail(qterms: DataFrame, postings: DataFrame,
-      stats: DataFrame, k: Int): DataFrame = {
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      stats: DataFrame, k: Int): DataFrame =
+    scoreTail(qterms, postings,
+      postings.groupBy("term").agg(count(lit(1)).as("df")), stats, k)
+
+  /** The tail with df HANDED IN instead of derived: the index probe's
+    * spelling — PostingsIndex persists (term, df) beside the postings
+    * (the stats-fold pattern applied to the one collection statistic the
+    * probe still recomputed per run), so the probe pays ONE pruned
+    * postings read for scoring plus a vocabulary-sized df read, never a
+    * second pass over the posting slice. `dfreq` = (term, df) restricted
+    * to the query vocabulary; df is the same integer either way, so the
+    * idf arithmetic — and therefore q134's hash against q133's oracle —
+    * is unchanged by construction. */
+  private[graft] def scoreTail(qterms: DataFrame, postings: DataFrame,
+      dfreq: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val qvocab = dfreq.crossJoin(broadcast(stats))
       .withColumn("x",
         lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /

@@ -33,31 +33,50 @@ import graft.queries.Retrieval
   * PROPERTIES — they are metadata-class one-row aggregates in the
   * recompute plan, and the catalog is exactly where a production engine
   * keeps them; [[append]] updates them transactionally with the rows it
-  * inserts, which is what keeps append≡rebuild bit-exact.
+  * inserts, which is what keeps append≡rebuild bit-exact. (d) Per-term
+  * DOCUMENT FREQUENCY persists as a COMPANION table `<table>_df`
+  * (term, df), bucketed by term like the postings — the stats-fold
+  * pattern applied to the one collection statistic a probe otherwise
+  * recomputes from the slice on every query. It cannot be a property
+  * (it is vocabulary-sized, not one row), so the fold is realized as
+  * APPEND-ONLY DELTAS: [[build]] writes one total row per term,
+  * [[appendDocs]] appends the batch's per-term counts, and the probe
+  * sums the pruned delta rows — exact integer arithmetic, so the fold
+  * commutes with the rebuild ([[compact]] collapses the deltas back to
+  * one row per term when maintenance runs).
   *
   * Scoring parity: the probe feeds the pruned slice into the SAME
-  * scoring tail as the recompute path ([[Retrieval.scoreTail]]: df over
-  * the slice, DetMath idf on the per-term frame, once-per-posting
-  * contribution, ordered fold, top-k) — identical IEEE arithmetic on
-  * identical inputs, so [[topKFor]] output is spec-pinned EQUAL to
-  * `bm25RankedWhere` at the same corpus (PostingsIndexSpec, the
-  * AnnIndexSpec parity pattern), and q134 runs it against q133's own
-  * DuckDB oracle.
+  * scoring tail as the recompute path ([[Retrieval.scoreTail]]: idf
+  * from the handed-in df frame via DetMath on the per-term frame,
+  * once-per-posting contribution, ordered fold, top-k) — identical IEEE
+  * arithmetic on identical inputs (df is the same integer whether
+  * summed from deltas or counted from the slice), so [[topKFor]] output
+  * is spec-pinned EQUAL to `bm25RankedWhere` at the same corpus
+  * (PostingsIndexSpec, the AnnIndexSpec parity pattern), and q134 runs
+  * it against q133's own DuckDB oracle.
   */
 object PostingsIndex {
 
   private val NDocsProp = "graft.bm25.n_docs"
   private val SumDlProp = "graft.bm25.sum_dl"
 
+  /** The df companion's name — derived, never chosen: every build/append/
+    * compact/refresh path addresses the pair through this one rule. */
+  private[sources] def dfTableOf(table: String): String = s"${table}_df"
+
   /** Tokenize the corpus docs of `dir` (restricted to `corpusPred`),
-    * aggregate (term, doc_id, dl, tf), persist bucketed by `term`, and
-    * record the collection stats as table properties. One full-corpus
-    * shuffle on the term key — the one-time cost every later probe
-    * amortizes. */
+    * aggregate (term, doc_id, dl, tf), persist bucketed by `term`, write
+    * the (term, df) companion, and record the collection stats as table
+    * properties. One full-corpus shuffle on the term key — the one-time
+    * cost every later probe amortizes; the df companion derives from the
+    * just-written postings table (a narrow re-read of the compact index,
+    * not a second tokenize). */
   def build(spark: SparkSession, dir: String, table: String,
       corpusPred: Column = lit(true), buckets: Int = 64): Unit = {
     val toks = Retrieval.tokenizedDocs(spark, dir).filter(corpusPred)
     Bucketing.writeBucketed(postingsOf(toks), table, "term", buckets)
+    Bucketing.writeBucketed(dfOf(spark.table(table)),
+      dfTableOf(table), "term", buckets)
     writeStats(spark, table, collectionStats(toks))
   }
 
@@ -67,21 +86,22 @@ object PostingsIndex {
     * so materializing them is cheap, unlike [[build]]'s corpus where the
     * two-pass C4 rule applies), append their postings honoring the
     * table's bucket spec (datasource bucketed tables bucket on insert,
-    * so probes keep pruning over the union with no rebuild), and FOLD
-    * the batch's (n_docs, sum_dl) into the recorded collection stats —
-    * stale stats would silently mis-weight every idf/avgdl, so the
-    * stats update rides in the same driver call as the insert, not a
-    * caller chore. Honesty about the failure window: the insert and the
-    * property write are two catalog operations, not one transaction — a
-    * crash between them leaves the new rows in with old stats, and
+    * so probes keep pruning over the union with no rebuild), append the
+    * batch's per-term df DELTAS to the companion, and FOLD the batch's
+    * (n_docs, sum_dl) into the recorded collection stats — stale stats
+    * would silently mis-weight every idf/avgdl, so the stats update
+    * rides in the same driver call as the insert, not a caller chore.
+    * Honesty about the failure window: the two inserts and the property
+    * write are three catalog operations, not one transaction — a crash
+    * between them leaves the new rows in with old stats/df, and
     * concurrent appends can lose a fold (last property write wins).
     * Appends are SINGLE-WRITER by contract, like the bucketed table
     * itself; after a suspected partial append, [[refreshStats]]
-    * recomputes the properties from the table in one scan. Caller
-    * contract: the new doc_ids are disjoint from the indexed set (the
-    * q81/q126 ingest gate runs upstream — pinned end-to-end by
-    * IngestIndexSpec). insertInto is POSITIONAL; build and append both
-    * emit [[postingsOf]]'s column order. */
+    * recomputes the properties AND the df companion from the postings
+    * table. Caller contract: the new doc_ids are disjoint from the
+    * indexed set (the q81/q126 ingest gate runs upstream — pinned
+    * end-to-end by IngestIndexSpec). insertInto is POSITIONAL; build and
+    * append both emit [[postingsOf]]'s column order. */
   def append(spark: SparkSession, dir: String, table: String,
       pred: Column = lit(true)): Unit =
     appendDocs(table,
@@ -95,27 +115,59 @@ object PostingsIndex {
     * (a split insert-session/stats-session would only be correct by the
     * accident of a shared catalog). Same single-tokenize-pass shape,
     * the same [[Retrieval.tokenizedDocsOf]] tokenizer as build, and the
-    * same stats fold / single-writer contract as the dir-based entry. */
+    * same stats fold / single-writer contract as the dir-based entry.
+    * The batch's postings checkpoint once and feed BOTH inserts — the
+    * df delta is a groupBy over rows already materialized, never a
+    * second tokenize. */
   def appendDocs(table: String, docs: DataFrame): Unit = {
     val spark = docs.sparkSession
     val toks = Retrieval.tokenizedDocsOf(docs).localCheckpoint(true)
-    postingsOf(toks).write.mode("append").insertInto(table)
+    val post = postingsOf(toks).localCheckpoint(true)
+    post.write.mode("append").insertInto(table)
+    dfOf(post).write.mode("append").insertInto(dfTableOf(table))
     val (n0, s0) = stats(spark, table)
     val (n1, s1) = collectionStats(toks)
     writeStats(spark, table, (n0 + n1, s0 + s1))
   }
 
-  /** Recompute (n_docs, sum_dl) FROM the postings table and rewrite the
-    * properties — the recovery path for an interrupted [[append]].
-    * Exact because every document owns ≥ 1 posting row (Spark's
-    * split("", " ") yields [""], so even an empty text emits one term)
-    * and dl is constant across a doc's rows. */
+  /** Recompute (n_docs, sum_dl) FROM the postings table, rewrite the
+    * properties, and REBUILD the df companion — the recovery path for an
+    * interrupted [[appendDocs]] (any of its three catalog operations may
+    * have committed without the rest). Exact because every document owns
+    * ≥ 1 posting row — [[Retrieval.tokenizedDocsOf]] coalesces null text
+    * to "" and Spark's split("", " ") yields [""], so the invariant
+    * holds by construction — and dl is constant across a doc's rows. */
   def refreshStats(spark: SparkSession, table: String): Unit = {
     val r = spark.table(table)
       .groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     writeStats(spark, table, (r.getLong(0), r.getLong(1)))
+    Bucketing.writeBucketed(dfOf(spark.table(table)), dfTableOf(table),
+      "term", bucketCount(spark, table))
   }
+
+  /** Compact the index pair — [[Bucketing.compact]] on the postings
+    * (one file per bucket, properties carried) plus the df-specific
+    * MERGE: the companion's append-only deltas collapse back to one
+    * total row per term (sum is the fold the probe would otherwise
+    * realize per query), written at one file per bucket. Probes before
+    * and after are row-identical (CompactionSpec); single-writer with a
+    * reader outage window, per [[Bucketing.compact]]'s contract. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    Bucketing.compact(spark, table)
+    val dfTable = dfTableOf(table)
+    val merged = spark.table(dfTable)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .localCheckpoint(true)
+    Bucketing.writeBucketed(merged, dfTable, "term",
+      bucketCount(spark, table))
+  }
+
+  private def bucketCount(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not built by PostingsIndex.build"))
 
   /** (term, doc_id, dl, tf) for a tokenized (doc_id, toks) frame — the
     * index's row shape, identical to the recompute path's postings slice
@@ -127,6 +179,11 @@ object PostingsIndex {
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "dl", "tf")
+
+  /** Per-term document frequency of a postings frame — one row per
+    * (term, doc), so a plain count per term IS df. */
+  private def dfOf(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
 
   private def collectionStats(toks: DataFrame): (Long, Long) = {
     val r = toks.agg(
@@ -145,15 +202,24 @@ object PostingsIndex {
     * returns the table name for free. Keyed on the corpus dir's
     * file-listing signature so an in-process rewrite rebuilds instead of
     * probing a stale index (the corpusCount memo's rule), with `buckets`
-    * folded into the key and table name ([[IndexMemo]]). `tag` is part
-    * of the identity too — callers with different `corpusPred`s use
-    * different tags (a Column has no stable serialized form to key on,
-    * so the tag CARRIES the predicate identity by contract). */
+    * AND a fingerprint of `corpusPred`'s structural rendering folded
+    * into the key and table name ([[IndexMemo]]) — two callers reusing a
+    * tag with DIFFERENT predicates on the same dir resolve to different
+    * tables instead of silently sharing the first predicate's index (the
+    * silent-wrong-result class the banding require() closes on the ANN
+    * side). The rendering is Column#toString — deterministic for a given
+    * expression tree; `tag` remains part of the identity for callers
+    * whose predicates render equal but mean different things (none in
+    * the engine today). */
   def ensureFor(spark: SparkSession, dir: String, tag: String,
-      corpusPred: Column = lit(true), buckets: Int = 64): String =
-    IndexMemo.ensure(s"postings|$tag|$dir|$buckets",
+      corpusPred: Column = lit(true), buckets: Int = 64): String = {
+    val predFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusPred.toString().getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    IndexMemo.ensure(s"postings|$tag|$predFp|$dir|$buckets",
       graft.Tables.listingSignature(dir, "documents"), s"postings_$tag")(
       t => build(spark, dir, t, corpusPred, buckets))
+  }
 
   /** The recorded collection stats (n_docs, sum_dl). */
   def stats(spark: SparkSession, table: String): (Long, Long) = {
@@ -170,22 +236,26 @@ object PostingsIndex {
     * collection. The query vocabulary collects to the driver for the
     * pruning predicate (the query side is eval-set-bounded by the q133
     * contract — a benchmark, a query batch — never corpus-sized).
-    * [[Retrieval.scoreTail]] consumes the slice twice (df + scoring);
-    * here that is two bucket-PRUNED READS of query-vocab-bounded bytes,
-    * NOT two recomputations — the recompute path's localCheckpoint
-    * barrier guards an expensive tokenize→explode→aggregate prefix that
-    * this probe no longer has, and skipping the barrier keeps the
-    * pruning plan-visible (`SelectedBucketsCount`, spec-pinned) and the
-    * block store untouched. Self-matches are excluded by doc_id,
-    * matching the recompute path. */
+    * With the persisted df companion the probe pays ONE bucket-pruned
+    * postings read (the scoring join) plus a vocabulary-sized pruned
+    * read of the (term, df) deltas — [[Retrieval.scoreTail]]'s handed-in
+    * df form — where the pre-df probe read the postings slice twice.
+    * No localCheckpoint barrier: the recompute path's barrier guards an
+    * expensive tokenize→explode→aggregate prefix this probe no longer
+    * has, and skipping it keeps the pruning plan-visible
+    * (`SelectedBucketsCount`, spec-pinned) and the block store
+    * untouched. Self-matches are excluded by doc_id, matching the
+    * recompute path. */
   def topKFor(spark: SparkSession, table: String, queryDocs: DataFrame,
       k: Int): DataFrame = {
     // a probe against a GROWING index must see committed appends: writers
     // may run in another session (the streaming ingestion path's cloned
     // micro-batch session), whose inserts cannot invalidate THIS
     // session's cached file listing for the table — refresh is the
-    // read-your-committed-appends contract, and costs one listing
+    // read-your-committed-appends contract, and costs one listing per
+    // table of the pair
     spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(dfTableOf(table))
     val qterms = queryDocs
       .select(col("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
@@ -194,9 +264,14 @@ object PostingsIndex {
     val slice = spark.table(table)
       .filter(col("term").isin(queryTerms: _*)) // bucket pruning happens HERE
       .select("doc_id", "dl", "term", "tf")
+    // the companion's delta rows fold here — exact integer sum, the same
+    // df the recompute path counts from its slice
+    val dfreq = spark.table(dfTableOf(table))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
     val (n, s) = stats(spark, table)
     val statsDf = spark.range(1)
       .select(lit(n).as("n_docs"), lit(s).as("sum_dl"))
-    Retrieval.scoreTail(qterms, slice, statsDf, k)
+    Retrieval.scoreTail(qterms, slice, dfreq, statsDf, k)
   }
 }

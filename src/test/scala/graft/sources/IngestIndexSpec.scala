@@ -82,6 +82,12 @@ class IngestIndexSpec extends SparkSpec {
     assert(PostingsIndex.stats(spark, "gate_post") ==
       PostingsIndex.stats(spark, "gate_post_whole"),
       "per-epoch stats folds diverge from the rebuild's collection stats")
+    def dfTotals(t: String): Map[String, Long] =
+      spark.table(PostingsIndex.dfTableOf(t))
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfTotals("gate_post") == dfTotals("gate_post_whole"),
+      "per-epoch df deltas diverge from the rebuild's per-term df")
     val q = Tables.documents(spark, sfDir).filter(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"), col("text"))
     def rows(t: String) = PostingsIndex.topKFor(spark, t, q, k = 10)

@@ -49,6 +49,13 @@ class PostingsIndexSpec extends SparkSpec {
       s"expected ≤4 of 64 buckets for a 4-term query, got $selected out of $total")
   }
 
+  /** The companion's per-term totals — the fold the probe realizes:
+    * build rows and append deltas sum to the same integers either way. */
+  private def dfTotals(table: String): Map[String, Long] =
+    spark.table(PostingsIndex.dfTableOf(table))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   test("incremental append: build on half the corpus, append the rest — " +
       "probes equal the full build (stats folded in), still pruned") {
     PostingsIndex.build(spark, sfDir, "postings_inc",
@@ -59,6 +66,8 @@ class PostingsIndexSpec extends SparkSpec {
     assert(PostingsIndex.stats(spark, "postings_inc") ==
       PostingsIndex.stats(spark, "postings_whole"),
       "appended stats must fold to the full build's (n_docs, sum_dl)")
+    assert(dfTotals("postings_inc") == dfTotals("postings_whole"),
+      "appended per-term df deltas must sum to the full build's df")
     val q = queryDocs(8)
     assert(rows(PostingsIndex.topKFor(spark, "postings_inc", q, k = 10)) ==
       rows(PostingsIndex.topKFor(spark, "postings_whole", q, k = 10)),
@@ -70,16 +79,51 @@ class PostingsIndexSpec extends SparkSpec {
       s"append broke bucket pruning:\n$plan")
   }
 
-  test("refreshStats recomputes the recorded stats from the table itself " +
-      "(the interrupted-append recovery path)") {
+  test("refreshStats recomputes the recorded stats AND the df companion " +
+      "from the table itself (the interrupted-append recovery path)") {
     PostingsIndex.build(spark, sfDir, "postings_refresh")
     val want = PostingsIndex.stats(spark, "postings_refresh")
+    val wantDf = dfTotals("postings_refresh")
     // simulate a lost stats fold (crash between insert and property write)
     spark.sql("ALTER TABLE postings_refresh SET TBLPROPERTIES (" +
       "'graft.bm25.n_docs' = '1', 'graft.bm25.sum_dl' = '1')")
+    // and a lost df-delta insert: clobber the companion with junk
+    import spark.implicits._
+    Bucketing.writeBucketed(Seq(("junkterm", 99L)).toDF("term", "df"),
+      PostingsIndex.dfTableOf("postings_refresh"), "term", 64)
     PostingsIndex.refreshStats(spark, "postings_refresh")
     assert(PostingsIndex.stats(spark, "postings_refresh") == want,
       "refreshStats must restore the build-time collection stats")
+    assert(dfTotals("postings_refresh") == wantDf,
+      "refreshStats must rebuild the df companion from the postings")
+  }
+
+  test("a null-text document still owns a posting row (the ≥1-row " +
+      "invariant refreshStats's exactness rests on)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    Bucketing.writeBucketed(
+      spark.createDataFrame(Seq((("seed"), 0L, 1L, 1L)))
+        .toDF("term", "doc_id", "dl", "tf").limit(0),
+      "postings_nulltext", "term", 4)
+    Bucketing.writeBucketed(
+      spark.createDataFrame(Seq((("seed"), 1L))).toDF("term", "df").limit(0),
+      PostingsIndex.dfTableOf("postings_nulltext"), "term", 4)
+    spark.sql("ALTER TABLE postings_nulltext SET TBLPROPERTIES (" +
+      "'graft.bm25.n_docs' = '0', 'graft.bm25.sum_dl' = '0')")
+    PostingsIndex.appendDocs("postings_nulltext", docs)
+    // both docs in stats, both docs own rows — null tokenized as empty
+    assert(PostingsIndex.stats(spark, "postings_nulltext")._1 == 2L)
+    val ids = spark.table("postings_nulltext")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L),
+      s"the null-text doc must not vanish from its own postings: $ids")
+    // and the recovery path agrees with the recorded stats
+    val before = PostingsIndex.stats(spark, "postings_nulltext")
+    PostingsIndex.refreshStats(spark, "postings_nulltext")
+    assert(PostingsIndex.stats(spark, "postings_nulltext") == before,
+      "refreshStats diverges from the fold on a null-text corpus")
   }
 
   test("ensureFor folds layout parameters into the table identity: a " +
@@ -89,6 +133,19 @@ class PostingsIndexSpec extends SparkSpec {
     assert(t1 != t2, "layout change must not be served the memoized table")
     assert(PostingsIndex.ensureFor(spark, sfDir, tag = "memokey",
       buckets = 8) == t1, "same layout must hit the memo")
+  }
+
+  test("ensureFor folds the corpus predicate into the table identity: a " +
+      "reused tag with a different predicate builds a different table") {
+    val t1 = PostingsIndex.ensureFor(spark, sfDir, tag = "predkey",
+      corpusPred = col("doc_id") % 2 === 0, buckets = 8)
+    val t2 = PostingsIndex.ensureFor(spark, sfDir, tag = "predkey",
+      corpusPred = col("doc_id") % 2 === 1, buckets = 8)
+    assert(t1 != t2,
+      "two predicates sharing a tag must not silently share one index")
+    assert(PostingsIndex.ensureFor(spark, sfDir, tag = "predkey",
+      corpusPred = col("doc_id") % 2 === 0, buckets = 8) == t1,
+      "an equal predicate reconstructed from scratch must hit the memo")
   }
 
   test("stats() fails loudly on a table not built by PostingsIndex") {
