@@ -42,39 +42,87 @@ object Bucketing {
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
 
-  /** Compact a bucketed table in place — the maintenance pass every
-    * append-heavy bucketed layout eventually needs: each bucketed
-    * INSERT (AnnIndex.appendVectors, PostingsIndex.appendDocs, the
-    * streaming curatedIndexed loop) adds its own file per touched
-    * bucket, so a long-lived index accumulates files linear in the
-    * append count — the classic small-files pathology (per-file open
-    * cost and task overhead on every probe, even pruned ones). This
-    * rewrites the table to ONE FILE PER BUCKET and restores the
-    * engine's `graft.*` properties (collection stats, banding), so
-    * probes before and after are row-identical (spec-pinned on both
-    * index families) and append contracts keep holding.
+  /** Compact a bucketed table — the maintenance pass every append-heavy
+    * bucketed layout eventually needs: each bucketed INSERT
+    * (AnnIndex.appendVectors, PostingsIndex.appendDocs, the streaming
+    * curatedIndexed loop) adds its own file per touched bucket, so a
+    * long-lived index accumulates files linear in the append count —
+    * the classic small-files pathology (per-file open cost and task
+    * overhead on every probe, even pruned ones). The rewrite is STAGED:
+    * it lands in `<table>__compact` first — properties restored there,
+    * outside any reader-visible window — then swaps in as two catalog
+    * metadata operations (DROP old, RENAME staging). Readers see either
+    * the old table or the new one for the entire rewrite duration; the
+    * RESIDUAL outage is the instant between the two metadata ops, where
+    * a concurrent probe gets table-not-found — still SINGLE-WRITER,
+    * probes-may-retry by contract (the append paths' single-writer rule
+    * extended to maintenance), but the window no longer spans the full
+    * rewrite the pre-staged spelling paid (drop → minutes of rewriting
+    * → property restore, with stats()/banding() throwing throughout).
+    * ALL user-level table properties carry through (everything not in
+    * Spark's own namespaces), not only the engine's `graft.*` — a
+    * caller's annotations must survive maintenance too. Probes before
+    * and after are row-identical (spec-pinned on both index families)
+    * and append contracts keep holding.
     *
     * Mechanics worth stating: the snapshot is eagerly checkpointed
-    * BEFORE the drop (the rewrite must not lazily re-read files it just
-    * deleted — the saveIngestState rule), and the rewrite repartitions
-    * on the bucket key with numBuckets partitions: repartition's
-    * Murmur3 `pmod` IS the bucketing hash, so every bucket's rows land
-    * in exactly one task and each task emits exactly one bucket file.
-    * At 100 TB this is the standard compaction trade — one full rewrite
-    * buys every subsequent probe a files-per-bucket floor of 1. */
+    * BEFORE the staging write (a rename-swap cannot re-read lazily
+    * through the dropped name — the saveIngestState rule), and the
+    * rewrite repartitions on the bucket key with numBuckets partitions:
+    * repartition's Murmur3 `pmod` IS the bucketing hash, so every
+    * bucket's rows land in exactly one task and each task emits exactly
+    * one bucket file. At 100 TB this is the standard compaction trade —
+    * one full rewrite buys every subsequent probe a files-per-bucket
+    * floor of 1. */
   def compact(spark: SparkSession, table: String): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
       s"$table is not bucketed — nothing to compact against"))
     val key = spec.bucketColumnNames.head
-    val props = meta.properties.filter(_._1.startsWith("graft."))
+    // user-level properties: everything outside Spark's own bookkeeping
+    // namespaces (provider/bucket metadata rides the catalog entry, not
+    // the property bag, but the in-memory catalog stows a few internals)
+    val props = meta.properties.filterNot { case (k, _) =>
+      k.startsWith("spark.") || k.startsWith("transient_") ||
+        k == "comment" || k == "owner"
+    }
     val snapshot = spark.table(table).localCheckpoint(true)
-    writeBucketed(
-      snapshot.repartition(spec.numBuckets, snapshot(key)),
-      table, key, spec.numBuckets)
+    stagedSwapIn(spark, table, snapshot, key, spec.numBuckets, props)
+  }
+
+  /** The staged rewrite-and-swap both compaction paths share
+    * ([[compact]] and PostingsIndex.compact's df merge): land `df` in
+    * `<table>__compact` at one file per bucket, restore `props` there,
+    * then swap in as two catalog metadata operations. `df` must already
+    * be materialized (checkpointed) — a rename-swap cannot re-read
+    * lazily through the dropped name. */
+  private[sources] def stagedSwapIn(spark: SparkSession, table: String,
+      df: DataFrame, key: String, buckets: Int,
+      props: Map[String, String]): Unit = {
+    val staging = s"${table}__compact"
+    writeBucketed(df.repartition(buckets, df(key)), staging, key, buckets)
     if (props.nonEmpty)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES (" +
         props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+    // the swap: the only reader-visible window is between these two
+    // metadata operations (managed-table RENAME moves the data dir)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** Data-file count of a catalog table — the small-files health metric
+    * the streaming ingest loop's compaction trigger reads between
+    * batches (CurationChain.curatedIndexed). Driver-side listing, no
+    * Spark job (the listingSignature rule). */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    val dir = java.nio.file.Paths.get(loc)
+    if (!java.nio.file.Files.exists(dir)) 0
+    else scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator.asScala.count(p => p.toString.endsWith(".parquet"))
+    }
   }
 }

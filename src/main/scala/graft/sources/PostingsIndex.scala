@@ -147,20 +147,22 @@ object PostingsIndex {
   }
 
   /** Compact the index pair — [[Bucketing.compact]] on the postings
-    * (one file per bucket, properties carried) plus the df-specific
-    * MERGE: the companion's append-only deltas collapse back to one
-    * total row per term (sum is the fold the probe would otherwise
-    * realize per query), written at one file per bucket. Probes before
-    * and after are row-identical (CompactionSpec); single-writer with a
-    * reader outage window, per [[Bucketing.compact]]'s contract. */
+    * (one file per bucket, properties carried, staged swap) plus the
+    * df-specific MERGE: the companion's append-only deltas collapse
+    * back to one total row per term (sum is the fold the probe would
+    * otherwise realize per query), staged and swapped the same way.
+    * Probes before and after are row-identical (CompactionSpec);
+    * single-writer, with each table's reader outage confined to its own
+    * two-metadata-op swap instant, per [[Bucketing.compact]]'s
+    * contract. */
   def compact(spark: SparkSession, table: String): Unit = {
     Bucketing.compact(spark, table)
     val dfTable = dfTableOf(table)
     val merged = spark.table(dfTable)
       .groupBy("term").agg(sum(col("df")).as("df"))
       .localCheckpoint(true)
-    Bucketing.writeBucketed(merged, dfTable, "term",
-      bucketCount(spark, table))
+    Bucketing.stagedSwapIn(spark, dfTable, merged, "term",
+      bucketCount(spark, table), Map.empty)
   }
 
   private def bucketCount(spark: SparkSession, table: String): Int =

@@ -204,19 +204,35 @@ object CurationChain {
     * [[graft.sources.PostingsIndex.refreshStats]] plus a doc_id-dedup
     * rebuild, or give each batch a staging write if the deployment
     * needs strict exactly-once. Single-writer like every append path.
-    * Maintenance: each batch's insert adds a file per touched bucket,
-    * so run [[graft.sources.Bucketing.compact]] on a cadence (probes
-    * are row-identical across it, CompactionSpec). */
+    * Maintenance rides IN the loop: each batch's insert adds a file per
+    * touched bucket, so after every append the sink reads the table's
+    * data-file count (a driver-side listing — the same walk the
+    * listingSignature machinery does) and past `compactAboveFiles` runs
+    * [[graft.sources.PostingsIndex.compact]] on the pair — probes are
+    * row-identical across it (CompactionSpec) and the staged swap keeps
+    * the table readable for the whole rewrite. The trigger is
+    * file-count-based, not batch-count-based, because files-per-append
+    * varies with how many buckets a batch touches; 0 disables it (run
+    * compact on an external cadence instead). The sink is the
+    * single writer, so the trigger can never race an append — but a
+    * concurrent PROBE can land on the swap instant and must retry
+    * (the compact contract). */
   def curatedIndexed(docs: DataFrame, table: String,
-      lateness: String = "1 hour"): DataStreamWriter[Row] =
+      lateness: String = "1 hour",
+      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     cappedDocs(docs, lateness).filter(col("kept"))
       .select(col("doc_id"), col("text"))
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
         // skip no-data batches (watermark ticks) and all-rejected ones:
         // an empty append would still pay a write commit + two catalog
         // property operations per tick
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.sources.PostingsIndex.appendDocs(table, batch)
+          if (compactAboveFiles > 0 &&
+              graft.sources.Bucketing.dataFileCount(
+                batch.sparkSession, table) > compactAboveFiles)
+            graft.sources.PostingsIndex.compact(batch.sparkSession, table)
+        }
       }
 
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality

@@ -23,15 +23,19 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
-  test("postings: build + 2 appends accumulate files; compact rewrites to " +
-      "one file per occupied bucket with probes row-identical, stats and " +
-      "pruning preserved") {
+  test("postings: build + 2 appends accumulate files; compact rewrites the " +
+      "pair to one file per occupied bucket with probes row-identical, " +
+      "stats, user properties, df totals and pruning preserved") {
     PostingsIndex.build(spark, sfDir, "compact_post",
       corpusPred = col("doc_id") % 3 === 0, buckets = 8)
     PostingsIndex.append(spark, sfDir, "compact_post",
       pred = col("doc_id") % 3 === 1)
     PostingsIndex.append(spark, sfDir, "compact_post",
       pred = col("doc_id") % 3 === 2)
+    // a NON-graft user property must survive maintenance too (the
+    // staged swap restores everything outside Spark's own namespaces)
+    spark.sql("ALTER TABLE compact_post SET TBLPROPERTIES (" +
+      "'owner.note' = 'r18')")
     val q = graft.Tables.documents(spark, sfDir).filter(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"), col("text"))
     def rows() = PostingsIndex.topKFor(spark, "compact_post", q, k = 10)
@@ -39,26 +43,97 @@ class CompactionSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getInt(4))).toSeq
+    def dfTotals() = spark.table(PostingsIndex.dfTableOf("compact_post"))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val before = rows()
     val statsBefore = PostingsIndex.stats(spark, "compact_post")
+    val dfBefore = dfTotals()
     val filesBefore = dataFiles("compact_post").size
     assert(filesBefore > 8,
       s"three bucketed writes must exceed one file per bucket, got $filesBefore")
 
-    Bucketing.compact(spark, "compact_post")
+    PostingsIndex.compact(spark, "compact_post")
 
     val filesAfter = dataFiles("compact_post").size
     assert(filesAfter <= 8 && filesAfter < filesBefore,
       s"compaction must reach one file per occupied bucket: $filesBefore -> $filesAfter")
+    val dfFiles = dataFiles(PostingsIndex.dfTableOf("compact_post")).size
+    assert(dfFiles <= 8,
+      s"the df companion must compact to one file per bucket too, got $dfFiles")
     assert(PostingsIndex.stats(spark, "compact_post") == statsBefore,
       "compaction must carry the collection stats through the rewrite")
+    assert(dfTotals() == dfBefore,
+      "the df merge changed per-term totals")
+    val mergedRows = spark.table(PostingsIndex.dfTableOf("compact_post")).count()
+    assert(mergedRows == dfBefore.size,
+      s"df deltas must merge to one row per term: $mergedRows vs ${dfBefore.size}")
     assert(rows() == before, "compaction changed probe output")
+    val props = spark.sql("SHOW TBLPROPERTIES compact_post").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("owner.note").contains("r18"),
+      "a user property was dropped by the staged swap")
     val plan = PostingsIndex.topKFor(spark, "compact_post",
         spark.createDataFrame(Seq((0L, "alpha beta"))).toDF("query_id", "text"),
         k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount"),
       s"compaction broke bucket pruning:\n$plan")
+  }
+
+  test("mid-stream triggered compaction: curatedIndexed with a file-count " +
+      "threshold keeps the pair's file count bounded across batches while " +
+      "probes stay row-identical to the batch rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationChain
+    val T0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def text(i: Long): String =
+      (0 until 8).map(k => s"m${i}w$k").mkString(" ")
+    // one source per batch: the chain's per-source quota (Cap = 20)
+    // must not reject anyone — this case is about maintenance, not caps
+    val batches = (0 until 8).map(b =>
+      (1L + b * 10 to 5L + b * 10).map(i => (i, T0, s"sM$b", text(i))))
+
+    PostingsIndex.build(spark, sfDir, "compact_stream",
+      corpusPred = lit(false), buckets = 4)
+    // threshold low enough that several batches trip it: 4 buckets, each
+    // append adds up to 4 files, so 8 appends un-compacted would be ~32+
+    val threshold = 10
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "source", "text")
+    val q = CurationChain.curatedIndexed(docs, "compact_stream",
+      compactAboveFiles = threshold).start()
+    try batches.foreach { b =>
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val n = dataFiles("compact_stream").size +
+        dataFiles(PostingsIndex.dfTableOf("compact_stream")).size
+      // bound: threshold (the trip point) + one un-compacted append on
+      // each table of the pair (≤ buckets files each)
+      assert(n <= threshold + 8,
+        s"file count unbounded under the trigger: $n after this batch")
+    } finally q.stop()
+
+    // probes over the stream-grown, repeatedly-compacted index equal the
+    // batch rebuild over the same doc set
+    val d = java.nio.file.Files.createTempDirectory("compactstream").toString
+    batches.flatten.map(r => (r._1, r._4)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    PostingsIndex.build(spark, d, "compact_stream_rebuild", buckets = 4)
+    val bench = Seq((900L, text(11L))).toDF("query_id", "text")
+    def rows(t: String) = PostingsIndex.topKFor(spark, t, bench, k = 10)
+      .select("query_id", "doc_id", "n_terms", "score", "rank")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    assert(rows("compact_stream") == rows("compact_stream_rebuild"),
+      "mid-stream compaction diverged the index from the batch rebuild")
+    assert(PostingsIndex.stats(spark, "compact_stream") ==
+      PostingsIndex.stats(spark, "compact_stream_rebuild"),
+      "mid-stream compaction lost a stats fold")
   }
 
   test("ann: compaction preserves the banding properties, so appends keep " +
