@@ -235,6 +235,42 @@ object CurationChain {
         }
       }
 
+  /** dedup → ANN INDEX: the VECTOR half of the streaming index loop —
+    * [[curatedIndexed]]'s twin on the embedding side, closing the
+    * build-once/probe-many symmetry for streams: each micro-batch's
+    * first-delivery vectors are signed with the table's recorded
+    * banding and appended to the persisted
+    * [[graft.sources.AnnIndex]] (bucketed-on-insert, the banding
+    * require() guarding every batch), so
+    * [[graft.sources.AnnIndex.topKFor]] probes between batches serve
+    * exactly the vectors ingested so far. The gate here is the dedup
+    * stage alone: vectors carry (vec_id, label, embedding) — no
+    * `source`, so the chain's per-source quota has no key; a deployment
+    * that caps vector ingest runs its quota upstream on whatever key it
+    * owns. Same NON-idempotent append delivery contract as the postings
+    * loop (foreachBatch retries re-append; dedup suppresses
+    * re-deliveries only within `lateness` of event time), same
+    * single-writer rule, and the same in-loop maintenance trigger:
+    * past `compactAboveFiles` data files the sink runs
+    * [[graft.sources.Bucketing.compact]] (no df companion on this
+    * side — signatures carry no per-term statistic). */
+  def curatedVectorIndexed(vecs: DataFrame, table: String,
+      tables: Int = 4, bits: Int = 8, lateness: String = "1 hour",
+      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+    EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        // the curatedIndexed empty-batch rule: watermark ticks and
+        // all-duplicate batches must not pay a write commit
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.appendVectors(table, batch, tables, bits)
+          if (compactAboveFiles > 0 &&
+              graft.sources.Bucketing.dataFileCount(
+                batch.sparkSession, table) > compactAboveFiles)
+            graft.sources.Bucketing.compact(batch.sparkSession, table)
+        }
+      }
+
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN
     * the streaming plan between the cap and packing — it is a stateless

@@ -295,6 +295,83 @@ class StreamingChainSpec extends SparkSpec {
       "stream-grown index diverges from the batch rebuild")
   }
 
+  test("streaming vector ingestion: the dedup gate feeds AnnIndex per " +
+      "batch — probes see exactly the vectors ingested so far, a " +
+      "re-delivery never double-appends, and the stream-grown index " +
+      "equals the batch rebuild row-for-row") {
+    import spark.implicits._
+    import graft.sources.AnnIndex
+    // 15 REAL corpus vectors so the rebuild comparison is non-synthetic
+    val pool = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding")
+      .orderBy("vec_id").limit(15).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val Seq(v1, v2, v3) = pool.grouped(5).toSeq
+    // empty seed: the stream owns the whole corpus (the postings twin's
+    // lit(false) build) — banding recorded, zero rows
+    val d0 = java.nio.file.Files.createTempDirectory("streamann").toString
+    graft.Tables.embeddings(spark, sfDir).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d0/seed/embeddings.parquet")
+    AnnIndex.build(spark, s"$d0/seed", "stream_ann")
+
+    def indexed(): Map[Long, Long] = {
+      spark.catalog.refreshTable("stream_ann")
+      spark.table("stream_ann").groupBy("vec_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Int, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "ts", "label", "embedding")
+    withRocksDB {
+      val q = CurationChain.curatedVectorIndexed(vecs, "stream_ann").start()
+      try {
+        input.addData(v1.map(v => (v._1, T0, v._2, v._3)): _*)
+        q.processAllAvailable()
+        assert(indexed().keySet == v1.map(_._1).toSet,
+          "after batch 1 the index must hold exactly batch 1's vectors")
+        // batch 2 re-delivers batch 1's head — dedup must drop it
+        input.addData((v2 :+ v1.head).map(v => (v._1, T0, v._2, v._3)): _*)
+        q.processAllAvailable()
+        input.addData(v3.map(v => (v._1, T0, v._2, v._3)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val counts = indexed()
+    assert(counts.keySet == pool.map(_._1).toSet,
+      "after batch 3 every streamed vector is indexed")
+    assert(counts.values.forall(_ == 4L),
+      s"a re-delivery double-appended signature rows: $counts")
+
+    // row-for-row against the batch rebuild over the same vector set
+    pool.toSeq.toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d0/all/embeddings.parquet")
+    AnnIndex.build(spark, s"$d0/all", "stream_ann_rebuild")
+    def rows(t: String) = {
+      spark.catalog.refreshTable(t)
+      spark.table(t)
+        .select(col("vec_id"), col("label"), col("tbl"), col("sig"),
+          col("nrm"), concat_ws(",", col("v").cast("array<string>")).as("vs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+          r.getDouble(4), r.getString(5)))
+        .sortBy(r => (r._1, r._3)).toSeq
+    }
+    assert(rows("stream_ann") == rows("stream_ann_rebuild"),
+      "stream-grown ANN index diverges from the batch rebuild")
+    // and the serving-path probe agrees end to end
+    val anchors = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .filter(col("vec_id") < 3)
+    val anchorRows = graft.queries.Similarity
+      .signatureRowsOf(anchors, tables = 4, bits = 8)
+    def probe(t: String) = AnnIndex.topKFor(spark, t, anchorRows, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    assert(probe("stream_ann") == probe("stream_ann_rebuild"),
+      "probe over the stream-grown index diverges from the rebuild")
+  }
+
   test("retrieval-verdict splice: a planted paraphrase sharing the " +
       "benchmark's rare terms (but no 8-gram run) is caught by the BM25 " +
       "splice and MISSED by the gram kernel") {
