@@ -104,8 +104,15 @@ object AnnIndex {
     require(built == ((tables, bits)),
       s"$table was built at banding $built but append was asked for " +
         s"(${tables}, ${bits}) — mismatched signatures never collide")
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not built by AnnIndex.build"))
+    // bucket-aligned insert (the PostingsIndex.appendDocs rule): one
+    // file per touched bucket per append, not tasks × buckets
     Similarity.signatureRowsOf(
         Similarity.normedVectorsOf(spark, embeddings), tables, bits)
+      .repartition(buckets, col("sig"))
       .write.mode("append").insertInto(table)
   }
 

@@ -14,7 +14,14 @@ object Bucketing {
   /** Write `df` bucketed by `key` into the session catalog. Drops any
     * previous incarnation first: an in-memory catalog forgets tables
     * between sessions while their warehouse directories persist, and
-    * saveAsTable refuses a "new" table whose location already exists. */
+    * saveAsTable refuses a "new" table whose location already exists.
+    * The write is BUCKET-ALIGNED — repartitioned to numBuckets
+    * partitions on the key (repartition's Murmur3 pmod IS the bucketing
+    * hash) so every bucket's rows land in exactly one task and each
+    * task emits exactly one bucket file: an unaligned bucketed write
+    * fragments at tasks × buckets files from day one (measured 13× on
+    * the round-18 stream-growth probe). One extra shuffle of `df`; the
+    * bucket count is the parallelism lever at scale. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -26,7 +33,8 @@ object Bucketing {
       java.nio.file.Files.walk(leftover).iterator.asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    df.write
+    df.repartition(buckets, df(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
@@ -88,6 +96,8 @@ object Bucketing {
         k == "comment" || k == "owner"
     }
     val snapshot = spark.table(table).localCheckpoint(true)
+    // bucket alignment (one task per bucket, one file per bucket)
+    // happens inside writeBucketed
     stagedSwapIn(spark, table, snapshot, key, spec.numBuckets, props)
   }
 
@@ -101,7 +111,7 @@ object Bucketing {
       df: DataFrame, key: String, buckets: Int,
       props: Map[String, String]): Unit = {
     val staging = s"${table}__compact"
-    writeBucketed(df.repartition(buckets, df(key)), staging, key, buckets)
+    writeBucketed(df, staging, key, buckets) // writeBucketed bucket-aligns
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES (" +
         props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")

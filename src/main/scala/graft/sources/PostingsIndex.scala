@@ -118,13 +118,24 @@ object PostingsIndex {
     * same stats fold / single-writer contract as the dir-based entry.
     * The batch's postings checkpoint once and feed BOTH inserts — the
     * df delta is a groupBy over rows already materialized, never a
-    * second tokenize. */
+    * second tokenize. Both inserts are REPARTITIONED TO THE BUCKET
+    * LAYOUT first (numBuckets partitions on the bucket key —
+    * repartition's Murmur3 pmod IS the bucketing hash, the
+    * Bucketing.compact trick applied at insert time): a bucketed insert
+    * writes one file per (task, bucket) pair, so an unaligned
+    * batch fragments at tasks × buckets per append — measured 841
+    * files/epoch vs ~110 aligned on the 20-epoch stream probe
+    * (SCALING.md round 18), a 13× slower small-files accumulation for
+    * one batch-sized shuffle. */
   def appendDocs(table: String, docs: DataFrame): Unit = {
     val spark = docs.sparkSession
+    val buckets = bucketCount(spark, table)
     val toks = Retrieval.tokenizedDocsOf(docs).localCheckpoint(true)
     val post = postingsOf(toks).localCheckpoint(true)
-    post.write.mode("append").insertInto(table)
-    dfOf(post).write.mode("append").insertInto(dfTableOf(table))
+    post.repartition(buckets, col("term"))
+      .write.mode("append").insertInto(table)
+    dfOf(post).repartition(buckets, col("term"))
+      .write.mode("append").insertInto(dfTableOf(table))
     val (n0, s0) = stats(spark, table)
     val (n1, s1) = collectionStats(toks)
     writeStats(spark, table, (n0 + n1, s0 + s1))
