@@ -51,7 +51,7 @@ object StreamThroughputProbe {
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
       "dedup-sparse-rocks", "decontam", "decontam-hoisted", "quota", "chain",
-      "classifier", "chain-quality", "chain-retrieval")
+      "classifier", "chain-quality", "chain-retrieval", "rollover")
     val rocksAll = args.contains("rocksdb")
     if (rocksAll)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -321,6 +321,69 @@ object StreamThroughputProbe {
         f"1000000 events in $wall%.2f s = ${1000000 / wall}%.0f rec/s " +
         "(stateless narrow map, state: none)")
       q.stop()
+    }
+
+    // ---- Retrain ROLLOVER downtime: the deployment cost of swapping the
+    // classifier's literal weights by restarting the chain query on the
+    // same checkpoint (ClassifierStream's documented rollover contract,
+    // ClassifierStreamSpec pins the semantics) — measured with REALISTIC
+    // state under RocksDB: 500k dedup keys + quota/pack state populated
+    // before the swap, then stop → start(new weights) → first batch.
+    // What the numbers decompose into: `stop` is Spark's query shutdown;
+    // `restart` is planning + RocksDB store re-open from the checkpoint
+    // (the state survives on disk, nothing is rebuilt); `first batch`
+    // carries the store load and the new plan's first JIT pass, compared
+    // against the steady-state batch wall right before the stop.
+    section("rollover") {
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+        val ckpt = java.nio.file.Files.createTempDirectory("rollprobe").toString
+        val t0ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        def start(w: Array[Long]) = CurationChain.curatedQualityPacked(
+            in.toDF().toDF("doc_id", "ts", "source", "text"), w)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        def batch(b: Int): Seq[(Long, java.sql.Timestamp, String, String)] =
+          (0 until 100000).map { i =>
+            val id = b * 100000L + i
+            (id, t0ts, s"src${id % 500}",
+              (0 until 16).map(j => s"u${id}x$j").mkString(" "))
+          }
+        val wOld = Array.fill(256)(1L)
+        val wNew = Array.fill(256)(3L)
+        val q1 = start(wOld)
+        var steadyS = 0.0
+        for (b <- 0 until 5) {
+          in.addData(batch(b): _*)
+          val t0 = System.nanoTime()
+          q1.processAllAvailable()
+          steadyS = (System.nanoTime() - t0) / 1e9
+        }
+        val so = q1.lastProgress.stateOperators
+        val stateRows = so.map(_.numRowsTotal).sum
+        val tStop0 = System.nanoTime()
+        q1.stop()
+        val stopS = (System.nanoTime() - tStop0) / 1e9
+        val tRe0 = System.nanoTime()
+        val q2 = start(wNew)
+        val restartS = (System.nanoTime() - tRe0) / 1e9
+        in.addData(batch(5): _*)
+        val tFb0 = System.nanoTime()
+        q2.processAllAvailable()
+        val firstS = (System.nanoTime() - tFb0) / 1e9
+        q2.stop()
+        reportPlain("rollover (chain, RocksDB, 500k-key state)",
+          stopS + restartS + firstS,
+          f"steady batch ${steadyS}%.2f s | stop ${stopS}%.2f s + " +
+          f"restart ${restartS}%.2f s + first batch ${firstS}%.2f s " +
+          f"= ${stopS + restartS + firstS}%.2f s rollover wall " +
+          f"(state rows=$stateRows across ${so.length} operators)")
+      } finally
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
     // ---- DecontamStream, HOISTED-DISTINCT variant — the round-15
