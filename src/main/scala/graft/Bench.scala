@@ -54,7 +54,16 @@ object Bench {
     * same output, same oracle) is the shape a recurring decontam
     * actually runs; keeping both at headline would double-bill the
     * family for one operator. The tracked pass still regression-guards
-    * the recompute path every round. */
+    * the recompute path every round.
+    *
+    * Round-18 re-baseline note: q134's probe changed I/O SHAPE this
+    * round — the df companion replaces the slice-derived per-term count
+    * (one pruned read + scoring instead of two pruned reads) and every
+    * index build/append is bucket-aligned (one file per bucket) — so
+    * its r18 number re-baselines; the retrieval family's rows were
+    * re-measured in one session (the superseded-category discipline).
+    * Same arithmetic, same oracle hash — only where the bytes come from
+    * changed (SCALING.md round 18). */
   private[graft] val demoted: Set[String] = Set(
     "q133_retrieval_decontam",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",

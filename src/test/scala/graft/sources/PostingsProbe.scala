@@ -61,8 +61,24 @@ object PostingsProbe {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // df-source comparison: the OLD probe shape derived df from the
+    // pruned slice (a second pruned read + per-term count), the shipped
+    // shape reads the persisted (term, df) companion (vocab-sized pruned
+    // read + delta sum). Same arithmetic, different I/O.
     (1 to 3).foreach { i =>
-      t(s"full q134 probe #$i")(
+      t(s"df from slice (old two-read shape) #$i") {
+        val slice = spark.table("pprobe_idx")
+          .filter(col("term").isin(queryTerms: _*))
+          .select("doc_id", "dl", "term", "tf")
+        val (n, s) = PostingsIndex.stats(spark, "pprobe_idx")
+        val statsDf = spark.range(1)
+          .select(lit(n).as("n_docs"), lit(s).as("sum_dl"))
+        graft.queries.Retrieval.scoreTail(qterms, slice, statsDf, 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    (1 to 3).foreach { i =>
+      t(s"full q134 probe (df companion) #$i")(
         PostingsIndex.topKFor(spark, "pprobe_idx", bench, 5)
           .write.format("noop").mode("overwrite").save())
     }
