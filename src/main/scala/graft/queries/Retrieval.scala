@@ -429,5 +429,63 @@ object Retrieval {
     Some(decontamOracleSql),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q127, q128, q133, q134)
+  /** Q136: the FULLY INDEX-SERVED hybrid — the production serving stack
+    * as one oracle-gated row: the same 8 anchors query the persisted
+    * [[graft.sources.PostingsIndex]] (bucket-pruned BM25 top-20, the
+    * df-companion probe) and the persisted [[graft.sources.AnnIndex]]
+    * (bucket-pruned LSH top-20 at the q35 banding), fused by the same
+    * RRF kernel as q128. This is the composition RetrievalSpec pins
+    * structurally, now END-TO-END against a composed DuckDB oracle
+    * (q133's BM25 CTEs + q35's LSH CTEs + q128's fusion CTEs in one
+    * statement) — the r17 q134/q135 register-against-the-recompute-
+    * oracle trick applied to the full serving path. Deliberately NOT
+    * q128's twin: q128's vector half is the exact-cosine ground truth,
+    * this row's is the LSH index probe — the ranked lists differ where
+    * LSH recall does, which is the production trade the RRF seam
+    * exists to absorb. Both indexes come from the listing-keyed memos
+    * (AnnIndex shares q135's table), so bench passes measure probes. */
+  private[queries] val q136 = GraftQuery(
+    "q136_hybrid_index_serving",
+    (spark, dir) => {
+      val lexTable = graft.sources.PostingsIndex.ensureFor(spark, dir,
+        tag = "hybrid")
+      val annTable = graft.sources.AnnIndex.ensureFor(spark, dir,
+        tag = "q135")
+      val bench = Tables.documents(spark, dir)
+        .filter(col("doc_id") < NAnchors)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val lex = graft.sources.PostingsIndex.topKFor(spark, lexTable, bench,
+        FuseDepth)
+      val vec = graft.sources.AnnIndex.topK(spark, annTable,
+        nAnchors = NAnchors, k = FuseDepth)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      fuseRrf(lex, vec, TopK)
+    },
+    Some(s"""
+      WITH ${bm25RankedWhereSqlCtes(s"doc_id < $NAnchors", "TRUE", FuseDepth)},
+      ${Similarity.normedVectorsSql},
+      ${Similarity.lshRankedSqlCtes(FuseDepth, crossLabelOnly = false,
+        tables = 4, bits = 8, s"x.vec_id < $NAnchors", "vec")},
+      fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+               coalesce(l.rank, -1) AS lex_rank,
+               coalesce(v.rank, -1) AS vec_rank,
+               coalesce(CAST('1.0' AS DOUBLE) / (60 + l.rank),
+                        CAST('0.0' AS DOUBLE)) +
+               coalesce(CAST('1.0' AS DOUBLE) / (60 + v.rank),
+                        CAST('0.0' AS DOUBLE)) AS rrf_score
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id
+      ), franked AS (
+        SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id) AS fused_rank
+        FROM fused QUALIFY fused_rank <= $TopK
+      )
+      SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, fused_rank
+      FROM franked ORDER BY query_id, fused_rank"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q127, q128, q133, q134, q136)
 }

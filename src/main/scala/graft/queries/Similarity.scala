@@ -295,8 +295,14 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  private def lshTopKSql(k: Int, crossLabelOnly: Boolean,
-      tables: Int = 4, bits: Int = 8): String = {
+  /** The LSH ranking as a COMPOSABLE CTE chain ending in relation `rel`
+    * (query_id[, labels], neighbor_id, cosine, rank ≤ k) — assumes the
+    * caller's WITH already defines `e` ([[normedVectorsSql]]). Anchor
+    * predicate parameterized so q136's hybrid oracle can fuse this with
+    * the BM25 chain in ONE statement ([[lshTopKSql]] wraps it for the
+    * standalone q35/q125/q135 oracles). */
+  private[queries] def lshRankedSqlCtes(k: Int, crossLabelOnly: Boolean,
+      tables: Int, bits: Int, anchorPredSql: String, rel: String): String = {
     val pool =
       if (tables * bits <= 32) hyperplanes else hyperplanePool(tables * bits)
     def hpLit(p: Int): String = pool(p).mkString("[", ", ", "]")
@@ -314,31 +320,36 @@ object Similarity {
     val labelCols =
       if (crossLabelOnly) "q.label AS query_label, c.label AS neighbor_label,"
       else ""
+    s"""sigs AS (SELECT vec_id, $labelSel$sigSelect FROM e),
+    rows_ AS ($sigRows),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+      FROM rows_ x JOIN rows_ y
+        ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id$labelCond
+      WHERE $anchorPredSql),
+    lscored AS (
+      SELECT query_id, $labelCols neighbor_id,
+             ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      FROM cand
+      JOIN e q ON q.vec_id = query_id
+      JOIN e c ON c.vec_id = neighbor_id),
+    $rel AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM lscored QUALIFY rank <= $k)"""
+  }
+
+  private def lshTopKSql(k: Int, crossLabelOnly: Boolean,
+      tables: Int = 4, bits: Int = 8): String = {
     val outCols =
       if (crossLabelOnly)
         "query_id, query_label, neighbor_id, neighbor_label, cosine, rank"
       else "query_id, neighbor_id, cosine, rank"
     s"""
     WITH $normedVectorsSql,
-    sigs AS (SELECT vec_id, $labelSel$sigSelect FROM e),
-    rows_ AS ($sigRows),
-    cand AS (
-      SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
-      FROM rows_ x JOIN rows_ y
-        ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id$labelCond
-      WHERE x.vec_id < 20),
-    scored AS (
-      SELECT query_id, $labelCols neighbor_id,
-             ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
-      FROM cand
-      JOIN e q ON q.vec_id = query_id
-      JOIN e c ON c.vec_id = neighbor_id),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored)
+    ${lshRankedSqlCtes(k, crossLabelOnly, tables, bits, "x.vec_id < 20", "lranked")}
     SELECT $outCols
-    FROM ranked WHERE rank <= $k
+    FROM lranked
     ORDER BY query_id, rank"""
   }
 

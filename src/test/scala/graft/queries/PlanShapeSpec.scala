@@ -684,6 +684,25 @@ class PlanShapeSpec extends SparkSpec {
       s"q135's index scan must be bucket-pruned:\n$s135")
   }
 
+  test("q136: the fully index-served hybrid reads BOTH persisted tables " +
+      "bucket-pruned and fuses on a keyed full-outer — no corpus rescans, " +
+      "no all-pairs joins") {
+    val s = planString("q136_hybrid_index_serving")
+    assert(s.contains("postings_hybrid") && s.contains("ann_q135"),
+      s"q136 must scan both persisted index tables:\n$s")
+    // every persisted-index scan prunes: at least one SelectedBucketsCount
+    // per index family (the ann side's self-probe anchor fetch is the
+    // documented un-pruned convenience scan)
+    assert("SelectedBucketsCount".r.findAllIn(s).length >= 2,
+      s"both q136 index probes must be bucket-pruned:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"q136 degraded to a cartesian product:\n$s")
+    // the fusion is the q128 rule: a keyed full-outer of two anchor-scale
+    // ranked frames
+    assert(s.contains("FullOuter"),
+      s"q136's RRF fusion must be the keyed full-outer:\n$s")
+  }
+
   test("q130: the curriculum window is keyed on (phase_order, shard) — never a " +
       "global corpus sort; the only broadcast-scale pieces are q129's control plane") {
     val s = planString("q130_curriculum_order").replaceAll("#\\d+L?", "")
