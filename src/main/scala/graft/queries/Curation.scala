@@ -835,6 +835,53 @@ object Curation {
     IngestState(spark.read.parquet(s"$dir/sealed_fps"), bloom, capacity)
   }
 
+  /** Initialize the STORED sealed set — the production spelling the
+    * scaladoc above promises ("at 100 TB the sealed fp table is kept
+    * bucketed by fp and each epoch APPENDS its admitted delta"):
+    * a catalog table bucketed by `fp`, written once from the initial
+    * sealed corpus. Every [[ingestEpochStored]] epoch then appends
+    * O(|admitted|) rows instead of [[saveIngestState]]'s O(|sealed|)
+    * rewrite, and the exact anti-join's sealed side reads its bucket
+    * layout shuffle-free (the scan IS hash-partitioned on the join
+    * key — only the epoch batch exchanges; plan-pinned in
+    * IteratedIngestSpec). The bloom still persists beside it through
+    * the [[saveIngestState]] bytes (it is run-level state, not
+    * row-level). */
+  def sealStore(table: String, sealedFps0: DataFrame,
+      buckets: Int = 64): Unit = {
+    graft.plans.GraftExtensions.install(sealedFps0.sparkSession)
+    graft.sources.Bucketing.writeBucketed(
+      sealedFps0.select("fp"), table, "fp", buckets)
+  }
+
+  /** One [[ingestEpoch]] against the STORED sealed set: admit `batch`
+    * over the bucketed table, advance the bloom in place (the
+    * [[ingestEpoch]] aliasing rule applies), and append the admitted
+    * fingerprints to the store — bucket-aligned, the append discipline
+    * every bucketed insert in the engine follows. Single-writer per
+    * store, like every append path; the admitted frame is materialized
+    * BEFORE the append so the insert cannot lazily re-read the table it
+    * is inserting into mid-plan. */
+  def ingestEpochStored(table: String, batch: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      capacity: Long): DataFrame = {
+    val spark = batch.sparkSession
+    // read-your-committed-appends (the index probe rule): a prior epoch
+    // may have appended from another session
+    spark.catalog.refreshTable(table)
+    val (adm, cleanup) = epochAdmitManaged(batch, spark.table(table), bloom)
+    val admitted = adm.localCheckpoint(true)
+    cleanup()
+    bloom.mergeInPlace(deltaBloomOf(admitted.select("fp"), capacity))
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not initialized by sealStore"))
+    admitted.select("fp").repartition(buckets, col("fp"))
+      .write.mode("append").insertInto(table)
+    admitted
+  }
+
   private[graft] def iteratedIngest(sealedFps0: DataFrame,
       batches: Seq[DataFrame], capacity: Long): DataFrame = {
     var state = ingestStateOf(sealedFps0, capacity)

@@ -98,6 +98,59 @@ class IteratedIngestSpec extends SparkSpec {
     assert(ids(direct) == ids(a1) ++ ids(a2) ++ ids(a3))
   }
 
+  test("stored sealed set (the bucketed production spelling): epochs " +
+      "append O(admitted) rows, admissions equal the in-memory loop, and " +
+      "the sealed side of the anti-join never exchanges") {
+    val sealed0 = Seq("S").toDF("fp")
+    val b1 = fps(1L -> "A", 2L -> "S", 3L -> "B", 4L -> "B")
+    val b2 = fps(10L -> "A", 11L -> "C")
+    val b3 = fps(20L -> "A", 21L -> "C", 22L -> "S", 23L -> "D", 24L -> "B")
+
+    Curation.sealStore("sealed_store", sealed0, buckets = 8)
+    val bloom = sealed0.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", 100L, 0.01)
+    def ids(df: DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a1 = ids(Curation.ingestEpochStored("sealed_store", b1, bloom, 100L))
+    val a2 = ids(Curation.ingestEpochStored("sealed_store", b2, bloom, 100L))
+    val a3 = ids(Curation.ingestEpochStored("sealed_store", b3, bloom, 100L))
+    // same admissions as the planted in-memory loop above
+    assert(a1 == Set(1L, 3L) && a2 == Set(11L) && a3 == Set(23L),
+      s"stored-epoch admissions diverge: $a1 / $a2 / $a3")
+    // the store accumulated exactly sealed0 + every admitted fp
+    spark.catalog.refreshTable("sealed_store")
+    assert(spark.table("sealed_store").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("A", "B", "C", "D", "S"))
+
+    // plan pin: the sealed side reads its bucket layout shuffle-free.
+    // At spec scale the tiny sealed side would broadcast (hiding the
+    // layout question entirely), so pin the AT-SCALE shape: broadcast
+    // off, shuffle partitions = bucket count — the sort-merge anti-join
+    // then consumes the store's pre-hashed scan directly (one exchange
+    // total: the batch's keep-first window), where an unbucketed sealed
+    // frame pays its own exchange (two).
+    val (bcast0, parts0) = (
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def exchanges(sealedFps: DataFrame): Int =
+        "Exchange hashpartitioning".r.findAllIn(
+          Curation.epochAdmit(b3, sealedFps, bloom)
+            .queryExecution.executedPlan.toString).length
+      val stored = exchanges(spark.table("sealed_store"))
+      val unbucketed = exchanges(
+        spark.table("sealed_store").collect().map(_.getString(0)).toSeq
+          .toDF("fp"))
+      assert(stored < unbucketed,
+        s"bucketed sealed store must skip its exchange: stored=$stored unbucketed=$unbucketed")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+  }
+
   test("saving into the SAME state dir a loaded state reads from does " +
       "not destroy its own input (the production run-over-run cycle)") {
     val dir = java.nio.file.Files.createTempDirectory("ingestcycle").toString
