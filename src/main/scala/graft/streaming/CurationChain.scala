@@ -235,6 +235,57 @@ object CurationChain {
         }
       }
 
+  /** dedup → quota → Q126 GATE → POSTINGS INDEX: [[curatedIndexed]]
+    * with the CONTENT-level, UNBOUNDED-HORIZON dedup its scaladoc
+    * defers to ("doc_id anti-join the index in the sink when the
+    * horizon is unbounded") — realized properly as the q126 ingest gate
+    * composed into the sink: each micro-batch's kept docs fingerprint
+    * (bag-of-words, [[graft.queries.Curation.bowFingerprint]] — the
+    * gate's content identity, not the stream's delivery identity), the
+    * bloom-routed probe + exact anti-join admit them against the
+    * BUCKETED SEALED STORE ([[graft.queries.Curation.ingestEpochStored]]:
+    * O(admitted) append per batch, shuffle-free sealed side), and only
+    * admissions reach [[graft.sources.PostingsIndex.appendDocs]]. What
+    * this closes that the chain's dedup stage cannot: the dedup stage
+    * keys on doc_id within its WATERMARK — a content duplicate arriving
+    * under a fresh doc_id, or any duplicate past the lateness horizon,
+    * sails through it; the store rejects both, forever, at
+    * bloom-probe cost (spec-planted in StreamingChainSpec). The bloom
+    * is DRIVER state advanced in place per batch — single-writer by the
+    * foreachBatch contract, persisted between runs via the
+    * [[graft.queries.Curation.saveIngestState]] bytes; the store and
+    * the index recover independently ([[graft.queries.Curation]] /
+    * [[graft.sources.PostingsIndex.refreshStats]]). */
+  def curatedGatedIndexed(docs: DataFrame, sealedTable: String,
+      indexTable: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, capacity: Long,
+      lateness: String = "1 hour",
+      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+    cappedDocs(docs, lateness).filter(col("kept"))
+      .select(col("doc_id"), col("text"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // fingerprint once, reuse for the gate and the text join-back
+          val withFp = batch
+            .withColumn("fp", graft.queries.Curation.bowFingerprint)
+            .localCheckpoint(true)
+          val admitted = graft.queries.Curation.ingestEpochStored(
+            sealedTable, withFp.select(col("doc_id"), col("fp")),
+            bloom, capacity)
+          val admittedDocs = withFp
+            .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("text"))
+          if (!admittedDocs.isEmpty) {
+            graft.sources.PostingsIndex.appendDocs(indexTable, admittedDocs)
+            if (compactAboveFiles > 0 &&
+                graft.sources.Bucketing.dataFileCount(
+                  batch.sparkSession, indexTable) > compactAboveFiles)
+              graft.sources.PostingsIndex.compact(
+                batch.sparkSession, indexTable)
+          }
+        }
+      }
+
   /** dedup → ANN INDEX: the VECTOR half of the streaming index loop —
     * [[curatedIndexed]]'s twin on the embedding side, closing the
     * build-once/probe-many symmetry for streams: each micro-batch's

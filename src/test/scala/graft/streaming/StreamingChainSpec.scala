@@ -295,6 +295,74 @@ class StreamingChainSpec extends SparkSpec {
       "stream-grown index diverges from the batch rebuild")
   }
 
+  test("gated index ingestion: the q126 content gate in the sink rejects " +
+      "what the chain's delivery dedup structurally cannot — a content " +
+      "duplicate under a fresh doc_id and a pre-sealed text — while " +
+      "admissions grow both the store and the index") {
+    import spark.implicits._
+    import graft.queries.Curation
+    import graft.sources.PostingsIndex
+    def text(i: Long): String =
+      (0 until 8).map(k => s"g${i}w$k").mkString(" ")
+    val sealedText = "presealed corpus document text here now"
+    // batch 1: docs 1-3 novel; batch 2: doc 99 carries DOC 1'S TEXT (a
+    // content dup under a fresh id — the doc_id-keyed dedup stage admits
+    // it), doc 98 carries the PRE-SEALED text, docs 4-5 novel; batch 3:
+    // doc 1 RE-DELIVERED verbatim (the delivery dup the chain dedup
+    // catches), doc 6 novel
+    val b1 = (1L to 3L).map(i => (i, "sG", text(i)))
+    val b2 = Seq((99L, "sG", text(1L)), (98L, "sG", sealedText),
+      (4L, "sG", text(4L)), (5L, "sG", text(5L)))
+    val b3 = Seq((1L, "sG", text(1L)), (6L, "sG", text(6L)))
+
+    val sealedFps = Seq(sealedText).toDF("text")
+      .select(Curation.bowFingerprint.as("fp"))
+    Curation.sealStore("gated_sealed", sealedFps, buckets = 8)
+    val bloom = sealedFps.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", 100L, 0.01)
+    PostingsIndex.build(spark, sfDir, "gated_post", corpusPred = lit(false))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "source", "text")
+    withRocksDB {
+      val q = CurationChain.curatedGatedIndexed(docs, "gated_sealed",
+        "gated_post", bloom, capacity = 100L).start()
+      try Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.map(r => (r._1, T0, r._2, r._3)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    // admitted: 1,2,3 (batch 1), 4,5 (batch 2 — 99 is doc 1's content,
+    // 98 is sealed), 6 (batch 3 — doc 1's re-delivery died at the
+    // delivery dedup before the gate)
+    spark.catalog.refreshTable("gated_post")
+    val indexed = spark.table("gated_post")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"gate admissions wrong: $indexed")
+    assert(PostingsIndex.stats(spark, "gated_post")._1 == 6L,
+      "stats must count exactly the admissions")
+    // the store holds the seed + one fp per admitted content
+    spark.catalog.refreshTable("gated_sealed")
+    assert(spark.table("gated_sealed").count() == 7L,
+      "sealed store must grow by exactly the admitted fingerprints")
+    // and the gate-grown index equals the batch rebuild over the admitted set
+    val d = java.nio.file.Files.createTempDirectory("gatedidx").toString
+    (1L to 6L).map(i => (i, text(i))).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    PostingsIndex.build(spark, d, "gated_post_rebuild")
+    val bench = Seq((900L, text(1L))).toDF("query_id", "text")
+    def rows(t: String) = PostingsIndex.topKFor(spark, t, bench, k = 10)
+      .select("query_id", "doc_id", "n_terms", "score", "rank")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    assert(rows("gated_post") == rows("gated_post_rebuild"),
+      "gate-grown index diverges from the batch rebuild over admissions")
+  }
+
   test("streaming vector ingestion: the dedup gate feeds AnnIndex per " +
       "batch — probes see exactly the vectors ingested so far, a " +
       "re-delivery never double-appends, and the stream-grown index " +
