@@ -51,7 +51,8 @@ object StreamThroughputProbe {
     val known = Set("asof", "pack", "mix", "dedup", "dedup-expr",
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
       "dedup-sparse-rocks", "decontam", "decontam-hoisted", "quota", "chain",
-      "classifier", "chain-quality", "chain-retrieval", "rollover")
+      "classifier", "chain-quality", "chain-retrieval", "rollover",
+      "chain-indexed")
     val rocksAll = args.contains("rocksdb")
     if (rocksAll)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -321,6 +322,59 @@ object StreamThroughputProbe {
         f"1000000 events in $wall%.2f s = ${1000000 / wall}%.0f rec/s " +
         "(stateless narrow map, state: none)")
       q.stop()
+    }
+
+    // ---- Streaming index ingestion, UNGATED vs CONTENT-GATED: what the
+    // q126 gate (fingerprint + bloom probe + exact anti-join + sealed-
+    // store append) costs the curatedIndexed loop per batch, measured on
+    // the same stream shape. Both variants run per rep (same-JVM order
+    // bias ~10% — read the ratio, not the absolutes).
+    section("chain-indexed") {
+      import spark.implicits._
+      val t0ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val nBatches = 10
+      val perBatch = 20000
+      def batch(b: Int): Seq[(Long, java.sql.Timestamp, String, String)] =
+        (0 until perBatch).map { i =>
+          val id = b * perBatch.toLong + i
+          (id, t0ts, s"src${id / 20}",
+            (0 until 8).map(j => s"ci${id}x$j").mkString(" "))
+        }
+      def drive(name: String,
+          mk: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.streaming.DataStreamWriter[
+              org.apache.spark.sql.Row]): Unit = {
+        val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+        val q = mk(in.toDF().toDF("doc_id", "ts", "source", "text")).start()
+        val t0 = System.nanoTime()
+        for (b <- 0 until nBatches) {
+          in.addData(batch(b): _*); q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val n = nBatches.toLong * perBatch
+        reportPlain(name, wall,
+          f"$n%d docs in $wall%.2f s = ${n / wall}%.0f rec/s")
+      }
+      graft.sources.PostingsIndex.build(spark, "/root/testdata/sf0.001",
+        "tp_idx_plain", corpusPred = org.apache.spark.sql.functions.lit(false),
+        buckets = 16)
+      drive("chain-indexed (ungated)",
+        docs => CurationChain.curatedIndexed(docs, "tp_idx_plain"))
+      graft.sources.PostingsIndex.build(spark, "/root/testdata/sf0.001",
+        "tp_idx_gated", corpusPred = org.apache.spark.sql.functions.lit(false),
+        buckets = 16)
+      graft.queries.Curation.sealStore("tp_sealed",
+        Seq.empty[String].toDF("text")
+          .select(graft.queries.Curation.bowFingerprint.as("fp")),
+        buckets = 16)
+      val bloom = spark.range(1)
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id")).as("h"))
+        .stat.bloomFilter("h", nBatches.toLong * perBatch, 0.01)
+      drive("chain-indexed (q126 content gate)",
+        docs => CurationChain.curatedGatedIndexed(docs, "tp_sealed",
+          "tp_idx_gated", bloom, capacity = nBatches.toLong * perBatch))
     }
 
     // ---- Retrain ROLLOVER downtime: the deployment cost of swapping the
