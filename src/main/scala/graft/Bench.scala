@@ -64,8 +64,9 @@ object Bench {
     * re-measured in one session (the superseded-category discipline).
     * Same arithmetic, same oracle hash — only where the bytes come from
     * changed (SCALING.md round 18). q136 (the fully index-served
-    * hybrid) is the round's one NEW headline row — the total grows by
-    * exactly its probe cost, builds paid in the memo warmup. */
+    * hybrid) and q137 (the persisted-IVF probe) are the round's NEW
+    * headline rows — the total grows by exactly their probe costs,
+    * builds paid in the memo warmup. */
   private[graft] val demoted: Set[String] = Set(
     "q133_retrieval_decontam",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",

@@ -477,7 +477,13 @@ object Similarity {
         .filter(col("rank") <= 3)
         .orderBy("query_id", "rank")
     },
-    Some(s"""
+    Some(ivfTopKSql),
+    headline = true)
+
+  /** q37's oracle, shared with q137 (the index-served spelling probes
+    * the persisted cell store against the SAME SQL — the q134/q135
+    * register-against-the-recompute-oracle pattern on the IVF family). */
+  private lazy val ivfTopKSql: String = s"""
       WITH $normedVectorsSql,
       cent AS (
         SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
@@ -506,7 +512,24 @@ object Similarity {
         FROM scored)
       SELECT query_id, neighbor_id, cosine, rank
       FROM ranked WHERE rank <= 3
-      ORDER BY query_id, rank"""),
+      ORDER BY query_id, rank"""
+
+  /** Q137: the INDEX-SERVED spelling of q37 — the third index family's
+    * end-to-end gate, after q134 (postings) and q135 (LSH): the same 20
+    * anchors probe the persisted [[graft.sources.IvfIndex]] cell store
+    * (built once per corpus via the listing-keyed memo; probes read the
+    * n-probe cells bucket-PRUNED) against q37's own DuckDB oracle.
+    * Where q37 re-assigns the whole corpus per run (broadcast cross
+    * join + per-vector window, linear), the probe's per-query work is
+    * anchors × 8 centroid rankings plus the probed cells' occupancy —
+    * the IVF trade realized at the I/O layer. */
+  private[queries] val q137 = GraftQuery(
+    "q137_ivf_index_probe",
+    (spark, dir) => {
+      val table = graft.sources.IvfIndex.ensureFor(spark, dir, tag = "q137")
+      graft.sources.IvfIndex.topK(spark, table, nAnchors = 20, k = 3)
+    },
+    Some(ivfTopKSql),
     headline = true)
 
   /** int8 scalar quantization, shared by q38 and the clustering family
@@ -716,5 +739,6 @@ object Similarity {
       ORDER BY query_id, neg_rank"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q34, q35, q37, q38, q122, q125, q132, q135)
+  val all: Seq[GraftQuery] =
+    Seq(q34, q35, q37, q38, q122, q125, q132, q135, q137)
 }

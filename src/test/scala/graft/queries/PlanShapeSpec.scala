@@ -682,6 +682,13 @@ class PlanShapeSpec extends SparkSpec {
       s"q135 must scan the persisted signature table:\n$s135")
     assert(s135.contains("SelectedBucketsCount"),
       s"q135's index scan must be bucket-pruned:\n$s135")
+    val s137 = planString("q137_ivf_index_probe")
+    assert(s137.contains("ivf_q137"),
+      s"q137 must scan the persisted cell store:\n$s137")
+    assert(s137.contains("SelectedBucketsCount"),
+      s"q137's cell scan must be bucket-pruned:\n$s137")
+    assert(!s137.contains("CartesianProduct"),
+      s"q137's only cross join must be the broadcast 8-centroid ranking:\n$s137")
   }
 
   test("q136: the fully index-served hybrid reads BOTH persisted tables " +

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted IVF cell store: bit-exact parity with q37's
+  * recompute-per-run path, cell-level bucket pruning, centroid-frozen
+  * incremental append, and the missing-companion guard — the
+  * AnnIndexSpec/PostingsIndexSpec pattern on the third index family. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "cosine", "rank")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+
+  test("topK over the persisted cells equals q37's recompute exactly") {
+    IvfIndex.build(spark, sfDir, "ivf_parity")
+    val got = rows(IvfIndex.topK(spark, "ivf_parity", nAnchors = 20, k = 3))
+    val want = rows(
+      graft.SparkEntry.queries("q37_ivf_ann")(spark, sfDir))
+    assert(got == want,
+      s"IVF probe diverges from recompute: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("a few-anchor probe reads only its n-probe cells (bucket-pruned)") {
+    IvfIndex.build(spark, sfDir, "ivf_prune", buckets = 8)
+    val plan = IvfIndex.topK(spark, "ivf_prune", nAnchors = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the IVF probe:\n$plan")
+    val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    // 2 anchors × 2-cell probes = at most 4 of the 8 cell buckets
+    assert(total == 8 && selected <= 4 && selected < total,
+      s"expected ≤4 of 8 buckets for a 2-anchor probe, got $selected out of $total")
+  }
+
+  test("incremental append assigns against the RECORDED centroids: build " +
+      "on a prefix holding them, append the rest — probes equal the " +
+      "whole-corpus build") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val d = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    def dump(pred: org.apache.spark.sql.Column, sub: String): String = {
+      e.filter(pred).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/$sub/embeddings.parquet")
+      s"$d/$sub"
+    }
+    // the seed contains vec_id 0..7, so its centroid set IS the whole
+    // corpus's — the precondition for append ≡ rebuild, stated in the
+    // build scaladoc
+    IvfIndex.build(spark, dump(col("vec_id") < 5000, "seed"), "ivf_inc")
+    IvfIndex.appendVectors("ivf_inc",
+      e.filter(col("vec_id") >= 5000))
+    IvfIndex.build(spark, dump(lit(true), "all"), "ivf_whole")
+    assert(rows(IvfIndex.topK(spark, "ivf_inc", nAnchors = 20, k = 3)) ==
+      rows(IvfIndex.topK(spark, "ivf_whole", nAnchors = 20, k = 3)),
+      "centroid-frozen append diverges from the whole-corpus build")
+    // appended rows landed in the recorded cells: every cell id is a
+    // centroid id
+    val cells = spark.table("ivf_inc").select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((0L until IvfIndex.NCentroids.toLong).toSet),
+      s"append invented cells outside the recorded centroids: $cells")
+  }
+
+  test("appendVectors refuses a table with no centroid companion") {
+    import spark.implicits._
+    Bucketing.writeBucketed(
+      Seq((0L, 1L, Seq(1.0), 1.0)).toDF("cell", "vec_id", "v", "nrm"),
+      "ivf_uncent", "cell", 2)
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.appendVectors("ivf_uncent",
+        graft.Tables.embeddings(spark, sfDir).limit(1))
+    }
+    assert(err.getMessage.contains("centroid companion"))
+  }
+}
