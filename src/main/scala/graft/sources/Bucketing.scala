@@ -106,7 +106,12 @@ object Bucketing {
     * `<table>__compact` at one file per bucket, restore `props` there,
     * then swap in as two catalog metadata operations. `df` must already
     * be materialized (checkpointed) — a rename-swap cannot re-read
-    * lazily through the dropped name. */
+    * lazily through the dropped name. Crash recovery, stated: a failure
+    * BEFORE the drop leaves the original untouched (the staging table
+    * is garbage to clean); a crash BETWEEN the drop and the rename
+    * leaves the fully-built staging table intact under
+    * `<table>__compact` — recover by re-running the rename, losing
+    * nothing (the compacted rows and properties are all there). */
   private[sources] def stagedSwapIn(spark: SparkSession, table: String,
       df: DataFrame, key: String, buckets: Int,
       props: Map[String, String]): Unit = {
