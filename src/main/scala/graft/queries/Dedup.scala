@@ -33,8 +33,11 @@ object Dedup {
   /** Shingle stage over an arbitrary (doc_id, text, …) frame — the
     * composite pipeline (q124) runs the fuzzy sweep on each stage's
     * SURVIVORS with the same compiled kernel the oracle-checked
-    * q30/q36/q67 use on the full table. */
-  private[queries] def shingleOn(
+    * q30/q36/q67 use on the full table; the persisted
+    * [[graft.sources.BandIndex]] shingles candidate docs for its exact
+    * verify through the same definition (graft-wide visibility for the
+    * one-tokenizer rule). */
+  private[graft] def shingleOn(
       spark: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame) = {
     graft.plans.GraftExtensions.install(spark)
@@ -75,20 +78,49 @@ object Dedup {
   private[queries] def minhashCand(spark: org.apache.spark.sql.SparkSession, dir: String) =
     minhashCandOn(spark, Tables.documents(spark, dir))
 
+  /** MinHash signature stage: (doc_id, sigs[12]) over a shingled frame —
+    * one compiled pass (graft.plans.MinHashSigs), repartitioned so the
+    * band expressions downstream read a materialized exchange instead of
+    * inlining the signature computation per band. */
+  private[graft] def minhashSigsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      sh: org.apache.spark.sql.DataFrame) =
+    sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** Band rows (doc_id, band, sig) of a signature frame — the LSH
+    * rendezvous key: 4 bands × 3 hashes, each band's sig the md5 of its
+    * concatenated member hashes. This is THE row shape the banded
+    * self-join (q30/q36), the cross-corpus near-dup decontam (q138), and
+    * the persisted [[graft.sources.BandIndex]] all key on — one
+    * definition so the recompute paths and the index can never drift. */
+  private[graft] def bandRowsOf(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      md5(concat(element_at(col("sigs"), 3 * b + 1),
+        element_at(col("sigs"), 3 * b + 2),
+        element_at(col("sigs"), 3 * b + 3))).as(s"b$b"))
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"b$b")): _*)))
+      .toDF("doc_id", "band", "sig")
+  }
+
+  /** (doc_id, band, sig) for an arbitrary (doc_id, text, …) frame — the
+    * full shingle → minhash → band pipeline as one call; what
+    * [[graft.sources.BandIndex]] persists and what its probe computes on
+    * the query side. */
+  private[graft] def bandRowsOn(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandRowsOf(minhashSigsOf(spark, shingleOn(spark, docs)))
+
   private[queries] def minhashCandOn(
       spark: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame) = {
     graft.plans.GraftExtensions.install(spark)
     val sh = shingleOn(spark, docs)
-    val sigs = sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-    val bandCols = (0 until 4).map(b =>
-      md5(concat(element_at(col("sigs"), 3 * b + 1),
-        element_at(col("sigs"), 3 * b + 2),
-        element_at(col("sigs"), 3 * b + 3))).as(s"b$b"))
-    val bands = sigs.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"b$b")): _*)))
-      .toDF("doc_id", "band", "sig")
+    val sigs = minhashSigsOf(spark, sh)
+    val bands = bandRowsOf(sigs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -116,25 +148,30 @@ object Dedup {
   /** The matching DuckDB CTE chain, ending in a `pairs` CTE. */
   /** DuckDB CTE chain through the banded candidates (`s`, `sig`, `cand`
     * visible downstream) — shared by q30/q36's `pairs` and q115. */
-  private[queries] def minhashCandSqlFrom(src: String): String = {
-    val sigExprs = (0 until 12)
-      .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x))) AS h$s")
-      .mkString(", ")
-    val bandExprs = (0 until 4)
-      .map(b => s"md5(h${3 * b} || h${3 * b + 1} || h${3 * b + 2}) AS b$b")
-      .mkString(", ")
-    val bandRows = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band, b$b AS sig FROM band")
-      .mkString(" UNION ALL ")
+  private val sigExprsSql = (0 until 12)
+    .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x))) AS h$s")
+    .mkString(", ")
+  private val bandExprsSql = (0 until 4)
+    .map(b => s"md5(h${3 * b} || h${3 * b + 1} || h${3 * b + 2}) AS b$b")
+    .mkString(", ")
+  private val bandRowsSql = (0 until 4)
+    .map(b => s"SELECT doc_id, $b AS band, b$b AS sig FROM band")
+    .mkString(" UNION ALL ")
+
+  /** Shared CTE prefix through the band rows: `s` (shingles), `sig`,
+    * `band`, `rows_` — the SQL mirror of [[bandRowsOn]]. */
+  private def bandRowsSqlFrom(src: String): String =
     s"""${shingleSqlFrom(src)},
-      sig AS (SELECT doc_id, $sigExprs FROM s),
-      band AS (SELECT doc_id, $bandExprs FROM sig),
-      rows_ AS ($bandRows),
+      sig AS (SELECT doc_id, $sigExprsSql FROM s),
+      band AS (SELECT doc_id, $bandExprsSql FROM sig),
+      rows_ AS ($bandRowsSql)"""
+
+  private[queries] def minhashCandSqlFrom(src: String): String =
+    s"""${bandRowsSqlFrom(src)},
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM rows_ x JOIN rows_ y
           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
-  }
 
   private[queries] val minhashCandSql: String = minhashCandSqlFrom("documents")
 
@@ -152,6 +189,116 @@ object Dedup {
   }
 
   private[queries] val minhashPairsSql: String = minhashPairsSqlFrom("documents")
+
+  /** Exact-Jaccard verify over a CROSS-corpus candidate frame
+    * (bench_id, doc_id): join each side's shingles back and keep pairs
+    * at ≥ 0.5 — one definition shared by the recompute decontam (q138)
+    * and the persisted [[graft.sources.BandIndex]] probe, so the verify
+    * arithmetic (two exact-int sizes, one correctly-rounded divide —
+    * cross-engine-stable like q30's) can never drift between them. */
+  private[graft] def crossVerify(
+      cand: org.apache.spark.sql.DataFrame,
+      shq: org.apache.spark.sql.DataFrame,
+      shc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    cand.as("c")
+      .join(shq.as("sa"), col("sa.doc_id") === col("c.bench_id"))
+      .join(shc.as("sb"), col("sb.doc_id") === col("c.doc_id"))
+      .select(col("c.bench_id").as("bench_id"), col("c.doc_id").as("doc_id"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Verified near-dup pairs ACROSS two corpora — `queryDocs` (the held-out
+    * benchmark) against `corpusDocs`: band rows on each side, banded
+    * candidates on the (band, sig) rendezvous, exact-Jaccard verify.
+    * The recompute spelling of near-dup decontamination (q138); the
+    * persisted-index spelling is [[graft.sources.BandIndex.nearDupsFor]]
+    * (q139), which must emit the identical frame. */
+  private[graft] def nearDupXPairsOn(
+      spark: org.apache.spark.sql.SparkSession,
+      queryDocs: org.apache.spark.sql.DataFrame,
+      corpusDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    val shq = shingleOn(spark, queryDocs)
+    val shc = shingleOn(spark, corpusDocs)
+    val cand = bandRowsOf(minhashSigsOf(spark, shq)).as("x")
+      .join(bandRowsOf(minhashSigsOf(spark, shc)).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("bench_id"), col("y.doc_id").as("doc_id"))
+      .distinct()
+    crossVerify(cand, shq, shc)
+  }
+
+  /** DuckDB mirror of [[nearDupXPairsOn]], ending in an `xpairs` CTE
+    * (bench_id, doc_id, jaccard). `benchPredSql` / `corpusPredSql` are
+    * written against the band-row aliases `x` / `y`. */
+  private[queries] def nearDupXPairsSqlFrom(src: String,
+      benchPredSql: String, corpusPredSql: String): String =
+    s"""${bandRowsSqlFrom(src)},
+      cand AS (
+        SELECT DISTINCT x.doc_id AS bench_id, y.doc_id AS doc_id
+        FROM rows_ x JOIN rows_ y ON x.band = y.band AND x.sig = y.sig
+        WHERE ($benchPredSql) AND ($corpusPredSql)),
+      xpairs AS (
+        SELECT c.bench_id, c.doc_id,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.bench_id
+        JOIN s sb ON sb.doc_id = c.doc_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) >= 0.5)"""
+
+  /** q138/q139's benchmark split — the q133 framing on the near-dup
+    * modality: a FIXED-size held-out slice (the `% 10` stride keeps it
+    * populated at the test corpora's planted-dup density; the `< 5000`
+    * cap is what holds it eval-set-bounded when the corpus grows — inert
+    * at the test SFs, load-bearing on the heaps legs, the round-16
+    * uncapped-slice lesson). */
+  private[graft] val nearDupBenchPred =
+    col("doc_id") % 10 === 7 && col("doc_id") < 5000
+  private[graft] val nearDupCorpusPred =
+    col("doc_id") % 10 =!= 7 || col("doc_id") >= 5000
+  private[queries] val nearDupDecontamOracleSql = s"""
+      WITH ${nearDupXPairsSqlFrom("documents",
+        "x.doc_id % 10 = 7 AND x.doc_id < 5000",
+        "y.doc_id % 10 <> 7 OR y.doc_id >= 5000")}
+      SELECT bench_id, doc_id, jaccard FROM xpairs
+      ORDER BY bench_id, doc_id"""
+
+  /** Q138: NEAR-DUPLICATE decontamination — the FOURTH decontam modality
+    * beside q29's exact 8-grams, q85's embedding proximity, and q133's
+    * BM25 retrieval: a held-out benchmark slice probes the remaining
+    * corpus for MinHash-banded, exact-Jaccard-verified near-duplicates
+    * (the Lee et al. ACL'22 near-dup framing pointed at eval
+    * contamination — the templated/boilerplate rewrite that shares most
+    * shingles verbatim, which grams catch only when an 8-token run
+    * survives and retrieval ranks by rare terms rather than overlap
+    * mass). Output: every (bench item, corpus doc) pair with verified
+    * Jaccard ≥ 0.5 — a verdict SET keyed by the pair, not a top-k
+    * (near-dup contamination is binary per pair; rank has no meaning at
+    * a fixed threshold).
+    *
+    * Scale shape: the banded rendezvous keys on (band, sig) — candidate
+    * volume tracks true near-duplication, never all-pairs; both band
+    * sides shuffle on doc_id once (the shingle/sig stages' exchange);
+    * the verify joins are candidate-bounded. The benchmark side is
+    * eval-set-bounded by the capped slice, so at 100 TB the probe side
+    * is metadata-scale while the corpus side stays one linear pass —
+    * and the production spelling drops even that linear pass by probing
+    * the persisted [[graft.sources.BandIndex]] (q139, same oracle). */
+  private val q138 = GraftQuery(
+    "q138_minhash_decontam",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      nearDupXPairsOn(spark,
+        docs.filter(nearDupBenchPred), docs.filter(nearDupCorpusPred))
+        .orderBy("bench_id", "doc_id")
+    },
+    Some(nearDupDecontamOracleSql),
+    headline = true)
 
   /** Q27: exact SUBSTRING-level duplication via WINNOWING fingerprints
     * (Schleimer et al., SIGMOD'03 — the MOSS algorithm; public
@@ -1424,8 +1571,32 @@ object Dedup {
       ORDER BY thr"""),
     headline = true)
 
+  /** Q139: the INDEX-SERVED spelling of q138 — same benchmark, same
+    * corpus split, same verified-pair output, SAME DuckDB oracle; what
+    * changes is where the corpus band rows come from: q138 re-derives
+    * them (shingle → minhash → band over the full corpus) on every run,
+    * q139 probes the persisted [[graft.sources.BandIndex]] built once
+    * per corpus (listing-keyed memo), which is the production shape of
+    * recurring near-dup decontam — the benchmark is fixed while the
+    * crawl grows, so band rows are computed once at ingest and every
+    * sweep is a bucket-pruned probe + a candidate-bounded verify (the
+    * q133→q134 move applied to the dedup family). */
+  private val q139 = GraftQuery(
+    "q139_bandindex_decontam",
+    (spark, dir) => {
+      val table = graft.sources.BandIndex.ensureFor(spark, dir,
+        tag = "decontam", corpusPred = nearDupCorpusPred)
+      val docs = Tables.documents(spark, dir)
+      graft.sources.BandIndex.nearDupsFor(spark, table,
+          corpusDocs = docs.filter(nearDupCorpusPred),
+          queryDocs = docs.filter(nearDupBenchPred))
+        .orderBy("bench_id", "doc_id")
+    },
+    Some(nearDupDecontamOracleSql),
+    headline = true)
+
   val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52,
-    q67, q68, q85, q115, q123)
+    q67, q68, q85, q115, q123, q138, q139)
 }
 
 /** Engine-side enforcement of q33's documented scaling contract: the

@@ -286,6 +286,71 @@ object CurationChain {
         }
       }
 
+  /** dedup → quota → NEAR-DUP GATE → BAND STORE: the near-dup sibling
+    * of [[curatedGatedIndexed]] — that gate rejects CONTENT-IDENTICAL
+    * re-crawls (bag-of-words fingerprint equality against the sealed
+    * store); this one rejects the LIGHTLY-EDITED ones (the templated
+    * rewrite, the boilerplate variant) by probing each micro-batch's
+    * MinHash band rows against the persisted
+    * [[graft.sources.BandIndex]] and appending only the survivors' rows
+    * back, so the store IS the gate's memory and grows with the stream
+    * (gate-grown == batch rebuild over admissions, spec-pinned). Two
+    * collision scopes per batch, both deterministic: (a) CROSS-BATCH —
+    * any doc sharing a (band, sig) with the store drops
+    * ([[graft.sources.BandIndex.collidingIds]]: bucket-pruned
+    * size-routed probe, no exact verify — the store holds no text; an
+    * LSH-positive at the 4×3 banding is the gate signal, and
+    * deployments needing exact-Jaccard confirmation keep a document
+    * store and sweep with q139's verified probe); (b) WITHIN-BATCH —
+    * any doc band-colliding with a SMALLER-id doc of the same batch
+    * drops. The within-batch rule is deliberately CONSERVATIVE: it
+    * drops against all smaller-id colliders, admitted or not (a doc
+    * whose only collider was itself dropped still drops), which
+    * over-drops relative to greedy sequential admission but never
+    * under-drops — for a dedup gate the failure mode must be lost
+    * coverage, not admitted near-dups — and it needs one self-join
+    * where greedy needs an order-dependent iteration. Docs too short to
+    * shingle (< 3 tokens) band nowhere: they are admitted (they cannot
+    * near-dup) and add no store rows. `emit` receives the admitted
+    * (doc_id, text) rows per batch — the gate's output a downstream
+    * consumer (postings index, pack) chains on. Same non-idempotent
+    * append / watermark-horizon / single-writer / compaction-trigger
+    * contracts as [[curatedIndexed]]. */
+  def curatedBandIndexed(docs: DataFrame, bandTable: String,
+      lateness: String = "1 hour",
+      compactAboveFiles: Int = 0)(
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    cappedDocs(docs, lateness).filter(col("kept"))
+      .select(col("doc_id"), col("text"))
+      .writeStream.foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val spark = batch0.sparkSession
+          // band once, reuse thrice (probe, within-batch self-join,
+          // admitted append) — the curatedGatedIndexed checkpoint rule
+          val batch = batch0.localCheckpoint(true)
+          val bands = graft.queries.Dedup.bandRowsOn(spark, batch)
+            .localCheckpoint(true)
+          val storeHits = graft.sources.BandIndex.collidingIds(
+            spark, bandTable, bands)
+          val batchHits = bands.as("x").join(bands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.sig") === col("y.sig") &&
+                col("x.doc_id") > col("y.doc_id"))
+            .select(col("x.doc_id")).distinct()
+          val dropIds = storeHits.union(batchHits).distinct()
+            .localCheckpoint(true)
+          val admittedBands = bands.join(dropIds, Seq("doc_id"), "left_anti")
+          if (!admittedBands.isEmpty) {
+            graft.sources.BandIndex.appendBandRows(bandTable, admittedBands)
+            if (compactAboveFiles > 0 &&
+                graft.sources.Bucketing.dataFileCount(
+                  spark, bandTable) > compactAboveFiles)
+              graft.sources.Bucketing.compact(spark, bandTable)
+          }
+          emit(batch.join(dropIds, Seq("doc_id"), "left_anti"), batchId)
+        }
+      }
+
   /** dedup → ANN INDEX: the VECTOR half of the streaming index loop —
     * [[curatedIndexed]]'s twin on the embedding side, closing the
     * build-once/probe-many symmetry for streams: each micro-batch's

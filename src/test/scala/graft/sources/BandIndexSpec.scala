@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Dedup
+
+/** The persisted MinHash band store: row-exact parity with the
+  * recompute-per-run near-dup decontam at the same corpus, the
+  * bucket-pruning property that makes it an index, incremental append
+  * equal to the rebuild, and the banding-identity guard (the
+  * AnnIndexSpec pattern applied to the dedup family). */
+class BandIndexSpec extends SparkSpec {
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+  private def bench = docs.filter(Dedup.nearDupBenchPred)
+  private def corpus = docs.filter(Dedup.nearDupCorpusPred)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("bench_id", "doc_id", "jaccard")
+      .orderBy("bench_id", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+
+  test("nearDupsFor over the persisted store equals nearDupXPairsOn " +
+      "exactly (same corpus split, bit-equal jaccards, nonempty)") {
+    BandIndex.build(spark, sfDir, "bands_parity",
+      corpusPred = Dedup.nearDupCorpusPred)
+    val got = rows(BandIndex.nearDupsFor(spark, "bands_parity",
+      corpusDocs = corpus, queryDocs = bench))
+    val want = rows(Dedup.nearDupXPairsOn(spark, bench, corpus))
+    assert(want.nonEmpty, "fixture corpus must contain cross-slice near-dups")
+    assert(got == want,
+      s"store probe diverges from recompute: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("the probe scan is bucket-pruned by the query side's band " +
+      "signatures") {
+    BandIndex.build(spark, sfDir, "bands_prune",
+      corpusPred = Dedup.nearDupCorpusPred, buckets = 64)
+    // ONE query doc → at most 4 band signatures → at most 4 buckets hit
+    val q = bench.limit(1)
+    val probe = BandIndex.nearDupsFor(spark, "bands_prune",
+      corpusDocs = corpus, queryDocs = q)
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the probe scan:\n$plan")
+    val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(total == 64 && selected <= 4 && selected < total,
+      s"expected ≤4 of 64 buckets for a one-doc query, got $selected out of $total")
+  }
+
+  test("incremental append: build on half the collection, append the " +
+      "rest — table contents and probes equal the full build, still pruned") {
+    val half = Dedup.nearDupCorpusPred && col("doc_id") % 2 === 0
+    val rest = Dedup.nearDupCorpusPred && col("doc_id") % 2 =!= 0
+    BandIndex.build(spark, sfDir, "bands_inc", corpusPred = half)
+    BandIndex.append(spark, sfDir, "bands_inc", pred = rest)
+    BandIndex.build(spark, sfDir, "bands_whole",
+      corpusPred = Dedup.nearDupCorpusPred)
+    val incRows = spark.table("bands_inc").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val wholeRows = spark.table("bands_whole").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(incRows == wholeRows,
+      "appended band rows must equal the full build's row set")
+    assert(rows(BandIndex.nearDupsFor(spark, "bands_inc", corpus, bench)) ==
+      rows(BandIndex.nearDupsFor(spark, "bands_whole", corpus, bench)),
+      "incrementally-built store diverges from the full build")
+    val plan = BandIndex.nearDupsFor(spark, "bands_inc", corpus,
+      bench.limit(1)).queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"append broke bucket pruning:\n$plan")
+  }
+
+  test("appendDocs fails loudly on a table not built by BandIndex (the " +
+      "banding-identity guard)") {
+    import spark.implicits._
+    Bucketing.writeBucketed(
+      Seq(("s", 0, 1L)).toDF("sig", "band", "doc_id"),
+      "bands_unbuilt", "sig", 2)
+    val e = intercept[IllegalStateException] {
+      BandIndex.appendDocs("bands_unbuilt", docs.limit(1))
+    }
+    assert(e.getMessage.contains("graft.minhash"))
+  }
+
+  test("appendDocs refuses a store recorded at a different banding " +
+      "(mismatched band rows never collide — fail, don't lose recall)") {
+    BandIndex.build(spark, sfDir, "bands_mismatch",
+      corpusPred = col("doc_id") < 50)
+    spark.sql("ALTER TABLE bands_mismatch SET TBLPROPERTIES (" +
+      "'graft.minhash.hashes' = '6')")
+    val e = intercept[IllegalArgumentException] {
+      BandIndex.appendDocs("bands_mismatch", docs.filter(col("doc_id") >= 50))
+    }
+    assert(e.getMessage.contains("banding"))
+  }
+
+  test("ensureFor folds the corpus predicate and bucket count into the " +
+      "table identity (the PostingsIndex memo rule)") {
+    val t1 = BandIndex.ensureFor(spark, sfDir, tag = "memokey",
+      corpusPred = col("doc_id") % 2 === 0, buckets = 8)
+    val t2 = BandIndex.ensureFor(spark, sfDir, tag = "memokey",
+      corpusPred = col("doc_id") % 2 === 1, buckets = 8)
+    val t3 = BandIndex.ensureFor(spark, sfDir, tag = "memokey",
+      corpusPred = col("doc_id") % 2 === 0, buckets = 16)
+    assert(t1 != t2 && t1 != t3 && t2 != t3,
+      "predicate/layout changes must not be served the memoized table")
+    assert(BandIndex.ensureFor(spark, sfDir, tag = "memokey",
+      corpusPred = col("doc_id") % 2 === 0, buckets = 8) == t1,
+      "same predicate and layout must hit the memo")
+  }
+
+  test("Bucketing.compact on the band store: probes row-identical, " +
+      "banding properties carried through") {
+    BandIndex.build(spark, sfDir, "bands_compact",
+      corpusPred = Dedup.nearDupCorpusPred, buckets = 8)
+    val before = rows(BandIndex.nearDupsFor(spark, "bands_compact",
+      corpus, bench))
+    Bucketing.compact(spark, "bands_compact")
+    assert(rows(BandIndex.nearDupsFor(spark, "bands_compact",
+      corpus, bench)) == before,
+      "compaction changed probe output")
+    // the banding guard still holds: properties survived the staged swap
+    BandIndex.appendDocs("bands_compact",
+      spark.createDataFrame(
+        Seq((900001L, "alpha beta gamma delta epsilon zeta"))
+      ).toDF("doc_id", "text"))
+  }
+}

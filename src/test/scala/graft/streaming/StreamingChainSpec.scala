@@ -363,6 +363,61 @@ class StreamingChainSpec extends SparkSpec {
       "gate-grown index diverges from the batch rebuild over admissions")
   }
 
+  test("near-dup gate ingestion: the band store rejects the lightly-edited " +
+      "rewrite the content gate structurally cannot — cross-batch under a " +
+      "fresh doc_id and within one batch — while survivors grow the store " +
+      "to equal the batch rebuild over admissions") {
+    import spark.implicits._
+    import graft.sources.BandIndex
+    def text(i: Long): String = (0 until 8).map(k => s"n${i}w$k").mkString(" ")
+    // plants verified offline at the engine banding: appending one word
+    // to an 8-word doc keeps J = 6/7 and collides on ≥2 of the 4 bands;
+    // the novel docs share no band
+    val b1 = (1L to 3L).map(i => (i, "sN", text(i)))
+    // 99 = doc 1's text lightly edited under a FRESH id (the doc_id
+    // dedup admits it; the band gate must not)
+    val b2 = Seq((99L, "sN", text(1L) + " extraword"),
+      (4L, "sN", text(4L)), (5L, "sN", text(5L)))
+    val w96 = (0 until 8).map(k => s"m96w$k").mkString(" ")
+    // batch 3: doc 1 re-delivered (dies at the delivery dedup), a
+    // WITHIN-batch near-dup pair (96, 97 — smaller id wins), one novel
+    val b3 = Seq((1L, "sN", text(1L)), (96L, "sN", w96),
+      (97L, "sN", w96 + " extraword"), (6L, "sN", text(6L)))
+
+    // empty seed: the stream owns the whole store
+    BandIndex.build(spark, sfDir, "stream_bands", corpusPred = lit(false))
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    withRocksDB {
+      streamOf(Seq(b1, b2, b3)) { docs => push =>
+        val q = CurationChain.curatedBandIndexed(docs, "stream_bands") {
+          (adm, _) =>
+            admitted ++= adm.select("doc_id").collect().map(_.getLong(0))
+        }.start()
+        try {
+          push(); q.processAllAvailable()
+          push(); q.processAllAvailable()
+          push(); q.processAllAvailable()
+        } finally q.stop()
+      }
+    }
+    assert(admitted.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L, 96L),
+      s"gate admissions wrong: ${admitted.sorted}")
+    spark.catalog.refreshTable("stream_bands")
+    def storeRows(t: String) = spark.table(t).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(storeRows("stream_bands").map(_._3) ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L, 96L),
+      "the store must hold band rows for exactly the admissions")
+    // the gate-grown store equals the batch rebuild over the admitted set
+    val d = java.nio.file.Files.createTempDirectory("streambands").toString
+    (b1 ++ b2.tail ++ Seq(b3(1), b3(3))).map(r => (r._1, r._3))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    BandIndex.build(spark, d, "stream_bands_rebuild")
+    assert(storeRows("stream_bands") == storeRows("stream_bands_rebuild"),
+      "gate-grown store diverges from the batch rebuild over admissions")
+  }
+
   test("streaming vector ingestion: the dedup gate feeds AnnIndex per " +
       "batch — probes see exactly the vectors ingested so far, a " +
       "re-delivery never double-appends, and the stream-grown index " +
