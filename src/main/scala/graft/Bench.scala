@@ -66,7 +66,11 @@ object Bench {
     * changed (SCALING.md round 18). q136 (the fully index-served
     * hybrid) and q137 (the persisted-IVF probe) are the round's NEW
     * headline rows — the total grows by exactly their probe costs,
-    * builds paid in the memo warmup. */
+    * builds paid in the memo warmup. Late round 18 adds q138 (near-dup
+    * decontam, recompute) and q139 (its BandIndex-served spelling, same
+    * oracle) as new headline rows — both kept at headline THIS round
+    * (new rows earn stability first); q138 is the q133-style superseded
+    * candidate once q139 has a stable round behind it. */
   private[graft] val demoted: Set[String] = Set(
     "q133_retrieval_decontam",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",

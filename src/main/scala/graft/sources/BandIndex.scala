@@ -98,13 +98,18 @@ object BandIndex {
       .write.mode("append").insertInto(table)
   }
 
-  /** Past this many distinct probe signatures, [[collidingIds]] stops
-    * shipping them as an `isin` plan literal and scans the store
-    * un-pruned: the literal only skips IO — the (band, sig) join is the
-    * semantics — and a multi-MB plan literal in every task binary is
-    * the wrong trade (the epochAdmit bloom-routing rule; 64k md5
-    * strings ≈ 2 MB is comfortably under codegen limits). */
-  private[sources] val ProbeLiteralCeiling = 65536
+  /** Past this many probe band rows, the probes stop shipping the
+    * signatures as an `isin` plan literal and scan the store un-pruned.
+    * MEASURED rationale, not a size guess (SCALING.md round 18): the
+    * literal only skips IO — the (band, sig) join is the semantics —
+    * and a 2,000-element string `In` costs ~0.6 s of planning/codegen
+    * PER PLAN OCCURRENCE at sf0.1 while the full band-store scan it
+    * replaces costs 0.1–0.2 s; past a few hundred signatures the
+    * literal also hits nearly every bucket, so there is no IO left to
+    * skip. Pruning pays exactly for POINT-QUERY-scale sig sets (a few
+    * docs → a few buckets out of many) — the size-routing rule
+    * (epochAdmit's bloom routing) applied to plan literals. */
+  private[sources] val PruneSigLimit = 256
 
   /** Band-collision ids of `bandRows` against the indexed store — the
     * STREAMING GATE primitive: which of the batch's docs share at least
@@ -115,25 +120,31 @@ object BandIndex {
     * deployments needing exact-Jaccard confirmation keep a document
     * store and run [[nearDupsFor]], which verifies candidate-bounded.
     * `bandRows` is batch-bounded by the foreachBatch contract
-    * (broadcast side); pruning is size-routed per
-    * [[ProbeLiteralCeiling]]. */
+    * (broadcast side); pruning is size-routed per [[PruneSigLimit]]. */
   private[graft] def collidingIds(spark: SparkSession, table: String,
       bandRows: DataFrame): DataFrame = {
     spark.catalog.refreshTable(table)
-    val nSigs = bandRows.select("sig").distinct().count()
-    val store =
-      if (nSigs <= ProbeLiteralCeiling) {
-        val sigs = bandRows.select("sig").distinct()
-          .collect().map(_.getString(0)).toSeq
-        spark.table(table)
-          .filter(col("sig").isin(sigs: _*)) // bucket pruning happens HERE
-      } else spark.table(table)
-    store.as("y")
+    prunedStore(spark, table, bandRows).as("y")
       .join(broadcast(bandRows.as("x")),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.doc_id"))
       .distinct()
   }
+
+  /** The store scan for a probe over `bandRows` — size-routed per
+    * [[PruneSigLimit]]: a point-query-scale row set collects its
+    * signatures as the bucket-pruning literal; anything larger scans
+    * the store whole (the correctness rendezvous is the caller's join).
+    * `bandRows` must be materialized (checkpointed) — the count and the
+    * collect are metadata-cheap reads of it. */
+  private def prunedStore(spark: SparkSession, table: String,
+      bandRows: DataFrame): DataFrame =
+    if (bandRows.count() <= PruneSigLimit) {
+      val sigs = bandRows.select("sig").distinct()
+        .collect().map(_.getString(0)).toSeq
+      spark.table(table)
+        .filter(col("sig").isin(sigs: _*)) // bucket pruning happens HERE
+    } else spark.table(table)
 
   /** [[appendDocs]] over the documents of `dir` restricted to `pred` —
     * the dir-based epoch-append convenience. */
@@ -144,19 +155,23 @@ object BandIndex {
   /** Verified near-dup pairs for `queryDocs` = (doc_id, text) against
     * the indexed collection: the query side bands at probe time (its
     * shingles computed ONCE, checkpointed — they feed both the banding
-    * and the verify), its band signatures collect to the driver for the
-    * pruning predicate (4 per query doc — eval-set-bounded by the q138
-    * contract), and ONE bucket-pruned scan of the store joins on the
-    * (band, sig) rendezvous. The exact-Jaccard verify then re-shingles
-    * ONLY the candidate corpus docs — `corpusDocs` filtered by a
-    * broadcast semi-join on the candidate ids — through the same
-    * [[Dedup.crossVerify]] as the recompute path: identical candidate
-    * set, identical arithmetic, so q139's hash against q138's oracle
-    * holds by construction. Self-matches cannot arise: the store holds
-    * only docs the build/append predicates admitted, disjoint from the
-    * query slice by the caller's split. */
+    * and the verify), the store scan is SIZE-ROUTED per
+    * [[PruneSigLimit]] (a point-query-scale set probes bucket-pruned by
+    * its signature literals; a benchmark-sweep-scale set scans the band
+    * store whole — still a metadata-scale read: ~4 md5 rows per doc vs
+    * the text corpus the recompute path re-shingles), and the (band,
+    * sig) broadcast join is the rendezvous either way. The
+    * exact-Jaccard verify then re-shingles ONLY the candidate corpus
+    * docs — the candidate ids pushed into the corpus scan as a literal
+    * (routed like the sigs) — through the same [[Dedup.crossVerify]] as
+    * the recompute path: identical candidate set, identical arithmetic,
+    * so q139's hash against q138's oracle holds by construction.
+    * Self-matches cannot arise: the store holds only docs the
+    * build/append predicates admitted, disjoint from the query slice by
+    * the caller's split. */
   def nearDupsFor(spark: SparkSession, table: String,
       corpusDocs: DataFrame, queryDocs: DataFrame): DataFrame = {
+    import spark.implicits._
     // read-your-committed-appends: a writer in another session (the
     // streaming ingestion path) cannot invalidate this session's cached
     // file listing — refresh before probing (the PostingsIndex rule)
@@ -164,26 +179,44 @@ object BandIndex {
     val shq = Dedup.shingleOn(spark, queryDocs).localCheckpoint(true)
     val qbands = Dedup.bandRowsOf(Dedup.minhashSigsOf(spark, shq))
       .localCheckpoint(true)
-    val querySigs = qbands.select("sig").distinct()
-      .collect().map(_.getString(0)).toSeq
-    // no checkpoint barrier on the candidates: the two consumers below
-    // each re-run the PRUNED scan + broadcast probe (candidate-bounded,
-    // the cheap part — the query banding above them IS checkpointed),
-    // and skipping it keeps the pruning plan-visible
-    // (`SelectedBucketsCount`, spec-pinned) — the PostingsIndex.topKFor
-    // rule
-    val cand = spark.table(table)
-      .filter(col("sig").isin(querySigs: _*)) // bucket pruning happens HERE
-      .as("y")
+    // candidate pairs COLLECT to the driver (the query-vocab-literal
+    // contract: each bench item collides with its true near-dups plus
+    // banding noise — query-bounded, measured 47 pairs at the 300×
+    // probe leg). That executes the store scan exactly ONCE and lets
+    // the candidate ids reach the CORPUS scan as a pushed-down literal
+    // below — the pre-collect spelling re-ran the store scan in both
+    // verify consumers and filtered the corpus text through a broadcast
+    // join no parquet reader can push (measured: the verify tail was
+    // 6.0 of the probe's 6.5 s at 300×, dominated by the un-pruned
+    // corpus read; SCALING.md round 18).
+    val candPairs = candidatesFor(spark, table, qbands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cand = candPairs.toDF("bench_id", "doc_id")
+    val candIds = candPairs.map(_._2).distinct
+    // candidate-bounded verify: only candidate corpus docs re-shingle;
+    // the id set routes like the sigs (small → pushdown literal, large
+    // → broadcast semi-join — same planning-cost cliff)
+    val candDocs =
+      if (candIds.size <= PruneSigLimit)
+        corpusDocs.filter(col("doc_id").isin(candIds: _*))
+      else corpusDocs.join(
+        broadcast(cand.select("doc_id").distinct()), Seq("doc_id"))
+    Dedup.crossVerify(cand, shq, Dedup.shingleOn(spark, candDocs))
+  }
+
+  /** The lazy candidate frame (bench_id, doc_id) for a probe over
+    * materialized `qbands` — the store side size-routed per
+    * [[PruneSigLimit]] ([[prunedStore]]), the (band, sig) broadcast
+    * join the rendezvous. Exposed for the plan pin: the pruned route's
+    * `SelectedBucketsCount` lives in THIS frame's scan
+    * (BandIndexSpec); [[nearDupsFor]] collects it. */
+  private[graft] def candidatesFor(spark: SparkSession, table: String,
+      qbands: DataFrame): DataFrame =
+    prunedStore(spark, table, qbands).as("y")
       .join(broadcast(qbands.as("x")),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.doc_id").as("bench_id"), col("y.doc_id").as("doc_id"))
       .distinct()
-    // candidate-bounded verify: only candidate corpus docs re-shingle
-    val candDocs = corpusDocs.join(
-      broadcast(cand.select("doc_id").distinct()), Seq("doc_id"))
-    Dedup.crossVerify(cand, shq, Dedup.shingleOn(spark, candDocs))
-  }
 
   /** Build-once memo for dir-derived stores — the registered q139 runs
     * through it (the PostingsIndex.ensureFor rule: keyed on the

@@ -35,18 +35,36 @@ class BandIndexSpec extends SparkSpec {
       s"store probe diverges from recompute: got=${got.take(3)} want=${want.take(3)}")
   }
 
-  test("the probe scan is bucket-pruned by the query side's band " +
-      "signatures") {
+  test("past PruneSigLimit the probe routes to the un-pruned scan and " +
+      "stays row-identical (the size-routing seam, both sides exercised)") {
+    // sf0.001's bench slice is 50 docs → 200 band rows → the PRUNED
+    // route; a 100-doc query slice → 400 rows → the FULL-SCAN route.
+    // Compare both against the recompute on the same split.
+    val wideBench = docs.filter(col("doc_id") % 5 === 2)
+    val wideCorpus = docs.filter(col("doc_id") % 5 =!= 2)
+    BandIndex.build(spark, sfDir, "bands_route", corpusPred = col("doc_id") % 5 =!= 2)
+    assert(wideBench.count() * 4 > BandIndex.PruneSigLimit,
+      "fixture must exceed the routing limit to exercise the full-scan side")
+    val got = rows(BandIndex.nearDupsFor(spark, "bands_route",
+      corpusDocs = wideCorpus, queryDocs = wideBench))
+    val want = rows(Dedup.nearDupXPairsOn(spark, wideBench, wideCorpus))
+    assert(want.nonEmpty, "fixture split must contain cross near-dups")
+    assert(got == want, "full-scan route diverges from the recompute")
+  }
+
+  test("the candidate scan is bucket-pruned by the query side's band " +
+      "signatures (the pruned route; nearDupsFor collects this frame)") {
     BandIndex.build(spark, sfDir, "bands_prune",
       corpusPred = Dedup.nearDupCorpusPred, buckets = 64)
     // ONE query doc → at most 4 band signatures → at most 4 buckets hit
-    val q = bench.limit(1)
-    val probe = BandIndex.nearDupsFor(spark, "bands_prune",
-      corpusDocs = corpus, queryDocs = q)
-    val plan = probe.queryExecution.executedPlan.toString
+    val shq = Dedup.shingleOn(spark, bench.limit(1)).localCheckpoint(true)
+    val qbands = Dedup.bandRowsOf(Dedup.minhashSigsOf(spark, shq))
+      .localCheckpoint(true)
+    val cand = BandIndex.candidatesFor(spark, "bands_prune", qbands)
+    val plan = cand.queryExecution.executedPlan.toString
     val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
       .findFirstMatchIn(plan)
-    assert(sel.isDefined, s"no bucket pruning in the probe scan:\n$plan")
+    assert(sel.isDefined, s"no bucket pruning in the candidate scan:\n$plan")
     val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
     assert(total == 64 && selected <= 4 && selected < total,
       s"expected ≤4 of 64 buckets for a one-doc query, got $selected out of $total")
@@ -69,8 +87,11 @@ class BandIndexSpec extends SparkSpec {
     assert(rows(BandIndex.nearDupsFor(spark, "bands_inc", corpus, bench)) ==
       rows(BandIndex.nearDupsFor(spark, "bands_whole", corpus, bench)),
       "incrementally-built store diverges from the full build")
-    val plan = BandIndex.nearDupsFor(spark, "bands_inc", corpus,
-      bench.limit(1)).queryExecution.executedPlan.toString
+    val shq = Dedup.shingleOn(spark, bench.limit(1)).localCheckpoint(true)
+    val qbands = Dedup.bandRowsOf(Dedup.minhashSigsOf(spark, shq))
+      .localCheckpoint(true)
+    val plan = BandIndex.candidatesFor(spark, "bands_inc", qbands)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount"),
       s"append broke bucket pruning:\n$plan")
   }

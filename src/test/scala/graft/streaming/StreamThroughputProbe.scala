@@ -52,7 +52,7 @@ object StreamThroughputProbe {
       "dedup-state", "dedup-state-cap8", "dedup-sparse",
       "dedup-sparse-rocks", "decontam", "decontam-hoisted", "quota", "chain",
       "classifier", "chain-quality", "chain-retrieval", "rollover",
-      "chain-indexed")
+      "chain-indexed", "chain-band")
     val rocksAll = args.contains("rocksdb")
     if (rocksAll)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -375,6 +375,44 @@ object StreamThroughputProbe {
       drive("chain-indexed (q126 content gate)",
         docs => CurationChain.curatedGatedIndexed(docs, "tp_sealed",
           "tp_idx_gated", bloom, capacity = nBatches.toLong * perBatch))
+    }
+
+    // ---- chain-band: what the NEAR-DUP gate costs the indexing loop —
+    // the chain-indexed comparison extended to the fourth family: per
+    // batch the band gate pays shingle+minhash banding, the size-routed
+    // store probe (20k docs → 80k band rows → the full metadata-scale
+    // scan route), the within-batch smaller-id self-join, the anti-join,
+    // and the O(admitted) band append. All texts unique → the gate
+    // admits everything, so this measures the gate's FULL bill with no
+    // drop savings (the conservative number). Compare against
+    // chain-indexed's isolated runs (fresh JVM each, the session-order
+    // rule).
+    section("chain-band") {
+      import spark.implicits._
+      val t0ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val nBatches = 10
+      val perBatch = 20000
+      graft.sources.BandIndex.build(spark, "/root/testdata/sf0.001",
+        "tp_bands", corpusPred = org.apache.spark.sql.functions.lit(false),
+        buckets = 16)
+      val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+      val q = CurationChain.curatedBandIndexed(
+        in.toDF().toDF("doc_id", "ts", "source", "text"), "tp_bands")()
+        .start()
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches) {
+        in.addData((0 until perBatch).map { i =>
+          val id = b * perBatch.toLong + i
+          (id, t0ts, s"src${id / 20}",
+            (0 until 8).map(j => s"cb${id}x$j").mkString(" "))
+        }: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val n = nBatches.toLong * perBatch
+      reportPlain("chain-band (near-dup gate)", wall,
+        f"$n%d docs in $wall%.2f s = ${n / wall}%.0f rec/s")
     }
 
     // ---- Retrain ROLLOVER downtime: the deployment cost of swapping the
