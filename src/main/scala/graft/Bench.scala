@@ -67,10 +67,15 @@ object Bench {
     * hybrid) and q137 (the persisted-IVF probe) are the round's NEW
     * headline rows — the total grows by exactly their probe costs,
     * builds paid in the memo warmup. Late round 18 adds q138 (near-dup
-    * decontam, recompute) and q139 (its BandIndex-served spelling, same
-    * oracle) as new headline rows — both kept at headline THIS round
+    * decontam, recompute), q139 (its BandIndex-served spelling, same
+    * oracle), q140 (the index-served full-corpus pair sweep vs q30's
+    * oracle), and q141 (cluster resolution over q140's pairs vs q36's
+    * oracle) as new headline rows — all kept at headline THIS round
     * (new rows earn stability first); q138 is the q133-style superseded
-    * candidate once q139 has a stable round behind it. */
+    * candidate once q139 has a stable round behind it, and q30/q36
+    * stay headline (the recompute spellings remain the heavy-family
+    * regression guards until the superseded rule is applied
+    * deliberately, one family per round). */
   private[graft] val demoted: Set[String] = Set(
     "q133_retrieval_decontam",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",

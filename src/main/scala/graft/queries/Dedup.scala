@@ -132,7 +132,7 @@ object Dedup {
   private[queries] def minhashPairs(spark: org.apache.spark.sql.SparkSession, dir: String) =
     minhashPairsOn(spark, Tables.documents(spark, dir))
 
-  private[queries] def minhashPairsOn(
+  private[graft] def minhashPairsOn(
       spark: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame) = {
     val (sh, _, cand) = minhashCandOn(spark, docs)
@@ -1595,8 +1595,62 @@ object Dedup {
     Some(nearDupDecontamOracleSql),
     headline = true)
 
+  /** Q140: the INDEX-SERVED spelling of q30 — the recurring FULL-corpus
+    * near-dup sweep against q30's own oracle: the candidate stage is
+    * the persisted band table self-joined on (band, sig), which the
+    * sig-bucketed layout plans with ZERO exchanges below the join
+    * (both sides are the same buckets — the co-location win on the
+    * hottest dedup rendezvous, spec-pinned no-Exchange), and the
+    * exact-Jaccard verify re-shingles only docs appearing in some
+    * candidate pair. This is the production shape of scheduled dedup:
+    * band rows accumulate at ingest ([[graft.streaming.CurationChain]]
+    * curatedBandIndexed or BandIndex.appendDocs), the sweep re-bands
+    * NOTHING. */
+  private val q140 = GraftQuery(
+    "q140_bandindex_pairs",
+    (spark, dir) => {
+      val table = graft.sources.BandIndex.ensureFor(spark, dir, tag = "pairs")
+      graft.sources.BandIndex.nearDupPairs(spark, table,
+          Tables.documents(spark, dir))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $minhashPairsSql
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      ORDER BY doc_a, doc_b"""),
+    headline = true)
+
+  /** Q141: the keep-one-copy step over the index-served sweep — q36's
+    * min-label cluster resolution consuming q140's pairs instead of the
+    * recompute stream, against q36's own oracle: the full production
+    * dedup loop (ingest-time banding → shuffle-free candidate sweep →
+    * verified pairs → canonical ids) with every stage index-served. */
+  private val q141 = GraftQuery(
+    "q141_bandindex_resolve",
+    (spark, dir) => {
+      val table = graft.sources.BandIndex.ensureFor(spark, dir, tag = "pairs")
+      resolveClusters(
+        graft.sources.BandIndex.nearDupPairs(spark, table,
+          Tables.documents(spark, dir)).select("doc_a", "doc_b"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsSql,
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      SELECT s AS doc_id, least(s, min(d)) AS canonical
+      FROM reach
+      GROUP BY s
+      ORDER BY doc_id"""),
+    headline = true)
+
   val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q31, q32, q33, q36, q52,
-    q67, q68, q85, q115, q123, q138, q139)
+    q67, q68, q85, q115, q123, q138, q139, q140, q141)
 }
 
 /** Engine-side enforcement of q33's documented scaling contract: the

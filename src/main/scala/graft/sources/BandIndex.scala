@@ -204,6 +204,89 @@ object BandIndex {
     Dedup.crossVerify(cand, shq, Dedup.shingleOn(spark, candDocs))
   }
 
+  /** Verified near-dup pairs of the WHOLE indexed collection — the
+    * recurring full-corpus dedup sweep (q30) served from the store: the
+    * candidate stage is a SELF-JOIN of the band table on (band, sig),
+    * and because both sides are the same sig-bucketed layout it plans
+    * with ZERO exchanges below the join (each bucket joins itself
+    * in place — the Bucketing co-location win applied to the hottest
+    * dedup rendezvous; spec-pinned no-Exchange). The verify is
+    * candidate-bounded exactly like [[nearDupsFor]]: pair volume tracks
+    * true duplication (bucket-occupancy-bounded, the q30 argument), so
+    * small sweeps collect-and-push the ids, large ones route to the
+    * distributed semi-join (the [[PruneSigLimit]] rule on pair count).
+    * Output (doc_a, doc_b, jaccard ≥ 0.5) — q140 registers it against
+    * q30's own oracle SQL. */
+  def nearDupPairs(spark: SparkSession, table: String,
+      corpusDocs: DataFrame): DataFrame =
+    nearDupPairsRouted(spark, table, corpusDocs, PruneSigLimit)
+
+  /** [[nearDupPairs]] with the collect-route limit injectable — the
+    * spec forces the distributed route on a small fixture (limit 0);
+    * production always routes at [[PruneSigLimit]]. */
+  private[graft] def nearDupPairsRouted(spark: SparkSession, table: String,
+      corpusDocs: DataFrame, routeLimit: Int): DataFrame = {
+    import spark.implicits._
+    spark.catalog.refreshTable(table)
+    // the candidate stage EXECUTES inside the relaxed-co-partition
+    // scope (count + collect/checkpoint below) — the returned verify
+    // frame carries no self-join, so the conf never leaks into the
+    // caller's plans
+    val (pairs, candDocs) = withRelaxedCoPartition(spark) {
+      val cand = pairCandidates(spark, table).distinct()
+      val nPairs = cand.count()
+      if (nPairs <= routeLimit) {
+        val collected = cand.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val ids = collected.flatMap(p => Seq(p._1, p._2)).distinct
+        (collected.toDF("doc_a", "doc_b"),
+          corpusDocs.filter(col("doc_id").isin(ids: _*)))
+      } else {
+        val c = cand.localCheckpoint(true)
+        val ids = c.select(col("doc_a").as("doc_id"))
+          .union(c.select(col("doc_b").as("doc_id"))).distinct()
+        (c, corpusDocs.join(ids, Seq("doc_id"), "left_semi"))
+      }
+    }
+    val sh = Dedup.shingleOn(spark, candDocs)
+    Dedup.crossVerify(
+      pairs.select(col("doc_a").as("bench_id"), col("doc_b").as("doc_id")),
+      sh, sh)
+      .select(col("bench_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("jaccard"))
+  }
+
+  /** Why the sweep may relax `requireAllClusterKeysForCoPartition`:
+    * the self-join keys are (band, sig) while the bucket key is `sig`
+    * alone, and Spark's default refuses subset-key co-partitioning —
+    * BY ITS OWN DOC STRING "to avoid data skews ... if shuffles are
+    * eliminated", a performance conservatism, not a correctness rule
+    * (rows with equal (band, sig) trivially share equal sig and
+    * therefore a bucket). For THIS join the skew concern is inverted:
+    * sig is a fine-grained md5 keyspace, so partition occupancy IS the
+    * candidate volume — work that exists under any partitioning — and
+    * the eliminated shuffle is the whole corpus-sized band table,
+    * twice. Scoped set-and-restore; never session-global. */
+  private def withRelaxedCoPartition[A](spark: SparkSession)(f: => A): A = {
+    val k = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try f finally spark.conf.set(k, prev)
+  }
+
+  /** The raw (doc_a, doc_b) band-collision pairs of the store's
+    * self-join (pre-distinct) — exposed for the shuffle-free plan pin:
+    * both sides are the same sig-bucketed table, so under
+    * [[withRelaxedCoPartition]] the join plans with zero exchanges
+    * below it. */
+  private[graft] def pairCandidates(spark: SparkSession,
+      table: String): DataFrame =
+    spark.table(table).as("x")
+      .join(spark.table(table).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+
   /** The lazy candidate frame (bench_id, doc_id) for a probe over
     * materialized `qbands` — the store side size-routed per
     * [[PruneSigLimit]] ([[prunedStore]]), the (band, sig) broadcast

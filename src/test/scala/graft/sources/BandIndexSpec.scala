@@ -96,6 +96,60 @@ class BandIndexSpec extends SparkSpec {
       s"append broke bucket pruning:\n$plan")
   }
 
+  test("nearDupPairs over the persisted store equals the full recompute " +
+      "sweep exactly (q30's pairs, bit-equal jaccards, nonempty)") {
+    BandIndex.build(spark, sfDir, "bands_pairs")
+    val got = BandIndex.nearDupPairs(spark, "bands_pairs", docs)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Dedup.minhashPairsOn(spark, docs)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(want.nonEmpty, "fixture corpus must contain near-dup pairs")
+    assert(got == want,
+      s"store sweep diverges from recompute: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("the pair sweep's distributed verify route (large pair sets) " +
+      "equals the collect route row-for-row") {
+    BandIndex.build(spark, sfDir, "bands_pairs_dist")
+    def sweep(limit: Int) =
+      BandIndex.nearDupPairsRouted(spark, "bands_pairs_dist", docs, limit)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val collectRoute = sweep(Int.MaxValue)
+    val distributedRoute = sweep(0)
+    assert(collectRoute.nonEmpty)
+    assert(distributedRoute == collectRoute,
+      "the two verify routes must be row-identical")
+  }
+
+  test("the pair sweep's candidate self-join is shuffle-free (both " +
+      "sides the same sig-bucketed layout — the co-location pin)") {
+    BandIndex.build(spark, sfDir, "bands_coloc", buckets = 16)
+    // at test scale Catalyst rightly broadcasts the tiny side; the
+    // co-location claim is about the at-scale shape, where neither side
+    // broadcasts — force the sort-merge plan to pin it, under the
+    // relaxed co-partition rule nearDupPairs scopes around the
+    // candidate execution (subset-key co-partitioning: the bucket key
+    // sig is a subset of the join keys (band, sig))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val coPart = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val plan = BandIndex.pairCandidates(spark, "bands_coloc")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected the at-scale sort-merge shape:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"the bucketed self-join must plan with zero shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", coPart)
+    }
+  }
+
   test("appendDocs fails loudly on a table not built by BandIndex (the " +
       "banding-identity guard)") {
     import spark.implicits._
