@@ -387,6 +387,35 @@ object CurationChain {
         }
       }
 
+  /** dedup → IVF CELL STORE: [[curatedVectorIndexed]]'s twin on the
+    * third vector family — each micro-batch's first-delivery vectors
+    * assign against the table's RECORDED centroid companion
+    * ([[graft.sources.IvfIndex.appendVectors]]: the frozen-fit
+    * contract — a missing companion fails loudly, so the store MUST be
+    * built before the stream starts; an IVF fit is training-time state,
+    * never derived from a batch) and insert bucket-aligned into their
+    * cells, so [[graft.sources.IvfIndex.topKFor]] probes between
+    * batches serve exactly the vectors ingested so far. Same
+    * non-idempotent append / watermark-horizon / single-writer /
+    * compaction-trigger contracts as the other index loops; compaction
+    * via [[graft.sources.Bucketing.compact]] (the centroid companion is
+    * a separate one-file table — maintenance never touches it). */
+  def curatedCellIndexed(vecs: DataFrame, table: String,
+      lateness: String = "1 hour",
+      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+    EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        // the curatedIndexed empty-batch rule
+        if (!batch.isEmpty) {
+          graft.sources.IvfIndex.appendVectors(table, batch)
+          if (compactAboveFiles > 0 &&
+              graft.sources.Bucketing.dataFileCount(
+                batch.sparkSession, table) > compactAboveFiles)
+            graft.sources.Bucketing.compact(batch.sparkSession, table)
+        }
+      }
+
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN
     * the streaming plan between the cap and packing — it is a stateless

@@ -495,6 +495,82 @@ class StreamingChainSpec extends SparkSpec {
       "probe over the stream-grown index diverges from the rebuild")
   }
 
+  test("streaming IVF ingestion: batches assign against the FROZEN " +
+      "centroid fit — probes see exactly the vectors ingested so far, a " +
+      "re-delivery never double-appends, and the stream-grown cell store " +
+      "equals the batch rebuild row-for-row") {
+    import spark.implicits._
+    import graft.sources.IvfIndex
+    // seed = vec_id 0..7 (the centroid fit MUST pre-exist the stream —
+    // IvfIndex's frozen-fit contract); stream 15 more in 3 batches
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding")
+      .orderBy("vec_id").limit(23).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val (seed, streamed) = all.splitAt(8)
+    val Seq(v1, v2, v3) = streamed.grouped(5).toSeq
+    val d0 = java.nio.file.Files.createTempDirectory("streamivf").toString
+    seed.toSeq.toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d0/seed/embeddings.parquet")
+    IvfIndex.build(spark, s"$d0/seed", "stream_ivf")
+
+    def indexed(): Map[Long, Long] = {
+      spark.catalog.refreshTable("stream_ivf")
+      spark.table("stream_ivf").groupBy("vec_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Int, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "ts", "label", "embedding")
+    withRocksDB {
+      val q = CurationChain.curatedCellIndexed(vecs, "stream_ivf").start()
+      try {
+        input.addData(v1.map(v => (v._1, T0, v._2, v._3)): _*)
+        q.processAllAvailable()
+        assert(indexed().keySet == (seed ++ v1).map(_._1).toSet,
+          "after batch 1 the store must hold the seed plus batch 1")
+        // batch 2 re-delivers batch 1's head — dedup must drop it
+        input.addData((v2 :+ v1.head).map(v => (v._1, T0, v._2, v._3)): _*)
+        q.processAllAvailable()
+        input.addData(v3.map(v => (v._1, T0, v._2, v._3)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val counts = indexed()
+    assert(counts.keySet == all.map(_._1).toSet,
+      "after batch 3 every vector is in its cell")
+    assert(counts.values.forall(_ == 1L),
+      s"a vector must live in exactly ONE cell (re-delivery double-append?): $counts")
+
+    // row-for-row against the batch rebuild over the same vector set
+    // (same first-8 centroids, so append≡rebuild holds by construction)
+    all.toSeq.toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d0/all/embeddings.parquet")
+    IvfIndex.build(spark, s"$d0/all", "stream_ivf_rebuild")
+    def rows(t: String) = {
+      spark.catalog.refreshTable(t)
+      spark.table(t)
+        .select(col("cell"), col("vec_id"), col("nrm"),
+          concat_ws(",", col("v").cast("array<string>")).as("vs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .sortBy(r => r._2).toSeq
+    }
+    assert(rows("stream_ivf") == rows("stream_ivf_rebuild"),
+      "stream-grown cell store diverges from the batch rebuild")
+    // and the serving-path probe agrees end to end
+    val anchors = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+    def probe(t: String) = IvfIndex.topKFor(spark, t, anchors, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    assert(probe("stream_ivf") == probe("stream_ivf_rebuild"),
+      "probe over the stream-grown cell store diverges from the rebuild")
+  }
+
   test("retrieval-verdict splice: a planted paraphrase sharing the " +
       "benchmark's rare terms (but no 8-gram run) is caught by the BM25 " +
       "splice and MISSED by the gram kernel") {
