@@ -75,7 +75,18 @@ object Bench {
     * candidate once q139 has a stable round behind it, and q30/q36
     * stay headline (the recompute spellings remain the heavy-family
     * regression guards until the superseded rule is applied
-    * deliberately, one family per round). */
+    * deliberately, one family per round).
+    *
+    * Round-18 box-noise caveat (measured, late session): the local
+    * session's bench medians are inflated by host scheduling noise
+    * specific to many-small-stage plans — q134 re-measured at
+    * min 6.1 s / med 23.4 s ON THE UNCHANGED PRE-SESSION COMMIT whose
+    * own bench recorded 4.2 s med (worktree bisect), while a
+    * fixed-work 32-thread CPU probe stayed flat at 0.4 s and the
+    * recompute rows (q127 4.8/4.9) matched their history; GC measured
+    * at < 5% of the inflated walls. Read BENCH_r18 against r17 on
+    * MINS, and treat index-probe medians with suspicion if the
+    * driver's run hits the same window. */
   private[graft] val demoted: Set[String] = Set(
     "q133_retrieval_decontam",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",

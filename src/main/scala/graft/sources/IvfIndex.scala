@@ -39,8 +39,16 @@ import graft.queries.Similarity
   * third family). */
 object IvfIndex {
 
-  /** Fixed to q37's geometry: 8 deterministic centroids (the first 8
-    * corpus vectors), 2-cell probes. */
+  /** q37's geometry — the DEFAULTS, kept for oracle parity (q137 probes
+    * against q37's own DuckDB SQL, so the registered row freezes 8
+    * deterministic centroids / 2-cell probes). Production sizes the fit
+    * at build (`build(nCentroids = ...)` — FAISS's √n rule: more,
+    * smaller cells so probed volume tracks n/nlist × nprobe) and the
+    * probe depth per query (`topKFor(nProbe = ...)` — the
+    * recall-for-scan-volume dial). The fit size is physical identity
+    * and rides the centroid companion itself (appends assign against
+    * the RECORDED centroids, so geometry can never silently fork);
+    * nProbe is a per-query choice, not index state. */
   val NCentroids = 8
   val NProbe = 2
 
@@ -63,13 +71,15 @@ object IvfIndex {
   }
 
   /** Build the cell store + the centroid companion from the corpus at
-    * `dir`. Centroids = the corpus's first [[NCentroids]] vectors
-    * (q37's deterministic stand-in for a k-means fit — the fit, not the
-    * fitting procedure, is what an index persists). */
+    * `dir`. Centroids = the corpus's first `nCentroids` vectors (q37's
+    * deterministic stand-in for a k-means fit — the fit, not the
+    * fitting procedure, is what an index persists; a production build
+    * passes its √n-sized fit here and every append/probe inherits it
+    * through the companion). */
   def build(spark: SparkSession, dir: String, table: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, nCentroids: Int = NCentroids): Unit = {
     val e = Similarity.normedVectors(spark, dir)
-    val cent = e.filter(col("vec_id") < NCentroids)
+    val cent = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
       .localCheckpoint(true)
@@ -103,21 +113,24 @@ object IvfIndex {
     * caller holds its own (query_id, v, nrm) rows and calls
     * [[topKFor]], which scans the index exactly once, pruned. */
   def topK(spark: SparkSession, table: String, nAnchors: Int,
-      k: Int): DataFrame = {
+      k: Int, nProbe: Int = NProbe): DataFrame = {
     spark.catalog.refreshTable(table)
     topKFor(spark, table,
       spark.table(table).filter(col("vec_id") < nAnchors)
-        .select(col("vec_id").as("query_id"), col("v"), col("nrm")), k)
+        .select(col("vec_id").as("query_id"), col("v"), col("nrm")), k,
+      nProbe)
   }
 
   /** The serving-path probe: `anchors` = (query_id, v, nrm) — normed
     * query vectors (callers norm via Similarity.normedVectorsOf). Ranks
     * each anchor against the broadcast centroid companion, collects the
-    * union of n-probe cell ids to the driver (≤ anchors × NProbe of at
-    * most NCentroids values — trivially query-scale), and reads ONE
-    * bucket-pruned scan of exactly those cells. */
+    * union of `nProbe` cell ids to the driver (≤ anchors × nProbe of at
+    * most fit-size values — trivially query-scale), and reads ONE
+    * bucket-pruned scan of exactly those cells. `nProbe` is the
+    * per-query recall-for-scan-volume dial (probe cost tracks
+    * n/nlist × nProbe); the default is q37's 2. */
   def topKFor(spark: SparkSession, table: String, anchors: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, nProbe: Int = NProbe): DataFrame = {
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(centTableOf(table))
     val cent = spark.table(centTableOf(table))
@@ -133,7 +146,7 @@ object IvfIndex {
       .select(col("query_id"), col("qv"), col("qnrm"), col("c_id"),
         simToCent.as("c_sim"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("c_id").as("cell"), col("qv"),
         col("qnrm"))
       .localCheckpoint(true)
@@ -159,8 +172,8 @@ object IvfIndex {
     * embeddings listing signature with the layout parameters folded into
     * the key and table name). */
   def ensureFor(spark: SparkSession, dir: String, tag: String,
-      buckets: Int = 8): String =
-    IndexMemo.ensure(s"ivf|$tag|$dir|$buckets",
+      buckets: Int = 8, nCentroids: Int = NCentroids): String =
+    IndexMemo.ensure(s"ivf|$tag|$dir|$buckets|$nCentroids",
       graft.Tables.listingSignature(dir, "embeddings"), s"ivf_$tag")(
-      t => build(spark, dir, t, buckets))
+      t => build(spark, dir, t, buckets, nCentroids))
 }

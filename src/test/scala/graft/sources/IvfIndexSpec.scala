@@ -66,6 +66,52 @@ class IvfIndexSpec extends SparkSpec {
       s"append invented cells outside the recorded centroids: $cells")
   }
 
+  test("geometry is a build-time parameter: a 16-cell fit spreads the " +
+      "corpus wider, probing ALL cells recovers the exact ranking (the " +
+      "nlist/nprobe dial's endpoint), and the 2-cell probe's recall on " +
+      "this fixed corpus is pinned") {
+    import org.apache.spark.sql.expressions.Window
+    IvfIndex.build(spark, sfDir, "ivf_wide", buckets = 16, nCentroids = 16)
+    assert(spark.table(IvfIndex.centTableOf("ivf_wide")).count() == 16L,
+      "the companion must record the widened fit")
+    val cells = spark.table("ivf_wide").select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((0L until 16L).toSet) && cells.size > 8,
+      s"the 16-centroid fit must occupy more than q37's 8 cells: $cells")
+    val normed = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .localCheckpoint(true)
+    val anchors = normed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    // nProbe = nlist reads every cell → candidates = corpus minus self →
+    // the probe IS exact brute force (the dial's recall-1.0 endpoint)
+    val gotAll = rows(IvfIndex.topKFor(spark, "ivf_wide", anchors,
+      k = 3, nProbe = 16))
+    val cosX = graft.queries.Similarity.dot(col("qv"), col("v")) /
+      (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val exact = anchors
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(normed))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosX.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+    assert(gotAll == rows(exact),
+      "an all-cells probe must equal the exact ranking bit-for-bit")
+    // the production operating point: 2 of 16 cells — recall on this
+    // FIXED corpus is deterministic, pinned as a floor
+    val got2 = rows(IvfIndex.topKFor(spark, "ivf_wide", anchors,
+      k = 3, nProbe = 2)).map(r => (r._1, r._2)).toSet
+    val exactSet = gotAll.map(r => (r._1, r._2)).toSet
+    val recall = got2.intersect(exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.30,
+      f"recall@3 at 2/16 cells fell below the pinned floor: $recall%.2f")
+  }
+
   test("appendVectors refuses a table with no centroid companion") {
     import spark.implicits._
     Bucketing.writeBucketed(
