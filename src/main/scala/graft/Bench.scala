@@ -84,9 +84,13 @@ object Bench {
     * own bench recorded 4.2 s med (worktree bisect), while a
     * fixed-work 32-thread CPU probe stayed flat at 0.4 s and the
     * recompute rows (q127 4.8/4.9) matched their history; GC measured
-    * at < 5% of the inflated walls. Read BENCH_r18 against r17 on
-    * MINS, and treat index-probe medians with suspicion if the
-    * driver's run hits the same window. */
+    * at < 5% of the inflated walls. Root cause found for the worst
+    * row, same session: q134's ~400-term benchmark vocabulary shipped
+    * as an `isin` literal compiled per plan occurrence — routing it to
+    * the broadcast-semi-join restriction (Bucketing.PruneLiteralLimit)
+    * dropped q134 to a stable 6.1 s in the same window. Residual
+    * drift is uniform and session-level; read BENCH_r18 against r17 on
+    * MINS. */
   private[graft] val demoted: Set[String] = Set(
     "q133_retrieval_decontam",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",

@@ -99,17 +99,13 @@ object BandIndex {
   }
 
   /** Past this many probe band rows, the probes stop shipping the
-    * signatures as an `isin` plan literal and scan the store un-pruned.
-    * MEASURED rationale, not a size guess (SCALING.md round 18): the
-    * literal only skips IO — the (band, sig) join is the semantics —
-    * and a 2,000-element string `In` costs ~0.6 s of planning/codegen
-    * PER PLAN OCCURRENCE at sf0.1 while the full band-store scan it
-    * replaces costs 0.1–0.2 s; past a few hundred signatures the
-    * literal also hits nearly every bucket, so there is no IO left to
-    * skip. Pruning pays exactly for POINT-QUERY-scale sig sets (a few
-    * docs → a few buckets out of many) — the size-routing rule
-    * (epochAdmit's bloom routing) applied to plan literals. */
-  private[sources] val PruneSigLimit = 256
+    * signatures as an `isin` plan literal and scan the store un-pruned
+    * (here the (band, sig) join IS the semantics, so no replacement
+    * restriction is needed). The limit and its measured rationale are
+    * [[Bucketing.PruneLiteralLimit]] — the one size-routing rule every
+    * bucketed-store probe shares (PostingsIndex routes to a broadcast
+    * vocab semi-join past it). */
+  private[sources] val PruneSigLimit = Bucketing.PruneLiteralLimit
 
   /** Band-collision ids of `bandRows` against the indexed store — the
     * STREAMING GATE primitive: which of the batch's docs share at least

@@ -126,6 +126,17 @@ object Bucketing {
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
 
+  /** Shared size-routing limit for probe literals over bucketed stores:
+    * at or under this many distinct key values a probe ships them as
+    * the bucket-pruning `isin` literal; past it the probe restricts by
+    * a broadcast semi-join (or scans whole where the join itself is the
+    * rendezvous). MEASURED, not guessed (SCALING.md round 18): a
+    * 2,000-element string `In` costs ~0.6 s of planning/codegen per
+    * plan occurrence while the scan it prunes costs 0.1–0.2 s, and past
+    * a few hundred values the literal hits nearly every bucket anyway —
+    * pruning pays exactly for point-query-scale key sets. */
+  private[sources] val PruneLiteralLimit = 256
+
   /** Data-file count of a catalog table — the small-files health metric
     * the streaming ingest loop's compaction trigger reads between
     * batches (CurationChain.curatedIndexed). Driver-side listing, no

@@ -246,18 +246,22 @@ object PostingsIndex {
   }
 
   /** BM25 top-k for `queryDocs` = (query_id, text) against the indexed
-    * collection. The query vocabulary collects to the driver for the
-    * pruning predicate (the query side is eval-set-bounded by the q133
-    * contract — a benchmark, a query batch — never corpus-sized).
-    * With the persisted df companion the probe pays ONE bucket-pruned
-    * postings read (the scoring join) plus a vocabulary-sized pruned
-    * read of the (term, df) deltas — [[Retrieval.scoreTail]]'s handed-in
-    * df form — where the pre-df probe read the postings slice twice.
-    * No localCheckpoint barrier: the recompute path's barrier guards an
-    * expensive tokenize→explode→aggregate prefix this probe no longer
-    * has, and skipping it keeps the pruning plan-visible
-    * (`SelectedBucketsCount`, spec-pinned) and the block store
-    * untouched. Self-matches are excluded by doc_id, matching the
+    * collection. The store reads are SIZE-ROUTED per
+    * [[Bucketing.PruneLiteralLimit]]: a point-query-scale vocabulary
+    * collects to the driver as the bucket-pruning `isin` literal
+    * (`SelectedBucketsCount`, spec-pinned); a benchmark-sweep-scale
+    * vocabulary restricts both reads by a BROADCAST VOCAB SEMI-JOIN
+    * instead — the q127 below-the-aggregation rule, same restriction
+    * with no giant plan literal and no driver collect (the literal
+    * stopped skipping buckets at that size anyway; measured in
+    * SCALING.md round 18). Either way the probe pays ONE
+    * vocabulary-restricted postings read (the scoring join) plus a
+    * vocabulary-sized read of the (term, df) deltas —
+    * [[Retrieval.scoreTail]]'s handed-in df form. No localCheckpoint
+    * barrier: the recompute path's barrier guards an expensive
+    * tokenize→explode→aggregate prefix this probe no longer has, and
+    * skipping it keeps the pruned route plan-visible and the block
+    * store untouched. Self-matches are excluded by doc_id, matching the
     * recompute path. */
   def topKFor(spark: SparkSession, table: String, queryDocs: DataFrame,
       k: Int): DataFrame = {
@@ -272,15 +276,20 @@ object PostingsIndex {
     val qterms = queryDocs
       .select(col("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
-    val queryTerms = qterms.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val slice = spark.table(table)
-      .filter(col("term").isin(queryTerms: _*)) // bucket pruning happens HERE
-      .select("doc_id", "dl", "term", "tf")
+    val qvocab = qterms.select("term").distinct().localCheckpoint(true)
+    val lits =
+      if (qvocab.count() <= Bucketing.PruneLiteralLimit)
+        Some(qvocab.collect().map(_.getString(0)).toSeq)
+      else None
+    def restricted(t: String): DataFrame = lits match {
+      case Some(ts) =>
+        spark.table(t).filter(col("term").isin(ts: _*)) // bucket pruning
+      case None => spark.table(t).join(broadcast(qvocab), Seq("term"))
+    }
+    val slice = restricted(table).select("doc_id", "dl", "term", "tf")
     // the companion's delta rows fold here — exact integer sum, the same
     // df the recompute path counts from its slice
-    val dfreq = spark.table(dfTableOf(table))
-      .filter(col("term").isin(queryTerms: _*))
+    val dfreq = restricted(dfTableOf(table))
       .groupBy("term").agg(sum(col("df")).as("df"))
     val (n, s) = stats(spark, table)
     val statsDf = spark.range(1)
