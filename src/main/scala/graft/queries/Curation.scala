@@ -766,9 +766,17 @@ object Curation {
   final case class IngestState(sealedFps: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter, capacity: Long)
 
-  private def deltaBloomOf(fps: DataFrame, capacity: Long) = fps
-    .select(xxhash64(col("fp")).as("h"))
-    .stat.bloomFilter("h", math.max(capacity, 1L), 0.01)
+  private def deltaBloomOf(fps: DataFrame, capacity: Long) = {
+    val h = fps.select(xxhash64(col("fp")).as("h"))
+    // an ALL-REJECTED epoch admits zero rows, and stat.bloomFilter's
+    // zero-row aggregate returns a null buffer (NPE in readFrom) — found
+    // by IdempotentIngestSpec's all-duplicate batch; an empty filter at
+    // the same (capacity, fpp) sizing is the correct mergeable identity
+    if (h.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(capacity, 1L), 0.01)
+    else h.stat.bloomFilter("h", math.max(capacity, 1L), 0.01)
+  }
 
   /** Open a fresh ingest state over an initial sealed corpus. */
   def ingestStateOf(sealedFps0: DataFrame, capacity: Long): IngestState = {

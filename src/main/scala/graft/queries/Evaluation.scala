@@ -336,5 +336,57 @@ object Evaluation {
       ORDER BY vec_id, k"""},
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q110, q111, q112, q114, q116)
+  /** Q142: IVF index-quality audit — q112's recall pattern on the THIRD
+    * index family: recall@3 of the INDEX-SERVED IVF probe (q137, the
+    * persisted cell store at the frozen 8-centroid/2-probe geometry)
+    * against the brute-force true top-3 (q34 restricted to rank ≤ 3),
+    * per query point. This is the eval every IVF deployment runs after
+    * (re)building or [[graft.sources.IvfIndex.refit]]ing a store — the
+    * recall half of the nlist/nprobe trade whose cost half cellStats
+    * measures; SCALING.md round 18's drift probe reads exactly this
+    * table before and after a refit. Both sides are deterministic, so
+    * the oracle nests each pipeline's own SQL (q34's and q137's shared
+    * ivfTopKSql) — one definition per pipeline, shared verbatim.
+    *
+    * Scale shape: both sides end in per-query top-3 tables (rows =
+    * 3·|queries|), so the audit join is a broadcast hash join regardless
+    * of corpus size; recall is an exact int÷int per query. */
+  private val q142 = GraftQuery(
+    "q142_ivf_recall",
+    (spark, dir) => {
+      val bf = Similarity.q34.fn(spark, dir).filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.q137.fn(spark, dir)
+        .select("query_id", "neighbor_id")
+      bf.as("bf")
+        .join(broadcast(ivf.as("ivf")),
+          col("bf.query_id") === col("ivf.query_id") &&
+            col("bf.neighbor_id") === col("ivf.neighbor_id"), "left")
+        .groupBy(col("bf.query_id").as("query_id"))
+        .agg(
+          count(lit(1)).as("n_true"),
+          sum(when(col("ivf.neighbor_id").isNotNull, 1L).otherwise(0L))
+            .as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+        .orderBy("query_id")
+    },
+    (Similarity.q34.oracle, Similarity.q137.oracle) match {
+      case (Some(bfSql), Some(ivfSql)) => Some(s"""
+        SELECT bf.query_id AS query_id,
+               count(*) AS n_true,
+               CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS recall
+        FROM (SELECT * FROM ($bfSql) WHERE rank <= 3) bf
+        LEFT JOIN ($ivfSql) ivf
+          ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+        GROUP BY bf.query_id
+        ORDER BY bf.query_id""")
+      case _ => None
+    },
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q110, q111, q112, q114, q116, q142)
 }

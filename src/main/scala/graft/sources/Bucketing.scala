@@ -137,6 +137,55 @@ object Bucketing {
     * pruning pays exactly for point-query-scale key sets. */
   private[sources] val PruneLiteralLimit = 256
 
+  private val LastBatchProp = "graft.ingest.last_batch"
+
+  /** The table's idempotence marker: the id of the last micro-batch a
+    * streaming index loop committed into it, or -1 if none was ever
+    * recorded. Structured Streaming's exactly-once covers sources and
+    * state, NOT arbitrary external writes — after a sink-side failure
+    * foreachBatch re-delivers the same batch under the SAME batchId, so
+    * the standard recipe (Spark's own foreachBatch doc) is to record the
+    * committed id transactionally with the write and skip re-deliveries
+    * at or under it. Here "transactionally" is approximated the same way
+    * the stats fold is: the marker is a table property written right
+    * after the insert (PostingsIndex folds it into the SAME property
+    * statement as its stats), so the residual window is a crash BETWEEN
+    * the insert and the property write — replaying that batch
+    * double-appends, exactly the window the append scaladocs already
+    * name, now shrunk from "any retry" to "retry of a mid-append crash".
+    *
+    * Scope contract: batchIds are monotone within ONE streaming query
+    * lineage (a checkpoint and its restarts). The marker therefore
+    * assumes the single writer growing this table keeps its checkpoint
+    * across restarts — the same single-writer rule every append path
+    * states. Starting a FRESH stream (new checkpoint, batchIds restart
+    * at 0) over an existing table requires [[resetBatchMarker]] first,
+    * or every batch up to the old high-water mark silently skips. */
+  def lastCommittedBatch(spark: SparkSession, table: String): Long =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == LastBatchProp =>
+        r.getString(1).toLong }
+      .getOrElse(-1L)
+
+  /** Record `batchId` as the table's committed high-water mark — called
+    * by the streaming index loops after a batch's appends land. Survives
+    * [[compact]] (the `graft.*` property carry-through). */
+  def recordBatch(spark: SparkSession, table: String, batchId: Long): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'$LastBatchProp' = '$batchId')")
+
+  /** Reset the marker for a NEW stream lineage over an existing table
+    * (fresh checkpoint ⇒ batchIds restart at 0 — see
+    * [[lastCommittedBatch]]'s scope contract). */
+  def resetBatchMarker(spark: SparkSession, table: String): Unit =
+    recordBatch(spark, table, -1L)
+
+  /** The property statement fragment PostingsIndex folds into its stats
+    * write so the marker and the stats fold commit in ONE catalog
+    * operation. */
+  private[sources] def batchMarkerClause(batchId: Long): String =
+    s", '$LastBatchProp' = '$batchId'"
+
   /** Data-file count of a catalog table — the small-files health metric
     * the streaming ingest loop's compaction trigger reads between
     * batches (CurationChain.curatedIndexed). Driver-side listing, no

@@ -52,7 +52,57 @@ object IvfIndex {
   val NCentroids = 8
   val NProbe = 2
 
+  private val FitProp = "graft.ivf.fit"
+
   private[sources] def centTableOf(table: String): String = s"${table}_cent"
+
+  /** Content fingerprint of a centroid fit — md5 over the rows in c_id
+    * order, doubles rendered via their IEEE bit pattern (formatting-free,
+    * so equal fits hash equal across JVMs). Recorded as the `graft.ivf.fit`
+    * property on BOTH tables of the pair at build/[[refit]] time and
+    * REQUIRED EQUAL by every probe and append: the cells table and the
+    * centroid companion are two catalog objects, so a half-completed
+    * [[refit]] (or any out-of-band rewrite of one side) would otherwise
+    * serve probes that rank against one fit and scan cells assigned under
+    * another — a SILENT recall loss, the exact hazard class the banding
+    * require() closes on the other families, here made loud. The fit rows
+    * are fit-sized (nCentroids), so the driver collect is bounded by
+    * construction. */
+  private def fitVersionOf(cent: DataFrame): String = {
+    val rendered = cent.select(col("c_id"), col("cv"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val bits = r.getSeq[Double](1)
+          .map(d => java.lang.Double.doubleToLongBits(d).toString)
+        s"${r.getLong(0)}:${bits.mkString(",")}"
+      }
+      .mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def writeFitVersion(spark: SparkSession, table: String,
+      version: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'$FitProp' = '$version')")
+
+  private def fitVersion(spark: SparkSession, table: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == FitProp => r.getString(1) }
+      .getOrElse(throw new IllegalStateException(
+        s"$table carries no $FitProp property — not built by IvfIndex.build"))
+
+  private def requireFitMatch(spark: SparkSession, table: String): Unit = {
+    val (vc, vx) = (fitVersion(spark, table),
+      fitVersion(spark, centTableOf(table)))
+    require(vc == vx,
+      s"$table's cells were assigned under fit $vc but its centroid " +
+        s"companion carries fit $vx — a half-completed refit or an " +
+        "out-of-band rewrite; probes against the mismatched pair would " +
+        "silently miss (re-run refit, or swap the lagging table)")
+  }
 
   /** Assign `vectors` (vec_id, v, nrm, ...) to their nearest centroid —
     * ONE cell per vector, ties to the smaller centroid id (q37's
@@ -83,8 +133,11 @@ object IvfIndex {
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
       .localCheckpoint(true)
+    val version = fitVersionOf(cent)
     Bucketing.writeBucketed(assignOf(e, cent), table, "cell", buckets)
     Bucketing.writeBucketed(cent, centTableOf(table), "c_id", 1)
+    writeFitVersion(spark, table, version)
+    writeFitVersion(spark, centTableOf(table), version)
   }
 
   /** Incremental maintenance: assign a new batch against the RECORDED
@@ -97,6 +150,10 @@ object IvfIndex {
     val centTable = centTableOf(table)
     require(spark.catalog.tableExists(centTable),
       s"$table carries no centroid companion ($centTable) — not built by IvfIndex.build")
+    // an append that assigns against a companion the cells were not
+    // assigned under would mis-cell the whole batch — the fit-version
+    // guard fails it loudly (a half-completed refit is the live case)
+    requireFitMatch(spark, table)
     val cent = spark.table(centTable).localCheckpoint(true)
     val buckets = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -133,6 +190,10 @@ object IvfIndex {
       k: Int, nProbe: Int = NProbe): DataFrame = {
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(centTableOf(table))
+    // rank-against-one-fit/scan-another is a silent recall loss — the
+    // version guard turns a torn pair (mid-refit, out-of-band rewrite)
+    // into a loud failure; probes may retry after the refit completes
+    requireFitMatch(spark, table)
     val cent = spark.table(centTableOf(table))
     val simToCent = Similarity.dot(col("qv"), col("cv")) /
       (col("qnrm") * col("cnrm"))
@@ -165,6 +226,88 @@ object IvfIndex {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** Per-cell occupancy of the store — the IVF family's health metric,
+    * the [[Bucketing.dataFileCount]] analog for FIT quality rather than
+    * file fragmentation: probe cost tracks probed-cell occupancy, so a
+    * fit the ingested distribution has drifted away from shows up here
+    * as skew (a few hot cells holding most vectors ⇒ probes that hit
+    * them scan a corpus-sized slice — the IVF failure mode). One
+    * aggregation over the cell key; read it on a maintenance cadence
+    * and [[refit]] when max/mean occupancy passes the deployment's
+    * threshold. */
+  def cellStats(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table).groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+  }
+
+  /** RE-FIT maintenance — the IVF analog of [[Bucketing.compact]], for
+    * fit drift instead of file fragmentation: the centroids are frozen
+    * at build (training-time state), so a stream whose distribution
+    * drifts from the fit piles vectors into few hot cells and probe
+    * cost degrades toward a full scan ([[cellStats]] is the trigger
+    * metric). `refit` REASSIGNS every stored vector against `newCent`
+    * (c_id, cv, cnrm — the caller's new fit: a k-means pass in
+    * production, any deterministic rule in specs) and swaps BOTH tables
+    * via the staged rewrite ([[Bucketing.stagedSwapIn]]): readers see
+    * old pair → (swap instant) → new pair per table.
+    *
+    * Torn-pair honesty: the two swaps are two catalog operations, not
+    * one transaction. Between them the pair is INCONSISTENT — cells
+    * assigned under the new fit, companion still carrying the old — and
+    * a probe in that window must not silently miss, so every probe and
+    * append checks the recorded fit versions match and FAILS LOUDLY on
+    * the torn state (the `graft.ivf.fit` guard; single-writer,
+    * probes-may-retry — the compact contract extended to refit). Crash
+    * recovery: cells swapped + companion not ⇒ re-run just the
+    * companion swap (the staged table is intact under
+    * `<cent>__compact`) or re-run refit; nothing is lost either way.
+    * Cost: one full scan + reassignment of the store — the same
+    * one-rewrite-buys-every-probe trade as compaction, measured in
+    * SCALING.md round 18's drift probe. */
+  def refit(spark: SparkSession, table: String, newCent: DataFrame): Unit = {
+    requireFitMatch(spark, table) // refuse to stack a refit on a torn pair
+    val cent = newCent.select(col("c_id"), col("cv"), col("cnrm"))
+      .localCheckpoint(true)
+    val version = fitVersionOf(cent)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not built by IvfIndex.build"))
+    // carry user-level properties through the swap (the compact rule) —
+    // dropping them would, e.g., reset the streaming loop's batch marker
+    // and re-open the replay window mid-refit
+    val carried = meta.properties.filterNot { case (k, _) =>
+      k.startsWith("spark.") || k.startsWith("transient_") ||
+        k == "comment" || k == "owner"
+    }
+    val snapshot = spark.table(table)
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint(true)
+    Bucketing.stagedSwapIn(spark, table, assignOf(snapshot, cent),
+      "cell", buckets, carried + (FitProp -> version))
+    Bucketing.stagedSwapIn(spark, centTableOf(table), cent,
+      "c_id", 1, Map(FitProp -> version))
+  }
+
+  /** [[refit]] with the engine's deterministic fit rule applied to the
+    * CURRENT store: the new centroids are the store's `nCentroids`
+    * smallest vec_ids' vectors (the build rule re-run over the grown
+    * corpus — the spec-replayable stand-in; production hands [[refit]]
+    * a real k-means fit). */
+  def refit(spark: SparkSession, table: String, nCentroids: Int): Unit = {
+    spark.catalog.refreshTable(table)
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-n,
+    // driver merge of nCentroids rows) — never a global sort
+    refit(spark, table,
+      spark.table(table)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .orderBy("vec_id").limit(nCentroids)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm")))
   }
 
   /** Build-once memo for dir-derived indexes — the registered q137 runs

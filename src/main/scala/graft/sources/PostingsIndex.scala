@@ -127,7 +127,8 @@ object PostingsIndex {
     * files/epoch vs ~110 aligned on the 20-epoch stream probe
     * (SCALING.md round 18), a 13× slower small-files accumulation for
     * one batch-sized shuffle. */
-  def appendDocs(table: String, docs: DataFrame): Unit = {
+  def appendDocs(table: String, docs: DataFrame,
+      committedBatch: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val buckets = bucketCount(spark, table)
     val toks = Retrieval.tokenizedDocsOf(docs).localCheckpoint(true)
@@ -138,7 +139,11 @@ object PostingsIndex {
       .write.mode("append").insertInto(dfTableOf(table))
     val (n0, s0) = stats(spark, table)
     val (n1, s1) = collectionStats(toks)
-    writeStats(spark, table, (n0 + n1, s0 + s1))
+    // the streaming loop's idempotence marker rides in the SAME property
+    // statement as the stats fold — one catalog commit for both, so the
+    // marker can never say "committed" while the stats say otherwise
+    writeStats(spark, table, (n0 + n1, s0 + s1),
+      committedBatch.map(Bucketing.batchMarkerClause).getOrElse(""))
   }
 
   /** Recompute (n_docs, sum_dl) FROM the postings table, rewrite the
@@ -205,9 +210,9 @@ object PostingsIndex {
   }
 
   private def writeStats(spark: SparkSession, table: String,
-      ns: (Long, Long)): Unit =
+      ns: (Long, Long), extraProps: String = ""): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'$NDocsProp' = '${ns._1}', '$SumDlProp' = '${ns._2}')")
+      s"'$NDocsProp' = '${ns._1}', '$SumDlProp' = '${ns._2}'$extraProps)")
 
   /** Build-once memo for dir-derived indexes — the deployment shape the
     * registered q134 runs through: the first call for a (tag, dir) pair

@@ -190,20 +190,28 @@ object CurationChain {
     * StreamingChainSpec case pins this streaming spelling equal to the
     * batch rebuild over the same kept set).
     *
-    * Delivery contract, stated: appends are NOT idempotent — a
-    * foreachBatch retry after a sink-side failure would re-append the
-    * batch's postings (Spark's exactly-once covers sources and state,
-    * not arbitrary external writes). The chain's dedup stage suppresses
-    * re-deliveries only WITHIN its watermark: a duplicate arriving more
-    * than `lateness` of event time after its first delivery passes the
-    * evicted dedup state and double-appends permanently, so size
-    * `lateness` to the source's real re-delivery horizon (or doc_id
-    * anti-join the index in the sink when the horizon is unbounded).
-    * The remaining window is the crash-between-insert-and-commit one
-    * the append scaladoc names; recover with
-    * [[graft.sources.PostingsIndex.refreshStats]] plus a doc_id-dedup
-    * rebuild, or give each batch a staging write if the deployment
-    * needs strict exactly-once. Single-writer like every append path.
+    * Delivery contract: the sink is IDEMPOTENT PER BATCH — every index
+    * loop records the committed batchId as a table property
+    * ([[graft.sources.Bucketing.recordBatch]]; the postings loop folds
+    * it into the same property statement as the stats, so marker and
+    * stats commit together) and SKIPS any batch at or under the marker:
+    * a foreachBatch retry after a sink-side failure re-delivers the same
+    * id and appends nothing (Spark's own foreachBatch recipe —
+    * exactly-once covers sources and state, the marker extends it to
+    * this external write). The residual window is a crash BETWEEN the
+    * insert and the marker write — that one replay double-appends;
+    * recover with [[graft.sources.PostingsIndex.refreshStats]] plus a
+    * doc_id-dedup rebuild. Marker scope: one stream lineage (checkpoint
+    * + restarts) per table — a FRESH checkpoint restarts batchIds at 0,
+    * so call [[graft.sources.Bucketing.resetBatchMarker]] before
+    * re-pointing a new stream at an old table
+    * ([[graft.sources.Bucketing.lastCommittedBatch]]'s contract).
+    * Distinct from re-delivery: a duplicate DOCUMENT arriving more than
+    * `lateness` of event time after its first delivery passes the
+    * evicted dedup state under a fresh batchId and appends permanently —
+    * size `lateness` to the source's real re-delivery horizon, or run
+    * [[curatedGatedIndexed]] when the horizon is unbounded.
+    * Single-writer like every append path.
     * Maintenance rides IN the loop: each batch's insert adds a file per
     * touched bucket, so after every append the sink reads the table's
     * data-file count (a driver-side listing — the same walk the
@@ -222,18 +230,30 @@ object CurationChain {
       compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     cappedDocs(docs, lateness).filter(col("kept"))
       .select(col("doc_id"), col("text"))
-      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-        // skip no-data batches (watermark ticks) and all-rejected ones:
-        // an empty append would still pay a write commit + two catalog
-        // property operations per tick
-        if (!batch.isEmpty) {
-          graft.sources.PostingsIndex.appendDocs(table, batch)
-          if (compactAboveFiles > 0 &&
-              graft.sources.Bucketing.dataFileCount(
-                batch.sparkSession, table) > compactAboveFiles)
-            graft.sources.PostingsIndex.compact(batch.sparkSession, table)
-        }
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        postingsBatch(table, batch, batchId, compactAboveFiles)
       }
+
+  /** [[curatedIndexed]]'s sink body — exposed so the idempotence spec
+    * can replay a batch the way a foreachBatch retry does. Skips
+    * no-data batches (watermark ticks) and all-rejected ones — an empty
+    * append would still pay a write commit + two catalog property
+    * operations per tick (and must NOT advance the marker: an empty
+    * replay appends nothing anyway) — and any batch at or under the
+    * table's committed marker (the retry case). The marker write rides
+    * in appendDocs's own stats statement; compaction carries it
+    * through. */
+  private[graft] def postingsBatch(table: String, batch: DataFrame,
+      batchId: Long, compactAboveFiles: Int = 0): Unit =
+    if (!batch.isEmpty && batchId >
+        graft.sources.Bucketing.lastCommittedBatch(
+          batch.sparkSession, table)) {
+      graft.sources.PostingsIndex.appendDocs(table, batch, Some(batchId))
+      if (compactAboveFiles > 0 &&
+          graft.sources.Bucketing.dataFileCount(
+            batch.sparkSession, table) > compactAboveFiles)
+        graft.sources.PostingsIndex.compact(batch.sparkSession, table)
+    }
 
   /** dedup → quota → Q126 GATE → POSTINGS INDEX: [[curatedIndexed]]
     * with the CONTENT-level, UNBOUNDED-HORIZON dedup its scaladoc
@@ -263,28 +283,51 @@ object CurationChain {
       compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     cappedDocs(docs, lateness).filter(col("kept"))
       .select(col("doc_id"), col("text"))
-      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // fingerprint once, reuse for the gate and the text join-back
-          val withFp = batch
-            .withColumn("fp", graft.queries.Curation.bowFingerprint)
-            .localCheckpoint(true)
-          val admitted = graft.queries.Curation.ingestEpochStored(
-            sealedTable, withFp.select(col("doc_id"), col("fp")),
-            bloom, capacity)
-          val admittedDocs = withFp
-            .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("text"))
-          if (!admittedDocs.isEmpty) {
-            graft.sources.PostingsIndex.appendDocs(indexTable, admittedDocs)
-            if (compactAboveFiles > 0 &&
-                graft.sources.Bucketing.dataFileCount(
-                  batch.sparkSession, indexTable) > compactAboveFiles)
-              graft.sources.PostingsIndex.compact(
-                batch.sparkSession, indexTable)
-          }
-        }
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gatedBatch(sealedTable, indexTable, bloom, capacity, batch,
+          batchId, compactAboveFiles)
       }
+
+  /** [[curatedGatedIndexed]]'s sink body. This loop is idempotent under
+    * replay TWICE over: the content gate alone already rejects a
+    * replayed batch (its fingerprints sit in the sealed store, so the
+    * exact anti-join admits nothing and no append runs — content
+    * idempotence, independent of any marker), and the batchId marker on
+    * the index table skips the replay before the gate even fingerprints
+    * it — defense in depth that also saves the replay's gate probe. The
+    * marker advances AFTER the sealed-store append and the index append
+    * (it records "this batch's sink completed", covering both tables),
+    * and advances even when the gate admits nothing — an all-rejected
+    * batch is still a completed batch. */
+  private[graft] def gatedBatch(sealedTable: String, indexTable: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, capacity: Long,
+      batch: DataFrame, batchId: Long,
+      compactAboveFiles: Int = 0): Unit =
+    if (!batch.isEmpty && batchId >
+        graft.sources.Bucketing.lastCommittedBatch(
+          batch.sparkSession, indexTable)) {
+      // fingerprint once, reuse for the gate and the text join-back
+      val withFp = batch
+        .withColumn("fp", graft.queries.Curation.bowFingerprint)
+        .localCheckpoint(true)
+      val admitted = graft.queries.Curation.ingestEpochStored(
+        sealedTable, withFp.select(col("doc_id"), col("fp")),
+        bloom, capacity)
+      val admittedDocs = withFp
+        .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      if (!admittedDocs.isEmpty) {
+        graft.sources.PostingsIndex.appendDocs(indexTable, admittedDocs,
+          Some(batchId))
+        if (compactAboveFiles > 0 &&
+            graft.sources.Bucketing.dataFileCount(
+              batch.sparkSession, indexTable) > compactAboveFiles)
+          graft.sources.PostingsIndex.compact(
+            batch.sparkSession, indexTable)
+      } else
+        graft.sources.Bucketing.recordBatch(
+          batch.sparkSession, indexTable, batchId)
+    }
 
   /** dedup → quota → NEAR-DUP GATE → BAND STORE: the near-dup sibling
     * of [[curatedGatedIndexed]] — that gate rejects CONTENT-IDENTICAL
@@ -313,7 +356,7 @@ object CurationChain {
     * shingle (< 3 tokens) band nowhere: they are admitted (they cannot
     * near-dup) and add no store rows. `emit` receives the admitted
     * (doc_id, text) rows per batch — the gate's output a downstream
-    * consumer (postings index, pack) chains on. Same non-idempotent
+    * consumer (postings index, pack) chains on. Same batchId-marker
     * append / watermark-horizon / single-writer / compaction-trigger
     * contracts as [[curatedIndexed]]. */
   def curatedBandIndexed(docs: DataFrame, bandTable: String,
@@ -322,34 +365,51 @@ object CurationChain {
       emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
     cappedDocs(docs, lateness).filter(col("kept"))
       .select(col("doc_id"), col("text"))
-      .writeStream.foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        if (!batch0.isEmpty) {
-          val spark = batch0.sparkSession
-          // band once, reuse thrice (probe, within-batch self-join,
-          // admitted append) — the curatedGatedIndexed checkpoint rule
-          val batch = batch0.localCheckpoint(true)
-          val bands = graft.queries.Dedup.bandRowsOn(spark, batch)
-            .localCheckpoint(true)
-          val storeHits = graft.sources.BandIndex.collidingIds(
-            spark, bandTable, bands)
-          val batchHits = bands.as("x").join(bands.as("y"),
-              col("x.band") === col("y.band") &&
-                col("x.sig") === col("y.sig") &&
-                col("x.doc_id") > col("y.doc_id"))
-            .select(col("x.doc_id")).distinct()
-          val dropIds = storeHits.union(batchHits).distinct()
-            .localCheckpoint(true)
-          val admittedBands = bands.join(dropIds, Seq("doc_id"), "left_anti")
-          if (!admittedBands.isEmpty) {
-            graft.sources.BandIndex.appendBandRows(bandTable, admittedBands)
-            if (compactAboveFiles > 0 &&
-                graft.sources.Bucketing.dataFileCount(
-                  spark, bandTable) > compactAboveFiles)
-              graft.sources.Bucketing.compact(spark, bandTable)
-          }
-          emit(batch.join(dropIds, Seq("doc_id"), "left_anti"), batchId)
-        }
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bandBatch(bandTable, batch, batchId, compactAboveFiles)(emit)
       }
+
+  /** [[curatedBandIndexed]]'s sink body. The STORE is already idempotent
+    * under replay without any marker: a replayed doc's band rows sit in
+    * the store, so it collides with ITSELF and drops — but that same
+    * mechanism makes the replay's EMIT wrong (the batch's true
+    * admissions re-emit as empty, and sub-shingle docs re-emit as
+    * duplicates), so the batchId marker matters here for the emitted
+    * stream's consistency, not the store's: a replayed batch is skipped
+    * whole, appending nothing and emitting nothing. The marker advances
+    * after the append (or immediately, when the gate admits nothing). */
+  private[graft] def bandBatch(bandTable: String, batch0: DataFrame,
+      batchId: Long, compactAboveFiles: Int = 0)(
+      emit: (DataFrame, Long) => Unit): Unit =
+    if (!batch0.isEmpty && batchId >
+        graft.sources.Bucketing.lastCommittedBatch(
+          batch0.sparkSession, bandTable)) {
+      val spark = batch0.sparkSession
+      // band once, reuse thrice (probe, within-batch self-join,
+      // admitted append) — the curatedGatedIndexed checkpoint rule
+      val batch = batch0.localCheckpoint(true)
+      val bands = graft.queries.Dedup.bandRowsOn(spark, batch)
+        .localCheckpoint(true)
+      val storeHits = graft.sources.BandIndex.collidingIds(
+        spark, bandTable, bands)
+      val batchHits = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.sig") === col("y.sig") &&
+            col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id")).distinct()
+      val dropIds = storeHits.union(batchHits).distinct()
+        .localCheckpoint(true)
+      val admittedBands = bands.join(dropIds, Seq("doc_id"), "left_anti")
+      if (!admittedBands.isEmpty) {
+        graft.sources.BandIndex.appendBandRows(bandTable, admittedBands)
+        if (compactAboveFiles > 0 &&
+            graft.sources.Bucketing.dataFileCount(
+              spark, bandTable) > compactAboveFiles)
+          graft.sources.Bucketing.compact(spark, bandTable)
+      }
+      graft.sources.Bucketing.recordBatch(spark, bandTable, batchId)
+      emit(batch.join(dropIds, Seq("doc_id"), "left_anti"), batchId)
+    }
 
   /** dedup → ANN INDEX: the VECTOR half of the streaming index loop —
     * [[curatedIndexed]]'s twin on the embedding side, closing the
@@ -363,10 +423,11 @@ object CurationChain {
     * stage alone: vectors carry (vec_id, label, embedding) — no
     * `source`, so the chain's per-source quota has no key; a deployment
     * that caps vector ingest runs its quota upstream on whatever key it
-    * owns. Same NON-idempotent append delivery contract as the postings
-    * loop (foreachBatch retries re-append; dedup suppresses
-    * re-deliveries only within `lateness` of event time), same
-    * single-writer rule, and the same in-loop maintenance trigger:
+    * owns. Same batchId-marker delivery contract as the postings loop
+    * (foreachBatch retries skip at the table's committed marker; the
+    * dedup stage additionally suppresses re-delivered DOCUMENTS within
+    * `lateness` of event time), same single-writer rule, and the same
+    * in-loop maintenance trigger:
     * past `compactAboveFiles` data files the sink runs
     * [[graft.sources.Bucketing.compact]] (no df companion on this
     * side — signatures carry no per-term statistic). */
@@ -375,17 +436,28 @@ object CurationChain {
       compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-        // the curatedIndexed empty-batch rule: watermark ticks and
-        // all-duplicate batches must not pay a write commit
-        if (!batch.isEmpty) {
-          graft.sources.AnnIndex.appendVectors(table, batch, tables, bits)
-          if (compactAboveFiles > 0 &&
-              graft.sources.Bucketing.dataFileCount(
-                batch.sparkSession, table) > compactAboveFiles)
-            graft.sources.Bucketing.compact(batch.sparkSession, table)
-        }
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        vectorBatch(table, batch, batchId, tables, bits, compactAboveFiles)
       }
+
+  /** [[curatedVectorIndexed]]'s sink body — the curatedIndexed
+    * empty-batch rule (watermark ticks and all-duplicate batches must
+    * not pay a write commit) plus the batchId marker (a retried batch
+    * appends nothing; the marker write follows the insert, the stated
+    * residual window). */
+  private[graft] def vectorBatch(table: String, batch: DataFrame,
+      batchId: Long, tables: Int = 4, bits: Int = 8,
+      compactAboveFiles: Int = 0): Unit =
+    if (!batch.isEmpty && batchId >
+        graft.sources.Bucketing.lastCommittedBatch(
+          batch.sparkSession, table)) {
+      graft.sources.AnnIndex.appendVectors(table, batch, tables, bits)
+      graft.sources.Bucketing.recordBatch(batch.sparkSession, table, batchId)
+      if (compactAboveFiles > 0 &&
+          graft.sources.Bucketing.dataFileCount(
+            batch.sparkSession, table) > compactAboveFiles)
+        graft.sources.Bucketing.compact(batch.sparkSession, table)
+    }
 
   /** dedup → IVF CELL STORE: [[curatedVectorIndexed]]'s twin on the
     * third vector family — each micro-batch's first-delivery vectors
@@ -396,7 +468,7 @@ object CurationChain {
     * never derived from a batch) and insert bucket-aligned into their
     * cells, so [[graft.sources.IvfIndex.topKFor]] probes between
     * batches serve exactly the vectors ingested so far. Same
-    * non-idempotent append / watermark-horizon / single-writer /
+    * batchId-marker / watermark-horizon / single-writer /
     * compaction-trigger contracts as the other index loops; compaction
     * via [[graft.sources.Bucketing.compact]] (the centroid companion is
     * a separate one-file table — maintenance never touches it). */
@@ -405,16 +477,25 @@ object CurationChain {
       compactAboveFiles: Int = 0): DataStreamWriter[Row] =
     EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-        // the curatedIndexed empty-batch rule
-        if (!batch.isEmpty) {
-          graft.sources.IvfIndex.appendVectors(table, batch)
-          if (compactAboveFiles > 0 &&
-              graft.sources.Bucketing.dataFileCount(
-                batch.sparkSession, table) > compactAboveFiles)
-            graft.sources.Bucketing.compact(batch.sparkSession, table)
-        }
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cellBatch(table, batch, batchId, compactAboveFiles)
       }
+
+  /** [[curatedCellIndexed]]'s sink body — the curatedIndexed
+    * empty-batch rule plus the batchId marker ([[vectorBatch]]'s
+    * contract on the IVF family). */
+  private[graft] def cellBatch(table: String, batch: DataFrame,
+      batchId: Long, compactAboveFiles: Int = 0): Unit =
+    if (!batch.isEmpty && batchId >
+        graft.sources.Bucketing.lastCommittedBatch(
+          batch.sparkSession, table)) {
+      graft.sources.IvfIndex.appendVectors(table, batch)
+      graft.sources.Bucketing.recordBatch(batch.sparkSession, table, batchId)
+      if (compactAboveFiles > 0 &&
+          graft.sources.Bucketing.dataFileCount(
+            batch.sparkSession, table) > compactAboveFiles)
+        graft.sources.Bucketing.compact(batch.sparkSession, table)
+    }
 
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN

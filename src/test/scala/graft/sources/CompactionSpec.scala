@@ -156,6 +156,52 @@ class CompactionSpec extends SparkSpec {
     assert(err.getMessage.contains("banding"))
   }
 
+  test("ivf: compaction preserves the fit-version property, so the " +
+      "pair guard holds and probes stay equal") {
+    IvfIndex.build(spark, sfDir, "compact_ivf", buckets = 4)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    IvfIndex.appendVectors("compact_ivf",
+      e.limit(5).select((col("vec_id") + 80000L).as("vec_id"),
+        col("label"), col("embedding")))
+    def rows() = IvfIndex.topK(spark, "compact_ivf", nAnchors = 20, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val before = rows()
+    val filesBefore = dataFiles("compact_ivf").size
+    Bucketing.compact(spark, "compact_ivf")
+    assert(dataFiles("compact_ivf").size < filesBefore,
+      "compaction must shrink the appended cell store's file count")
+    // rows identical AND the fit guard still passes (the graft.ivf.fit
+    // property carried through — a dropped version would fail loudly here)
+    assert(rows() == before, "compaction changed the IVF probe")
+    IvfIndex.appendVectors("compact_ivf",
+      e.limit(1).select((col("vec_id") + 81000L).as("vec_id"),
+        col("label"), col("embedding")))
+  }
+
+  test("band: compaction preserves the banding properties; probes and the " +
+      "mismatch guard survive") {
+    BandIndex.build(spark, sfDir, "compact_band",
+      corpusPred = col("doc_id") < 300, buckets = 4)
+    BandIndex.append(spark, sfDir, "compact_band",
+      col("doc_id") >= 300 && col("doc_id") < 600)
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 600).select("doc_id", "text")
+    val queries = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 600 && col("doc_id") < 650)
+      .select("doc_id", "text")
+    def pairs() = BandIndex.nearDupsFor(spark, "compact_band",
+      corpus, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairs()
+    val filesBefore = dataFiles("compact_band").size
+    Bucketing.compact(spark, "compact_band")
+    assert(dataFiles("compact_band").size <= 4,
+      s"band compaction must reach one file per bucket, had $filesBefore")
+    assert(pairs() == before, "compaction changed the band probe")
+  }
+
   test("compact refuses an unbucketed table") {
     import spark.implicits._
     // the writeBucketed leftover-dir cleanup, for a FLAT table: an

@@ -112,6 +112,73 @@ class IvfIndexSpec extends SparkSpec {
       f"recall@3 at 2/16 cells fell below the pinned floor: $recall%.2f")
   }
 
+  test("fit-version guard: build records equal versions on the pair; a " +
+      "torn pair (one side rewritten) fails probes and appends loudly") {
+    IvfIndex.build(spark, sfDir, "ivf_guard", buckets = 4)
+    val anchors = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    // consistent pair: probe works
+    assert(IvfIndex.topKFor(spark, "ivf_guard", anchors, k = 3).count() > 0)
+    // tear the pair the way a half-completed refit would: the companion
+    // carries a different fit version than the cells
+    spark.sql("ALTER TABLE ivf_guard_cent SET TBLPROPERTIES (" +
+      "'graft.ivf.fit' = 'deadbeefdeadbeefdeadbeefdeadbeef')")
+    val probeErr = intercept[IllegalArgumentException] {
+      IvfIndex.topKFor(spark, "ivf_guard", anchors, k = 3)
+    }
+    assert(probeErr.getMessage.contains("fit"),
+      s"the torn-pair probe must name the fit mismatch: ${probeErr.getMessage}")
+    val appendErr = intercept[IllegalArgumentException] {
+      IvfIndex.appendVectors("ivf_guard",
+        graft.Tables.embeddings(spark, sfDir).limit(1))
+    }
+    assert(appendErr.getMessage.contains("fit"))
+    // and refit itself refuses to stack on a torn pair
+    val refitErr = intercept[IllegalArgumentException] {
+      IvfIndex.refit(spark, "ivf_guard", nCentroids = 4)
+    }
+    assert(refitErr.getMessage.contains("fit"))
+  }
+
+  test("refit reassigns the grown store against a new fit: probes equal a " +
+      "fresh build at that fit, appends assign against the NEW centroids, " +
+      "and user properties (the batch marker) survive the swap") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val d = java.nio.file.Files.createTempDirectory("ivfrefit").toString
+    e.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // grown store at the 8-centroid fit; then refit to 16 — the dial a
+    // deployment turns when cellStats shows the fit no longer spreads
+    // the ingested distribution
+    IvfIndex.build(spark, d, "ivf_refit", buckets = 16, nCentroids = 8)
+    Bucketing.recordBatch(spark, "ivf_refit", 7L) // a live stream's marker
+    val occBefore = IvfIndex.cellStats(spark, "ivf_refit").count()
+    IvfIndex.refit(spark, "ivf_refit", nCentroids = 16)
+    // the reference: a fresh 16-centroid build over the same corpus
+    IvfIndex.build(spark, d, "ivf_refit_ref", buckets = 16, nCentroids = 16)
+    assert(rows(IvfIndex.topK(spark, "ivf_refit", nAnchors = 20, k = 3)) ==
+      rows(IvfIndex.topK(spark, "ivf_refit_ref", nAnchors = 20, k = 3)),
+      "refit diverges from the fresh build at the same fit")
+    // the fit actually widened (cellStats is the trigger metric)
+    val occAfter = IvfIndex.cellStats(spark, "ivf_refit").count()
+    assert(occAfter > occBefore,
+      s"the 16-cell refit must occupy more cells: $occBefore -> $occAfter")
+    // the marker survived the swap — a replay after refit still skips
+    assert(Bucketing.lastCommittedBatch(spark, "ivf_refit") == 7L,
+      "refit must carry the streaming loop's batch marker through")
+    // appends now assign against the NEW companion
+    IvfIndex.appendVectors("ivf_refit",
+      e.limit(5).select(col("vec_id") + 90000L, col("label"),
+        col("embedding")).toDF("vec_id", "label", "embedding"))
+    spark.catalog.refreshTable("ivf_refit")
+    val cells = spark.table("ivf_refit")
+      .filter(col("vec_id") >= 90000L).select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((0L until 16L).toSet),
+      s"post-refit append must cell against the new fit: $cells")
+  }
+
   test("appendVectors refuses a table with no centroid companion") {
     import spark.implicits._
     Bucketing.writeBucketed(
