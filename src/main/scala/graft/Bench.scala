@@ -77,6 +77,12 @@ object Bench {
     * regression guards until the superseded rule is applied
     * deliberately, one family per round).
     *
+    * Round-18 continuation adds q142 (the IVF recall audit — q112's
+    * shape on the third family) as a new headline row: it re-runs q34
+    * (tracked) and q137's memo-served probe inside itself, so its cost
+    * is ~the q34 scan + a probe + a broadcast join of two 60-row tops.
+    * New rows earn stability first, per the rule above.
+    *
     * Round-18 box-noise caveat (measured, late session): the local
     * session's bench medians are inflated by host scheduling noise
     * specific to many-small-stage plans — q134 re-measured at

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,19 +16,27 @@ import graft.queries.Similarity
   * the bucket-pruned plan still LOOKS pruned. refit reassigns under a
   * fit covering both populations and restores the cost.
   *
-  *   sbt "Test/runMain graft.sources.IvfDriftProbe [dir]"
+  *   sbt "Test/runMain graft.sources.IvfDriftProbe [dir] [copies]"
   *
-  * Drift model: the appended population is the base corpus NEGATED
-  * (the SCALING.md embeddings sign-flip recipe) under offset ids —
-  * maximally far from every base centroid, so the whole appended half
-  * crowds into whichever base cells face it; queries are drawn from the
-  * drifted population (the realistic case: fresh queries track the
-  * fresh distribution). Each leg reports occupied cells, max/mean
-  * occupancy, min-of-3 probe seconds, and recall@3 vs exact over the
-  * same store. */
+  * Corpus: the base embeddings tiled `copies`× by the round-10
+  * per-copy sign-flip isometry (within-copy cosine structure exact,
+  * cross-copy decorrelated), vec_id salted per copy. Drift model: the
+  * drifted population is the base corpus shrunk 4× and OFFSET along a
+  * fixed direction — the "new domain entering the crawl" shape: every
+  * drifted vector points mostly along the shared direction, so under
+  * the base fit the whole population crowds into the one or two cells
+  * facing it, at ANY corpus scale. Queries are held-out drifted
+  * vectors (fresh queries track the fresh distribution). Each leg
+  * reports occupied cells, max/mean occupancy, and min-of-3 probe
+  * seconds + recall@3 vs exact over the same store at nProbe = 2 AND
+  * 4: after a refit that doubles nlist, the matched-SCAN-FRACTION
+  * comparison is (drifted, nProbe=2: 2/8 of cells) vs (refit,
+  * nProbe=4: 4/16) — comparing at fixed nProbe conflates the fit with
+  * the recall-for-scan-volume dial. */
 object IvfDriftProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,27 +45,44 @@ object IvfDriftProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val table = "driftprobe_ivf"
-    val base = graft.Tables.embeddings(spark, dir)
+    val base0 = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "label", "embedding")
-    val maxId = base.agg(max("vec_id")).head.getLong(0)
-    val n = base.count()
-    val drifted = base.select((col("vec_id") + maxId + 1).as("vec_id"),
-      col("label"),
-      transform(col("embedding"), x => -x).as("embedding"))
-    println(s"[driftprobe] dir=$dir base=$n maxId=$maxId")
+    val span = base0.agg(max("vec_id")).head.getLong(0) + 1
+
+    def signLit(c: Int): Column = typedLit((0 until 64).map(i =>
+      if (((c * 2654435761L >>> (i % 31)) & 1L) == 1L) -1.0f else 1.0f))
+    val base = (0 until copies).map(c => base0.select(
+        (col("vec_id") + lit(c * span)).as("vec_id"), col("label"),
+        zip_with(col("embedding"), signLit(c), (x, s) => x * s)
+          .as("embedding")))
+      .reduce(_ unionByName _)
+    val nBase = copies * base0.count()
+
+    // the shared drift direction — any fixed non-degenerate unit-ish
+    // vector; magnitude dominates the 4x-shrunk residual structure
+    val dirLit = typedLit((0 until 64).map(i => ((i % 7) - 3) * 0.1f))
+    def drift(df: DataFrame, idOffset: Long): DataFrame = df.select(
+      (col("vec_id") + lit(idOffset)).as("vec_id"), col("label"),
+      zip_with(col("embedding"), dirLit, (x, d) => x * 0.25f + d)
+        .as("embedding"))
+    val drifted = drift(base, copies * span)
+    println(s"[driftprobe] dir=$dir copies=$copies base=$nBase " +
+      s"store=${2 * nBase}")
 
     // the store: built at the 8-centroid base fit, then the drifted
     // population streams in (the frozen-fit append path)
     IvfIndex.build(spark, dir, table, buckets = 16, nCentroids = 8)
+    if (copies > 1)
+      IvfIndex.appendVectors(table,
+        base.filter(col("vec_id") >= span)) // copies 1.. of the base
+    val t0a = System.nanoTime()
     IvfIndex.appendVectors(table, drifted)
+    println(f"[driftprobe] drift_append_s=${(System.nanoTime() - t0a) / 1e9}%.2f")
 
     // queries from the drifted distribution, held out of the store
-    // (fresh ids past both populations)
     val anchors = Similarity.normedVectorsOf(spark,
-        base.filter(col("vec_id") >= 100 && col("vec_id") < 120)
-          .select((col("vec_id") + 2 * (maxId + 1)).as("vec_id"),
-            col("label"),
-            transform(col("embedding"), x => -x).as("embedding")))
+        drift(base0.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          (2L * copies + 1L) * span))
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
       .localCheckpoint(true)
 
@@ -81,22 +106,25 @@ object IvfDriftProbe {
     def leg(name: String): Unit = {
       val occ = IvfIndex.cellStats(spark, table)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val (occupied, maxOcc) = (occ.length, occ.map(_._2).max)
       val meanOcc = occ.map(_._2).sum.toDouble / occ.length
-      val probeS = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        IvfIndex.topKFor(spark, table, anchors, k = 3)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      val got = IvfIndex.topKFor(spark, table, anchors, k = 3)
-        .select("query_id", "neighbor_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[driftprobe] $name%-8s occupied=${occ.length}%3d " +
+        f"max_occ=${occ.map(_._2).max}%8d mean_occ=$meanOcc%10.1f")
       val truth = exactTop3()
-      val recall = got.intersect(truth).size.toDouble / truth.size
-      println(f"[driftprobe] $name%-8s occupied=$occupied%3d " +
-        f"max_occ=$maxOcc%7d mean_occ=$meanOcc%9.1f " +
-        f"probe_s=$probeS%6.2f recall@3=$recall%.3f")
+      Seq(2, 4).foreach { nProbe =>
+        val probeS = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          IvfIndex.topKFor(spark, table, anchors, k = 3, nProbe = nProbe)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val got = IvfIndex.topKFor(spark, table, anchors, k = 3,
+            nProbe = nProbe)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = got.intersect(truth).size.toDouble / truth.size
+        println(f"[driftprobe] $name%-8s nProbe=$nProbe " +
+          f"probe_s=$probeS%6.2f recall@3=$recall%.3f")
+      }
     }
 
     leg("drifted")
@@ -105,8 +133,9 @@ object IvfDriftProbe {
     // centroid rows (production would hand a k-means fit; the two-sided
     // deterministic pick is the spec-replayable stand-in)
     val cent = Similarity.normedVectorsOf(spark,
-        base.filter(col("vec_id") < 8)
-          .unionByName(drifted.filter(col("vec_id") <= maxId + 8)))
+        base0.filter(col("vec_id") < 8)
+          .unionByName(drift(base0.filter(col("vec_id") < 8),
+            copies * span)))
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     val t0 = System.nanoTime()
