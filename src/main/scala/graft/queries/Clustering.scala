@@ -104,9 +104,21 @@ object Clustering {
     * broadcast list, never the plan shape. */
   def kmeansAssignments(
       spark: SparkSession, dir: String,
-      iters: Int = Iters, k: Int = K): DataFrame = {
-    val e = quantized(spark, dir)
-    var cents = e.filter(col("vec_id") < k)
+      iters: Int = Iters, k: Int = K): DataFrame =
+    lloyd(spark, quantized(spark, dir), iters, k)._1
+
+  /** The Lloyd loop over a quantized frame: deterministic seeds (the
+    * first k vec_ids, as q37 — or the caller's explicit k-bounded id
+    * set), `iters` assign/update rounds. Returns the FINAL assignment
+    * and the centroids it was computed against — the pair
+    * [[kmeansAssignments]] and [[kmeansFitOf]] each take one half of. */
+  private def lloyd(spark: SparkSession, e: DataFrame, iters: Int, k: Int,
+      seedIds: Option[Seq[Long]] = None)
+      : (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
+    val seedPred = seedIds
+      .map(ids => col("vec_id").isin(ids: _*))
+      .getOrElse(col("vec_id") < k)
+    var cents = e.filter(seedPred)
       .select(col("vec_id"), col("qv")).collect().toSeq
       .map { r =>
         val cv = r.getSeq[Double](1)
@@ -118,7 +130,40 @@ object Clustering {
       cents = update(asg)
       asg = assign(spark, e, cents)
     }
-    asg
+    (asg, cents)
+  }
+
+  /** A TRAINED k-means fit in [[graft.sources.IvfIndex]]'s fit shape
+    * (c_id, cv, cnrm) — the production realization of the refit
+    * scaladoc's "a k-means pass in production": the engine's own Lloyd
+    * kernel (q57's, oracle-checked) over any (vec_id, label, embedding)
+    * frame, e.g. an index store's accumulated rows when cellStats shows
+    * the built fit has drifted. Centroids are means in the int8-
+    * quantized domain — cosine assignment is per-vector scale-invariant,
+    * so they serve as IVF fit vectors directly. Empty clusters drop out
+    * of the fit (fewer cells, the standard Lloyd behavior); a degenerate
+    * all-zero centroid (possible only if a whole cluster quantizes to
+    * zero) is filtered rather than allowed to NaN the cosine. Seeds
+    * default to the frame's `vec_id < k` rows (the build-rule contract);
+    * `seedIds` overrides with an explicit k-bounded id set — SEEDING IS
+    * THE FIT'S DESTINY at few iterations, so a fit meant to cover a
+    * drifted store must seed from a sample of the CURRENT distribution
+    * (the k-means++ practice; an evenly-spaced id pick is the
+    * deterministic stand-in — measured in SCALING.md round 18's drift
+    * probe, where base-only seeds converge to an SSE-fine fit that
+    * still keeps the drifted mass in one hot cell). */
+  def kmeansFitOf(spark: SparkSession, embeddings: DataFrame,
+      iters: Int = Iters, k: Int = K,
+      seedIds: Option[Seq[Long]] = None): DataFrame = {
+    import spark.implicits._
+    val e = Similarity.int8QuantizedOf(spark, embeddings)
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .select(col("vec_id"), col("qv"), col("qq"))
+      .localCheckpoint(true)
+    val (_, cents) = lloyd(spark, e, iters, k, seedIds)
+    cents.map { case (cId, cv, cc) => (cId, cv, math.sqrt(cc)) }
+      .toDF("c_id", "cv", "cnrm")
+      .filter(col("cnrm") > 0)
   }
 
   /** The same [[Iters]] iterations unrolled as DuckDB CTEs; `qe` must be

@@ -540,7 +540,14 @@ object Similarity {
     * order-independent. Never `round()`, whose half-case semantics are
     * engine-specific. */
   def int8Quantized(spark: SparkSession, dir: String): DataFrame =
-    normedVectors(spark, dir)
+    int8QuantizedOf(spark, Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[int8Quantized]] — for callers whose vectors
+    * do not live in a corpus dir (the [[Clustering.kmeansFitOf]] path
+    * quantizes an index store's own rows). Expects (vec_id, label,
+    * embedding), the [[normedVectorsOf]] contract. */
+  def int8QuantizedOf(spark: SparkSession, embeddings: DataFrame): DataFrame =
+    normedVectorsOf(spark, embeddings)
       .withColumn("scale",
         lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
       .withColumn("qv",

@@ -59,11 +59,15 @@ object IvfDriftProbe {
     val nBase = copies * base0.count()
 
     // the shared drift direction — any fixed non-degenerate unit-ish
-    // vector; magnitude dominates the 4x-shrunk residual structure
+    // vector; the offset dominates the 2x-shrunk residual structure in
+    // cosine (so the population crowds under the base fit) while the
+    // residual keeps realistic INTERNAL spread (so a trained fit can
+    // split the mass — a 4x shrink makes it one tight Euclidean cluster
+    // that k-means correctly, and uselessly, keeps whole)
     val dirLit = typedLit((0 until 64).map(i => ((i % 7) - 3) * 0.1f))
     def drift(df: DataFrame, idOffset: Long): DataFrame = df.select(
       (col("vec_id") + lit(idOffset)).as("vec_id"), col("label"),
-      zip_with(col("embedding"), dirLit, (x, d) => x * 0.25f + d)
+      zip_with(col("embedding"), dirLit, (x, d) => x * 0.5f + d)
         .as("embedding"))
     val drifted = drift(base, copies * span)
     println(s"[driftprobe] dir=$dir copies=$copies base=$nBase " +
@@ -143,6 +147,26 @@ object IvfDriftProbe {
     println(f"[driftprobe] refit_s=${(System.nanoTime() - t0) / 1e9}%.2f")
 
     leg("refit")
+
+    // the PRODUCTION fit, ablated on seeding: Lloyd over the store's own
+    // rows, (a) seeded from the first 16 ids — all BASE vectors, the
+    // naive carry-over of the build rule; (b) seeded from an
+    // evenly-spaced id sample of the CURRENT store — the deterministic
+    // stand-in for sampling-based seeding (k-means++ practice)
+    val storeVecs = spark.table(table).select(col("vec_id"),
+      lit(0).as("label"), col("v").as("embedding")).localCheckpoint(true)
+    def kmLeg(name: String, seedIds: Option[Seq[Long]]): Unit = {
+      val t1 = System.nanoTime()
+      val kmFit = graft.queries.Clustering.kmeansFitOf(spark, storeVecs,
+        iters = 3, k = 16, seedIds = seedIds)
+      IvfIndex.refit(spark, table, kmFit)
+      println(f"[driftprobe] $name fit_plus_refit_s=" +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f")
+      leg(name)
+    }
+    kmLeg("km-base", None)
+    val step = 2 * nBase / 16
+    kmLeg("km-spread", Some((0 until 16).map(i => i * step)))
     spark.stop()
   }
 }

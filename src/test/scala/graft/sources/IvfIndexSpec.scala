@@ -179,6 +179,64 @@ class IvfIndexSpec extends SparkSpec {
       s"post-refit append must cell against the new fit: $cells")
   }
 
+  test("refit composes with the engine's own k-means (q57's kernel): the " +
+      "trained fit drives the store, the all-cells probe still equals the " +
+      "exact ranking (the any-fit invariant), and appends assign against it") {
+    import org.apache.spark.sql.expressions.Window
+    IvfIndex.build(spark, sfDir, "ivf_km", buckets = 16, nCentroids = 8)
+    // the production fit: Lloyd over the corpus (frame-based — the shape
+    // a deployment runs over the store's own accumulated rows)
+    val fit = graft.queries.Clustering.kmeansFitOf(spark,
+      graft.Tables.embeddings(spark, sfDir), iters = 3, k = 16)
+      .localCheckpoint(true)
+    val nCells = fit.count()
+    assert(nCells > 8 && nCells <= 16,
+      s"the trained 16-seed fit must survive with >8 cells, got $nCells")
+    IvfIndex.refit(spark, "ivf_km", fit)
+    // cells are exactly the fit's c_ids
+    val cells = spark.table("ivf_km").select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val cids = fit.select("c_id").collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cids),
+      s"refit assigned outside the trained fit: ${cells -- cids}")
+    // the any-fit invariant: probing EVERY cell is exact brute force,
+    // whatever the fit — the recall-1.0 endpoint holds for a trained fit
+    // exactly as it does for the deterministic one
+    val normed = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .localCheckpoint(true)
+    val anchors = normed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    val gotAll = rows(IvfIndex.topKFor(spark, "ivf_km", anchors,
+      k = 3, nProbe = nCells.toInt))
+    val cosX = graft.queries.Similarity.dot(col("qv"), col("v")) /
+      (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val exact = anchors
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(normed))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosX.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+    assert(gotAll == rows(exact),
+      "all-cells probe over the k-means fit must equal the exact ranking")
+    // appends assign against the trained companion
+    IvfIndex.appendVectors("ivf_km",
+      graft.Tables.embeddings(spark, sfDir).limit(3)
+        .select((col("vec_id") + 95000L).as("vec_id"), col("label"),
+          col("embedding")))
+    spark.catalog.refreshTable("ivf_km")
+    val newCells = spark.table("ivf_km")
+      .filter(col("vec_id") >= 95000L).select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(newCells.subsetOf(cids),
+      s"post-refit append must cell against the trained fit: $newCells")
+  }
+
   test("appendVectors refuses a table with no centroid companion") {
     import spark.implicits._
     Bucketing.writeBucketed(
