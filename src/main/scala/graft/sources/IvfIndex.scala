@@ -228,6 +228,17 @@ object IvfIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** The recorded fit's size (row count of the centroid companion) —
+    * what a maintenance refit sizes its replacement fit at (the
+    * curatedCellIndexed trigger's k). */
+  def fitSize(spark: SparkSession, table: String): Int = {
+    val centTable = centTableOf(table)
+    require(spark.catalog.tableExists(centTable),
+      s"$table carries no centroid companion ($centTable) — not built by IvfIndex.build")
+    spark.catalog.refreshTable(centTable)
+    spark.table(centTable).count().toInt
+  }
+
   /** Per-cell occupancy of the store — the IVF family's health metric,
     * the [[Bucketing.dataFileCount]] analog for FIT quality rather than
     * file fragmentation: probe cost tracks probed-cell occupancy, so a

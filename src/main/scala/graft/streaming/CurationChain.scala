@@ -474,27 +474,65 @@ object CurationChain {
     * a separate one-file table — maintenance never touches it). */
   def curatedCellIndexed(vecs: DataFrame, table: String,
       lateness: String = "1 hour",
-      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+      compactAboveFiles: Int = 0,
+      refitAboveSkew: Double = 0.0,
+      refitCheckEvery: Int = 8): DataStreamWriter[Row] =
     EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
       .select(col("vec_id"), col("label"), col("embedding"))
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cellBatch(table, batch, batchId, compactAboveFiles)
+        cellBatch(table, batch, batchId, compactAboveFiles,
+          refitAboveSkew, refitCheckEvery)
       }
 
   /** [[curatedCellIndexed]]'s sink body — the curatedIndexed
     * empty-batch rule plus the batchId marker ([[vectorBatch]]'s
-    * contract on the IVF family). */
+    * contract on the IVF family), plus the SECOND maintenance trigger
+    * this family alone needs: FIT DRIFT. Past `refitAboveSkew`
+    * (max/mean cell occupancy — the [[graft.sources.IvfIndex.cellStats]]
+    * metric; 0 disables), the sink refits the store with the engine's
+    * own Lloyd fit ([[graft.queries.Clustering.kmeansFitOf]]) at the
+    * CURRENT fit size, seeded from a deterministic uniform sample of
+    * the store's own ids (the k smallest xxhash64(vec_id) values — the
+    * seeding-is-destiny rule measured in SCALING.md round 18: seeds
+    * must track the current distribution, which is exactly what a
+    * drifted store's first-k ids do not). The skew check is one
+    * cell-column aggregation over the store, so it runs every
+    * `refitCheckEvery` batches, not every batch; the refit itself is a
+    * full reassign + staged swap (cost measured: ~16 s at a 400 k
+    * store), amortized across every probe until the next drift. The
+    * sink is the single writer, so neither trigger races an append;
+    * concurrent PROBES land on the version guard during the swap and
+    * must retry (the refit contract — loud, never silently wrong). */
   private[graft] def cellBatch(table: String, batch: DataFrame,
-      batchId: Long, compactAboveFiles: Int = 0): Unit =
+      batchId: Long, compactAboveFiles: Int = 0,
+      refitAboveSkew: Double = 0.0, refitCheckEvery: Int = 8): Unit =
     if (!batch.isEmpty && batchId >
         graft.sources.Bucketing.lastCommittedBatch(
           batch.sparkSession, table)) {
+      val spark = batch.sparkSession
       graft.sources.IvfIndex.appendVectors(table, batch)
-      graft.sources.Bucketing.recordBatch(batch.sparkSession, table, batchId)
+      graft.sources.Bucketing.recordBatch(spark, table, batchId)
       if (compactAboveFiles > 0 &&
           graft.sources.Bucketing.dataFileCount(
-            batch.sparkSession, table) > compactAboveFiles)
-        graft.sources.Bucketing.compact(batch.sparkSession, table)
+            spark, table) > compactAboveFiles)
+        graft.sources.Bucketing.compact(spark, table)
+      if (refitAboveSkew > 0 && batchId % refitCheckEvery.max(1) == 0) {
+        val occ = graft.sources.IvfIndex.cellStats(spark, table)
+          .agg(max(col("n_vectors")), avg(col("n_vectors"))).head()
+        if (occ.getLong(0) > refitAboveSkew * occ.getDouble(1)) {
+          val k = graft.sources.IvfIndex.fitSize(spark, table)
+          val store = spark.table(table)
+            .select(col("vec_id"), lit(0).as("label"),
+              col("v").as("embedding"))
+            .localCheckpoint(true)
+          val seeds = store.select(col("vec_id"))
+            .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+            .collect().map(_.getLong(0)).toSeq
+          graft.sources.IvfIndex.refit(spark, table,
+            graft.queries.Clustering.kmeansFitOf(spark, store,
+              k = k, seedIds = Some(seeds)))
+        }
+      }
     }
 
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality

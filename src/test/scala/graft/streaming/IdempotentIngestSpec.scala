@@ -154,6 +154,53 @@ class IdempotentIngestSpec extends SparkSpec {
       "a content near-dup under a fresh id must still drop at the store")
   }
 
+  test("IVF loop maintenance: the skew trigger refits a drifting store " +
+      "with the sample-seeded k-means fit — occupancy rebalances, no row " +
+      "is lost, the fit size holds, and appends continue against the new " +
+      "fit") {
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding")
+    val span = base.agg(max("vec_id")).head.getLong(0) + 1
+    IvfIndex.build(spark, sfDir, "idem_ivf_refit", buckets = 16,
+      nCentroids = 8)
+    val baseRows = spark.table("idem_ivf_refit").count()
+
+    // drifted batches: base shrunk + offset along one direction, fresh
+    // ids — the IvfDriftProbe model, fed straight to the sink body with
+    // the check on every batch and a tight skew threshold
+    val dirLit = typedLit((0 until 64).map(i => ((i % 7) - 3) * 0.1f))
+    def driftBatch(b: Int) = base
+      .filter(col("vec_id") % 3 === b % 3)
+      .select((col("vec_id") + (b + 1) * span).as("vec_id"), col("label"),
+        zip_with(col("embedding"), dirLit, (x, d) => x * 0.5f + d)
+          .as("embedding"))
+    def skew(): Double = {
+      val r = IvfIndex.cellStats(spark, "idem_ivf_refit")
+        .agg(max(col("n_vectors")), avg(col("n_vectors"))).head()
+      r.getLong(0) / r.getDouble(1)
+    }
+    def run(b: Int) = CurationChain.cellBatch("idem_ivf_refit",
+      driftBatch(b), batchId = b, refitAboveSkew = 2.0,
+      refitCheckEvery = 1)
+
+    (0 until 3).foreach(run)
+    val total = baseRows +
+      (0 until 3).map(b => driftBatch(b).count()).sum
+    spark.catalog.refreshTable("idem_ivf_refit")
+    assert(spark.table("idem_ivf_refit").count() == total,
+      "the refit must lose no rows")
+    assert(IvfIndex.fitSize(spark, "idem_ivf_refit") == 8,
+      "the maintenance refit re-fits at the RECORDED size")
+    assert(skew() < 2.0,
+      s"after the triggered refit the occupancy skew must sit under " +
+        s"the threshold, got ${skew()}")
+    // the pair is consistent and appends keep working against the new fit
+    run(3)
+    spark.catalog.refreshTable("idem_ivf_refit")
+    assert(spark.table("idem_ivf_refit").count() ==
+      total + driftBatch(3).count())
+  }
+
   test("gated loop: the marker skips a replay before the gate even " +
       "fingerprints it; an all-rejected batch still advances the marker") {
     import graft.queries.Curation
