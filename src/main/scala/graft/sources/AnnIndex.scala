@@ -65,6 +65,53 @@ object AnnIndex {
       graft.Tables.listingSignature(dir, "embeddings"), s"ann_$tag")(
       t => build(spark, dir, t, tables, bits, buckets))
 
+  /** The banding the table was built at — PUBLIC so a serving-path
+    * caller signs its query vectors with the RECORDED banding
+    * (Similarity.signatureRowsOf(queries, tables, bits)) instead of a
+    * hardcoded one: after a [[reband]] a caller still signing at the
+    * old banding would probe signatures that never collide — the silent
+    * recall loss the append require() guards, closed on the query side
+    * by reading the truth from the catalog. */
+  def recordedBanding(spark: SparkSession, table: String): (Int, Int) =
+    banding(spark, table)
+
+  /** RE-BAND maintenance — the ANN analog of IvfIndex.refit, for the
+    * banding-transition rule instead of fit drift:
+    * [[Similarity.adaptiveBanding]] sizes (tables, bits) to the corpus
+    * (8×4 at the test corpora, 16×6 past ~590 k vectors — the measured
+    * transition, SCALING.md round 15), so a store that grew past its
+    * built banding probes at the wrong occupancy. Every store row
+    * carries `v` (the self-contained-scan trade), so rebanding needs NO
+    * corpus re-read: one pass re-signs the store's distinct vectors at
+    * the new banding and the staged swap replaces rows AND the recorded
+    * banding properties in the same table — unlike the IVF pair there
+    * is no torn-state window at all (one table, one swap instant; the
+    * banding props land on the staging table before the swap). User
+    * properties (the streaming loop's batch marker) carry through.
+    * Single-writer; probes may retry across the swap instant. Spec:
+    * reband == fresh build at the new banding, bit-for-bit. */
+  def reband(spark: SparkSession, table: String,
+      tables: Int, bits: Int): Unit = {
+    banding(spark, table) // refuse a table this object did not build
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not built by AnnIndex.build"))
+    val carried = meta.properties.filterNot { case (k, _) =>
+      k.startsWith("spark.") || k.startsWith("transient_") ||
+        k == "comment" || k == "owner"
+    }
+    // one row per vector: every vector owns a row in table 0
+    val vecs = spark.table(table).filter(col("tbl") === 0)
+      .select("vec_id", "label", "v", "nrm")
+    val resigned = Similarity.signatureRowsOf(vecs, tables, bits)
+      .localCheckpoint(true)
+    Bucketing.stagedSwapIn(spark, table, resigned, "sig", buckets,
+      carried ++ Map("graft.lsh.tables" -> tables.toString,
+        "graft.lsh.bits" -> bits.toString))
+  }
+
   private def banding(spark: SparkSession, table: String): (Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
