@@ -432,31 +432,65 @@ object CurationChain {
     * [[graft.sources.Bucketing.compact]] (no df companion on this
     * side — signatures carry no per-term statistic). */
   def curatedVectorIndexed(vecs: DataFrame, table: String,
-      tables: Int = 4, bits: Int = 8, lateness: String = "1 hour",
-      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+      lateness: String = "1 hour",
+      compactAboveFiles: Int = 0,
+      rebandOnAdaptive: Boolean = false,
+      rebandCheckEvery: Int = 8,
+      rebandAnchors: Long = 20L): DataStreamWriter[Row] =
     EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
       .select(col("vec_id"), col("label"), col("embedding"))
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        vectorBatch(table, batch, batchId, tables, bits, compactAboveFiles)
+        vectorBatch(table, batch, batchId, compactAboveFiles,
+          rebandOnAdaptive, rebandCheckEvery, rebandAnchors)
       }
 
   /** [[curatedVectorIndexed]]'s sink body — the curatedIndexed
     * empty-batch rule (watermark ticks and all-duplicate batches must
     * not pay a write commit) plus the batchId marker (a retried batch
     * appends nothing; the marker write follows the insert, the stated
-    * residual window). */
+    * residual window). Each batch signs with the table's RECORDED
+    * banding (the catalog truth — never a hardcoded (tables, bits) the
+    * store may have outgrown), so the loop keeps appending correctly
+    * across a reband, whether ops ran it or the trigger below did.
+    *
+    * The LSH family's maintenance trigger is
+    * [[graft.queries.Similarity.adaptiveBanding]] ITSELF, not a skew
+    * metric: the right (tables, bits) is a FUNCTION of corpus size (the
+    * measured 8×4 → 16×6 transition past ~590 k vectors, SCALING.md
+    * rounds 15/18), so every `rebandCheckEvery` batches the sink
+    * compares the recorded banding against what the rule would pick for
+    * the store's current vector count (rows / tables — one metadata
+    * count) and [[graft.sources.AnnIndex.reband]]s on a difference.
+    * `rebandAnchors` is the rule's probe-set-size estimate — the
+    * default 20 matches the engine's decontam/probe-serving shape; a
+    * mine-negatives-for-everything deployment passes anchors ≈ n (the
+    * adaptiveBanding scaladoc's warning). Single-writer: the sink owns
+    * both the appends and the reband, so they never race; probes across
+    * the swap instant retry (the reband contract). */
   private[graft] def vectorBatch(table: String, batch: DataFrame,
-      batchId: Long, tables: Int = 4, bits: Int = 8,
-      compactAboveFiles: Int = 0): Unit =
+      batchId: Long, compactAboveFiles: Int = 0,
+      rebandOnAdaptive: Boolean = false, rebandCheckEvery: Int = 8,
+      rebandAnchors: Long = 20L): Unit =
     if (!batch.isEmpty && batchId >
         graft.sources.Bucketing.lastCommittedBatch(
           batch.sparkSession, table)) {
-      graft.sources.AnnIndex.appendVectors(table, batch, tables, bits)
-      graft.sources.Bucketing.recordBatch(batch.sparkSession, table, batchId)
+      val spark = batch.sparkSession
+      val (bTables, bBits) =
+        graft.sources.AnnIndex.recordedBanding(spark, table)
+      graft.sources.AnnIndex.appendVectors(table, batch, bTables, bBits)
+      graft.sources.Bucketing.recordBatch(spark, table, batchId)
       if (compactAboveFiles > 0 &&
           graft.sources.Bucketing.dataFileCount(
-            batch.sparkSession, table) > compactAboveFiles)
-        graft.sources.Bucketing.compact(batch.sparkSession, table)
+            spark, table) > compactAboveFiles)
+        graft.sources.Bucketing.compact(spark, table)
+      if (rebandOnAdaptive && batchId % rebandCheckEvery.max(1) == 0) {
+        spark.catalog.refreshTable(table)
+        val n = spark.table(table).count() / bTables
+        val target =
+          graft.queries.Similarity.adaptiveBanding(n, rebandAnchors)
+        if (target != ((bTables, bBits)))
+          graft.sources.AnnIndex.reband(spark, table, target._1, target._2)
+      }
     }
 
   /** dedup → IVF CELL STORE: [[curatedVectorIndexed]]'s twin on the

@@ -167,6 +167,14 @@ class IvfIndexSpec extends SparkSpec {
     // the marker survived the swap — a replay after refit still skips
     assert(Bucketing.lastCommittedBatch(spark, "ivf_refit") == 7L,
       "refit must carry the streaming loop's batch marker through")
+    // the staged swap wrote bucket-aligned: probes still bucket-prune
+    val anchors1 = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+    val plan = IvfIndex.topKFor(spark, "ivf_refit", anchors1, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"pruning lost through the refit swap:\n${plan.take(800)}")
     // appends now assign against the NEW companion
     IvfIndex.appendVectors("ivf_refit",
       e.limit(5).select(col("vec_id") + 90000L, col("label"),

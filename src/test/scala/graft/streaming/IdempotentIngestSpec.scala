@@ -154,6 +154,43 @@ class IdempotentIngestSpec extends SparkSpec {
       "a content near-dup under a fresh id must still drop at the store")
   }
 
+  test("ANN loop maintenance: the adaptive-banding trigger rebands when " +
+      "the rule's target differs from the recorded banding, and later " +
+      "batches sign with the catalog truth — never a hardcoded banding") {
+    val pool = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding")
+      .orderBy("vec_id").limit(10).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val Seq(v1, v2) = pool.grouped(5).toSeq
+    def batchOf(vs: Array[(Long, Int, Seq[Float])]) =
+      vs.toSeq.toDF("vec_id", "label", "embedding")
+    val d0 = java.nio.file.Files.createTempDirectory("idemreband").toString
+    graft.Tables.embeddings(spark, sfDir).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d0/embeddings.parquet")
+    AnnIndex.build(spark, d0, "idem_ann_rb") // 4x8 recorded
+    // anchors=1000 makes the rule target (24, 8): bitsBalance = 8 (the
+    // smallest b with b*2^b >= 1000), tables = 8 + 4*(8-4) = 24 — so the
+    // very first checked batch rebands the 4x8 store
+    def run(b: Array[(Long, Int, Seq[Float])], id: Long) =
+      CurationChain.vectorBatch("idem_ann_rb", batchOf(b), id,
+        rebandOnAdaptive = true, rebandCheckEvery = 1,
+        rebandAnchors = 1000L)
+    run(v1, 0L)
+    assert(AnnIndex.recordedBanding(spark, "idem_ann_rb") == ((24, 8)),
+      "the trigger must reband to the rule's target")
+    spark.catalog.refreshTable("idem_ann_rb")
+    assert(spark.table("idem_ann_rb").count() == 5L * 24,
+      "the reband must re-sign every ingested vector at the new banding")
+    // the next batch signs at the NEW banding (read from the catalog,
+    // not from any parameter) and the rule is now satisfied — no reband
+    run(v2, 1L)
+    spark.catalog.refreshTable("idem_ann_rb")
+    assert(spark.table("idem_ann_rb").count() == 10L * 24,
+      "post-reband batches must sign with the recorded banding")
+    assert(AnnIndex.recordedBanding(spark, "idem_ann_rb") == ((24, 8)))
+  }
+
   test("IVF loop maintenance: the skew trigger refits a drifting store " +
       "with the sample-seeded k-means fit — occupancy rebalances, no row " +
       "is lost, the fit size holds, and appends continue against the new " +
