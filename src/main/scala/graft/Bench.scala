@@ -81,7 +81,11 @@ object Bench {
     * shape on the third family) as a new headline row: it re-runs q34
     * (tracked) and q137's memo-served probe inside itself, so its cost
     * is ~the q34 scan + a probe + a broadcast join of two 60-row tops.
-    * New rows earn stability first, per the rule above.
+    * New rows earn stability first, per the rule above. Late round 18
+    * also adds q143 (the IVF-SQ probe — q137's cells, q38's int8
+    * payload, its own composed oracle): build paid in the memo warmup,
+    * probe cost ~q137's minus the payload bytes (SCALING.md round 18
+    * measures the scan-volume delta at scale).
     *
     * Round-18 box-noise caveat (measured, late session): the local
     * session's bench medians are inflated by host scheduling noise

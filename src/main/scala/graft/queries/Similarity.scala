@@ -542,16 +542,30 @@ object Similarity {
   def int8Quantized(spark: SparkSession, dir: String): DataFrame =
     int8QuantizedOf(spark, Tables.embeddings(spark, dir))
 
+  /** The quantizer's scale for a double-vector column: 127 / max|x|
+    * (guarded against the all-zero vector). Factored so every caller —
+    * q38's corpus scan, the IVF-SQ store's build/append, and the SQ
+    * probe's query-side quantization — quantizes into the SAME domain;
+    * a drifted spelling at any one site would silently break the
+    * "same quantizer" contract between index and search. */
+  def int8Scale(v: Column): Column =
+    lit(127.0) / greatest(array_max(transform(v, x => abs(x))), lit(1e-30))
+
+  /** Quantize a double vector at `scale` — exact small integers
+    * (|q| ≤ 127) carried as doubles, so cross-row sums stay exact and
+    * order-independent. `floor(x·scale + 0.5)`, never `round()`, whose
+    * half-case semantics are engine-specific. */
+  def int8Of(v: Column, scale: Column): Column =
+    transform(v, x => floor(x * scale + lit(0.5)).cast("double"))
+
   /** Frame-based core of [[int8Quantized]] — for callers whose vectors
     * do not live in a corpus dir (the [[Clustering.kmeansFitOf]] path
     * quantizes an index store's own rows). Expects (vec_id, label,
     * embedding), the [[normedVectorsOf]] contract. */
   def int8QuantizedOf(spark: SparkSession, embeddings: DataFrame): DataFrame =
     normedVectorsOf(spark, embeddings)
-      .withColumn("scale",
-        lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
-      .withColumn("qv",
-        transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("double")))
+      .withColumn("scale", int8Scale(col("v")))
+      .withColumn("qv", int8Of(col("v"), col("scale")))
 
   /** DuckDB mirror of [[int8Quantized]] (CTE `qz`; assumes `e` in scope). */
   val int8QuantizedSql: String = """
@@ -746,6 +760,63 @@ object Similarity {
       ORDER BY query_id, neg_rank"""),
     headline = true)
 
+  /** Q143: the IVF-SQ probe — q137's cell store with q38's int8 payload,
+    * the composition q38's scaladoc names ("the standard IVF-SQ index"),
+    * served from the persisted [[graft.sources.IvfIndex]] SQ store. Same
+    * fit, same coarse ranking, same probed cells as q137; the in-cell
+    * re-rank is q38's quantized cosine over the stored codes. The oracle
+    * is NEW (neither q37's nor q38's — candidates come from the cell
+    * rendezvous, scores from the quantized domain) and composes both
+    * queries' own CTEs; exact small-integer arithmetic keeps the hash
+    * gate bit-exact across engines, the q38 precedent.
+    *
+    * Scale story: the probed cells' bytes shrink ~7x (64 tinyints + one
+    * norm vs 64 doubles + one), which is the memory-bandwidth half of
+    * the IVF trade — cell occupancy still grows with the corpus (q137's
+    * honest non-flat curve); what SQ cuts is the constant every scanned
+    * row costs. Measured against q137 in SCALING.md round 18. */
+  private[queries] val q143 = GraftQuery(
+    "q143_ivfsq_probe",
+    (spark, dir) => {
+      val table = graft.sources.IvfIndex.ensureForSq(spark, dir, tag = "q143")
+      val anchors = normedVectors(spark, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      graft.sources.IvfIndex.topKForSq(spark, table, anchors, k = 3)
+    },
+    Some(s"""
+      WITH $normedVectorsSql, $int8QuantizedSql,
+      cent AS (
+        SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+      ranked_cells AS (
+        SELECT e.vec_id, cent.c_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${dotSql("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id) AS rn
+        FROM e CROSS JOIN cent),
+      assign AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+      probes AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= 2),
+      cand AS (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+        FROM probes qa JOIN assign ca
+          ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+        WHERE qa.vec_id < 20),
+      qn AS (
+        SELECT vec_id, qv, sqrt(${dotSql("qv", "qv")}) AS qnrm FROM qz),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${dotSql("q.qv", "c.qv")} / (q.qnrm * c.qnrm) AS qcosine
+        FROM cand
+        JOIN qn q ON q.vec_id = query_id
+        JOIN qn c ON c.vec_id = neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, qcosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, qcosine, rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""),
+    headline = true)
+
   val all: Seq[GraftQuery] =
-    Seq(q34, q35, q37, q38, q122, q125, q132, q135, q137)
+    Seq(q34, q35, q37, q38, q122, q125, q132, q135, q137, q143)
 }

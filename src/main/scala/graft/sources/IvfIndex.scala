@@ -54,7 +54,28 @@ object IvfIndex {
 
   private val FitProp = "graft.ivf.fit"
 
+  /** Storage format of the cell rows: absent/"float" = full-precision
+    * (v, nrm) rows written by [[build]]; "sq" = int8 scalar-quantized
+    * (qv, qnrm) rows written by [[buildSq]]. Probes and appends check it
+    * loudly — a float probe against codes (or vice versa) is a schema
+    * mismatch a caller should read as "wrong entry point", not as an
+    * unresolved-column stack trace. */
+  private val StorageProp = "graft.ivf.storage"
+
   private[sources] def centTableOf(table: String): String = s"${table}_cent"
+
+  private def requireStorage(spark: SparkSession, table: String,
+      wantSq: Boolean): Unit = {
+    val isSq = spark.table(table).columns.contains("qv")
+    if (wantSq) require(isSq,
+      s"$table stores full-precision vectors (built by build) — probe it " +
+        "with topKFor / grow it with appendVectors; the *Sq entries serve " +
+        "stores built by buildSq")
+    else require(!isSq,
+      s"$table is an int8 SQ store (built by buildSq) — probe it with " +
+        "topKForSq / grow it with appendVectorsSq; its rows carry codes, " +
+        "not float vectors")
+  }
 
   /** Content fingerprint of a centroid fit — md5 over the rows in c_id
     * order, doubles rendered via their IEEE bit pattern (formatting-free,
@@ -106,18 +127,24 @@ object IvfIndex {
 
   /** Assign `vectors` (vec_id, v, nrm, ...) to their nearest centroid —
     * ONE cell per vector, ties to the smaller centroid id (q37's
-    * assignment, verbatim). */
-  private def assignOf(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    * assignment, verbatim). `carry` is the payload the store keeps per
+    * row: the full-precision (v, nrm) for the float store, the int8
+    * codes (qv, qnrm) for the SQ store — assignment itself ALWAYS ranks
+    * the full-precision vector against the float centroids (the IVF-SQ
+    * standard: the coarse quantizer is float; only the stored lists are
+    * codes). */
+  private def assignOf(vectors: DataFrame, cent: DataFrame,
+      carry: Seq[String] = Seq("v", "nrm")): DataFrame = {
     val simToCent = Similarity.dot(col("v"), col("cv")) /
       (col("nrm") * col("cnrm"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("c_id"))
     vectors.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        simToCent.as("c_sim"))
+      .select(col("vec_id") +: carry.map(col) :+ col("c_id") :+
+        simToCent.as("c_sim"): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("c_id").as("cell"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("c_id").as("cell") +: col("vec_id") +: carry.map(col): _*)
   }
 
   /** Build the cell store + the centroid companion from the corpus at
@@ -154,6 +181,7 @@ object IvfIndex {
     // assigned under would mis-cell the whole batch — the fit-version
     // guard fails it loudly (a half-completed refit is the live case)
     requireFitMatch(spark, table)
+    requireStorage(spark, table, wantSq = false)
     val cent = spark.table(centTable).localCheckpoint(true)
     val buckets = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -194,6 +222,7 @@ object IvfIndex {
     // version guard turns a torn pair (mid-refit, out-of-band rewrite)
     // into a loud failure; probes may retry after the refit completes
     requireFitMatch(spark, table)
+    requireStorage(spark, table, wantSq = false)
     val cent = spark.table(centTableOf(table))
     val simToCent = Similarity.dot(col("qv"), col("cv")) /
       (col("qnrm") * col("cnrm"))
@@ -281,6 +310,14 @@ object IvfIndex {
     * SCALING.md round 18's drift probe. */
   def refit(spark: SparkSession, table: String, newCent: DataFrame): Unit = {
     requireFitMatch(spark, table) // refuse to stack a refit on a torn pair
+    // refit REASSIGNS, and assignment ranks full-precision vectors — an
+    // SQ store kept only the codes, so the information refit needs is
+    // gone by design (the 7x compression's stated price: FAISS's SQ
+    // indexes can't re-train from codes either).
+    require(!spark.table(table).columns.contains("qv"),
+      s"$table is an int8 SQ store — its rows carry codes, not the float " +
+        "vectors reassignment ranks; fit maintenance for an SQ store is a " +
+        "rebuild from the source corpus (buildSq at the new fit)")
     val cent = newCent.select(col("c_id"), col("cv"), col("cnrm"))
       .localCheckpoint(true)
     val version = fitVersionOf(cent)
@@ -311,6 +348,13 @@ object IvfIndex {
     * a real k-means fit). */
   def refit(spark: SparkSession, table: String, nCentroids: Int): Unit = {
     spark.catalog.refreshTable(table)
+    // guard BEFORE the select below analyzes — an SQ store has no `v`
+    // column and the unresolved-column error would mask the real
+    // contract (same message as the frame-based entry's guard)
+    require(!spark.table(table).columns.contains("qv"),
+      s"$table is an int8 SQ store — its rows carry codes, not the float " +
+        "vectors reassignment ranks; fit maintenance for an SQ store is a " +
+        "rebuild from the source corpus (buildSq at the new fit)")
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-n,
     // driver merge of nCentroids rows) — never a global sort
     refit(spark, table,
@@ -330,4 +374,146 @@ object IvfIndex {
     IndexMemo.ensure(s"ivf|$tag|$dir|$buckets|$nCentroids",
       graft.Tables.listingSignature(dir, "embeddings"), s"ivf_$tag")(
       t => build(spark, dir, t, buckets, nCentroids))
+
+  // ---------------------------------------------------------------------
+  // IVF-SQ: int8 scalar-quantized cell storage — the composition q38's
+  // scaladoc names ("composed with q37's IVF cells this is the standard
+  // IVF-SQ index"), realized on the persisted family. The cell layout,
+  // fit identity, guards, and maintenance triggers are IDENTICAL to the
+  // float store; what changes is the ROW PAYLOAD: 64 signed bytes + one
+  // double norm (~72 B) instead of 64 doubles + a norm (~520 B), a ~7x
+  // reduction in the bytes every probed cell scans — the memory-
+  // bandwidth lever that turns a 100 TB embedding store into ~14 TB of
+  // codes executors can hold in page cache. Ranking inside the probed
+  // cells is the quantized cosine (exact small-integer arithmetic, so
+  // the q143 oracle hash-matches DuckDB bit-for-bit, the q38
+  // precedent); the coarse quantizer stays full-precision (float
+  // centroids, float query), the FAISS IVF-SQ split. The stated price:
+  // (a) ranking error bounded by the per-vector scale grid — measured
+  // against the float ranking in IvfSqSpec, with the all-cells endpoint
+  // pinned equal to q38's full quantized scan; (b) refit is impossible
+  // from codes alone (see [[refit]]'s guard) — fit maintenance on an SQ
+  // store is a rebuild from the source corpus.
+  // ---------------------------------------------------------------------
+
+  /** The SQ row payload for a normed-vector frame: the shared quantizer
+    * ([[Similarity.int8Scale]]/[[Similarity.int8Of]] — q38's, by
+    * construction) plus the quantized norm, codes cast to tinyint LAST
+    * (qnrm folds the exact double-carried integers; the cast is pure
+    * storage narrowing, values unchanged). */
+  private def sqPayload(normed: DataFrame): DataFrame = {
+    val scale = Similarity.int8Scale(col("v"))
+    normed
+      .withColumn("qv", Similarity.int8Of(col("v"), scale))
+      .withColumn("qnrm", sqrt(Similarity.dot(col("qv"), col("qv"))))
+      .withColumn("qv", transform(col("qv"), x => x.cast("tinyint")))
+  }
+
+  /** [[build]]'s SQ twin: same fit (first `nCentroids` vectors, float),
+    * same cell assignment, but the store keeps (cell, vec_id, qv, qnrm)
+    * — int8 codes + quantized norm — and records `graft.ivf.storage=sq`
+    * so every entry point routes loudly. */
+  def buildSq(spark: SparkSession, dir: String, table: String,
+      buckets: Int = 8, nCentroids: Int = NCentroids): Unit = {
+    val e = sqPayload(Similarity.normedVectors(spark, dir))
+    val cent = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      .localCheckpoint(true)
+    val version = fitVersionOf(cent)
+    Bucketing.writeBucketed(assignOf(e, cent, carry = Seq("qv", "qnrm")),
+      table, "cell", buckets)
+    Bucketing.writeBucketed(cent, centTableOf(table), "c_id", 1)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'$FitProp' = '$version', '$StorageProp' = 'sq')")
+    writeFitVersion(spark, centTableOf(table), version)
+  }
+
+  /** [[appendVectors]]'s SQ twin: quantize the batch with the shared
+    * quantizer, assign its FLOAT vectors against the recorded centroids
+    * (the coarse quantizer never sees codes), insert bucket-aligned.
+    * Same fit-version guard, same single-writer/disjoint-ids
+    * contract. */
+  def appendVectorsSq(table: String, embeddings: DataFrame): Unit = {
+    val spark = embeddings.sparkSession
+    val centTable = centTableOf(table)
+    require(spark.catalog.tableExists(centTable),
+      s"$table carries no centroid companion ($centTable) — not built by IvfIndex.buildSq")
+    requireFitMatch(spark, table)
+    requireStorage(spark, table, wantSq = true)
+    val cent = spark.table(centTable).localCheckpoint(true)
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not built by IvfIndex.buildSq"))
+    val e = sqPayload(Similarity.normedVectorsOf(spark, embeddings))
+    assignOf(e, cent, carry = Seq("qv", "qnrm"))
+      .repartition(buckets, col("cell"))
+      .write.mode("append").insertInto(table)
+  }
+
+  /** [[topKFor]]'s SQ twin: `anchors` = (query_id, v, nrm) — queries
+    * arrive FULL-PRECISION (the serving reality; the store alone is
+    * quantized). Coarse ranking against the float centroid companion is
+    * identical to the float probe — so the probed CELLS are exactly the
+    * float probe's — and the in-cell re-rank is the quantized cosine:
+    * the query quantizes with the shared quantizer, the stored codes
+    * cast back to exact doubles, and `rank` orders by (qcosine DESC,
+    * neighbor_id), q38's tie rule. Output column is `qcosine`, matching
+    * the q143 oracle. */
+  def topKForSq(spark: SparkSession, table: String, anchors: DataFrame,
+      k: Int, nProbe: Int = NProbe): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(centTableOf(table))
+    requireFitMatch(spark, table)
+    requireStorage(spark, table, wantSq = true)
+    val cent = spark.table(centTableOf(table))
+    val simToCent = Similarity.dot(col("qv0"), col("cv")) /
+      (col("qnrm0") * col("cnrm"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val ascale = Similarity.int8Scale(col("qv0"))
+    val quantized = anchors
+      .select(col("query_id"), col("v").as("qv0"), col("nrm").as("qnrm0"))
+      .withColumn("aqv", Similarity.int8Of(col("qv0"), ascale))
+      .withColumn("aqnrm", sqrt(Similarity.dot(col("aqv"), col("aqv"))))
+    val probes = quantized
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("aqv"), col("aqnrm"), col("c_id"),
+        simToCent.as("c_sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("c_id").as("cell"), col("aqv"),
+        col("aqnrm"))
+      .localCheckpoint(true)
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // codes back to the exact doubles they quantized from (|q| <= 127:
+    // the tinyint round-trip is lossless), then the same compiled fold
+    val qcos = Similarity.dot(
+      transform(col("ix.qv"), x => x.cast("double")), col("pr.aqv")) /
+      (col("pr.aqnrm") * col("ix.qnrm"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    spark.table(table).as("ix")
+      .filter(col("cell").isin(probeCells: _*)) // bucket pruning happens HERE
+      .join(broadcast(probes.as("pr")),
+        col("ix.cell") === col("pr.cell") &&
+          col("ix.vec_id") =!= col("pr.query_id"))
+      .select(col("pr.query_id"), col("ix.vec_id").as("neighbor_id"),
+        qcos.as("qcosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Build-once memo for the SQ store — the registered q143 runs through
+    * it (the ensureFor rule; `ivfsq` keyspace so a float and an SQ index
+    * over the same dir never collide). */
+  def ensureForSq(spark: SparkSession, dir: String, tag: String,
+      buckets: Int = 8, nCentroids: Int = NCentroids): String =
+    IndexMemo.ensure(s"ivfsq|$tag|$dir|$buckets|$nCentroids",
+      graft.Tables.listingSignature(dir, "embeddings"), s"ivfsq_$tag")(
+      t => buildSq(spark, dir, t, buckets, nCentroids))
 }

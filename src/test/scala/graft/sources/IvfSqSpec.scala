@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The IVF-SQ store: int8 cell payload under the float coarse quantizer
+  * — all-cells parity with q38's full quantized scan (the recall-1.0
+  * endpoint in the QUANTIZED domain), centroid-frozen incremental
+  * append, the storage-routing guards, bucket pruning, and the on-disk
+  * compression that is the family's reason to exist. */
+class IvfSqSpec extends SparkSpec {
+
+  private def qrows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "qcosine", "rank")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+
+  private def anchorsOf(n: Int) =
+    graft.queries.Similarity.normedVectors(spark, sfDir)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+
+  test("an all-cells SQ probe equals q38's full quantized ranking " +
+      "bit-for-bit (the recall-1.0 endpoint holds in the quantized domain)") {
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_all")
+    val got = qrows(IvfIndex.topKForSq(spark, "ivfsq_all", anchorsOf(20),
+      k = 5, nProbe = IvfIndex.NCentroids))
+    val want = qrows(
+      graft.SparkEntry.queries("q38_quantized_ann")(spark, sfDir))
+    assert(got == want,
+      s"all-cells SQ probe diverges from q38: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("the 2-cell operating point: probed candidates are the FLOAT " +
+      "probe's cells (same coarse ranking), and quantized top-3 recall " +
+      "against the float ranking is pinned on this fixed corpus") {
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_op")
+    IvfIndex.build(spark, sfDir, "ivfsq_op_float")
+    val sq = qrows(IvfIndex.topKForSq(spark, "ivfsq_op", anchorsOf(20), k = 3))
+      .map(r => (r._1, r._2)).toSet
+    val fl = IvfIndex.topKFor(spark, "ivfsq_op_float", anchorsOf(20), k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same candidate rendezvous + a per-vector scale grid on the scores:
+    // agreement is high but not 1.0 — the quantization ranking error,
+    // deterministic on the fixed corpus, pinned as a floor
+    val agree = sq.intersect(fl).size.toDouble / fl.size
+    assert(agree >= 0.80,
+      f"SQ top-3 agreement with the float ranking fell below the pinned floor: $agree%.2f")
+  }
+
+  test("incremental append assigns against the RECORDED centroids and " +
+      "quantizes with the shared quantizer: build on a prefix holding " +
+      "them, append the rest — store and probes equal the whole-corpus " +
+      "build") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val d = java.nio.file.Files.createTempDirectory("ivfsqinc").toString
+    def dump(pred: org.apache.spark.sql.Column, sub: String): String = {
+      e.filter(pred).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/$sub/embeddings.parquet")
+      s"$d/$sub"
+    }
+    IvfIndex.buildSq(spark, dump(col("vec_id") < 5000, "seed"), "ivfsq_inc")
+    IvfIndex.appendVectorsSq("ivfsq_inc", e.filter(col("vec_id") >= 5000))
+    IvfIndex.buildSq(spark, dump(lit(true), "all"), "ivfsq_whole")
+    spark.catalog.refreshTable("ivfsq_inc")
+    val grown = spark.table("ivfsq_inc")
+      .select(col("cell"), col("vec_id"), col("qv"), col("qnrm"))
+      .orderBy("vec_id").collect().toSeq
+    val whole = spark.table("ivfsq_whole")
+      .select(col("cell"), col("vec_id"), col("qv"), col("qnrm"))
+      .orderBy("vec_id").collect().toSeq
+    assert(grown == whole,
+      "append-grown SQ store diverges from the whole-corpus build row-for-row")
+    assert(qrows(IvfIndex.topKForSq(spark, "ivfsq_inc", anchorsOf(20), k = 3)) ==
+      qrows(IvfIndex.topKForSq(spark, "ivfsq_whole", anchorsOf(20), k = 3)),
+      "SQ append diverges from the whole-corpus build at the probe")
+  }
+
+  test("storage routing is loud both ways, and refit refuses a store " +
+      "that kept only codes") {
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_route")
+    IvfIndex.build(spark, sfDir, "ivfsq_route_float", buckets = 4)
+    val a = anchorsOf(2)
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.topKFor(spark, "ivfsq_route", a, k = 3)
+    }
+    assert(e1.getMessage.contains("topKForSq"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.topKForSq(spark, "ivfsq_route_float", a, k = 3)
+    }
+    assert(e2.getMessage.contains("buildSq"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      IvfIndex.appendVectors("ivfsq_route",
+        graft.Tables.embeddings(spark, sfDir).limit(1))
+    }
+    assert(e3.getMessage.contains("appendVectorsSq"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      IvfIndex.appendVectorsSq("ivfsq_route_float",
+        graft.Tables.embeddings(spark, sfDir).limit(1))
+    }
+    assert(e4.getMessage.contains("buildSq"), e4.getMessage)
+    // the stated trade: codes cannot be re-fit — maintenance = rebuild
+    val e5 = intercept[IllegalArgumentException] {
+      IvfIndex.refit(spark, "ivfsq_route", nCentroids = 4)
+    }
+    assert(e5.getMessage.contains("rebuild"), e5.getMessage)
+  }
+
+  test("a few-anchor SQ probe bucket-prunes, and the store's data files " +
+      "are materially smaller than the float store's (the family's point)") {
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_small", buckets = 8)
+    IvfIndex.build(spark, sfDir, "ivfsq_big", buckets = 8)
+    val plan = IvfIndex.topKForSq(spark, "ivfsq_small", anchorsOf(2), k = 3)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the SQ probe:\n${plan.take(800)}")
+    assert(sel.get.group(1).toInt <= 4 && sel.get.group(2).toInt == 8)
+    def bytesOf(table: String): Long = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      val dir = java.nio.file.Paths.get(loc)
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => java.nio.file.Files.size(p)).sum
+      }
+    }
+    val (sq, fl) = (bytesOf("ivfsq_small"), bytesOf("ivfsq_big"))
+    assert(sq < fl / 2,
+      s"SQ store must be well under half the float store's bytes: sq=$sq float=$fl")
+  }
+}
