@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
 
 /** Sequential left-fold dot product of two double arrays — bit-identical
   * to the `aggregate(zip_with(...))` spelling and to the DuckDB oracle's
@@ -47,6 +47,56 @@ object DotFold {
     var i = 0
     while (i < n) {
       acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** [[DotFold]] over int8 CODES: left is the stored `array<tinyint>` (an
+  * IVF-SQ cell payload), right the quantized query carried as exact
+  * doubles. Each byte widens to the exact double it quantized from
+  * (|q| ≤ 127 — the tinyint round-trip is lossless), so the result is
+  * bit-identical to casting the codes to `array<double>` first and
+  * folding with [[DotFold]] — which is what the first SQ probe spelling
+  * did, through an INTERPRETED `transform` lambda materializing a fresh
+  * 64-element array per scanned row: measured 2.6× slower than the
+  * float probe at 100× corpus despite scanning 7× fewer bytes
+  * (SCALING.md round 18). The compiled fold reads the bytes in place,
+  * which is the whole point of storing codes. */
+case class DotFoldI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_fold_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<tinyint>, array<double>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotFoldI8.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.DotFoldI8.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFoldI8 =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotFoldI8 {
+  /** Strict left-to-right accumulation, the [[DotFold.compute]] rule. */
+  def compute(codes: ArrayData, q: ArrayData): Double = {
+    val n = math.min(codes.numElements(), q.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += codes.getByte(i).toDouble * q.getDouble(i)
       i += 1
     }
     acc

@@ -78,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.functionDescription)
     ext.injectFunction(GraftExtensions.minhashDescription)
     ext.injectFunction(GraftExtensions.dotFoldDescription)
+    ext.injectFunction(GraftExtensions.dotFoldI8Description)
     ext.injectFunction(GraftExtensions.shinglesDescription)
     ext.injectFunction(GraftExtensions.sortedIntersectDescription)
     ext.injectFunction(GraftExtensions.windowHashesDescription)
@@ -114,6 +115,11 @@ object GraftExtensions {
     org.apache.spark.sql.catalyst.FunctionIdentifier("dot_fold"),
     new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
     (children: Seq[Expression]) => DotFold(children(0), children(1)))
+
+  private[plans] val dotFoldI8Description = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("dot_fold_i8"),
+    new ExpressionInfo(classOf[DotFoldI8].getName, "dot_fold_i8"),
+    (children: Seq[Expression]) => DotFoldI8(children(0), children(1)))
 
   /** Evaluate a foldable literal argument to the expected type with a
     * diagnosable error — a bare asInstanceOf would surface registered-
@@ -279,6 +285,8 @@ object GraftExtensions {
       "minhash_sigs", mkMinhash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_fold", children => DotFold(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_fold_i8", children => DotFoldI8(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkShingles, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

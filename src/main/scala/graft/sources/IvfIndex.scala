@@ -489,10 +489,13 @@ object IvfIndex {
       .localCheckpoint(true)
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    // codes back to the exact doubles they quantized from (|q| <= 127:
-    // the tinyint round-trip is lossless), then the same compiled fold
-    val qcos = Similarity.dot(
-      transform(col("ix.qv"), x => x.cast("double")), col("pr.aqv")) /
+    // the compiled int8 fold reads the codes IN PLACE (DotFoldI8: each
+    // byte widens to the exact double it quantized from, bit-identical
+    // to cast-then-DotFold) — the first spelling's interpreted
+    // `transform` cast materialized a fresh 64-element array per
+    // scanned row and cost more than the 7x byte saving bought
+    // (measured, SCALING.md round 18)
+    val qcos = call_function("dot_fold_i8", col("ix.qv"), col("pr.aqv")) /
       (col("pr.aqnrm") * col("ix.qnrm"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("qcosine").desc, col("neighbor_id"))
