@@ -85,7 +85,9 @@ object Bench {
     * also adds q143 (the IVF-SQ probe — q137's cells, q38's int8
     * payload, its own composed oracle): build paid in the memo warmup,
     * probe cost ~q137's minus the payload bytes (SCALING.md round 18
-    * measures the scan-volume delta at scale).
+    * measures the scan-volume delta at scale); and q144 (the SQ
+    * quantization audit — q142's shape at fixed geometry), whose cost
+    * is two memo-served probes + a broadcast join of two 60-row tops.
     *
     * Round-18 box-noise caveat (measured, late session): the local
     * session's bench medians are inflated by host scheduling noise

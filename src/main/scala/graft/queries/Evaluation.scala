@@ -388,5 +388,52 @@ object Evaluation {
     },
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q110, q111, q112, q114, q116, q142)
+  /** Q144: SQ quantization audit — the q142 pattern isolating the OTHER
+    * error axis of the IVF-SQ trade: q142 measures what cell truncation
+    * costs (index-served vs brute force, full-precision both sides);
+    * q144 measures what the int8 payload costs AT FIXED GEOMETRY —
+    * recall@3 of the SQ probe (q143) against the float probe (q137),
+    * same fit, same probed cells, so every divergence is scale-grid
+    * ranking error and nothing else. A deployment reads q142 around a
+    * refit and q144 around a storage-format decision; their product
+    * bounds end-to-end recall. Same broadcast-audit scale shape as
+    * q142 (two 3·|queries|-row tops). */
+  private val q144 = GraftQuery(
+    "q144_sq_recall",
+    (spark, dir) => {
+      val fl = Similarity.q137.fn(spark, dir)
+        .select("query_id", "neighbor_id")
+      val sq = Similarity.q143.fn(spark, dir)
+        .select("query_id", "neighbor_id")
+      fl.as("fl")
+        .join(broadcast(sq.as("sq")),
+          col("fl.query_id") === col("sq.query_id") &&
+            col("fl.neighbor_id") === col("sq.neighbor_id"), "left")
+        .groupBy(col("fl.query_id").as("query_id"))
+        .agg(
+          count(lit(1)).as("n_true"),
+          sum(when(col("sq.neighbor_id").isNotNull, 1L).otherwise(0L))
+            .as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+        .orderBy("query_id")
+    },
+    (Similarity.q137.oracle, Similarity.q143.oracle) match {
+      case (Some(flSql), Some(sqSql)) => Some(s"""
+        SELECT fl.query_id AS query_id,
+               count(*) AS n_true,
+               CAST(sum(CASE WHEN sq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN sq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS recall
+        FROM ($flSql) fl
+        LEFT JOIN ($sqSql) sq
+          ON fl.query_id = sq.query_id AND fl.neighbor_id = sq.neighbor_id
+        GROUP BY fl.query_id
+        ORDER BY fl.query_id""")
+      case _ => None
+    },
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q110, q111, q112, q114, q116, q142, q144)
 }
