@@ -296,9 +296,25 @@ object PostingsIndex {
     // df the recompute path counts from its slice
     val dfreq = restricted(dfTableOf(table))
       .groupBy("term").agg(sum(col("df")).as("df"))
+    // READ-COMMITTED over the three-operation append: the stats property
+    // statement is an append's COMMIT POINT (appendDocs's contract — the
+    // marker rides in it), so rows visible while the recorded n_docs is
+    // still 0 belong to an in-flight append. Serve the committed-empty
+    // result and read NO slice rows, rather than evaluate idf/avgdl at
+    // n_docs = 0 (ANSI DIVIDE_BY_ZERO — found by SoakProbe's first run,
+    // where the serving thread raced the stream's first batch). Past the
+    // first commit the residual mid-append window is BENIGN, stated:
+    // a probe may transiently score a later batch's already-inserted
+    // postings under the previous commit's stats — a bounded idf/avgdl
+    // deviation that disappears when the append's property statement
+    // lands, never a crash and never a missed committed document.
     val (n, s) = stats(spark, table)
+    val committed = n > 0
     val statsDf = spark.range(1)
-      .select(lit(n).as("n_docs"), lit(s).as("sum_dl"))
-    Retrieval.scoreTail(qterms, slice, dfreq, statsDf, k)
+      .select(lit(if (committed) n else 1L).as("n_docs"),
+        lit(if (committed) s else 1L).as("sum_dl"))
+    Retrieval.scoreTail(qterms,
+      if (committed) slice else slice.limit(0),
+      if (committed) dfreq else dfreq.limit(0), statsDf, k)
   }
 }

@@ -569,6 +569,48 @@ object CurationChain {
       }
     }
 
+  /** dedup → IVF-SQ CELL STORE: [[curatedCellIndexed]]'s twin on the
+    * QUANTIZED store — each first-delivery batch quantizes with the
+    * shared quantizer, assigns its floats against the recorded centroid
+    * companion, and appends codes
+    * ([[graft.sources.IvfIndex.appendVectorsSq]]); probes between
+    * batches are [[graft.sources.IvfIndex.topKForSq]]. Same
+    * batchId-marker / empty-batch / single-writer / compaction-trigger
+    * contracts as [[curatedCellIndexed]]. DELIBERATELY NO refit
+    * trigger: the SQ store keeps only codes, and reassignment needs the
+    * floats (the [[graft.sources.IvfIndex.refit]] guard) — fit
+    * maintenance here is a REBUILD from the source corpus, an operation
+    * outside a sink's remit. Deployments therefore watch
+    * [[graft.sources.IvfIndex.cellStats]] (drift stays DETECTABLE —
+    * occupancy is storage-format-independent) and schedule the rebuild;
+    * this asymmetry is the operational half of the 7× compression's
+    * stated price (the other half is the scale-grid ranking error q144
+    * audits). */
+  def curatedSqCellIndexed(vecs: DataFrame, table: String,
+      lateness: String = "1 hour",
+      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+    EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sqCellBatch(table, batch, batchId, compactAboveFiles)
+      }
+
+  /** [[curatedSqCellIndexed]]'s sink body — [[cellBatch]]'s contracts
+    * minus the refit trigger (see the entry's scaladoc). */
+  private[graft] def sqCellBatch(table: String, batch: DataFrame,
+      batchId: Long, compactAboveFiles: Int = 0): Unit =
+    if (!batch.isEmpty && batchId >
+        graft.sources.Bucketing.lastCommittedBatch(
+          batch.sparkSession, table)) {
+      val spark = batch.sparkSession
+      graft.sources.IvfIndex.appendVectorsSq(table, batch)
+      graft.sources.Bucketing.recordBatch(spark, table, batchId)
+      if (compactAboveFiles > 0 &&
+          graft.sources.Bucketing.dataFileCount(
+            spark, table) > compactAboveFiles)
+        graft.sources.Bucketing.compact(spark, table)
+    }
+
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN
     * the streaming plan between the cap and packing — it is a stateless

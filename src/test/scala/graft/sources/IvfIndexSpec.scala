@@ -51,9 +51,9 @@ class IvfIndexSpec extends SparkSpec {
     // the seed contains vec_id 0..7, so its centroid set IS the whole
     // corpus's — the precondition for append ≡ rebuild, stated in the
     // build scaladoc
-    IvfIndex.build(spark, dump(col("vec_id") < 5000, "seed"), "ivf_inc")
+    IvfIndex.build(spark, dump(col("vec_id") < 250, "seed"), "ivf_inc")
     IvfIndex.appendVectors("ivf_inc",
-      e.filter(col("vec_id") >= 5000))
+      e.filter(col("vec_id") >= 250))
     IvfIndex.build(spark, dump(lit(true), "all"), "ivf_whole")
     assert(rows(IvfIndex.topK(spark, "ivf_inc", nAnchors = 20, k = 3)) ==
       rows(IvfIndex.topK(spark, "ivf_whole", nAnchors = 20, k = 3)),

@@ -63,8 +63,8 @@ class IvfSqSpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$d/$sub/embeddings.parquet")
       s"$d/$sub"
     }
-    IvfIndex.buildSq(spark, dump(col("vec_id") < 5000, "seed"), "ivfsq_inc")
-    IvfIndex.appendVectorsSq("ivfsq_inc", e.filter(col("vec_id") >= 5000))
+    IvfIndex.buildSq(spark, dump(col("vec_id") < 250, "seed"), "ivfsq_inc")
+    IvfIndex.appendVectorsSq("ivfsq_inc", e.filter(col("vec_id") >= 250))
     IvfIndex.buildSq(spark, dump(lit(true), "all"), "ivfsq_whole")
     spark.catalog.refreshTable("ivfsq_inc")
     val grown = spark.table("ivfsq_inc")
@@ -108,6 +108,37 @@ class IvfSqSpec extends SparkSpec {
       IvfIndex.refit(spark, "ivfsq_route", nCentroids = 4)
     }
     assert(e5.getMessage.contains("rebuild"), e5.getMessage)
+  }
+
+  test("the streaming SQ loop: batches append codes against the recorded " +
+      "fit, a replayed batch appends nothing (the marker), and the " +
+      "stream-grown store equals the batch rebuild row-for-row") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val d = java.nio.file.Files.createTempDirectory("ivfsqstream").toString
+    e.filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/seed/embeddings.parquet")
+    IvfIndex.buildSq(spark, s"$d/seed", "ivfsq_stream")
+    val rest = e.filter(col("vec_id") >= 250)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val Seq(b1, b2) = rest.grouped((rest.length + 1) / 2).toSeq
+    def run(b: Array[(Long, Int, Seq[Float])], id: Long) =
+      graft.streaming.CurationChain.sqCellBatch("ivfsq_stream",
+        b.toSeq.toDF("vec_id", "label", "embedding"), id)
+    run(b1, 0L); run(b2, 1L)
+    run(b2, 1L) // a foreachBatch retry re-delivers under the same id
+    e.coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/all/embeddings.parquet")
+    IvfIndex.buildSq(spark, s"$d/all", "ivfsq_stream_ref")
+    spark.catalog.refreshTable("ivfsq_stream")
+    def rows(t: String) = spark.table(t)
+      .select("cell", "vec_id", "qv", "qnrm")
+      .orderBy("vec_id").collect().toSeq
+    assert(rows("ivfsq_stream") == rows("ivfsq_stream_ref"),
+      "stream-grown SQ store diverges from the batch rebuild (or the " +
+        "replayed batch double-appended)")
   }
 
   test("a few-anchor SQ probe bucket-prunes, and the store's data files " +

@@ -158,4 +158,27 @@ class PostingsIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft.bm25"))
   }
+
+  test("read-committed probe: an index with no committed documents serves " +
+      "the empty result — even when an in-flight append's rows are already " +
+      "visible (the stats statement is the commit point; found by SoakProbe)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // built empty: stats record (0, 0)
+    PostingsIndex.build(spark, sfDir, "postings_rc", corpusPred = lit(false))
+    val bench = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    // committed-empty, no visible rows: empty result, no ANSI
+    // DIVIDE_BY_ZERO from the n_docs = 0 avgdl denominator
+    assert(PostingsIndex.topKFor(spark, "postings_rc", bench, 5).count() == 0L)
+    // simulate the mid-first-append window: rows inserted, stats (and
+    // marker) not yet — the serving thread's exact race in the soak
+    import spark.implicits._
+    Seq(("zzz", 9999L, 1L, 1L)).toDF("term", "doc_id", "dl", "tf")
+      .write.mode("append").insertInto("postings_rc")
+    Seq(("zzz", 1L)).toDF("term", "df")
+      .write.mode("append").insertInto(PostingsIndex.dfTableOf("postings_rc"))
+    assert(PostingsIndex.topKFor(spark, "postings_rc", bench, 5).count() == 0L,
+      "uncommitted rows must not be served (and must not crash the probe)")
+  }
 }

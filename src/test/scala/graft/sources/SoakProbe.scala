@@ -1,0 +1,255 @@
+package graft.sources
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CurationChain
+
+/** Dev-only PRODUCTION-DAY SOAK: every prior probe measured one loop or
+  * one maintenance pass in isolation and probed BETWEEN batches; the
+  * unanswered deployment question is the composed one — three index
+  * families ingesting simultaneously in one session WHILE a serving
+  * thread probes them continuously, with every maintenance trigger
+  * armed (postings/ANN/IVF compaction, the ANN adaptive-banding reband,
+  * the IVF skew refit, fed deliberately drifting vectors). What this
+  * exercises that nothing else does: probes landing INSIDE maintenance
+  * windows (the staged-swap instant, the reband re-sign, the refit's
+  * two-table swap) must fail with the documented LOUD retryable errors
+  * — never silently wrong, never a non-retryable crash — and probe
+  * latency between those instants must stay at its isolated-session
+  * level. The probe classifies every failure: the documented retryable
+  * classes are counted per family (they are the contract working as
+  * stated); anything else fails the soak.
+  *
+  *   sbt "Test/runMain graft.sources.SoakProbe [dir] [epochs]"
+  *
+  * Ends with hard assertions: all three stores hold exactly what was
+  * streamed (none of the concurrent maintenance lost a row), at least
+  * one reband + one refit + one compaction actually fired, and zero
+  * unexpected probe failures occurred. */
+object SoakProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val epochs = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      // FAIR across pools: under the default FIFO scheduler every probe
+      // job queues behind whole ingest stages (first soak run: 55 s
+      // probe walls that measure the QUEUE, not the probe) — a serving
+      // thread beside ingest is exactly what pool-fair scheduling is
+      // for, and is how a production cluster runs this topology
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val T0 = Timestamp.valueOf("2026-01-01 00:00:00")
+
+    // ---- corpora -----------------------------------------------------
+    // docs: the sf corpus streamed in epoch slices; sources sized so the
+    // chain's per-source quota never rejects (maintenance is the
+    // subject, not gating)
+    val docsAll = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // vectors: 8 sign-flip copies for the ANN loop (ids above the base
+    // corpus), 8 DRIFTED copies for the IVF loop (the IvfDriftProbe
+    // "new domain enters the crawl" shape — crowds the base fit so the
+    // skew trigger must fire), ids in a third range
+    val base = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "label", "embedding")
+    val span = base.agg(max("vec_id")).head.getLong(0) + 1
+    def signLit(c: Int): Column = typedLit((0 until 64).map(i =>
+      if (((c * 2654435761L >>> (i % 31)) & 1L) == 1L) -1.0f else 1.0f))
+    val dirLit = typedLit((0 until 64).map(i => ((i % 7) - 3) * 0.1f))
+    def tiled(c: Int): DataFrame = base.select(
+      (col("vec_id") + lit(c * span)).as("vec_id"), col("label"),
+      zip_with(col("embedding"), signLit(c), (x, s) => x * s)
+        .as("embedding"))
+    val annVecs = (1 to 8).map(tiled).reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val ivfVecs = (1 to 8).map(c => tiled(c).select(
+        (col("vec_id") + lit(100000L)).as("vec_id"), col("label"),
+        zip_with(col("embedding"), dirLit, (x, d) => x * 0.5f + d)
+          .as("embedding")))
+      .reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    println(s"[soak] dir=$dir epochs=$epochs docs=${docsAll.length} " +
+      s"annVecs=${annVecs.length} ivfVecs=${ivfVecs.length}")
+
+    // ---- stores ------------------------------------------------------
+    PostingsIndex.build(spark, dir, "soak_post", corpusPred = lit(false))
+    AnnIndex.build(spark, dir, "soak_ann") // 4x8 — the rule will reband
+    IvfIndex.build(spark, dir, "soak_ivf", buckets = 16, nCentroids = 8)
+    def fitProp(): String = spark.sql("SHOW TBLPROPERTIES soak_ivf")
+      .collect().collectFirst {
+        case r if r.getString(0) == "graft.ivf.fit" => r.getString(1)
+      }.getOrElse("?")
+    val fit0 = fitProp()
+
+    // ---- fixed probe fixtures (query-scale, precomputed once) --------
+    val bench = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .localCheckpoint(true)
+    val queryVecs = graft.queries.Similarity.normedVectors(spark, dir)
+      .filter(col("vec_id") < 20).localCheckpoint(true)
+    val ivfAnchors = queryVecs
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+
+    // ---- the serving thread ------------------------------------------
+    // the documented retryable classes: the fit-version guard, the
+    // banding guard, missing stats/companion during a swap instant,
+    // table-not-found between DROP and RENAME, and file listings gone
+    // stale mid-rewrite. Everything else is an unexpected failure and
+    // fails the soak.
+    def retryable(t: Throwable): Boolean = {
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .take(8).toSeq
+      chain.exists { e =>
+        val m = Option(e.getMessage).getOrElse("")
+        m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+          m.contains("Table or view not found") ||
+          m.contains("not built by") || m.contains("fit") ||
+          m.contains("banding") || m.contains("carries no") ||
+          e.isInstanceOf[java.io.FileNotFoundException] ||
+          m.contains("does not exist")
+      }
+    }
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val retries = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    val unexpected = new AtomicInteger(0)
+    val running = new AtomicBoolean(true)
+    def probeOnce(family: String)(f: => DataFrame): Unit =
+      try {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        lat.add((family, (System.nanoTime() - t0) / 1e9))
+      } catch {
+        case t: Throwable if retryable(t) =>
+          retries.computeIfAbsent(family, _ => new AtomicInteger).incrementAndGet()
+        case t: Throwable =>
+          if (unexpected.incrementAndGet() <= 3) {
+            System.err.println(s"[soak] UNEXPECTED $family failure:")
+            t.printStackTrace()
+          }
+      }
+    val prober = new Thread(() => {
+      // the serving pool: fair-shared against the streams' default pool
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "serving")
+      while (running.get()) {
+        probeOnce("post") {
+          PostingsIndex.topKFor(spark, "soak_post", bench, 5)
+        }
+        probeOnce("ann") {
+          // sign at the CATALOG banding each iteration — a reband
+          // mid-soak changes it, and the serving path must follow
+          val (t, b) = AnnIndex.recordedBanding(spark, "soak_ann")
+          AnnIndex.topKFor(spark, "soak_ann",
+            graft.queries.Similarity.signatureRowsOf(queryVecs, t, b), 5)
+        }
+        probeOnce("ivf") {
+          IvfIndex.topKFor(spark, "soak_ivf", ivfAnchors, 3)
+        }
+      }
+    }, "soak-prober")
+
+    // ---- the three streaming loops -----------------------------------
+    implicit val sqlCtx = spark.sqlContext
+    val docsIn = MemoryStream[(Long, Timestamp, String, String)]
+    val annIn = MemoryStream[(Long, Timestamp, Int, Seq[Float])]
+    val ivfIn = MemoryStream[(Long, Timestamp, Int, Seq[Float])]
+    val qPost = CurationChain.curatedIndexed(
+      docsIn.toDF().toDF("doc_id", "ts", "source", "text"), "soak_post",
+      compactAboveFiles = 400).start()
+    // ANN threshold note: at the rule's (8, 4) banding there are only 16
+    // distinct sig values, so aligned appends add ≤16 files/epoch — 200
+    // is the horizon a 16-epoch soak actually crosses
+    val qAnn = CurationChain.curatedVectorIndexed(
+      annIn.toDF().toDF("vec_id", "ts", "label", "embedding"), "soak_ann",
+      compactAboveFiles = 200, rebandOnAdaptive = true,
+      rebandCheckEvery = 6).start()
+    val qIvf = CurationChain.curatedCellIndexed(
+      ivfIn.toDF().toDF("vec_id", "ts", "label", "embedding"), "soak_ivf",
+      compactAboveFiles = 120, refitAboveSkew = 2.5,
+      refitCheckEvery = 4).start()
+
+    val fileSeen = scala.collection.mutable.Map(
+      "soak_post" -> Seq.empty[Int], "soak_ann" -> Seq.empty[Int],
+      "soak_ivf" -> Seq.empty[Int])
+    prober.start()
+    try {
+      (0 until epochs).foreach { k =>
+        docsIn.addData(docsAll.filter(_._1 % epochs == k)
+          .map(r => (r._1, T0, s"s${r._1 / 20}", r._2)): _*)
+        annIn.addData(annVecs.filter(_._1 % epochs == k.toLong)
+          .map(r => (r._1, T0, r._2, r._3)): _*)
+        ivfIn.addData(ivfVecs.filter(_._1 % epochs == k.toLong)
+          .map(r => (r._1, T0, r._2, r._3)): _*)
+        val t0 = System.nanoTime()
+        qPost.processAllAvailable()
+        qAnn.processAllAvailable()
+        qIvf.processAllAvailable()
+        val ingestS = (System.nanoTime() - t0) / 1e9
+        fileSeen.keys.foreach(t =>
+          fileSeen(t) = fileSeen(t) :+ Bucketing.dataFileCount(spark, t))
+        val drained = Iterator.continually(lat.poll())
+          .takeWhile(_ != null).toSeq
+        def stat(fam: String): String = {
+          val xs = drained.collect { case (f, s) if f == fam => s }.sorted
+          if (xs.isEmpty) s"$fam n=0"
+          else f"$fam n=${xs.size} min=${xs.min}%.2f med=${xs(xs.size / 2)}%.2f"
+        }
+        val rts = retries.entrySet().iterator()
+        val rs = Iterator.continually(rts)
+          .takeWhile(_.hasNext).map(_.next())
+          .map(e => s"${e.getKey}=${e.getValue.get()}").mkString(",")
+        println(f"[soak] epoch=${k + 1}%2d ingest=${ingestS}%5.2f " +
+          s"${stat("post")} | ${stat("ann")} | ${stat("ivf")} " +
+          s"| retries{$rs} unexpected=${unexpected.get()} " +
+          s"banding=${AnnIndex.recordedBanding(spark, "soak_ann")}")
+      }
+    } finally {
+      running.set(false); prober.join(30000)
+      qPost.stop(); qAnn.stop(); qIvf.stop()
+    }
+
+    // ---- hard verdicts ----------------------------------------------
+    def fail(msg: String): Nothing =
+      throw new IllegalStateException(s"SOAK FAILED: $msg")
+    if (unexpected.get() != 0)
+      fail(s"${unexpected.get()} unexpected probe failures")
+    val (nDocs, _) = PostingsIndex.stats(spark, "soak_post")
+    if (nDocs != docsAll.length)
+      fail(s"postings n_docs=$nDocs, streamed=${docsAll.length}")
+    spark.catalog.refreshTable("soak_ann")
+    val banding = AnnIndex.recordedBanding(spark, "soak_ann")
+    if (banding == ((4, 8))) fail("the adaptive reband never fired")
+    val annRows = spark.table("soak_ann").count()
+    val annWant = (2000L + annVecs.length) * banding._1
+    if (annRows != annWant)
+      fail(s"ann store rows=$annRows, want $annWant (${banding._1} tables)")
+    spark.catalog.refreshTable("soak_ivf")
+    val ivfRows = spark.table("soak_ivf").count()
+    if (ivfRows != 2000L + ivfVecs.length)
+      fail(s"ivf store rows=$ivfRows, want ${2000 + ivfVecs.length}")
+    if (fitProp() == fit0) fail("the skew refit never fired")
+    val compacted = fileSeen.filter { case (_, xs) =>
+      xs.zip(xs.drop(1)).exists { case (a, b) => b < a } }.keys.toSeq
+    if (compacted.isEmpty) fail("no compaction trigger ever fired")
+    println(s"[soak] OK: rows exact on all three stores, " +
+      s"reband->$banding, refit fired (${fit0.take(8)}->${fitProp().take(8)}), " +
+      s"compacted=${compacted.sorted.mkString("+")}, " +
+      s"retries=${retries}, unexpected=0")
+    spark.stop()
+  }
+}
