@@ -87,7 +87,11 @@ object Bench {
     * probe cost ~q137's minus the payload bytes (SCALING.md round 18
     * measures the scan-volume delta at scale); and q144 (the SQ
     * quantization audit — q142's shape at fixed geometry), whose cost
-    * is two memo-served probes + a broadcast join of two 60-row tops.
+    * is two memo-served probes + a broadcast join of two 60-row tops;
+    * and the multi-probe pair q145/q146 (the Hamming-radius-1 recall
+    * dial on the LSH family — recompute + store-served, one composed
+    * oracle; q146 shares q135's memo'd store, so its marginal cost is
+    * one expanded probe).
     *
     * Round-18 box-noise caveat (measured, late session): the local
     * session's bench medians are inflated by host scheduling noise

@@ -243,6 +243,63 @@ object Similarity {
       .toDF("vec_id", "label", "v", "nrm", "tbl", "sig")
   }
 
+  /** Multi-probe expansion of a signature-row frame (…, tbl, sig) — the
+    * query-side recall dial from Lv et al., "Multi-Probe LSH" (VLDB'07,
+    * public paper): beside its exact bucket, each query row also probes
+    * every bucket at HAMMING RADIUS 1 (one sign bit flipped), turning
+    * near-miss hyperplane crossings — the dominant sign-LSH failure
+    * mode for vectors near a boundary — into collisions. bits+1 rows
+    * per input row, all other columns carried; everything downstream
+    * (the candidate join, the (query, neighbor) dedup, the persisted
+    * store's bucket pruning) is unchanged, which is the technique's
+    * whole point: MORE RECALL FROM THE SAME PERSISTED INDEX — no
+    * reband, no extra tables, no store rewrite. The query pays ~bits×
+    * more bucket probes; the store pays nothing. Contrast the OTHER
+    * recall lever, [[graft.sources.AnnIndex.reband]]: that one
+    * re-signs the whole store (a measured 36.5 s rewrite at 600 k
+    * rows) and moves the operating point for every query thereafter;
+    * multi-probe is per-query and free to mix — the natural order is
+    * multi-probe first, reband when adaptiveBanding's rule moves. */
+  private[graft] def multiProbeExpand(sigRows: DataFrame,
+      bits: Int): DataFrame = {
+    def flipAt(i: Int): Column = concat(
+      substring(col("sig"), 1, i),
+      when(substring(col("sig"), i + 1, 1) === "1", lit("0"))
+        .otherwise(lit("1")),
+      substring(col("sig"), i + 2, bits - i - 1))
+    val others = sigRows.columns.filter(_ != "sig").map(col).toSeq
+    sigRows.select(others :+ explode(
+      array(col("sig") +: (0 until bits).map(flipAt): _*)).as("sig"): _*)
+  }
+
+  /** q35's scaffold with the query side [[multiProbeExpand]]ed — the
+    * q145 recompute spelling. Candidate set ⊇ q35's by construction
+    * (the exact bucket is probe 0), so recall vs the exact ranking can
+    * only rise; the exact re-rank and tie rule are unchanged. */
+  private[queries] def lshTopKMultiProbe(spark: SparkSession, dir: String,
+      k: Int, tables: Int = 4, bits: Int = 8): DataFrame = {
+    val e = normedVectors(spark, dir)
+    val sigs = signatureRowsOf(e, tables, bits)
+      .select("vec_id", "tbl", "sig")
+    val qprobe = multiProbeExpand(sigs.filter(col("vec_id") < 20), bits)
+    val cand = qprobe.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"),
+        col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(e.as("q"), col("q.vec_id") === col("query_id"))
+      .join(e.as("c"), col("c.vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Shared LSH scaffold of q35 (all neighbors) and q125 (cross-label
     * neighbors only — the corpus-scale hard-negative path): 4-table ×
     * 8-bit sign signatures, candidate join keyed on (table, signature),
@@ -817,6 +874,91 @@ object Similarity {
       ORDER BY query_id, rank"""),
     headline = true)
 
+  /** The multi-probe oracle: q35's sig/rows_ construction with the
+    * query side expanded to Hamming-radius-1 buckets in SQL (substr
+    * splice + CASE flip per position — DuckDB's generate_series is the
+    * position stream), then the shared candidate-join / exact-re-rank /
+    * tie-rule chain. Shared verbatim by q145 (recompute) and q146 (the
+    * store-served spelling), the q35/q135 pattern. */
+  private lazy val multiProbeSql: String = {
+    val (tables, bits, k) = (4, 8, 5)
+    val pool = hyperplanes
+    def hpLit(p: Int): String = pool(p).mkString("[", ", ", "]")
+    def sigSql(t: Int): String = (0 until bits).map { j =>
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+            i -> v[i] * (${hpLit(t * bits + j)})[i]), (x, y) -> x + y) > 0
+          THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
+    val sigSelect = (0 until tables)
+      .map(t => s"${sigSql(t)} AS s$t").mkString(", ")
+    val sigRows = (0 until tables)
+      .map(t => s"SELECT vec_id, $t AS tbl, s$t AS sig FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $normedVectorsSql,
+    sigs AS (SELECT vec_id, $sigSelect FROM e),
+    rows_ AS ($sigRows),
+    qprobe AS (
+      SELECT vec_id, tbl, sig FROM rows_ WHERE vec_id < 20
+      UNION ALL
+      SELECT vec_id, tbl,
+             substr(sig, 1, i - 1) ||
+             (CASE WHEN substr(sig, i, 1) = '1' THEN '0' ELSE '1' END) ||
+             substr(sig, i + 1) AS sig
+      FROM rows_ CROSS JOIN generate_series(1, $bits) AS gs(i)
+      WHERE vec_id < 20),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+      FROM qprobe x JOIN rows_ y
+        ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+    mscored AS (
+      SELECT query_id, neighbor_id,
+             ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      FROM cand
+      JOIN e q ON q.vec_id = query_id
+      JOIN e c ON c.vec_id = neighbor_id),
+    mranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM mscored)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM mranked WHERE rank <= $k
+    ORDER BY query_id, rank"""
+  }
+
+  /** Q145: multi-probe LSH ANN — q35 with the query side probing every
+    * Hamming-radius-1 bucket beside its own ([[multiProbeExpand]], Lv
+    * et al. VLDB'07). The recall dial that costs the QUERY ~bits× more
+    * bucket probes and the store NOTHING — measured recall@5 vs exact
+    * rises while the candidate stream stays bucket-bounded
+    * (MultiProbeSpec pins both, and pins q145 ⊇ q35). */
+  private[queries] val q145 = GraftQuery(
+    "q145_multiprobe_ann",
+    (spark, dir) => lshTopKMultiProbe(spark, dir, k = 5),
+    Some(multiProbeSql),
+    headline = true)
+
+  /** Q146: the INDEX-SERVED multi-probe spelling — the SAME persisted
+    * [[graft.sources.AnnIndex]] store q135 probes (the memo tag is
+    * shared DELIBERATELY: the point is more recall from the index
+    * already on disk), with the expansion applied to the client-signed
+    * anchor rows before the probe. The store's bucket pruning, the
+    * (query, neighbor) max-dedup, and the tie rule all absorb the
+    * expansion unchanged; registered against q145's own oracle — the
+    * q35/q135 pattern one rung up the recall dial. */
+  private[queries] val q146 = GraftQuery(
+    "q146_multiprobe_index_probe",
+    (spark, dir) => {
+      val table = graft.sources.AnnIndex.ensureFor(spark, dir, tag = "q135")
+      val anchors = multiProbeExpand(
+        signatureRowsOf(
+          normedVectors(spark, dir).filter(col("vec_id") < 20), 4, 8), 8)
+      graft.sources.AnnIndex.topKFor(spark, table, anchors, 5)
+    },
+    Some(multiProbeSql),
+    headline = true)
+
   val all: Seq[GraftQuery] =
-    Seq(q34, q35, q37, q38, q122, q125, q132, q135, q137, q143)
+    Seq(q34, q35, q37, q38, q122, q125, q132, q135, q137, q143, q145, q146)
 }
