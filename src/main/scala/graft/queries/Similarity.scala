@@ -951,9 +951,16 @@ object Similarity {
     "q146_multiprobe_index_probe",
     (spark, dir) => {
       val table = graft.sources.AnnIndex.ensureFor(spark, dir, tag = "q135")
+      // sign and expand at the RECORDED banding (the catalog truth —
+      // the curatedVectorIndexed rule): a hardcoded (4, 8) would
+      // silently diverge from the store if the shared tag's layout
+      // ever moved. The static oracle is generated at 4x8; a banding
+      // change fails the oracle gate loudly, never this seam.
+      val (tables, bits) = graft.sources.AnnIndex.recordedBanding(spark, table)
       val anchors = multiProbeExpand(
         signatureRowsOf(
-          normedVectors(spark, dir).filter(col("vec_id") < 20), 4, 8), 8)
+          normedVectors(spark, dir).filter(col("vec_id") < 20),
+          tables, bits), bits)
       graft.sources.AnnIndex.topKFor(spark, table, anchors, 5)
     },
     Some(multiProbeSql),
