@@ -91,7 +91,9 @@ object Bench {
     * and the multi-probe pair q145/q146 (the Hamming-radius-1 recall
     * dial on the LSH family — recompute + store-served, one composed
     * oracle; q146 shares q135's memo'd store, so its marginal cost is
-    * one expanded probe).
+    * one expanded probe); and q147 (the store-served hard-negative
+    * probe against q125's own oracle — the training row that actually
+    * recurs, served; memo'd 8×4 store built in warmup).
     *
     * Round-18 box-noise caveat (measured, late session): the local
     * session's bench medians are inflated by host scheduling noise

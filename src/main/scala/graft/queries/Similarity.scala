@@ -966,6 +966,37 @@ object Similarity {
     Some(multiProbeSql),
     headline = true)
 
+  /** Q147: the INDEX-SERVED hard-negative probe — q125's cross-label
+    * mining from the persisted [[graft.sources.AnnIndex]] store instead
+    * of recomputing signatures per run (the q35→q135 pattern on the
+    * training-data row that actually recurs: negatives re-mine every
+    * training round against a growing corpus). The store carries the
+    * label on every signature row, so the cross-label filter rides in
+    * the bucket-probe join exactly as the recompute spelling's does;
+    * anchors sign at the recorded banding. Banding contract mirrors
+    * q125's own tripwire: the attached oracle is static at 8×4, so the
+    * adaptive rule's resolution is require()d equal — a corpus resize
+    * fails the registration loudly with the regeneration instruction,
+    * never hash-compares two different plans. */
+  private[queries] val q147 = GraftQuery(
+    "q147_hard_negatives_index_probe",
+    (spark, dir) => {
+      val n = corpusCount(spark, dir)
+      val banding = adaptiveBanding(n, anchors = AnchorCount)
+      require(banding == ((8, 4)),
+        s"corpus ($n vecs) resolves adaptive banding $banding but q147's " +
+          "oracle SQL is static at (8,4) — regenerate the oracle at the new banding")
+      val table = graft.sources.AnnIndex.ensureFor(spark, dir, tag = "q147",
+        tables = banding._1, bits = banding._2)
+      val (t, b) = graft.sources.AnnIndex.recordedBanding(spark, table)
+      val anchors = signatureRowsOf(
+        normedVectors(spark, dir).filter(col("vec_id") < 20), t, b)
+      graft.sources.AnnIndex.hardNegativesFor(spark, table, anchors, 3)
+    },
+    Some(lshTopKSql(k = 3, crossLabelOnly = true, tables = 8, bits = 4)),
+    headline = true)
+
   val all: Seq[GraftQuery] =
-    Seq(q34, q35, q37, q38, q122, q125, q132, q135, q137, q143, q145, q146)
+    Seq(q34, q35, q37, q38, q122, q125, q132, q135, q137, q143, q145, q146,
+      q147)
 }

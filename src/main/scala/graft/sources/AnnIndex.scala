@@ -231,4 +231,45 @@ object AnnIndex {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** The CROSS-LABEL serving probe — q125's hard-negative semantics
+    * over the persisted store (the training-data shape: for each
+    * anchor, the most-similar items under a DIFFERENT label are the
+    * informative negatives — ANCE/DPR, public papers, q122's scaladoc).
+    * Identical to [[topKFor]] except the label filter rides IN the
+    * candidate join — same-label pairs die at the bucket probe before
+    * any cosine, q125's rule, and the store ALREADY carries the label
+    * on every signature row (build persists signatureRows whole) — and
+    * both labels ride out so the pair table feeds a training loader
+    * directly. `anchorRows` carry signatureRowsOf's full layout
+    * (vec_id, label, tbl, sig, v, nrm); sign them at
+    * [[recordedBanding]], never a hardcoded pair. */
+  def hardNegativesFor(spark: SparkSession, table: String,
+      anchorRows: DataFrame, k: Int): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val anchors = anchorRows
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("tbl").as("qtbl"), col("sig").as("qsig"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+      .localCheckpoint(true)
+    val probeSigs = anchors.select("qsig").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    spark.table(table)
+      .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
+      .join(broadcast(anchors),
+        col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        cos.as("cosine"))
+      .groupBy("query_id", "query_label", "neighbor_id", "neighbor_label")
+      .agg(max("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

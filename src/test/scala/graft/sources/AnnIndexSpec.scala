@@ -135,4 +135,24 @@ class AnnIndexSpec extends SparkSpec {
     val got = AnnIndex.topK(spark, "ann_reband", nAnchors = 5, k = 3)
     assert(got.count() > 0)
   }
+
+  test("hardNegativesFor: the store-served cross-label probe (q147) " +
+      "equals q125's adaptive recompute bit-for-bit — label filter at " +
+      "the bucket probe, both labels carried out") {
+    import org.apache.spark.sql.functions.col
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cosine", "rank")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+      .toSeq
+    val served = rows("q147_hard_negatives_index_probe")
+    assert(served.nonEmpty, "the served probe must mine some negatives")
+    assert(served == rows("q125_hard_negatives_lsh"),
+      "store-served hard negatives diverge from the recompute spelling")
+    served.foreach { r =>
+      assert(r._2 != r._4, s"same-label pair leaked through the probe: $r")
+    }
+  }
 }

@@ -11,11 +11,13 @@ import graft.streaming.CurationChain
 
 /** Dev-only PRODUCTION-DAY SOAK: every prior probe measured one loop or
   * one maintenance pass in isolation and probed BETWEEN batches; the
-  * unanswered deployment question is the composed one — three index
-  * families ingesting simultaneously in one session WHILE a serving
-  * thread probes them continuously, with every maintenance trigger
-  * armed (postings/ANN/IVF compaction, the ANN adaptive-banding reband,
-  * the IVF skew refit, fed deliberately drifting vectors). What this
+  * unanswered deployment question is the composed one — FIVE streaming
+  * loops (postings, content-gated postings, near-dup band gate, LSH
+  * vectors, IVF vectors: the README topology diagram, running) in one
+  * session WHILE a serving thread probes the families continuously,
+  * with every maintenance trigger armed (compaction everywhere, the
+  * ANN adaptive-banding reband, the IVF skew refit, fed deliberately
+  * drifting vectors). What this
   * exercises that nothing else does: probes landing INSIDE maintenance
   * windows (the staged-swap instant, the reband re-sign, the refit's
   * two-table swap) must fail with the documented LOUD retryable errors
@@ -89,6 +91,15 @@ object SoakProbe {
     PostingsIndex.build(spark, dir, "soak_post", corpusPred = lit(false))
     AnnIndex.build(spark, dir, "soak_ann") // 4x8 — the rule will reband
     IvfIndex.build(spark, dir, "soak_ivf", buckets = 16, nCentroids = 8)
+    // the gated loop's fixtures: empty sealed store + capacity-sized
+    // bloom (the q126 gate's driver state), empty postings target
+    graft.queries.Curation.sealStore("soak_sealed",
+      graft.Tables.documents(spark, dir).limit(0)
+        .select(graft.queries.Curation.bowFingerprint.as("fp")), buckets = 8)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(10000L, 0.01)
+    PostingsIndex.build(spark, dir, "soak_gpost", corpusPred = lit(false))
+    // the near-dup gate's store, empty: the stream IS its corpus
+    BandIndex.build(spark, dir, "soak_band", corpusPred = lit(false))
     def fitProp(): String = spark.sql("SHOW TBLPROPERTIES soak_ivf")
       .collect().collectFirst {
         case r if r.getString(0) == "graft.ivf.fit" => r.getString(1)
@@ -104,6 +115,16 @@ object SoakProbe {
       .filter(col("vec_id") < 20).localCheckpoint(true)
     val ivfAnchors = queryVecs
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    // the band probe's verify side reads texts from the source corpus
+    // (the store holds band rows only); the bench slice is also
+    // streamed, so self near-dups appear in results — the soak reads
+    // this probe for AVAILABILITY/latency, content asserts live in
+    // BandIndexSpec
+    val corpusDocs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val bandQueries = bench.limit(10)
+      .select(col("query_id").as("doc_id"), col("text"))
       .localCheckpoint(true)
 
     // ---- the serving thread ------------------------------------------
@@ -130,18 +151,21 @@ object SoakProbe {
     val unexpected = new AtomicInteger(0)
     val running = new AtomicBoolean(true)
     def probeOnce(family: String)(f: => DataFrame): Unit =
-      try {
+      if (running.get()) try {
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
         lat.add((family, (System.nanoTime() - t0) / 1e9))
       } catch {
         case t: Throwable if retryable(t) =>
           retries.computeIfAbsent(family, _ => new AtomicInteger).incrementAndGet()
-        case t: Throwable =>
+        // a probe mid-flight when the soak winds down dies on the
+        // stopping context — shutdown noise, not a finding
+        case t: Throwable if running.get() =>
           if (unexpected.incrementAndGet() <= 3) {
             System.err.println(s"[soak] UNEXPECTED $family failure:")
             t.printStackTrace()
           }
+        case _: Throwable => ()
       }
     val prober = new Thread(() => {
       // the serving pool: fair-shared against the streams' default pool
@@ -160,17 +184,32 @@ object SoakProbe {
         probeOnce("ivf") {
           IvfIndex.topKFor(spark, "soak_ivf", ivfAnchors, 3)
         }
+        probeOnce("gpost") {
+          PostingsIndex.topKFor(spark, "soak_gpost", bench, 5)
+        }
+        probeOnce("band") {
+          BandIndex.nearDupsFor(spark, "soak_band", corpusDocs, bandQueries)
+        }
       }
     }, "soak-prober")
 
     // ---- the three streaming loops -----------------------------------
     implicit val sqlCtx = spark.sqlContext
     val docsIn = MemoryStream[(Long, Timestamp, String, String)]
+    val gateIn = MemoryStream[(Long, Timestamp, String, String)]
+    val bandIn = MemoryStream[(Long, Timestamp, String, String)]
     val annIn = MemoryStream[(Long, Timestamp, Int, Seq[Float])]
     val ivfIn = MemoryStream[(Long, Timestamp, Int, Seq[Float])]
     val qPost = CurationChain.curatedIndexed(
       docsIn.toDF().toDF("doc_id", "ts", "source", "text"), "soak_post",
       compactAboveFiles = 400).start()
+    val qGate = CurationChain.curatedGatedIndexed(
+      gateIn.toDF().toDF("doc_id", "ts", "source", "text"), "soak_sealed",
+      "soak_gpost", bloom, capacity = 10000L,
+      compactAboveFiles = 400).start()
+    val qBand = CurationChain.curatedBandIndexed(
+      bandIn.toDF().toDF("doc_id", "ts", "source", "text"), "soak_band",
+      compactAboveFiles = 400)().start()
     // ANN threshold note: at the rule's (8, 4) banding there are only 16
     // distinct sig values, so aligned appends add ≤16 files/epoch — 200
     // is the horizon a 16-epoch soak actually crosses
@@ -185,18 +224,24 @@ object SoakProbe {
 
     val fileSeen = scala.collection.mutable.Map(
       "soak_post" -> Seq.empty[Int], "soak_ann" -> Seq.empty[Int],
-      "soak_ivf" -> Seq.empty[Int])
+      "soak_ivf" -> Seq.empty[Int], "soak_gpost" -> Seq.empty[Int],
+      "soak_band" -> Seq.empty[Int])
     prober.start()
     try {
       (0 until epochs).foreach { k =>
-        docsIn.addData(docsAll.filter(_._1 % epochs == k)
-          .map(r => (r._1, T0, s"s${r._1 / 20}", r._2)): _*)
+        val docRows = docsAll.filter(_._1 % epochs == k)
+          .map(r => (r._1, T0, s"s${r._1 / 20}", r._2))
+        docsIn.addData(docRows: _*)
+        gateIn.addData(docRows: _*)
+        bandIn.addData(docRows: _*)
         annIn.addData(annVecs.filter(_._1 % epochs == k.toLong)
           .map(r => (r._1, T0, r._2, r._3)): _*)
         ivfIn.addData(ivfVecs.filter(_._1 % epochs == k.toLong)
           .map(r => (r._1, T0, r._2, r._3)): _*)
         val t0 = System.nanoTime()
         qPost.processAllAvailable()
+        qGate.processAllAvailable()
+        qBand.processAllAvailable()
         qAnn.processAllAvailable()
         qIvf.processAllAvailable()
         val ingestS = (System.nanoTime() - t0) / 1e9
@@ -214,13 +259,14 @@ object SoakProbe {
           .takeWhile(_.hasNext).map(_.next())
           .map(e => s"${e.getKey}=${e.getValue.get()}").mkString(",")
         println(f"[soak] epoch=${k + 1}%2d ingest=${ingestS}%5.2f " +
-          s"${stat("post")} | ${stat("ann")} | ${stat("ivf")} " +
+          s"${stat("post")} | ${stat("gpost")} | ${stat("band")} | " +
+          s"${stat("ann")} | ${stat("ivf")} " +
           s"| retries{$rs} unexpected=${unexpected.get()} " +
           s"banding=${AnnIndex.recordedBanding(spark, "soak_ann")}")
       }
     } finally {
       running.set(false); prober.join(30000)
-      qPost.stop(); qAnn.stop(); qIvf.stop()
+      qPost.stop(); qGate.stop(); qBand.stop(); qAnn.stop(); qIvf.stop()
     }
 
     // ---- hard verdicts ----------------------------------------------
@@ -231,6 +277,21 @@ object SoakProbe {
     val (nDocs, _) = PostingsIndex.stats(spark, "soak_post")
     if (nDocs != docsAll.length)
       fail(s"postings n_docs=$nDocs, streamed=${docsAll.length}")
+    // the gate's closed form: admissions = first instance of each
+    // content fingerprint (the q126 oracle rule) — epoch order cannot
+    // change the COUNT, only which doc_id carries it
+    val wantGated = graft.Tables.documents(spark, dir)
+      .select(graft.queries.Curation.bowFingerprint.as("fp"))
+      .distinct().count()
+    val (nGated, _) = PostingsIndex.stats(spark, "soak_gpost")
+    if (nGated != wantGated)
+      fail(s"gated postings n_docs=$nGated, distinct fingerprints=$wantGated")
+    spark.catalog.refreshTable("soak_band")
+    val bandRows = spark.table("soak_band").count()
+    val bandDocs = spark.table("soak_band")
+      .select("doc_id").distinct().count()
+    if (bandRows == 0 || bandDocs == 0 || bandDocs > docsAll.length)
+      fail(s"band store malformed: rows=$bandRows admittedDocs=$bandDocs")
     spark.catalog.refreshTable("soak_ann")
     val banding = AnnIndex.recordedBanding(spark, "soak_ann")
     if (banding == ((4, 8))) fail("the adaptive reband never fired")
@@ -246,7 +307,8 @@ object SoakProbe {
     val compacted = fileSeen.filter { case (_, xs) =>
       xs.zip(xs.drop(1)).exists { case (a, b) => b < a } }.keys.toSeq
     if (compacted.isEmpty) fail("no compaction trigger ever fired")
-    println(s"[soak] OK: rows exact on all three stores, " +
+    println(s"[soak] OK: rows exact on all five stores " +
+      s"(post=$nDocs gated=$nGated bandDocs=$bandDocs ann=$annRows ivf=$ivfRows), " +
       s"reband->$banding, refit fired (${fit0.take(8)}->${fitProp().take(8)}), " +
       s"compacted=${compacted.sorted.mkString("+")}, " +
       s"retries=${retries}, unexpected=0")
