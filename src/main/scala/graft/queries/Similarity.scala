@@ -358,8 +358,15 @@ object Similarity {
     * predicate parameterized so q136's hybrid oracle can fuse this with
     * the BM25 chain in ONE statement ([[lshTopKSql]] wraps it for the
     * standalone q35/q125/q135 oracles). */
-  private[queries] def lshRankedSqlCtes(k: Int, crossLabelOnly: Boolean,
-      tables: Int, bits: Int, anchorPredSql: String, rel: String): String = {
+  /** The `sigs` + `rows_` CTE pair — THE one SQL spelling of the sign
+    * rule, pool selection, and per-table signature rows, shared by the
+    * single-probe oracles ([[lshRankedSqlCtes]]) and the multi-probe
+    * oracle ([[multiProbeSql]]): two copies of this construction ~500
+    * lines apart would let a future pool/fold change regenerate one
+    * oracle from the old rule and hash-compare Spark against a stale
+    * spelling. Assumes `e` in scope. */
+  private def sigRowsSqlCtes(tables: Int, bits: Int,
+      labelSel: String): String = {
     val pool =
       if (tables * bits <= 32) hyperplanes else hyperplanePool(tables * bits)
     def hpLit(p: Int): String = pool(p).mkString("[", ", ", "]")
@@ -368,17 +375,22 @@ object Similarity {
             i -> v[i] * (${hpLit(t * bits + j)})[i]), (x, y) -> x + y) > 0
           THEN '1' ELSE '0' END"""
     }.mkString(" || ")
-    val labelSel = if (crossLabelOnly) "label, " else ""
     val sigSelect = (0 until tables).map(t => s"${sigSql(t)} AS s$t").mkString(", ")
     val sigRows = (0 until tables)
       .map(t => s"SELECT vec_id, $labelSel$t AS tbl, s$t AS sig FROM sigs")
       .mkString(" UNION ALL ")
+    s"""sigs AS (SELECT vec_id, $labelSel$sigSelect FROM e),
+    rows_ AS ($sigRows)"""
+  }
+
+  private[queries] def lshRankedSqlCtes(k: Int, crossLabelOnly: Boolean,
+      tables: Int, bits: Int, anchorPredSql: String, rel: String): String = {
+    val labelSel = if (crossLabelOnly) "label, " else ""
     val labelCond = if (crossLabelOnly) " AND x.label <> y.label" else ""
     val labelCols =
       if (crossLabelOnly) "q.label AS query_label, c.label AS neighbor_label,"
       else ""
-    s"""sigs AS (SELECT vec_id, $labelSel$sigSelect FROM e),
-    rows_ AS ($sigRows),
+    s"""${sigRowsSqlCtes(tables, bits, labelSel)},
     cand AS (
       SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
       FROM rows_ x JOIN rows_ y
@@ -882,22 +894,9 @@ object Similarity {
     * store-served spelling), the q35/q135 pattern. */
   private lazy val multiProbeSql: String = {
     val (tables, bits, k) = (4, 8, 5)
-    val pool = hyperplanes
-    def hpLit(p: Int): String = pool(p).mkString("[", ", ", "]")
-    def sigSql(t: Int): String = (0 until bits).map { j =>
-      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
-            i -> v[i] * (${hpLit(t * bits + j)})[i]), (x, y) -> x + y) > 0
-          THEN '1' ELSE '0' END"""
-    }.mkString(" || ")
-    val sigSelect = (0 until tables)
-      .map(t => s"${sigSql(t)} AS s$t").mkString(", ")
-    val sigRows = (0 until tables)
-      .map(t => s"SELECT vec_id, $t AS tbl, s$t AS sig FROM sigs")
-      .mkString(" UNION ALL ")
     s"""
     WITH $normedVectorsSql,
-    sigs AS (SELECT vec_id, $sigSelect FROM e),
-    rows_ AS ($sigRows),
+    ${sigRowsSqlCtes(tables, bits, labelSel = "")},
     qprobe AS (
       SELECT vec_id, tbl, sig FROM rows_ WHERE vec_id < 20
       UNION ALL

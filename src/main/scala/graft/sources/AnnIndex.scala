@@ -192,45 +192,8 @@ object AnnIndex {
     * never read from the index. The index is scanned ONCE, bucket-pruned
     * by the anchors' signature literals. */
   def topKFor(spark: SparkSession, table: String, anchorRows: DataFrame,
-      k: Int): DataFrame = {
-    // read-your-committed-appends: a writer in another session (the
-    // streaming ingestion pattern) cannot invalidate this session's
-    // cached file listing — refresh before probing (PostingsIndex rule)
-    spark.catalog.refreshTable(table)
-    // materialize the anchor rows ONCE (they are query-scale by the
-    // q122/q125 contract): both consumers below — the driver-side
-    // signature collect and the broadcast join — would otherwise
-    // re-execute the caller's whole anchor pipeline (topK's index scan,
-    // or a client's read→norm→sign chain)
-    val anchors = anchorRows
-      .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
-        col("sig").as("qsig"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .localCheckpoint(true)
-    // anchor signatures collect to the driver for the pruning predicate
-    val probeSigs = anchors.select("qsig").distinct()
-      .collect().map(_.getString(0)).toSeq
-    // ONE index scan: bucket-pruned by the literal signature set, hash-
-    // probed against the broadcast anchors on the (tbl, sig) rendezvous;
-    // neighbor v/nrm ride the index row and query v/nrm the broadcast,
-    // so the cosine computes in the same pass — no second corpus read.
-    // Colliding (query, neighbor) pairs from multiple tables carry the
-    // identical cosine; max() is the deterministic dedup.
-    val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    spark.table(table)
-      .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
-      .join(broadcast(anchors),
-        col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cos.as("cosine"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(max("cosine").as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
-  }
+      k: Int): DataFrame =
+    probeCore(spark, table, anchorRows, k, crossLabel = false)
 
   /** The CROSS-LABEL serving probe — q125's hard-negative semantics
     * over the persisted store (the training-data shape: for each
@@ -245,28 +208,62 @@ object AnnIndex {
     * (vec_id, label, tbl, sig, v, nrm); sign them at
     * [[recordedBanding]], never a hardcoded pair. */
   def hardNegativesFor(spark: SparkSession, table: String,
-      anchorRows: DataFrame, k: Int): DataFrame = {
+      anchorRows: DataFrame, k: Int): DataFrame =
+    probeCore(spark, table, anchorRows, k, crossLabel = true)
+
+  /** The ONE probe chain both serving entries share (refresh, anchor
+    * checkpoint, driver sig collect, isin pruning, broadcast rendezvous,
+    * max-dedup, rank) — the label predicate and its two output columns
+    * are the only fork, so a fix to the shared contract (the refresh
+    * rule, the dedup rule, the pruning predicate) can never apply to
+    * one entry and silently miss the other. */
+  private def probeCore(spark: SparkSession, table: String,
+      anchorRows: DataFrame, k: Int, crossLabel: Boolean): DataFrame = {
+    // read-your-committed-appends: a writer in another session (the
+    // streaming ingestion pattern) cannot invalidate this session's
+    // cached file listing — refresh before probing (PostingsIndex rule)
     spark.catalog.refreshTable(table)
+    // materialize the anchor rows ONCE (they are query-scale by the
+    // q122/q125 contract): both consumers below — the driver-side
+    // signature collect and the broadcast join — would otherwise
+    // re-execute the caller's whole anchor pipeline (topK's index scan,
+    // or a client's read→norm→sign chain)
     val anchors = anchorRows
-      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
-        col("tbl").as("qtbl"), col("sig").as("qsig"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
+      .select(Seq(col("vec_id").as("query_id")) ++
+        (if (crossLabel) Seq(col("label").as("query_label")) else Nil) ++
+        Seq(col("tbl").as("qtbl"), col("sig").as("qsig"),
+          col("v").as("qv"), col("nrm").as("qnrm")): _*)
       .localCheckpoint(true)
+    // anchor signatures collect to the driver for the pruning predicate
     val probeSigs = anchors.select("qsig").distinct()
       .collect().map(_.getString(0)).toSeq
+    // ONE index scan: bucket-pruned by the literal signature set, hash-
+    // probed against the broadcast anchors on the (tbl, sig) rendezvous;
+    // neighbor v/nrm ride the index row and query v/nrm the broadcast,
+    // so the cosine computes in the same pass — no second corpus read.
+    // Colliding (query, neighbor) pairs from multiple tables carry the
+    // identical cosine; max() is the deterministic dedup.
     val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    val baseCond = col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
+      col("vec_id") =!= col("query_id")
+    val cond =
+      if (crossLabel) baseCond && col("label") =!= col("query_label")
+      else baseCond
+    val outKeys =
+      if (crossLabel) Seq(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"))
+      else Seq(col("query_id"), col("vec_id").as("neighbor_id"))
+    val keyNames =
+      if (crossLabel)
+        Seq("query_id", "query_label", "neighbor_id", "neighbor_label")
+      else Seq("query_id", "neighbor_id")
     spark.table(table)
       .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
-      .join(broadcast(anchors),
-        col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
-          col("vec_id") =!= col("query_id") &&
-          col("label") =!= col("query_label"))
-      .select(col("query_id"), col("query_label"),
-        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
-        cos.as("cosine"))
-      .groupBy("query_id", "query_label", "neighbor_id", "neighbor_label")
+      .join(broadcast(anchors), cond)
+      .select(outKeys :+ cos.as("cosine"): _*)
+      .groupBy(keyNames.map(col): _*)
       .agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -54,19 +54,28 @@ object IvfIndex {
 
   private val FitProp = "graft.ivf.fit"
 
-  /** Storage format of the cell rows: absent/"float" = full-precision
-    * (v, nrm) rows written by [[build]]; "sq" = int8 scalar-quantized
-    * (qv, qnrm) rows written by [[buildSq]]. Probes and appends check it
-    * loudly — a float probe against codes (or vice versa) is a schema
-    * mismatch a caller should read as "wrong entry point", not as an
+  /** Storage format of the cell rows: absent = full-precision (v, nrm)
+    * rows written by [[build]] (which predates the property and never
+    * writes it); "sq" = int8 scalar-quantized (qv, qnrm) rows written
+    * by [[buildSq]]. The property is the ROUTING TRUTH every probe and
+    * append reads (the recordedBanding rule — catalog state, not
+    * column-name sniffing, which a future variant carrying a `qv`
+    * column would silently fool): a float probe against codes (or vice
+    * versa) fails loudly as "wrong entry point", never as an
     * unresolved-column stack trace. */
   private val StorageProp = "graft.ivf.storage"
 
   private[sources] def centTableOf(table: String): String = s"${table}_cent"
 
+  private def isSqStore(spark: SparkSession, table: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == StorageProp =>
+        r.getString(1) }
+      .contains("sq")
+
   private def requireStorage(spark: SparkSession, table: String,
       wantSq: Boolean): Unit = {
-    val isSq = spark.table(table).columns.contains("qv")
+    val isSq = isSqStore(spark, table)
     if (wantSq) require(isSq,
       s"$table stores full-precision vectors (built by build) — probe it " +
         "with topKFor / grow it with appendVectors; the *Sq entries serve " +
@@ -314,7 +323,7 @@ object IvfIndex {
     // SQ store kept only the codes, so the information refit needs is
     // gone by design (the 7x compression's stated price: FAISS's SQ
     // indexes can't re-train from codes either).
-    require(!spark.table(table).columns.contains("qv"),
+    require(!isSqStore(spark, table),
       s"$table is an int8 SQ store — its rows carry codes, not the float " +
         "vectors reassignment ranks; fit maintenance for an SQ store is a " +
         "rebuild from the source corpus (buildSq at the new fit)")
@@ -351,7 +360,7 @@ object IvfIndex {
     // guard BEFORE the select below analyzes — an SQ store has no `v`
     // column and the unresolved-column error would mask the real
     // contract (same message as the frame-based entry's guard)
-    require(!spark.table(table).columns.contains("qv"),
+    require(!isSqStore(spark, table),
       s"$table is an int8 SQ store — its rows carry codes, not the float " +
         "vectors reassignment ranks; fit maintenance for an SQ store is a " +
         "rebuild from the source corpus (buildSq at the new fit)")

@@ -444,6 +444,32 @@ object CurationChain {
           rebandOnAdaptive, rebandCheckEvery, rebandAnchors)
       }
 
+  /** The guard/marker/compaction skeleton every VECTOR-side index loop
+    * shares ([[vectorBatch]], [[cellBatch]], [[sqCellBatch]]): skip
+    * empty and replayed batches, run the family's append, advance the
+    * marker, compact past the file threshold, then run the family's own
+    * maintenance trigger. ONE body so a fix to the replay guard or the
+    * compaction trigger can never apply to one loop and silently leave
+    * another with different idempotency behavior. (The DOC-side loops
+    * keep their own bodies: postingsBatch folds the marker into the
+    * stats statement, gatedBatch/bandBatch advance it even on
+    * all-rejected batches — different contracts, stated there.) */
+  private def indexLoopBatch(table: String, batch: DataFrame,
+      batchId: Long, compactAboveFiles: Int)(append: DataFrame => Unit)(
+      maintain: => Unit): Unit =
+    if (!batch.isEmpty && batchId >
+        graft.sources.Bucketing.lastCommittedBatch(
+          batch.sparkSession, table)) {
+      val spark = batch.sparkSession
+      append(batch)
+      graft.sources.Bucketing.recordBatch(spark, table, batchId)
+      if (compactAboveFiles > 0 &&
+          graft.sources.Bucketing.dataFileCount(
+            spark, table) > compactAboveFiles)
+        graft.sources.Bucketing.compact(spark, table)
+      maintain
+    }
+
   /** [[curatedVectorIndexed]]'s sink body — the curatedIndexed
     * empty-batch rule (watermark ticks and all-duplicate batches must
     * not pay a write commit) plus the batchId marker (a retried batch
@@ -471,19 +497,15 @@ object CurationChain {
       batchId: Long, compactAboveFiles: Int = 0,
       rebandOnAdaptive: Boolean = false, rebandCheckEvery: Int = 8,
       rebandAnchors: Long = 20L): Unit =
-    if (!batch.isEmpty && batchId >
-        graft.sources.Bucketing.lastCommittedBatch(
-          batch.sparkSession, table)) {
-      val spark = batch.sparkSession
+    indexLoopBatch(table, batch, batchId, compactAboveFiles) { b =>
       val (bTables, bBits) =
-        graft.sources.AnnIndex.recordedBanding(spark, table)
-      graft.sources.AnnIndex.appendVectors(table, batch, bTables, bBits)
-      graft.sources.Bucketing.recordBatch(spark, table, batchId)
-      if (compactAboveFiles > 0 &&
-          graft.sources.Bucketing.dataFileCount(
-            spark, table) > compactAboveFiles)
-        graft.sources.Bucketing.compact(spark, table)
+        graft.sources.AnnIndex.recordedBanding(b.sparkSession, table)
+      graft.sources.AnnIndex.appendVectors(table, b, bTables, bBits)
+    } {
       if (rebandOnAdaptive && batchId % rebandCheckEvery.max(1) == 0) {
+        val spark = batch.sparkSession
+        val (bTables, bBits) =
+          graft.sources.AnnIndex.recordedBanding(spark, table)
         spark.catalog.refreshTable(table)
         val n = spark.table(table).count() / bTables
         val target =
@@ -540,16 +562,9 @@ object CurationChain {
   private[graft] def cellBatch(table: String, batch: DataFrame,
       batchId: Long, compactAboveFiles: Int = 0,
       refitAboveSkew: Double = 0.0, refitCheckEvery: Int = 8): Unit =
-    if (!batch.isEmpty && batchId >
-        graft.sources.Bucketing.lastCommittedBatch(
-          batch.sparkSession, table)) {
+    indexLoopBatch(table, batch, batchId, compactAboveFiles)(
+      graft.sources.IvfIndex.appendVectors(table, _)) {
       val spark = batch.sparkSession
-      graft.sources.IvfIndex.appendVectors(table, batch)
-      graft.sources.Bucketing.recordBatch(spark, table, batchId)
-      if (compactAboveFiles > 0 &&
-          graft.sources.Bucketing.dataFileCount(
-            spark, table) > compactAboveFiles)
-        graft.sources.Bucketing.compact(spark, table)
       if (refitAboveSkew > 0 && batchId % refitCheckEvery.max(1) == 0) {
         val occ = graft.sources.IvfIndex.cellStats(spark, table)
           .agg(max(col("n_vectors")), avg(col("n_vectors"))).head()
@@ -599,17 +614,8 @@ object CurationChain {
     * minus the refit trigger (see the entry's scaladoc). */
   private[graft] def sqCellBatch(table: String, batch: DataFrame,
       batchId: Long, compactAboveFiles: Int = 0): Unit =
-    if (!batch.isEmpty && batchId >
-        graft.sources.Bucketing.lastCommittedBatch(
-          batch.sparkSession, table)) {
-      val spark = batch.sparkSession
-      graft.sources.IvfIndex.appendVectorsSq(table, batch)
-      graft.sources.Bucketing.recordBatch(spark, table, batchId)
-      if (compactAboveFiles > 0 &&
-          graft.sources.Bucketing.dataFileCount(
-            spark, table) > compactAboveFiles)
-        graft.sources.Bucketing.compact(spark, table)
-    }
+    indexLoopBatch(table, batch, batchId, compactAboveFiles)(
+      graft.sources.IvfIndex.appendVectorsSq(table, _))(())
 
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN

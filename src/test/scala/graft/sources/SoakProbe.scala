@@ -29,10 +29,11 @@ import graft.streaming.CurationChain
   *
   *   sbt "Test/runMain graft.sources.SoakProbe [dir] [epochs]"
   *
-  * Ends with hard assertions: all three stores hold exactly what was
-  * streamed (none of the concurrent maintenance lost a row), at least
-  * one reband + one refit + one compaction actually fired, and zero
-  * unexpected probe failures occurred. */
+  * Ends with hard assertions: all five stores hold exactly what was
+  * streamed — with the gates' closed forms holding live (gated store =
+  * the corpus's distinct content fingerprints) — at least one reband +
+  * one refit + one compaction actually fired, and zero unexpected
+  * probe failures occurred. */
 object SoakProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -67,6 +68,7 @@ object SoakProbe {
     val base = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "label", "embedding")
     val span = base.agg(max("vec_id")).head.getLong(0) + 1
+    val baseN = base.count() // verdicts are corpus-size-derived, never literals
     def signLit(c: Int): Column = typedLit((0 until 64).map(i =>
       if (((c * 2654435761L >>> (i % 31)) & 1L) == 1L) -1.0f else 1.0f))
     val dirLit = typedLit((0 until 64).map(i => ((i % 7) - 3) * 0.1f))
@@ -96,7 +98,8 @@ object SoakProbe {
     graft.queries.Curation.sealStore("soak_sealed",
       graft.Tables.documents(spark, dir).limit(0)
         .select(graft.queries.Curation.bowFingerprint.as("fp")), buckets = 8)
-    val bloom = org.apache.spark.util.sketch.BloomFilter.create(10000L, 0.01)
+    val gateCapacity = 2L * docsAll.length
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(gateCapacity, 0.01)
     PostingsIndex.build(spark, dir, "soak_gpost", corpusPred = lit(false))
     // the near-dup gate's store, empty: the stream IS its corpus
     BandIndex.build(spark, dir, "soak_band", corpusPred = lit(false))
@@ -133,17 +136,23 @@ object SoakProbe {
     // table-not-found between DROP and RENAME, and file listings gone
     // stale mid-rewrite. Everything else is an unexpected failure and
     // fails the soak.
+    // Matched against the guards' EXACT phrases, not loose substrings:
+    // a bare "fit"/"does not exist" match would also swallow genuine
+    // schema/resolution regressions as benign retries and hollow out
+    // the soak's zero-unexpected verdict.
     def retryable(t: Throwable): Boolean = {
       val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .take(8).toSeq
       chain.exists { e =>
         val m = Option(e.getMessage).getOrElse("")
-        m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        m.contains("TABLE_OR_VIEW_NOT_FOUND") ||       // swap instant
           m.contains("Table or view not found") ||
-          m.contains("not built by") || m.contains("fit") ||
-          m.contains("banding") || m.contains("carries no") ||
-          e.isInstanceOf[java.io.FileNotFoundException] ||
-          m.contains("does not exist")
+          m.contains("half-completed refit") ||        // IvfIndex fit guard
+          m.contains("carries no graft") ||            // stats/banding props mid-swap
+          m.contains("carries no centroid companion") ||
+          m.contains("carries no bucket spec") ||
+          m.contains("PATH_NOT_FOUND") ||              // listing gone mid-rewrite
+          e.isInstanceOf[java.io.FileNotFoundException]
       }
     }
     val lat = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
@@ -205,7 +214,7 @@ object SoakProbe {
       compactAboveFiles = 400).start()
     val qGate = CurationChain.curatedGatedIndexed(
       gateIn.toDF().toDF("doc_id", "ts", "source", "text"), "soak_sealed",
-      "soak_gpost", bloom, capacity = 10000L,
+      "soak_gpost", bloom, capacity = gateCapacity,
       compactAboveFiles = 400).start()
     val qBand = CurationChain.curatedBandIndexed(
       bandIn.toDF().toDF("doc_id", "ts", "source", "text"), "soak_band",
@@ -296,13 +305,13 @@ object SoakProbe {
     val banding = AnnIndex.recordedBanding(spark, "soak_ann")
     if (banding == ((4, 8))) fail("the adaptive reband never fired")
     val annRows = spark.table("soak_ann").count()
-    val annWant = (2000L + annVecs.length) * banding._1
+    val annWant = (baseN + annVecs.length) * banding._1
     if (annRows != annWant)
       fail(s"ann store rows=$annRows, want $annWant (${banding._1} tables)")
     spark.catalog.refreshTable("soak_ivf")
     val ivfRows = spark.table("soak_ivf").count()
-    if (ivfRows != 2000L + ivfVecs.length)
-      fail(s"ivf store rows=$ivfRows, want ${2000 + ivfVecs.length}")
+    if (ivfRows != baseN + ivfVecs.length)
+      fail(s"ivf store rows=$ivfRows, want ${baseN + ivfVecs.length}")
     if (fitProp() == fit0) fail("the skew refit never fired")
     val compacted = fileSeen.filter { case (_, xs) =>
       xs.zip(xs.drop(1)).exists { case (a, b) => b < a } }.keys.toSeq
