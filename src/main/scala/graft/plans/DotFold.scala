@@ -90,9 +90,22 @@ case class DotFoldI8(left: Expression, right: Expression)
 }
 
 object DotFoldI8 {
-  /** Strict left-to-right accumulation, the [[DotFold.compute]] rule. */
+  /** Strict left-to-right accumulation, the [[DotFold.compute]] rule —
+    * EXCEPT on a dimension mismatch, where this fold FAILS LOUDLY
+    * instead of truncating (round-18 advice): DotFold's min-length rule
+    * serves ad-hoc frames where ragged inputs are the caller's data;
+    * here `codes` is an INDEX PAYLOAD whose length the IVF-SQ store
+    * contract fixes at build time, so a mismatch means store corruption
+    * or a wrong-dimension query — silently-wrong scores on a persisted
+    * index are exactly the hazard class the fit-version guard exists
+    * for. */
   def compute(codes: ArrayData, q: ArrayData): Double = {
-    val n = math.min(codes.numElements(), q.numElements())
+    val n = codes.numElements()
+    if (n != q.numElements())
+      throw new IllegalArgumentException(
+        s"dot_fold_i8: stored codes have $n dims but the query has " +
+          s"${q.numElements()} — an SQ store's dimension is fixed at " +
+          "build; a mismatch is store corruption or a wrong-model query")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -112,8 +112,8 @@ object CurationPipeline {
     * it); never use it for execution, where each stage would re-derive
     * its whole prefix once per consumer. */
   def stages(spark: SparkSession, dir: String,
-      materialize: Boolean = true): Stages =
-    stagesImpl(spark, dir, materialize, labelsOverride = None)
+      materialize: Boolean = true, indexServed: Boolean = false): Stages =
+    stagesImpl(spark, dir, materialize, labelsOverride = None, indexServed)
 
   /** Plan-audit hook: [[Dedup.resolveClusters]] runs eager per-round
     * actions (count/cache) REGARDLESS of `materialize`, so a plan-only
@@ -125,10 +125,12 @@ object CurationPipeline {
     * never use this for execution. */
   private[graft] def stagesForPlanAudit(spark: SparkSession, dir: String,
       labels: DataFrame): Stages =
-    stagesImpl(spark, dir, materialize = false, labelsOverride = Some(labels))
+    stagesImpl(spark, dir, materialize = false, labelsOverride = Some(labels),
+      indexServed = false)
 
   private def stagesImpl(spark: SparkSession, dir: String,
-      materialize: Boolean, labelsOverride: Option[DataFrame]): Stages = {
+      materialize: Boolean, labelsOverride: Option[DataFrame],
+      indexServed: Boolean): Stages = {
     def barrier(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
     graft.plans.GraftExtensions.install(spark)
@@ -168,11 +170,30 @@ object CurationPipeline {
       .transform(barrier)
 
     // 4 — fuzzy sweep on the survivors (q30 pairs → q36 clusters → q82
-    // keep-best; quality scores from stage 2 rank the keep choice)
+    // keep-best; quality scores from stage 2 rank the keep choice).
+    // Two spellings of the SAME pair stream: the recompute
+    // (minhashPairsOn re-derives shingle → minhash → band per run — the
+    // oracle anchor) and the INDEX-SERVED path (q149): band ONCE at the
+    // ingest gate, purge the stages' drops from the store (the delete
+    // verb: the store tracks the live survivor set), sweep shuffle-free
+    // from the store (q140's bucketed self-join). Banding is
+    // per-document and deterministic, so both spellings verify the
+    // identical pair set — one oracle gates both rows.
     val labels = labelsOverride.getOrElse {
-      val pairs = Dedup
-        .minhashPairsOn(spark, exactKept.select("doc_id", "text"))
-        .select("doc_a", "doc_b")
+      val pairs =
+        if (indexServed) {
+          val table = "bands_q149"
+          graft.sources.BandIndex.buildDocs(spark, table,
+            admitted.select("doc_id", "text"))
+          graft.sources.BandIndex.delete(spark, table,
+            admitted.select("doc_id")
+              .join(exactKept.select("doc_id"), Seq("doc_id"), "left_anti"))
+          graft.sources.BandIndex.nearDupPairs(spark, table,
+              exactKept.select("doc_id", "text"))
+            .select("doc_a", "doc_b")
+        } else Dedup
+          .minhashPairsOn(spark, exactKept.select("doc_id", "text"))
+          .select("doc_a", "doc_b")
       Dedup.resolveClusters(pairs) // already checkpointed
     }
     val wClus = Window.partitionBy("canonical")
@@ -256,8 +277,9 @@ object CurationPipeline {
         col("n_docs"), col("n_tokens"),
         col("n_tokens").as("effective_tokens"))
 
-  def accounting(spark: SparkSession, dir: String): DataFrame = {
-    val st = stages(spark, dir)
+  def accounting(spark: SparkSession, dir: String,
+      indexServed: Boolean = false): DataFrame = {
+    val st = stages(spark, dir, indexServed = indexServed)
     val splitRows = st.split
       .groupBy("split")
       .agg(
@@ -281,10 +303,12 @@ object CurationPipeline {
       .orderBy("stage_ord")
   }
 
-  private val q124 = GraftQuery(
-    "q124_curation_pipeline",
-    (spark, dir) => accounting(spark, dir),
-    Some {
+  /** The composite's DuckDB replay — SHARED by q124 (recompute fuzzy
+    * sweep) and q149 (the index-served sweep): the two spellings must
+    * produce identical stage accounting, so registering both against
+    * the ONE oracle is the equivalence proof at the gate (the
+    * q133/q134 pattern lifted to the whole pipeline). */
+  private val compositeOracleSql: String = {
       val acct = (ord: Int, name: String, src: String) =>
         s"""SELECT $ord AS stage_ord, '$name' AS stage,
               count(*) AS n_docs,
@@ -389,8 +413,33 @@ object CurationPipeline {
                CAST(sum(n_tok * repeats) AS BIGINT) AS effective_tokens
         FROM spl GROUP BY split)
       ORDER BY stage_ord"""
-    },
+  }
+
+  private val q124 = GraftQuery(
+    "q124_curation_pipeline",
+    (spark, dir) => accounting(spark, dir),
+    Some(compositeOracleSql),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q124)
+  /** Q149: the composite with its fuzzy sweep INDEX-SERVED — the
+    * production spelling of a RECURRING crawl's pipeline: band rows are
+    * computed ONCE at the ingest gate ([[graft.sources.BandIndex]] built
+    * over the admitted batch — in the streaming deployment this is
+    * CurationChain.curatedBandIndexed accumulating at ingest), documents
+    * the quality/exact-dedup stages drop are PURGED from the store (the
+    * delete verb composed into the pipeline: the store tracks the live
+    * survivor set instead of re-deriving it), and the fuzzy sweep is
+    * q140/q141's shuffle-free store self-join + candidate-bounded
+    * verify — the composite re-bands NOTHING. Same stages, same
+    * accounting, SAME DuckDB oracle as q124 (banding is per-document
+    * and deterministic, delete ≡ rebuild over survivors, and the store
+    * sweep ≡ the recompute sweep — each equivalence separately
+    * spec-pinned; this row is their composition proved at the gate). */
+  private val q149 = GraftQuery(
+    "q149_curation_pipeline_indexed",
+    (spark, dir) => accounting(spark, dir, indexServed = true),
+    Some(compositeOracleSql),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q124, q149)
 }

@@ -39,16 +39,18 @@ object Dedup {
     * one-tokenizer rule). */
   private[graft] def shingleOn(
       spark: org.apache.spark.sql.SparkSession,
-      docs: org.apache.spark.sql.DataFrame) = {
+      docs: org.apache.spark.sql.DataFrame,
+      shingle: Int = 3) = {
     graft.plans.GraftExtensions.install(spark)
     docs
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .filter(size(split(col("text"), " ")) >= 3)
+      .filter(size(split(col("text"), " ")) >= shingle)
       // compiled shingle construction (graft.plans.WordShingles) — the
       // array_distinct(transform(sequence(...))) spelling is semantically
-      // identical but interpreted
-      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
+      // identical but interpreted. The width defaults to the engine
+      // banding's 3; BandIndex.reband passes the store's recorded width.
+      .select(col("doc_id"), expr(s"word_shingles(text, $shingle)").as("sh"))
   }
 
   private def shingleSqlFrom(src: String) =
@@ -84,8 +86,9 @@ object Dedup {
     * inlining the signature computation per band. */
   private[graft] def minhashSigsOf(
       spark: org.apache.spark.sql.SparkSession,
-      sh: org.apache.spark.sql.DataFrame) =
-    sh.select(col("doc_id"), expr("minhash_sigs(sh, 12)").as("sigs"))
+      sh: org.apache.spark.sql.DataFrame,
+      hashes: Int = 12) =
+    sh.select(col("doc_id"), expr(s"minhash_sigs(sh, $hashes)").as("sigs"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Band rows (doc_id, band, sig) of a signature frame — the LSH
@@ -95,13 +98,14 @@ object Dedup {
     * the persisted [[graft.sources.BandIndex]] all key on — one
     * definition so the recompute paths and the index can never drift. */
   private[graft] def bandRowsOf(
-      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bandCols = (0 until 4).map(b =>
-      md5(concat(element_at(col("sigs"), 3 * b + 1),
-        element_at(col("sigs"), 3 * b + 2),
-        element_at(col("sigs"), 3 * b + 3))).as(s"b$b"))
+      sigs: org.apache.spark.sql.DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 3): org.apache.spark.sql.DataFrame = {
+    val bandCols = (0 until bands).map(b =>
+      md5(concat((1 to rowsPerBand).map(i =>
+        element_at(col("sigs"), rowsPerBand * b + i)): _*)).as(s"b$b"))
     sigs.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"b$b")): _*)))
+      .select(col("doc_id"), posexplode(array((0 until bands).map(b => col(s"b$b")): _*)))
       .toDF("doc_id", "band", "sig")
   }
 
@@ -112,7 +116,23 @@ object Dedup {
   private[graft] def bandRowsOn(
       spark: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    bandRowsOf(minhashSigsOf(spark, shingleOn(spark, docs)))
+    bandRowsOn(spark, docs, (3, 12, 4))
+
+  /** [[bandRowsOn]] at an explicit (shingle, hashes, bands) — the form
+    * [[graft.sources.BandIndex.reband]] and the recorded-banding probe
+    * path use. rowsPerBand = hashes / bands (enforced where the banding
+    * is chosen: BandIndex requires divisibility before it records). */
+  private[graft] def bandRowsOn(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      banding: (Int, Int, Int)): org.apache.spark.sql.DataFrame = {
+    val (shingle, hashes, bands) = banding
+    require(hashes % bands == 0,
+      s"banding (shingle=$shingle, hashes=$hashes, bands=$bands) is not " +
+        "self-consistent — hashes must divide evenly into bands")
+    bandRowsOf(minhashSigsOf(spark, shingleOn(spark, docs, shingle), hashes),
+      bands, hashes / bands)
+  }
 
   private[queries] def minhashCandOn(
       spark: org.apache.spark.sql.SparkSession,
@@ -737,7 +757,7 @@ object Dedup {
     * spelling joined each round's labels back against the previous
     * round's (a second keyed shuffle and a second full pass per round,
     * ~2× the propagation cost at cluster scale). */
-  private[queries] def resolveClusters(
+  private[graft] def resolveClusters(
       pairs: org.apache.spark.sql.DataFrame,
       maxRounds: Int = 20): org.apache.spark.sql.DataFrame = {
       val edges = pairs

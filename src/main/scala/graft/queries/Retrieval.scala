@@ -208,52 +208,63 @@ object Retrieval {
 
   private def bm25RankedWhereSqlCtes(queryPredSql: String,
       corpusPredSql: String, k: Int): String =
-    s"""ball AS (
+    bm25CtesPrefixed("b", "lex", queryPredSql, corpusPredSql, k)
+
+  /** The chain with every CTE name prefixed and the final relation named
+    * by the caller — what lets ONE DuckDB statement instantiate the BM25
+    * derivation twice (q148's oracle: a verdict chain over the original
+    * corpus feeding a `condemned` set, then the survivor chain over the
+    * corpus minus it). Renaming CTEs changes no semantics, so every
+    * existing oracle keeps hashing identically through the "b"/"lex"
+    * delegation above. */
+  private def bm25CtesPrefixed(p: String, finalName: String,
+      queryPredSql: String, corpusPredSql: String, k: Int): String =
+    s"""${p}all AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      ), btoks AS (
-        SELECT * FROM ball WHERE $corpusPredSql
-      ), bpost AS (
+      ), ${p}toks AS (
+        SELECT * FROM ${p}all WHERE $corpusPredSql
+      ), ${p}post AS (
         SELECT doc_id, dl, term, count(*) AS tf
-        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM btoks)
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM ${p}toks)
         GROUP BY doc_id, dl, term
-      ), bstats AS (
+      ), ${p}stats AS (
         SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl
-        FROM btoks
-      ), bq AS (
+        FROM ${p}toks
+      ), ${p}q AS (
         SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
-        FROM ball WHERE $queryPredSql
-      ), bdf AS (
+        FROM ${p}all WHERE $queryPredSql
+      ), ${p}df AS (
         SELECT p.term, count(*) AS df
-        FROM bpost p WHERE p.term IN (SELECT term FROM bq)
+        FROM ${p}post p WHERE p.term IN (SELECT term FROM ${p}q)
         GROUP BY p.term
-      ), bx AS (
+      ), ${p}x AS (
         SELECT term, df,
                1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
                      (CAST(df AS DOUBLE) + 0.5) AS x
-        FROM bdf CROSS JOIN bstats
-      ), ${DetMath.lnSqlCtes("bx", "x", "idf")},
-      bscore AS (
+        FROM ${p}df CROSS JOIN ${p}stats
+      ), ${DetMath.lnSqlCtes(s"${p}x", "x", s"${p}idf")},
+      ${p}score AS (
         SELECT q.query_id, p.doc_id, q.term,
-               f.idf * (CAST(p.tf AS DOUBLE) * 2.2) /
+               f.${p}idf * (CAST(p.tf AS DOUBLE) * 2.2) /
                (CAST(p.tf AS DOUBLE) +
                 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) /
                        (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS c
-        FROM bq q
-        JOIN bpost p ON p.term = q.term AND p.doc_id <> q.query_id
-        JOIN idf_fin f ON f.term = q.term
-        CROSS JOIN bstats s
-      ), bsum AS (
+        FROM ${p}q q
+        JOIN ${p}post p ON p.term = q.term AND p.doc_id <> q.query_id
+        JOIN ${p}idf_fin f ON f.term = q.term
+        CROSS JOIN ${p}stats s
+      ), ${p}sum AS (
         SELECT query_id, doc_id,
                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
                                         list(c ORDER BY term)),
                            (u, v) -> u + v) AS score,
                count(*) AS n_terms
-        FROM bscore GROUP BY query_id, doc_id
-      ), lex AS (
+        FROM ${p}score GROUP BY query_id, doc_id
+      ), $finalName AS (
         SELECT query_id, doc_id, n_terms, score,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, doc_id) AS rank
-        FROM bsum QUALIFY rank <= $k
+        FROM ${p}sum QUALIFY rank <= $k
       )"""
 
   private[queries] val q127 = GraftQuery(
@@ -444,23 +455,44 @@ object Retrieval {
     * LSH recall does, which is the production trade the RRF seam
     * exists to absorb. Both indexes come from the listing-keyed memos
     * (AnnIndex shares q135's table), so bench passes measure probes. */
+  /** q136's body with the multi-probe dial exposed — the q146 expansion
+    * composed INTO the hybrid serving stack's vector half: the anchors
+    * sign client-side at the store's recorded banding (spec-pinned
+    * equal to the self-probe, so the dial-off row and its oracle are
+    * unchanged), and `multiProbe = true` expands them to Hamming-
+    * radius-1 buckets before the index probe — the per-query recall
+    * lever now inside the serving row that uses it (RRF absorbs the
+    * deeper vector list unchanged). Dial-on is pinned against the
+    * recompute-with-expansion composition in RetrievalSpec; the
+    * recall/wall trade is measured in MultiProbeRecallProbe. */
+  private[graft] def hybridIndexServed(spark: SparkSession, dir: String,
+      multiProbe: Boolean): DataFrame = {
+    val lexTable = graft.sources.PostingsIndex.ensureFor(spark, dir,
+      tag = "hybrid")
+    val annTable = graft.sources.AnnIndex.ensureFor(spark, dir,
+      tag = "q135")
+    val bench = Tables.documents(spark, dir)
+      .filter(col("doc_id") < NAnchors)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val lex = graft.sources.PostingsIndex.topKFor(spark, lexTable, bench,
+      FuseDepth)
+    val (tables, bits) = graft.sources.AnnIndex.recordedBanding(spark,
+      annTable)
+    val anchors0 = Similarity.signatureRowsOf(
+      Similarity.normedVectors(spark, dir).filter(col("vec_id") < NAnchors),
+      tables, bits)
+    val anchors =
+      if (multiProbe) Similarity.multiProbeExpand(anchors0, bits)
+      else anchors0
+    val vec = graft.sources.AnnIndex.topKFor(spark, annTable, anchors,
+      FuseDepth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    fuseRrf(lex, vec, TopK)
+  }
+
   private[queries] val q136 = GraftQuery(
     "q136_hybrid_index_serving",
-    (spark, dir) => {
-      val lexTable = graft.sources.PostingsIndex.ensureFor(spark, dir,
-        tag = "hybrid")
-      val annTable = graft.sources.AnnIndex.ensureFor(spark, dir,
-        tag = "q135")
-      val bench = Tables.documents(spark, dir)
-        .filter(col("doc_id") < NAnchors)
-        .select(col("doc_id").as("query_id"), col("text"))
-      val lex = graft.sources.PostingsIndex.topKFor(spark, lexTable, bench,
-        FuseDepth)
-      val vec = graft.sources.AnnIndex.topK(spark, annTable,
-        nAnchors = NAnchors, k = FuseDepth)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      fuseRrf(lex, vec, TopK)
-    },
+    (spark, dir) => hybridIndexServed(spark, dir, multiProbe = false),
     Some(s"""
       WITH ${bm25RankedWhereSqlCtes(s"doc_id < $NAnchors", "TRUE", FuseDepth)},
       ${Similarity.normedVectorsSql},
@@ -487,5 +519,59 @@ object Retrieval {
       FROM franked ORDER BY query_id, fused_rank"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(q127, q128, q133, q134, q136)
+  /** Q148: DECONTAMINATE-THEN-SERVE — the delete verb oracle-gated
+    * end-to-end on the postings family: the q134 decontam probe names
+    * each benchmark item's strongest lexical match (rank-1, the
+    * highest-confidence contamination verdict), those docs are PURGED
+    * from the live index ([[graft.sources.PostingsIndex.delete]]:
+    * anti-join staged rewrite, stats folded down, negative df deltas),
+    * and the registered row is the SAME benchmark re-probing the
+    * post-delete store. The DuckDB oracle replays the whole lifecycle
+    * in one statement — the verdict chain over the original corpus
+    * derives `condemned`, the survivor chain computes BM25 over the
+    * corpus minus it — so the hash proves delete ≡ rebuild-over-
+    * survivors at the oracle gate, on top of DeleteSpec's direct pin.
+    * The purge rides INSIDE the listing-keyed memo build (ensureFor's
+    * afterBuild hook): maintenance happens once per corpus, every
+    * later run measures what production serves — a probe against the
+    * purged store. This is the retro-purge every recurring decontam
+    * sweep implies: the ingest gate refuses NEW contamination; this
+    * row removes what was indexed before the benchmark existed. */
+  private[queries] val q148 = GraftQuery(
+    "q148_postings_delete_decontam",
+    (spark, dir) => {
+      val bench = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 100 === 7 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val table = graft.sources.PostingsIndex.ensureFor(spark, dir,
+        tag = "deldecontam",
+        corpusPred = col("doc_id") % 100 =!= 7 || col("doc_id") >= 5000,
+        afterBuild = t => {
+          // rank-1 verdicts materialize BEFORE delete rewrites the store
+          // they were probed from (delete checkpoints its id frame first
+          // anyway — this keeps the order visible at the call site)
+          val condemned = graft.sources.PostingsIndex
+            .topKFor(spark, t, bench, k = 1)
+            .select("doc_id").distinct().localCheckpoint(true)
+          graft.sources.PostingsIndex.delete(spark, t, condemned)
+        })
+      graft.sources.PostingsIndex.topKFor(spark, table, bench, DecontamTopK)
+        .select(col("query_id").as("bench_id"), col("doc_id"),
+          col("n_terms"), col("score"), col("rank"))
+        .orderBy("bench_id", "rank")
+    },
+    Some(s"""
+      WITH ${bm25CtesPrefixed("v", "vlex",
+        "doc_id % 100 = 7 AND doc_id < 5000",
+        "(doc_id % 100 <> 7 OR doc_id >= 5000)", 1)},
+      condemned AS (SELECT DISTINCT doc_id FROM vlex),
+      ${bm25CtesPrefixed("s", "slex",
+        "doc_id % 100 = 7 AND doc_id < 5000",
+        "(doc_id % 100 <> 7 OR doc_id >= 5000) AND doc_id NOT IN (SELECT doc_id FROM condemned)",
+        DecontamTopK)}
+      SELECT query_id AS bench_id, doc_id, n_terms, score, rank
+      FROM slex ORDER BY bench_id, rank"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(q127, q128, q133, q134, q136, q148)
 }

@@ -308,7 +308,8 @@ object Similarity {
     * cross-label filter rides in the CANDIDATE join, so same-label pairs
     * die at the bucket probe before any cosine is computed. */
   private[queries] def lshTopK(spark: SparkSession, dir: String, k: Int,
-      crossLabelOnly: Boolean, tables: Int = 4, bits: Int = 8): DataFrame = {
+      crossLabelOnly: Boolean, tables: Int = 4, bits: Int = 8,
+      multiProbe: Boolean = false): DataFrame = {
     val pool =
       if (tables * bits <= 32) hyperplanes else hyperplanePool(tables * bits)
     val e = normedVectors(spark, dir)
@@ -331,8 +332,14 @@ object Similarity {
       col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id")
     val cond = if (crossLabelOnly) baseCond && col("x.label") =!= col("y.label")
                else baseCond
-    val cand = sigs.as("x").join(sigs.as("y"), cond)
-      .filter(col("x.vec_id") < 20)
+    // the query side optionally multi-probe-expands (the q145 dial on
+    // this scaffold — the hard-negative recompute reference for the
+    // expanded serving probes); single-probe plans are unchanged (the
+    // anchor filter merely moves above the join, where the optimizer
+    // pushed it anyway)
+    val qsigs0 = sigs.filter(col("vec_id") < 20)
+    val qsigs = if (multiProbe) multiProbeExpand(qsigs0, bits) else qsigs0
+    val cand = qsigs.as("x").join(sigs.as("y"), cond)
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
       .distinct()
     val cos = dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))
@@ -977,21 +984,35 @@ object Similarity {
     * adaptive rule's resolution is require()d equal — a corpus resize
     * fails the registration loudly with the regeneration instruction,
     * never hash-compares two different plans. */
+  /** q147's body with the multi-probe dial exposed — the q146 expansion
+    * composed INTO the hard-negative serving row instead of beside it:
+    * `multiProbe = true` expands the client-signed anchors to their
+    * Hamming-radius-1 buckets before the cross-label store probe (the
+    * store, the pruning, the dedup, the tie rule all absorb it
+    * unchanged — probeCore's contract). The registered row keeps the
+    * dial OFF so the static 8×4 oracle stays comparable; MultiProbeSpec
+    * pins dial-on == the recompute scaffold with the same expansion, and
+    * the recall/wall trade is measured at scale in MultiProbeRecallProbe
+    * (SCALING.md round 19). */
+  private[graft] def hardNegIndexServed(spark: SparkSession, dir: String,
+      multiProbe: Boolean): DataFrame = {
+    val n = corpusCount(spark, dir)
+    val banding = adaptiveBanding(n, anchors = AnchorCount)
+    require(banding == ((8, 4)),
+      s"corpus ($n vecs) resolves adaptive banding $banding but q147's " +
+        "oracle SQL is static at (8,4) — regenerate the oracle at the new banding")
+    val table = graft.sources.AnnIndex.ensureFor(spark, dir, tag = "q147",
+      tables = banding._1, bits = banding._2)
+    val (t, b) = graft.sources.AnnIndex.recordedBanding(spark, table)
+    val anchors0 = signatureRowsOf(
+      normedVectors(spark, dir).filter(col("vec_id") < 20), t, b)
+    val anchors = if (multiProbe) multiProbeExpand(anchors0, b) else anchors0
+    graft.sources.AnnIndex.hardNegativesFor(spark, table, anchors, 3)
+  }
+
   private[queries] val q147 = GraftQuery(
     "q147_hard_negatives_index_probe",
-    (spark, dir) => {
-      val n = corpusCount(spark, dir)
-      val banding = adaptiveBanding(n, anchors = AnchorCount)
-      require(banding == ((8, 4)),
-        s"corpus ($n vecs) resolves adaptive banding $banding but q147's " +
-          "oracle SQL is static at (8,4) — regenerate the oracle at the new banding")
-      val table = graft.sources.AnnIndex.ensureFor(spark, dir, tag = "q147",
-        tables = banding._1, bits = banding._2)
-      val (t, b) = graft.sources.AnnIndex.recordedBanding(spark, table)
-      val anchors = signatureRowsOf(
-        normedVectors(spark, dir).filter(col("vec_id") < 20), t, b)
-      graft.sources.AnnIndex.hardNegativesFor(spark, table, anchors, 3)
-    },
+    (spark, dir) => hardNegIndexServed(spark, dir, multiProbe = false),
     Some(lshTopKSql(k = 3, crossLabelOnly = true, tables = 8, bits = 4)),
     headline = true)
 

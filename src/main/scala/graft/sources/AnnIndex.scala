@@ -112,6 +112,21 @@ object AnnIndex {
         "graft.lsh.bits" -> bits.toString))
   }
 
+  /** DELETE vectors from the store — the retroactive-removal verb
+    * ([[graft.sources.Bucketing.deleteByKey]]'s contract: anti-join
+    * staged rewrite, idempotent on absent ids, user properties — the
+    * recorded banding, the streaming loop's batch marker — carried, swap-
+    * instant reader outage). The signature-row layout keeps no derived
+    * statistics, so the purge IS the whole operation: after the swap a
+    * probe's candidate stream simply never collides with the removed
+    * vectors, row-identical to a store rebuilt over the survivors
+    * (DeleteSpec pins it). `vecIds` is any one-column frame of vec ids. */
+  def delete(spark: SparkSession, table: String, vecIds: DataFrame): Unit = {
+    banding(spark, table) // refuse a table this object did not build
+    spark.catalog.refreshTable(table)
+    Bucketing.deleteByKey(spark, table, "vec_id", vecIds)
+  }
+
   private def banding(spark: SparkSession, table: String): (Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -213,10 +228,24 @@ object AnnIndex {
 
   /** The ONE probe chain both serving entries share (refresh, anchor
     * checkpoint, driver sig collect, isin pruning, broadcast rendezvous,
-    * max-dedup, rank) — the label predicate and its two output columns
+    * pair dedup, rank) — the label predicate and its two output columns
     * are the only fork, so a fix to the shared contract (the refresh
     * rule, the dedup rule, the pruning predicate) can never apply to
-    * one entry and silently miss the other. */
+    * one entry and silently miss the other.
+    *
+    * Broadcast shape (round-18 advice applied): the rendezvous
+    * broadcasts only the SLIM probe keys (query_id[, label], tbl, sig)
+    * — a multi-probe-expanded anchor set carries (bits+1) rows per
+    * (query, table), and shipping qv/qnrm on every expanded row grew
+    * the broadcast and the driver collect ~9× at 4×8 banding for a
+    * payload that is identical across a query's rows. The query payload
+    * joins back AFTER the pair dedup, one broadcast row per query; the
+    * neighbor payload still rides the index scan row (the
+    * self-contained-single-scan trade), so the cosine also computes
+    * once per UNIQUE pair instead of once per colliding table. Same
+    * fold on the same vectors → identical values, and the pair dedup
+    * (identical rows across tables/probes) plus the (cosine, id) tie
+    * rule keep every output bit-equal to the pre-slim spelling. */
   private def probeCore(spark: SparkSession, table: String,
       anchorRows: DataFrame, k: Int, crossLabel: Boolean): DataFrame = {
     // read-your-committed-appends: a writer in another session (the
@@ -224,28 +253,26 @@ object AnnIndex {
     // cached file listing — refresh before probing (PostingsIndex rule)
     spark.catalog.refreshTable(table)
     // materialize the anchor rows ONCE (they are query-scale by the
-    // q122/q125 contract): both consumers below — the driver-side
-    // signature collect and the broadcast join — would otherwise
-    // re-execute the caller's whole anchor pipeline (topK's index scan,
-    // or a client's read→norm→sign chain)
+    // q122/q125 contract): the consumers below — the driver-side
+    // signature collect, the slim broadcast, the payload broadcast —
+    // would otherwise re-execute the caller's whole anchor pipeline
+    // (topK's index scan, or a client's read→norm→sign chain)
     val anchors = anchorRows
       .select(Seq(col("vec_id").as("query_id")) ++
         (if (crossLabel) Seq(col("label").as("query_label")) else Nil) ++
         Seq(col("tbl").as("qtbl"), col("sig").as("qsig"),
           col("v").as("qv"), col("nrm").as("qnrm")): _*)
       .localCheckpoint(true)
+    val slim = anchors
+      .select(Seq(col("query_id")) ++
+        (if (crossLabel) Seq(col("query_label")) else Nil) ++
+        Seq(col("qtbl"), col("qsig")): _*)
+      .distinct()
+    val payload = anchors.select("query_id", "qv", "qnrm")
+      .dropDuplicates("query_id")
     // anchor signatures collect to the driver for the pruning predicate
-    val probeSigs = anchors.select("qsig").distinct()
+    val probeSigs = slim.select("qsig").distinct()
       .collect().map(_.getString(0)).toSeq
-    // ONE index scan: bucket-pruned by the literal signature set, hash-
-    // probed against the broadcast anchors on the (tbl, sig) rendezvous;
-    // neighbor v/nrm ride the index row and query v/nrm the broadcast,
-    // so the cosine computes in the same pass — no second corpus read.
-    // Colliding (query, neighbor) pairs from multiple tables carry the
-    // identical cosine; max() is the deterministic dedup.
-    val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     val baseCond = col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
       col("vec_id") =!= col("query_id")
     val cond =
@@ -259,12 +286,22 @@ object AnnIndex {
       if (crossLabel)
         Seq("query_id", "query_label", "neighbor_id", "neighbor_label")
       else Seq("query_id", "neighbor_id")
-    spark.table(table)
+    // ONE index scan: bucket-pruned by the literal signature set, hash-
+    // probed against the broadcast slim keys on the (tbl, sig)
+    // rendezvous. A (query, neighbor) pair colliding in several tables
+    // (or several multi-probe buckets) yields IDENTICAL rows — the
+    // neighbor's v/nrm ride its one index row — so dropDuplicates on
+    // the pair keys is the deterministic dedup.
+    val cand = spark.table(table)
       .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
-      .join(broadcast(anchors), cond)
-      .select(outKeys :+ cos.as("cosine"): _*)
-      .groupBy(keyNames.map(col): _*)
-      .agg(max("cosine").as("cosine"))
+      .join(broadcast(slim), cond)
+      .select(outKeys :+ col("v") :+ col("nrm"): _*)
+      .dropDuplicates(keyNames)
+    val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(broadcast(payload), Seq("query_id"))
+      .select(keyNames.map(col) :+ cos.as("cosine"): _*)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")

@@ -59,43 +59,106 @@ object BandIndex {
     * shingle+minhash pass over the corpus — the one-time cost every
     * later probe amortizes. */
   def build(spark: SparkSession, dir: String, table: String,
-      corpusPred: Column = lit(true), buckets: Int = 16): Unit = {
-    Bucketing.writeBucketed(
-      bandRows(graft.Tables.documents(spark, dir).filter(corpusPred)),
+      corpusPred: Column = lit(true), buckets: Int = 16): Unit =
+    buildDocs(spark, table,
+      graft.Tables.documents(spark, dir).filter(corpusPred), buckets)
+
+  /** [[build]] over a (doc_id, text, …) FRAME — the form a pipeline
+    * stage uses when its corpus is not a dir slice (q149's composite
+    * bands the ingest gate's ADMITTED output, which is an anti-join
+    * result, not a predicate). Same banding recording, same layout. */
+  def buildDocs(spark: SparkSession, table: String, docs: DataFrame,
+      buckets: Int = 16): Unit = {
+    Bucketing.writeBucketed(bandRows(docs.select("doc_id", "text")),
       table, "sig", buckets)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       s"'$ShingleProp' = '${Banding._1}', '$HashesProp' = '${Banding._2}', " +
       s"'$BandsProp' = '${Banding._3}')")
   }
 
+  /** The banding the store was built (or last rebanded) at — PUBLIC for
+    * the AnnIndex.recordedBanding reason: after a [[reband]], probes and
+    * appends must band their side at the CATALOG's truth, never the
+    * engine default, or their rows silently stop colliding with the
+    * store's. */
+  def recordedBanding(spark: SparkSession, table: String): (Int, Int, Int) =
+    banding(spark, table)
+
   /** Incremental maintenance — the ingest path: band a NEW batch of
-    * documents and append bucket-aligned (one file per touched bucket,
-    * the PostingsIndex.appendDocs rule). The batch's banding is the
-    * engine constant, CHECKED against the build's recorded properties —
-    * a mismatch means rows that never collide, a silent recall loss, so
-    * it fails here instead. Caller contract: new doc_ids disjoint from
-    * the indexed set (the ingest gate runs upstream); single-writer
-    * like every append path. */
-  def appendDocs(table: String, docs: DataFrame): Unit =
-    appendBandRows(table, bandRows(docs))
+    * documents AT THE STORE'S RECORDED BANDING and append bucket-aligned
+    * (one file per touched bucket, the PostingsIndex.appendDocs rule).
+    * Caller contract: new doc_ids disjoint from the indexed set (the
+    * ingest gate runs upstream); single-writer like every append path. */
+  def appendDocs(table: String, docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val b = banding(spark, table)
+    appendBandRowsAt(table,
+      Dedup.bandRowsOn(spark, docs.select("doc_id", "text"), b), b)
+  }
 
   /** [[appendDocs]] over PRE-COMPUTED band rows (any column order
     * containing sig/band/doc_id) — the streaming sink's form: the
     * near-dup gate already banded its batch for the probe, so the
     * append reuses those rows instead of paying a second
     * shingle+minhash pass (the PostingsIndex checkpoint-once rule).
-    * Caller contract: the rows came from [[Dedup.bandRowsOn]] — the
-    * property require() guards the TABLE's identity; row provenance is
-    * the caller's, like every append path's disjoint-ids rule. */
-  private[graft] def appendBandRows(table: String, rows: DataFrame): Unit = {
+    * `rowsBanding` states what the rows were computed at, CHECKED
+    * against the recorded properties — a mismatch means rows that never
+    * collide, a silent recall loss, so it fails here instead. Row
+    * provenance is the caller's ([[Dedup.bandRowsOn]] at that banding),
+    * like every append path's disjoint-ids rule. */
+  private[graft] def appendBandRowsAt(table: String, rows: DataFrame,
+      rowsBanding: (Int, Int, Int)): Unit = {
     val spark = rows.sparkSession
     val built = banding(spark, table)
-    require(built == Banding,
-      s"$table was built at banding $built but this engine bands at " +
-        s"$Banding — mismatched band rows never collide")
+    require(built == rowsBanding,
+      s"$table is recorded at banding $built but these rows were banded " +
+        s"at $rowsBanding — mismatched band rows never collide (after a " +
+        "reband, band the batch at recordedBanding)")
     val buckets = bucketCount(spark, table)
     rows.select("sig", "band", "doc_id").repartition(buckets, col("sig"))
       .write.mode("append").insertInto(table)
+  }
+
+  /** RE-BAND maintenance — [[AnnIndex.reband]]'s rule applied to the
+    * MinHash family when [[graft.queries.Similarity.adaptiveBanding]]'s
+    * transition (or a deployment's own recall target) moves this
+    * family's parameters too. One asymmetry, stated: the band store
+    * holds NO text (its ~4-md5-rows-per-doc size is the design), so
+    * re-signing needs the SOURCE CORPUS back — `docs` is the same
+    * (doc_id, text) population the store was built/grown from, re-read
+    * once per banding change (the rebuildSq trade on the dedup family).
+    * Only docs the STORE holds re-sign (membership is the store's
+    * truth: deleted docs stay deleted); docs shorter than the NEW
+    * shingle width drop out, exactly as a fresh build at the new
+    * banding would drop them — RebandSpec pins reband == fresh build
+    * bit-for-bit. Rows and the recorded banding properties swap
+    * atomically in one staged rewrite (user properties — the batch
+    * marker — carried); single-writer, probes may retry across the
+    * swap instant and must sign at [[recordedBanding]] after. */
+  def reband(spark: SparkSession, table: String, docs: DataFrame,
+      shingle: Int, hashes: Int, bands: Int): Unit = {
+    banding(spark, table) // refuse a table this object did not build
+    require(hashes % bands == 0,
+      s"hashes ($hashes) must divide evenly into bands ($bands)")
+    spark.catalog.refreshTable(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not built by BandIndex.build"))
+    val carried = meta.properties.filterNot { case (k, _) =>
+      k.startsWith("spark.") || k.startsWith("transient_") ||
+        k == "comment" || k == "owner"
+    }
+    val ids = spark.table(table).select("doc_id").distinct()
+      .localCheckpoint(true)
+    val member = docs.select("doc_id", "text")
+      .join(ids, Seq("doc_id"), "left_semi")
+    val rows = Dedup.bandRowsOn(spark, member, (shingle, hashes, bands))
+      .select("sig", "band", "doc_id").localCheckpoint(true)
+    Bucketing.stagedSwapIn(spark, table, rows, "sig", buckets,
+      carried ++ Map(ShingleProp -> shingle.toString,
+        HashesProp -> hashes.toString, BandsProp -> bands.toString))
   }
 
   /** Past this many probe band rows, the probes stop shipping the
@@ -172,8 +235,14 @@ object BandIndex {
     // streaming ingestion path) cannot invalidate this session's cached
     // file listing — refresh before probing (the PostingsIndex rule)
     spark.catalog.refreshTable(table)
-    val shq = Dedup.shingleOn(spark, queryDocs).localCheckpoint(true)
-    val qbands = Dedup.bandRowsOf(Dedup.minhashSigsOf(spark, shq))
+    // the query side bands — and the verify re-shingles — at the STORE'S
+    // recorded banding (after a reband the engine default would produce
+    // signatures that never collide; the recordedBanding rule)
+    val (shingle, hashes, bands) = banding(spark, table)
+    val shq = Dedup.shingleOn(spark, queryDocs, shingle)
+      .localCheckpoint(true)
+    val qbands = Dedup.bandRowsOf(
+        Dedup.minhashSigsOf(spark, shq, hashes), bands, hashes / bands)
       .localCheckpoint(true)
     // candidate pairs COLLECT to the driver (the query-vocab-literal
     // contract: each bench item collides with its true near-dups plus
@@ -197,7 +266,7 @@ object BandIndex {
         corpusDocs.filter(col("doc_id").isin(candIds: _*))
       else corpusDocs.join(
         broadcast(cand.select("doc_id").distinct()), Seq("doc_id"))
-    Dedup.crossVerify(cand, shq, Dedup.shingleOn(spark, candDocs))
+    Dedup.crossVerify(cand, shq, Dedup.shingleOn(spark, candDocs, shingle))
   }
 
   /** Verified near-dup pairs of the WHOLE indexed collection — the
@@ -244,7 +313,9 @@ object BandIndex {
         (c, corpusDocs.join(ids, Seq("doc_id"), "left_semi"))
       }
     }
-    val sh = Dedup.shingleOn(spark, candDocs)
+    // verify at the store's recorded shingle width (the recordedBanding
+    // rule — the candidate pairs collided at that banding)
+    val sh = Dedup.shingleOn(spark, candDocs, banding(spark, table)._1)
     Dedup.crossVerify(
       pairs.select(col("doc_a").as("bench_id"), col("doc_b").as("doc_id")),
       sh, sh)
@@ -311,6 +382,21 @@ object BandIndex {
     IndexMemo.ensure(s"bands|$tag|$predFp|$dir|$buckets",
       graft.Tables.listingSignature(dir, "documents"), s"bands_$tag")(
       t => build(spark, dir, t, corpusPred, buckets))
+  }
+
+  /** DELETE documents from the band store — the verb the sweep's own
+    * verdicts feed back: [[nearDupPairs]]/q141 name near-dup losers and
+    * [[nearDupsFor]]/q139 names contaminated docs, and purging them here
+    * is what makes the NEXT sweep's candidate stage not re-derive the
+    * same pairs forever. [[Bucketing.deleteByKey]]'s contract (anti-join
+    * staged rewrite, idempotent on absent ids, banding properties and
+    * batch marker carried, swap-instant outage); no derived statistics
+    * in this family, so the purge is the whole operation — probes after
+    * equal a store rebuilt over the survivors (DeleteSpec). */
+  def delete(spark: SparkSession, table: String, docIds: DataFrame): Unit = {
+    banding(spark, table) // refuse a table this object did not build
+    spark.catalog.refreshTable(table)
+    Bucketing.deleteByKey(spark, table, "doc_id", docIds)
   }
 
   /** The store's row pipeline — exactly the recompute path's band

@@ -126,6 +126,46 @@ object Bucketing {
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
 
+  /** DELETE rows whose `keyCol` appears in `ids` — the retroactive-removal
+    * verb every index family shares: an anti-join rewrite of the whole
+    * store through [[stagedSwapIn]] (bucketed tables have no partition-
+    * level overwrite — buckets are not partitions — so the physical purge
+    * is compaction-class: one full rewrite, readers see old store → swap
+    * instant → purged store, ALL user properties carried). `ids` may hold
+    * keys that were never indexed or were already deleted — the anti-join
+    * makes the purge IDEMPOTENT by construction, which is what lets a
+    * recurring sweep re-feed its whole condemned set without tracking
+    * what a previous run already removed. Deployments batch deletes on
+    * the compaction cadence (the cost IS a compaction; a per-document
+    * delete would pay a store rewrite per document). Single-writer like
+    * every maintenance path; probes may retry across the swap instant.
+    * Returns the surviving snapshot's row frame count change indirectly
+    * via the swap — callers needing the removed rows (stats folds) read
+    * them BEFORE calling this. */
+  private[sources] def deleteByKey(spark: SparkSession, table: String,
+      keyCol: String, ids: DataFrame,
+      extraProps: Map[String, String] = Map.empty): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"$table is not bucketed — not one of the engine's index stores"))
+    val props = meta.properties.filterNot { case (k, _) =>
+      k.startsWith("spark.") || k.startsWith("transient_") ||
+        k == "comment" || k == "owner"
+    } ++ extraProps
+    val idFrame = ids
+      .select(ids(ids.columns.head).as(keyCol)).distinct()
+    // left_anti: survivors only. The ids side is sweep-verdict-scale
+    // (bounded by true contamination/duplication, never corpus-scale),
+    // so Spark broadcasts it under the threshold; past it the anti-join
+    // shuffles once — either way the rewrite itself dominates.
+    val survivors = spark.table(table)
+      .join(idFrame, Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    stagedSwapIn(spark, table, survivors,
+      spec.bucketColumnNames.head, spec.numBuckets, props)
+  }
+
   /** Shared size-routing limit for probe literals over bucketed stores:
     * at or under this many distinct key values a probe ships them as
     * the bucket-pruning `isin` literal; past it the probe restricts by

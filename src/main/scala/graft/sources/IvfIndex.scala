@@ -266,6 +266,25 @@ object IvfIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** DELETE vectors from the cell store — works UNCHANGED on both
+    * storage formats (the anti-join keys on vec_id and never touches
+    * the payload, float or codes — the one maintenance verb the SQ
+    * store gets at full parity). [[Bucketing.deleteByKey]]'s contract:
+    * anti-join staged rewrite, idempotent on absent ids, fit/storage
+    * properties and batch marker carried, swap-instant outage. The
+    * centroid companion is untouched — centroids are FIT state, not
+    * row state; deleting rows can skew occupancy ([[cellStats]] is the
+    * watch metric) but never invalidates the assignment of the rows
+    * that remain. Refuses a torn pair (the [[refit]] rule): a delete
+    * mid-refit would carry the stale fit property forward and mask the
+    * tear. */
+  def delete(spark: SparkSession, table: String, vecIds: DataFrame): Unit = {
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(centTableOf(table))
+    requireFitMatch(spark, table)
+    Bucketing.deleteByKey(spark, table, "vec_id", vecIds)
+  }
+
   /** The recorded fit's size (row count of the centroid companion) —
     * what a maintenance refit sizes its replacement fit at (the
     * curatedCellIndexed trigger's k). */
@@ -518,6 +537,72 @@ object IvfIndex {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** FIT MAINTENANCE for the SQ store — the scheduled rebuild the
+    * [[refit]] guard and the streaming loop's scaladoc tell deployments
+    * to run: an SQ store keeps only codes, so reassignment against a
+    * new fit needs the SOURCE CORPUS back (`embeddings` — the same
+    * (vec_id, label, embedding) frame the build read; at 100 TB that is
+    * the cold corpus the codes were quantized from, re-read once per
+    * fit change — the stated operational price of the 7× compression,
+    * now a callable op instead of a scaladoc instruction). Re-quantizes
+    * and re-assigns every corpus vector whose vec_id the store holds
+    * (the store's membership is the truth — vectors deleted from the
+    * store stay deleted; vectors in the store but absent from the
+    * handed corpus FAIL the completeness check loudly, because
+    * silently dropping them would be a delete nobody asked for), then
+    * swaps BOTH tables via the staged rewrite with the new fit version
+    * — [[refit]]'s torn-pair contract verbatim, including property
+    * carry-through (batch markers survive). Single-writer; probes may
+    * retry on the fit-version guard across the two swaps. */
+  def rebuildSq(spark: SparkSession, table: String, embeddings: DataFrame,
+      newCent: DataFrame): Unit = {
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(centTableOf(table))
+    requireStorage(spark, table, wantSq = true)
+    val cent = newCent.select(col("c_id"), col("cv"), col("cnrm"))
+      .localCheckpoint(true)
+    val version = fitVersionOf(cent)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table carries no bucket spec — not built by IvfIndex.buildSq"))
+    val carried = meta.properties.filterNot { case (k, _) =>
+      k.startsWith("spark.") || k.startsWith("transient_") ||
+        k == "comment" || k == "owner"
+    }
+    val ids = spark.table(table).select("vec_id").localCheckpoint(true)
+    val member = Similarity.normedVectorsOf(spark, embeddings)
+      .join(ids, Seq("vec_id"), "left_semi")
+    val payload = sqPayload(member).localCheckpoint(true)
+    val missing = ids.count() - payload.count()
+    require(missing == 0L,
+      s"$table holds $missing vec_ids the handed corpus lacks — a rebuild " +
+        "over this corpus would silently delete them; hand the full source " +
+        "corpus (or delete the ids first if removal is intended)")
+    Bucketing.stagedSwapIn(spark, table,
+      assignOf(payload, cent, carry = Seq("qv", "qnrm")),
+      "cell", buckets, carried + (FitProp -> version))
+    Bucketing.stagedSwapIn(spark, centTableOf(table), cent,
+      "c_id", 1, Map(FitProp -> version))
+  }
+
+  /** [[rebuildSq]] with the deterministic fit rule ([[refit]]'s Int
+    * overload on the SQ family): the new centroids are the corpus's
+    * `nCentroids` smallest INDEXED vec_ids' float vectors — read from
+    * the handed corpus, because the store's own rows carry only codes. */
+  def rebuildSq(spark: SparkSession, table: String, embeddings: DataFrame,
+      nCentroids: Int): Unit = {
+    spark.catalog.refreshTable(table)
+    val ids = spark.table(table).select("vec_id")
+    rebuildSq(spark, table, embeddings,
+      Similarity.normedVectorsOf(spark, embeddings)
+        .join(ids, Seq("vec_id"), "left_semi")
+        .orderBy("vec_id").limit(nCentroids)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm")))
   }
 
   /** Build-once memo for the SQ store — the registered q143 runs through

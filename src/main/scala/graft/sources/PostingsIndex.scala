@@ -162,6 +162,56 @@ object PostingsIndex {
       "term", bucketCount(spark, table))
   }
 
+  /** DELETE documents from the index pair — the retroactive-removal verb
+    * the recurring sweeps imply: q133/q134's decontam names contaminated
+    * doc_ids, q140/q141's dedup names near-dup losers, and the ingest
+    * gate can only refuse NEW arrivals — purging docs already indexed
+    * took a full rebuild until this. Mechanics: the doomed rows read
+    * FROM THE STORE first (so deleting absent or already-deleted ids is
+    * a no-op by construction — the sweep re-feeds its whole condemned
+    * set without tracking prior runs), then three operations in the
+    * order that keeps the failure windows benign:
+    *   1. the postings purge ([[Bucketing.deleteByKey]] — anti-join
+    *      staged rewrite; the correctness-critical step: at the swap
+    *      instant deleted docs stop being served, unconditionally);
+    *   2. NEGATIVE df deltas appended to the companion — the append-only
+    *      delta design's payoff: a delete is O(deleted vocabulary) rows,
+    *      never a companion rewrite; probe sums stay exact integers
+    *      (totals + positive deltas − negative deltas = survivor df,
+    *      the arithmetic DeleteSpec pins against a rebuild);
+    *   3. (n_docs, sum_dl) folded DOWN in the property statement.
+    * A crash between 1 and 3 leaves stats/df overstated — probes score
+    * with slightly-damped idf until [[refreshStats]] recovers, but no
+    * deleted document is ever served (the window's one invariant, and
+    * why the purge goes first). Single-writer like every maintenance
+    * path; probes may retry across the swap instant. `docIds` is any
+    * one-column frame of doc ids. */
+  def delete(spark: SparkSession, table: String, docIds: DataFrame): Unit = {
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(dfTableOf(table))
+    stats(spark, table) // refuse a table this object did not build
+    val ids = docIds
+      .select(docIds(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // the doomed slice materializes BEFORE the purge: it feeds both the
+    // stats decrement and the negative df deltas, and after the swap the
+    // rows it aggregates are gone
+    val doomed = spark.table(table)
+      .join(ids, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val st = doomed.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val (nDel, sDel) = (st.getLong(0), st.getLong(1))
+    if (nDel > 0L) {
+      val buckets = bucketCount(spark, table)
+      Bucketing.deleteByKey(spark, table, "doc_id", ids)
+      doomed.groupBy("term").agg((-count(lit(1))).as("df"))
+        .repartition(buckets, col("term"))
+        .write.mode("append").insertInto(dfTableOf(table))
+      val (n0, s0) = stats(spark, table)
+      writeStats(spark, table, (n0 - nDel, s0 - sDel))
+    }
+  }
+
   /** Compact the index pair — [[Bucketing.compact]] on the postings
     * (one file per bucket, properties carried, staged swap) plus the
     * df-specific MERGE: the companion's append-only deltas collapse
@@ -174,8 +224,12 @@ object PostingsIndex {
   def compact(spark: SparkSession, table: String): Unit = {
     Bucketing.compact(spark, table)
     val dfTable = dfTableOf(table)
+    // terms whose deltas sum to zero (every holder deleted) drop out —
+    // a rebuild over the survivors would have no row for them either,
+    // so compact-after-delete stays row-identical to that rebuild
     val merged = spark.table(dfTable)
       .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
       .localCheckpoint(true)
     Bucketing.stagedSwapIn(spark, dfTable, merged, "term",
       bucketCount(spark, table), Map.empty)
@@ -230,13 +284,21 @@ object PostingsIndex {
     * whose predicates render equal but mean different things (none in
     * the engine today). */
   def ensureFor(spark: SparkSession, dir: String, tag: String,
-      corpusPred: Column = lit(true), buckets: Int = 64): String = {
+      corpusPred: Column = lit(true), buckets: Int = 64,
+      afterBuild: String => Unit = _ => ()): String = {
     val predFp = java.security.MessageDigest.getInstance("MD5")
       .digest(corpusPred.toString().getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
+    // `afterBuild` runs INSIDE the memoized build (once per (key,
+    // listing)): the hook is for maintenance that is part of the index's
+    // identity — q148 derives a condemned set from the fresh index and
+    // [[delete]]s it, so every later ensure call probes the post-purge
+    // store, never re-deriving verdicts against an already-purged one.
+    // The tag distinguishes hooked from plain builds; callers reusing a
+    // tag with a different hook own that contract (the tag rule).
     IndexMemo.ensure(s"postings|$tag|$predFp|$dir|$buckets",
       graft.Tables.listingSignature(dir, "documents"), s"postings_$tag")(
-      t => build(spark, dir, t, corpusPred, buckets))
+      t => { build(spark, dir, t, corpusPred, buckets); afterBuild(t) })
   }
 
   /** The recorded collection stats (n_docs, sum_dl). */
@@ -303,11 +365,21 @@ object PostingsIndex {
     // result and read NO slice rows, rather than evaluate idf/avgdl at
     // n_docs = 0 (ANSI DIVIDE_BY_ZERO — found by SoakProbe's first run,
     // where the serving thread raced the stream's first batch). Past the
-    // first commit the residual mid-append window is BENIGN, stated:
-    // a probe may transiently score a later batch's already-inserted
-    // postings under the previous commit's stats — a bounded idf/avgdl
-    // deviation that disappears when the append's property statement
-    // lands, never a crash and never a missed committed document.
+    // first commit the residual mid-append window is BENIGN-BUT-STATED-
+    // FULLY: a probe may transiently score a later batch's already-
+    // inserted postings under the previous commit's stats — a bounded
+    // idf/avgdl deviation, and in the worst case (a term held by more
+    // in-flight docs than the recorded n_docs admits) the Lucene idf's
+    // (n_docs − df + ½)/(df + ½) term can go NEGATIVE, which is not just
+    // a score shift but a possible transient RANKING INVERSION for that
+    // term's matches (round-18 advice, now stated). It disappears when
+    // the append's property statement lands, never crashes, and never
+    // misses a committed document; deployments for which a transient
+    // inversion matters gate probes on the batch marker (probe only
+    // between batches — the SoakProbe serving pattern) rather than
+    // paying a per-row batch column on every posting. The mirror-image
+    // DELETE window (purged rows with stats not yet folded down) only
+    // DAMPS idf — df never exceeds n_docs there — so it cannot invert.
     val (n, s) = stats(spark, table)
     val committed = n > 0
     val statsDf = spark.range(1)

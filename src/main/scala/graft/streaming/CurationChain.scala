@@ -386,9 +386,15 @@ object CurationChain {
           batch0.sparkSession, bandTable)) {
       val spark = batch0.sparkSession
       // band once, reuse thrice (probe, within-batch self-join,
-      // admitted append) — the curatedGatedIndexed checkpoint rule
+      // admitted append) — the curatedGatedIndexed checkpoint rule.
+      // Banded at the store's RECORDED banding (the recordedBanding
+      // rule): after a mid-stream reband the next batch signs at the
+      // new parameters automatically, instead of appending rows that
+      // never collide.
+      val storeBanding = graft.sources.BandIndex.recordedBanding(
+        spark, bandTable)
       val batch = batch0.localCheckpoint(true)
-      val bands = graft.queries.Dedup.bandRowsOn(spark, batch)
+      val bands = graft.queries.Dedup.bandRowsOn(spark, batch, storeBanding)
         .localCheckpoint(true)
       val storeHits = graft.sources.BandIndex.collidingIds(
         spark, bandTable, bands)
@@ -401,7 +407,8 @@ object CurationChain {
         .localCheckpoint(true)
       val admittedBands = bands.join(dropIds, Seq("doc_id"), "left_anti")
       if (!admittedBands.isEmpty) {
-        graft.sources.BandIndex.appendBandRows(bandTable, admittedBands)
+        graft.sources.BandIndex.appendBandRowsAt(bandTable, admittedBands,
+          storeBanding)
         if (compactAboveFiles > 0 &&
             graft.sources.Bucketing.dataFileCount(
               spark, bandTable) > compactAboveFiles)
@@ -603,19 +610,34 @@ object CurationChain {
     * audits). */
   def curatedSqCellIndexed(vecs: DataFrame, table: String,
       lateness: String = "1 hour",
-      compactAboveFiles: Int = 0): DataStreamWriter[Row] =
+      compactAboveFiles: Int = 0,
+      adviseAboveSkew: Double = 0.0,
+      adviseCheckEvery: Int = 8): DataStreamWriter[Row] =
     EventsStream.dedupe(vecs, Seq("vec_id"), lateness)
       .select(col("vec_id"), col("label"), col("embedding"))
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sqCellBatch(table, batch, batchId, compactAboveFiles)
+        sqCellBatch(table, batch, batchId, compactAboveFiles,
+          adviseAboveSkew, adviseCheckEvery)
       }
 
   /** [[curatedSqCellIndexed]]'s sink body — [[cellBatch]]'s contracts
-    * minus the refit trigger (see the entry's scaladoc). */
+    * with the refit trigger replaced by an ADVISORY: the SQ store
+    * cannot self-refit (codes, not floats), but drift stays detectable
+    * (occupancy is storage-format-independent), so past
+    * `adviseAboveSkew` × mean occupancy the sink LOGS the rebuild
+    * instruction and enqueues it on [[SqDriftAdvisor]]'s inspectable
+    * queue (the CellContract warn-don't-throw pattern: skew is a
+    * probe-cost cliff, not wrong answers — the loop keeps ingesting
+    * while the deployment schedules
+    * [[graft.sources.IvfIndex.rebuildSq]] with the source corpus). */
   private[graft] def sqCellBatch(table: String, batch: DataFrame,
-      batchId: Long, compactAboveFiles: Int = 0): Unit =
+      batchId: Long, compactAboveFiles: Int = 0,
+      adviseAboveSkew: Double = 0.0, adviseCheckEvery: Int = 8): Unit =
     indexLoopBatch(table, batch, batchId, compactAboveFiles)(
-      graft.sources.IvfIndex.appendVectorsSq(table, _))(())
+      graft.sources.IvfIndex.appendVectorsSq(table, _)) {
+      if (adviseAboveSkew > 0 && batchId % adviseCheckEvery.max(1) == 0)
+        SqDriftAdvisor.check(batch.sparkSession, table, adviseAboveSkew)
+    }
 
   /** dedup → quota → CLASSIFIER GATE → pack: the trained-weights quality
     * filter (ClassifierStream's fused literal-weights margin) rides IN
@@ -631,4 +653,40 @@ object CurationChain {
       cappedDocs(docs, lateness).filter(col("kept"))
         .filter(ClassifierStream.marginCol(weights, col("text")) > 0)
         .select(col("doc_id"), col("source"), col("n_tok")))
+}
+
+/** The SQ loop's drift ADVISOR — the warn-don't-throw surface for the
+  * one maintenance operation a streaming sink must not run itself: an
+  * SQ store's fit rebuild needs the source corpus back
+  * ([[graft.sources.IvfIndex.rebuildSq]]), which is a scheduled batch
+  * job, not a micro-batch side effect. The sink detects (occupancy skew
+  * from [[graft.sources.IvfIndex.cellStats]], the same metric the float
+  * loop's auto-refit triggers on), logs, and enqueues the instruction;
+  * the queue is bounded (the CellContract rule: a loop hammering a
+  * drifted store must not grow driver memory one advisory at a time)
+  * and inspectable so a deployment's scheduler — or a spec — can read
+  * what was advised. */
+private[graft] object SqDriftAdvisor {
+  final val MaxAdvisories = 64
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  val advisories = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** One occupancy aggregation over the cell key; advises when max
+    * occupancy exceeds `skewThreshold` × mean. */
+  def check(spark: org.apache.spark.sql.SparkSession, table: String,
+      skewThreshold: Double): Unit = {
+    val occ = graft.sources.IvfIndex.cellStats(spark, table)
+      .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("n_vectors")),
+        org.apache.spark.sql.functions.avg(
+          org.apache.spark.sql.functions.col("n_vectors"))).head()
+    if (occ.getLong(0) > skewThreshold * occ.getDouble(1)) {
+      val msg = s"SQ store $table cell occupancy skew: max=${occ.getLong(0)} " +
+        f"mean=${occ.getDouble(1)}%.1f exceeds ${skewThreshold}x - codes " +
+        "cannot refit in place; schedule IvfIndex.rebuildSq(table, " +
+        "sourceCorpus, newFit)"
+      log.warn(msg)
+      if (advisories.size < MaxAdvisories) advisories.add(msg)
+    }
+  }
 }

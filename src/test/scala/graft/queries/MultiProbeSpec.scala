@@ -83,4 +83,30 @@ class MultiProbeSpec extends SparkSpec {
     assert(rows("q146_multiprobe_index_probe") == rows("q145_multiprobe_ann"),
       "store-served multi-probe diverges from the recompute spelling")
   }
+
+  test("the dial composed into the hard-negative serving row: " +
+      "hardNegIndexServed(multiProbe = true) equals the recompute " +
+      "scaffold with the same expansion — and never loses the dial-off " +
+      "row's pairs") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cosine", "rank")
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4), r.getInt(5)))
+        .toSeq
+    val servedOn = rows(Similarity.hardNegIndexServed(spark, sfDir,
+      multiProbe = true))
+    val recomputeOn = rows(Similarity.lshTopK(spark, sfDir, k = 3,
+      crossLabelOnly = true, tables = 8, bits = 4, multiProbe = true))
+    assert(servedOn == recomputeOn,
+      "expanded store-served hard negatives diverge from the expanded recompute")
+    // candidate-set dominance carries through the cross-label fork: the
+    // expanded probe's neighbor set per query contains the single-probe's
+    val off = rows(Similarity.hardNegIndexServed(spark, sfDir,
+      multiProbe = false))
+    val offQueries = off.map(_._1).distinct
+    assert(offQueries.forall(q => servedOn.exists(_._1 == q)),
+      "expansion lost whole queries the single probe served")
+  }
 }

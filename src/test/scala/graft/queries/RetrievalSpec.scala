@@ -271,4 +271,38 @@ class RetrievalSpec extends SparkSpec {
     val mainInOrder = rows.filter(_._3 == 0).sortBy(r => (r._4, r._5)).map(_._1)
     assert(mainInOrder.toSeq != mainInOrder.sorted.toSeq)
   }
+
+  test("the multi-probe dial composed into the hybrid serving row: " +
+      "dial-on equals fuseRrf over the expanded recompute vector list; " +
+      "dial-off is exactly the registered q136") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_score",
+        "fused_rank")
+        .orderBy("query_id", "fused_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getInt(5)))
+        .toSeq
+    val got = rows(Retrieval.hybridIndexServed(spark, sfDir,
+      multiProbe = true))
+    // the recompute reference: same persisted lexical probe, the
+    // EXPANDED recompute LSH list as the vector half, same fusion
+    val lexTable = graft.sources.PostingsIndex.ensureFor(spark, sfDir,
+      tag = "hybrid")
+    val bench = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val lex = graft.sources.PostingsIndex.topKFor(spark, lexTable, bench, 20)
+    val vec = Similarity.lshTopKMultiProbe(spark, sfDir, k = 20)
+      .filter(col("query_id") < 8)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val want = rows(Retrieval.fuseRrf(lex, vec, 10))
+    assert(got == want,
+      "dial-on hybrid diverges from the expanded-recompute composition")
+    assert(rows(Retrieval.hybridIndexServed(spark, sfDir,
+        multiProbe = false)) ==
+      rows(graft.SparkEntry.queries("q136_hybrid_index_serving")(
+        spark, sfDir)),
+      "dial-off must be exactly the registered row")
+  }
 }

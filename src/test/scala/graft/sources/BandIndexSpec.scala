@@ -162,16 +162,28 @@ class BandIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("graft.minhash"))
   }
 
-  test("appendDocs refuses a store recorded at a different banding " +
-      "(mismatched band rows never collide — fail, don't lose recall)") {
+  test("appendDocs bands at the RECORDED banding (the reband-aware " +
+      "contract) — a corrupt recorded banding fails loudly, and " +
+      "pre-banded rows at the wrong banding are refused") {
     BandIndex.build(spark, sfDir, "bands_mismatch",
       corpusPred = col("doc_id") < 50)
+    // a recorded banding whose hashes don't divide into its bands is
+    // catalog corruption, never a silent reinterpretation
     spark.sql("ALTER TABLE bands_mismatch SET TBLPROPERTIES (" +
       "'graft.minhash.hashes' = '6')")
     val e = intercept[IllegalArgumentException] {
       BandIndex.appendDocs("bands_mismatch", docs.filter(col("doc_id") >= 50))
     }
     assert(e.getMessage.contains("banding"))
+    // the streaming sink's pre-banded form still refuses a banding drift
+    spark.sql("ALTER TABLE bands_mismatch SET TBLPROPERTIES (" +
+      "'graft.minhash.hashes' = '12')")
+    val rows = graft.queries.Dedup.bandRowsOn(spark,
+      docs.filter(col("doc_id") >= 50).select("doc_id", "text"), (3, 8, 4))
+    val e2 = intercept[IllegalArgumentException] {
+      BandIndex.appendBandRowsAt("bands_mismatch", rows, (3, 8, 4))
+    }
+    assert(e2.getMessage.contains("never collide"))
   }
 
   test("ensureFor folds the corpus predicate and bucket count into the " +
@@ -187,6 +199,57 @@ class BandIndexSpec extends SparkSpec {
     assert(BandIndex.ensureFor(spark, sfDir, tag = "memokey",
       corpusPred = col("doc_id") % 2 === 0, buckets = 8) == t1,
       "same predicate and layout must hit the memo")
+  }
+
+  test("reband == fresh build at the new banding, bit-for-bit; the " +
+      "recorded banding swaps atomically with the rows and probes " +
+      "follow the catalog's truth") {
+    BandIndex.build(spark, sfDir, "bands_reband",
+      corpusPred = Dedup.nearDupCorpusPred, buckets = 8)
+    // widen the banding (adaptiveBanding's transition direction): docs
+    // below the NEW shingle width drop out, exactly as a fresh build
+    // at that banding would drop them
+    BandIndex.reband(spark, "bands_reband", docs,
+      shingle = 4, hashes = 16, bands = 8)
+    assert(BandIndex.recordedBanding(spark, "bands_reband") == ((4, 16, 8)))
+    // the fresh-build twin at the new banding (constructed through the
+    // same one-definition row pipeline the store uses)
+    Bucketing.writeBucketed(
+      Dedup.bandRowsOn(spark,
+        docs.filter(Dedup.nearDupCorpusPred).select("doc_id", "text"),
+        (4, 16, 8)).select("sig", "band", "doc_id"),
+      "bands_reband_twin", "sig", 8)
+    def contents(t: String) = spark.table(t)
+      .orderBy("doc_id", "band", "sig").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(contents("bands_reband") == contents("bands_reband_twin"),
+      "rebanded rows diverge from a fresh banding pass")
+    // probes band the query side at the RECORDED banding and verify at
+    // the recorded shingle width — same candidates, same jaccard rule
+    val got = rows(BandIndex.nearDupsFor(spark, "bands_reband",
+      corpus, bench))
+    val want = {
+      val shq = Dedup.shingleOn(spark, bench, 4).localCheckpoint(true)
+      val qb = Dedup.bandRowsOf(Dedup.minhashSigsOf(spark, shq, 16), 8, 2)
+      val cand = spark.table("bands_reband_twin").as("y")
+        .join(qb.as("x"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+        .select(col("x.doc_id").as("bench_id"), col("y.doc_id").as("doc_id"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      import spark.implicits._
+      val candDf = cand.toDF("bench_id", "doc_id")
+      val candDocs = corpus.join(candDf.select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
+      Dedup.crossVerify(candDf, shq, Dedup.shingleOn(spark, candDocs, 4))
+        .orderBy("bench_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    assert(got == want,
+      "post-reband probe diverges from the recompute at the new banding")
+    // appends after the reband sign at the recorded banding (no throw,
+    // rows land at 16 hashes / 8 bands)
+    BandIndex.appendDocs("bands_reband",
+      docs.filter(Dedup.nearDupBenchPred).limit(5))
   }
 
   test("Bucketing.compact on the band store: probes row-identical, " +

@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The retroactive-removal verb on all four index families: DELETE must
+  * leave every probe row-identical to a store REBUILT over the survivors
+  * — the one equivalence that makes "purge the sweep's condemned docs"
+  * trustworthy without a rebuild. Plus the arithmetic the postings
+  * family's delete rests on: negative df deltas summing exactly, the
+  * recovery path (refreshStats) and the maintenance path (compact)
+  * agreeing with the fold, and idempotence on re-fed condemned sets. */
+class DeleteSpec extends SparkSpec {
+
+  // ---- PostingsIndex ------------------------------------------------
+
+  private def queryDocs(nAnchors: Int) =
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < nAnchors)
+      .select(col("doc_id").as("query_id"), col("text"))
+
+  private def probeRows(table: String) =
+    PostingsIndex.topKFor(spark, table, queryDocs(8), k = 10)
+      .select("query_id", "doc_id", "n_terms", "score", "rank")
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+      .toSeq
+
+  /** Companion totals with zero-sum terms dropped — a rebuild over the
+    * survivors has no row for a term every holder of which was deleted,
+    * while the delta store folds it to an exact 0. */
+  private def dfTotals(table: String): Map[String, Long] =
+    spark.table(PostingsIndex.dfTableOf(table))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private val condemnedDocPred = col("doc_id") % 7 === 3 && col("doc_id") >= 8
+
+  private def condemnedDocIds =
+    graft.Tables.documents(spark, sfDir)
+      .filter(condemnedDocPred).select("doc_id")
+
+  test("PostingsIndex.delete == rebuild over survivors: stats, df totals, " +
+      "and probe rows all identical (negative deltas fold exactly)") {
+    PostingsIndex.build(spark, sfDir, "post_del")
+    PostingsIndex.delete(spark, "post_del", condemnedDocIds)
+    PostingsIndex.build(spark, sfDir, "post_del_twin",
+      corpusPred = !condemnedDocPred)
+    assert(PostingsIndex.stats(spark, "post_del") ==
+      PostingsIndex.stats(spark, "post_del_twin"),
+      "deleted stats must fold down to the survivor build's")
+    assert(dfTotals("post_del") == dfTotals("post_del_twin"),
+      "negative df deltas must sum to the survivor build's df")
+    assert(probeRows("post_del") == probeRows("post_del_twin"),
+      "post-delete probe diverges from the survivor rebuild")
+    // no condemned doc is ever served
+    val served = spark.table("post_del").select("doc_id").distinct()
+      .join(condemnedDocIds, Seq("doc_id"), "left_semi").count()
+    assert(served == 0L, "purged docs still present in the postings")
+  }
+
+  test("PostingsIndex.delete is idempotent: re-feeding the condemned set " +
+      "(plus never-indexed ids) changes nothing — no double stats decrement") {
+    PostingsIndex.build(spark, sfDir, "post_del_idem")
+    PostingsIndex.delete(spark, "post_del_idem", condemnedDocIds)
+    val stats1 = PostingsIndex.stats(spark, "post_del_idem")
+    val rows1 = probeRows("post_del_idem")
+    import spark.implicits._
+    val refed = condemnedDocIds
+      .union(Seq(999999L, 888888L).toDF("doc_id")) // never indexed
+    PostingsIndex.delete(spark, "post_del_idem", refed)
+    assert(PostingsIndex.stats(spark, "post_del_idem") == stats1,
+      "re-fed delete must not decrement stats again")
+    assert(probeRows("post_del_idem") == rows1)
+  }
+
+  test("the negative-df guard: refreshStats and compact after a delete " +
+      "both agree with the delta fold (recovery and maintenance paths)") {
+    PostingsIndex.build(spark, sfDir, "post_del_rec")
+    PostingsIndex.delete(spark, "post_del_rec", condemnedDocIds)
+    val wantStats = PostingsIndex.stats(spark, "post_del_rec")
+    val wantDf = dfTotals("post_del_rec")
+    val wantRows = probeRows("post_del_rec")
+    PostingsIndex.refreshStats(spark, "post_del_rec")
+    assert(PostingsIndex.stats(spark, "post_del_rec") == wantStats,
+      "refreshStats diverges from the negative-delta fold")
+    assert(dfTotals("post_del_rec") == wantDf)
+    assert(probeRows("post_del_rec") == wantRows)
+    PostingsIndex.compact(spark, "post_del_rec")
+    assert(probeRows("post_del_rec") == wantRows,
+      "compact after delete changed probe results")
+    // the merge dropped zero-sum terms: no zero rows remain
+    assert(spark.table(PostingsIndex.dfTableOf("post_del_rec"))
+      .filter(col("df") === 0L).count() == 0L,
+      "compact must drop terms whose deltas folded to zero")
+  }
+
+  // ---- AnnIndex / IvfIndex (survivor twin built from a filtered dir) --
+
+  private val condemnedVecPred = col("vec_id") % 5 === 2 && col("vec_id") >= 20
+
+  private def condemnedVecIds =
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(condemnedVecPred).select("vec_id")
+
+  /** Write the survivor slice of the embeddings table to a temp corpus
+    * dir (the AnnIndexSpec append-test trick) so the twin builds over
+    * exactly the post-delete population. Condemned ids stay ≥ 20 so the
+    * anchor set and the IVF fit (first 8 vectors) are unchanged. */
+  private def survivorDir(sub: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(sub).toString
+    graft.Tables.embeddings(spark, sfDir).filter(!condemnedVecPred)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("AnnIndex.delete == rebuild over survivors, banding carried, " +
+      "idempotent on a re-fed set") {
+    AnnIndex.build(spark, sfDir, "ann_del", tables = 4, bits = 8,
+      buckets = 16)
+    AnnIndex.delete(spark, "ann_del", condemnedVecIds)
+    AnnIndex.build(spark, survivorDir("anndel"), "ann_del_twin",
+      tables = 4, bits = 8, buckets = 16)
+    def rows(t: String) = AnnIndex.topK(spark, t, nAnchors = 20, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(rows("ann_del") == rows("ann_del_twin"),
+      "post-delete ANN probe diverges from the survivor rebuild")
+    assert(AnnIndex.recordedBanding(spark, "ann_del") == ((4, 8)),
+      "delete must carry the recorded banding through the swap")
+    val r1 = rows("ann_del")
+    AnnIndex.delete(spark, "ann_del", condemnedVecIds)
+    assert(rows("ann_del") == r1, "re-fed ANN delete changed the store")
+  }
+
+  test("IvfIndex.delete == rebuild over survivors (float store), fit " +
+      "properties carried — and the companion is untouched") {
+    IvfIndex.build(spark, sfDir, "ivf_del")
+    val centBefore = spark.table(IvfIndex.centTableOf("ivf_del"))
+      .orderBy("c_id").collect().toSeq
+    IvfIndex.delete(spark, "ivf_del", condemnedVecIds)
+    IvfIndex.build(spark, survivorDir("ivfdel"), "ivf_del_twin")
+    def rows(t: String) = IvfIndex.topK(spark, t, nAnchors = 20, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(rows("ivf_del") == rows("ivf_del_twin"),
+      "post-delete IVF probe diverges from the survivor rebuild")
+    assert(spark.table(IvfIndex.centTableOf("ivf_del"))
+      .orderBy("c_id").collect().toSeq == centBefore,
+      "delete must not touch the centroid companion")
+    // the fit guard still passes: properties carried through the swap
+    IvfIndex.appendVectors("ivf_del",
+      graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") === 22L))
+  }
+
+  test("IvfIndex.delete works unchanged on the SQ store (payload-blind " +
+      "anti-join) — probe equals an SQ rebuild over survivors") {
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_del")
+    IvfIndex.delete(spark, "ivfsq_del", condemnedVecIds)
+    IvfIndex.buildSq(spark, survivorDir("ivfsqdel"), "ivfsq_del_twin")
+    def anchors = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+    def rows(t: String) = IvfIndex.topKForSq(spark, t, anchors, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(rows("ivfsq_del") == rows("ivfsq_del_twin"),
+      "post-delete SQ probe diverges from the survivor rebuild")
+  }
+
+  // ---- BandIndex -----------------------------------------------------
+
+  test("BandIndex.delete == rebuild over survivors: the decontam probe " +
+      "sees only surviving docs") {
+    import graft.queries.Dedup
+    val docs = graft.Tables.documents(spark, sfDir)
+    val condemned = col("doc_id") % 10 === 3
+    BandIndex.build(spark, sfDir, "band_del",
+      corpusPred = Dedup.nearDupCorpusPred)
+    BandIndex.delete(spark, "band_del",
+      docs.filter(condemned).select("doc_id"))
+    BandIndex.build(spark, sfDir, "band_del_twin",
+      corpusPred = Dedup.nearDupCorpusPred && !condemned)
+    val bench = docs.filter(Dedup.nearDupBenchPred)
+    val corpus = docs.filter(Dedup.nearDupCorpusPred && !condemned)
+    def rows(t: String) =
+      BandIndex.nearDupsFor(spark, t, corpus, bench)
+        .orderBy("bench_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows("band_del") == rows("band_del_twin"),
+      "post-delete band probe diverges from the survivor rebuild")
+  }
+
+  test("the full dedup loop closes: sweep names losers, delete purges " +
+      "them, the re-sweep finds nothing left to dedup") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    BandIndex.build(spark, sfDir, "band_loop")
+    val losers = graft.queries.Dedup.resolveClusters(
+        BandIndex.nearDupPairs(spark, "band_loop", docs)
+          .select("doc_a", "doc_b"))
+      .filter(col("canonical") =!= col("doc_id"))
+      .select("doc_id")
+    assert(losers.count() > 0L,
+      "fixture must contain near-dup clusters for the loop test")
+    BandIndex.delete(spark, "band_loop", losers)
+    // survivors are one representative per cluster: no verified pair at
+    // the 0.5 threshold can remain (two surviving docs with such a pair
+    // would have been one connected component, hence one survivor)
+    assert(BandIndex.nearDupPairs(spark, "band_loop", docs).count() == 0L,
+      "after purging the losers the sweep must come back empty")
+  }
+}

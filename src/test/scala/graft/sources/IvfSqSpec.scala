@@ -141,6 +141,59 @@ class IvfSqSpec extends SparkSpec {
         "replayed batch double-appended)")
   }
 
+  test("rebuildSq == fresh buildSq at the same fit (the scheduled fit-" +
+      "maintenance op): contents, fit versions, and probes identical; " +
+      "markers carried; an incomplete corpus is refused") {
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_rb")
+    Bucketing.recordBatch(spark, "ivfsq_rb", 7L) // a marker to carry
+    val e = graft.Tables.embeddings(spark, sfDir)
+    // an incomplete corpus would silently delete the missing ids — loud
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val eInc = intercept[IllegalArgumentException] {
+      IvfIndex.rebuildSq(spark, "ivfsq_rb", half, nCentroids = 16)
+    }
+    assert(eInc.getMessage.contains("lacks"), eInc.getMessage)
+    // the real rebuild: new 16-centroid fit from the source corpus
+    IvfIndex.rebuildSq(spark, "ivfsq_rb", e, nCentroids = 16)
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_rb_twin", nCentroids = 16)
+    def rows(t: String) = spark.table(t)
+      .select("cell", "vec_id", "qv", "qnrm")
+      .orderBy("vec_id").collect().toSeq
+    assert(rows("ivfsq_rb") == rows("ivfsq_rb_twin"),
+      "rebuilt SQ store diverges from a fresh build at the same fit")
+    assert(qrows(IvfIndex.topKForSq(spark, "ivfsq_rb", anchorsOf(20), 3)) ==
+      qrows(IvfIndex.topKForSq(spark, "ivfsq_rb_twin", anchorsOf(20), 3)),
+      "post-rebuild probe diverges from the fresh build's")
+    assert(Bucketing.lastCommittedBatch(spark, "ivfsq_rb") == 7L,
+      "rebuildSq must carry the streaming loop's batch marker")
+    // and the store still appends/probes under the new fit's guard
+    IvfIndex.appendVectorsSq("ivfsq_rb", e.filter(col("vec_id") === 9999L))
+  }
+
+  test("the SQ drift advisor: detection without self-repair — the " +
+      "streaming sink logs and enqueues the rebuildSq instruction, never " +
+      "rewrites the store") {
+    import spark.implicits._
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_adv")
+    val before = spark.table("ivfsq_adv").count()
+    graft.streaming.SqDriftAdvisor.advisories.clear()
+    // threshold 1.0: any non-uniform occupancy advises (the q37 fit over
+    // the test corpus is never perfectly uniform — 500 vecs, 8 cells)
+    graft.streaming.CurationChain.sqCellBatch("ivfsq_adv",
+      Seq((100000L, 0, (0 until 64).map(_.toFloat)))
+        .toDF("vec_id", "label", "embedding"),
+      batchId = 0L, adviseAboveSkew = 1.0, adviseCheckEvery = 1)
+    val msgs = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.SqDriftAdvisor.advisories.iterator().asScala.toSeq
+    }
+    assert(msgs.nonEmpty && msgs.head.contains("rebuildSq"),
+      s"the advisor must name the rebuild op: $msgs")
+    spark.catalog.refreshTable("ivfsq_adv")
+    assert(spark.table("ivfsq_adv").count() == before + 1,
+      "the advisory path must only append the batch — never rewrite")
+  }
+
   test("a few-anchor SQ probe bucket-prunes, and the store's data files " +
       "are materially smaller than the float store's (the family's point)") {
     IvfIndex.buildSq(spark, sfDir, "ivfsq_small", buckets = 8)

@@ -235,9 +235,56 @@ object SoakProbe {
       "soak_post" -> Seq.empty[Int], "soak_ann" -> Seq.empty[Int],
       "soak_ivf" -> Seq.empty[Int], "soak_gpost" -> Seq.empty[Int],
       "soak_band" -> Seq.empty[Int])
+    // ---- the round-19 maintenance legs: DELETE under serving + the
+    // band-family REBAND. Both run on the maintenance cadence — between
+    // batches, from the coordinating thread, while the streams are
+    // quiescent (the single-writer contract every maintenance verb
+    // states) — but the SERVING thread keeps probing throughout, so
+    // probes land inside the staged-swap instants and must hit only the
+    // documented retryable classes. Condemned sets come from epoch-0
+    // slices (already streamed, never re-delivered), so the final
+    // row-accounting verdicts stay exact.
+    val condemnedDocIds = docsAll.map(_._1)
+      .filter(id => id % epochs == 0 && id % 5 == 3).toSeq
+    val condemnedAnnIds = annVecs.map(_._1)
+      .filter(_ % epochs == 0).take(60).toSeq
+    val condemnedIvfIds = ivfVecs.map(_._1)
+      .filter(_ % epochs == 0).take(60).toSeq
+    var deletesRan = false
+    var deletedGated = 0L
     prober.start()
     try {
       (0 until epochs).foreach { k =>
+        if (k == epochs / 2) {
+          // the sweeps' verdicts feed back: purge condemned docs/vectors
+          // from all four families, then move the band family's banding
+          // (adaptiveBanding's transition applied to MinHash: wider
+          // shingles, more bands) — every later batch and probe must
+          // follow the catalog's recorded banding
+          val cd = condemnedDocIds.toDF("doc_id").localCheckpoint(true)
+          // the content gate admitted only each fingerprint's first
+          // instance, so the gated store's intersection with the
+          // condemned set is data-dependent — capture it for the
+          // closed-form verdict (delete itself is idempotent on the
+          // absent rest)
+          spark.catalog.refreshTable("soak_gpost")
+          deletedGated = spark.table("soak_gpost").select("doc_id")
+            .distinct().join(cd, Seq("doc_id"), "left_semi").count()
+          PostingsIndex.delete(spark, "soak_post", cd)
+          PostingsIndex.delete(spark, "soak_gpost", cd)
+          BandIndex.delete(spark, "soak_band", cd)
+          AnnIndex.delete(spark, "soak_ann",
+            condemnedAnnIds.toDF("vec_id"))
+          IvfIndex.delete(spark, "soak_ivf",
+            condemnedIvfIds.toDF("vec_id"))
+          BandIndex.reband(spark, "soak_band", corpusDocs,
+            shingle = 4, hashes = 16, bands = 8)
+          deletesRan = true
+          println(s"[soak] epoch=${k + 1} maintenance: deleted " +
+            s"${condemnedDocIds.size} docs / ${condemnedAnnIds.size} ann " +
+            s"/ ${condemnedIvfIds.size} ivf vecs; rebanded soak_band -> " +
+            s"${BandIndex.recordedBanding(spark, "soak_band")}")
+        }
         val docRows = docsAll.filter(_._1 % epochs == k)
           .map(r => (r._1, T0, s"s${r._1 / 20}", r._2))
         docsIn.addData(docRows: _*)
@@ -283,18 +330,22 @@ object SoakProbe {
       throw new IllegalStateException(s"SOAK FAILED: $msg")
     if (unexpected.get() != 0)
       fail(s"${unexpected.get()} unexpected probe failures")
+    if (!deletesRan) fail("the delete/reband maintenance leg never ran")
     val (nDocs, _) = PostingsIndex.stats(spark, "soak_post")
-    if (nDocs != docsAll.length)
-      fail(s"postings n_docs=$nDocs, streamed=${docsAll.length}")
+    val wantDocs = docsAll.length - condemnedDocIds.size
+    if (nDocs != wantDocs)
+      fail(s"postings n_docs=$nDocs, streamed-minus-deleted=$wantDocs")
     // the gate's closed form: admissions = first instance of each
     // content fingerprint (the q126 oracle rule) — epoch order cannot
-    // change the COUNT, only which doc_id carries it
+    // change the COUNT, only which doc_id carries it; the delete leg
+    // subtracts exactly its measured intersection
     val wantGated = graft.Tables.documents(spark, dir)
       .select(graft.queries.Curation.bowFingerprint.as("fp"))
-      .distinct().count()
+      .distinct().count() - deletedGated
     val (nGated, _) = PostingsIndex.stats(spark, "soak_gpost")
     if (nGated != wantGated)
-      fail(s"gated postings n_docs=$nGated, distinct fingerprints=$wantGated")
+      fail(s"gated postings n_docs=$nGated, " +
+        s"distinct-fps-minus-deleted=$wantGated")
     spark.catalog.refreshTable("soak_band")
     val bandRows = spark.table("soak_band").count()
     val bandDocs = spark.table("soak_band")
@@ -305,13 +356,16 @@ object SoakProbe {
     val banding = AnnIndex.recordedBanding(spark, "soak_ann")
     if (banding == ((4, 8))) fail("the adaptive reband never fired")
     val annRows = spark.table("soak_ann").count()
-    val annWant = (baseN + annVecs.length) * banding._1
+    val annWant = (baseN + annVecs.length - condemnedAnnIds.size) * banding._1
     if (annRows != annWant)
       fail(s"ann store rows=$annRows, want $annWant (${banding._1} tables)")
     spark.catalog.refreshTable("soak_ivf")
     val ivfRows = spark.table("soak_ivf").count()
-    if (ivfRows != baseN + ivfVecs.length)
-      fail(s"ivf store rows=$ivfRows, want ${baseN + ivfVecs.length}")
+    val ivfWant = baseN + ivfVecs.length - condemnedIvfIds.size
+    if (ivfRows != ivfWant)
+      fail(s"ivf store rows=$ivfRows, want $ivfWant")
+    if (BandIndex.recordedBanding(spark, "soak_band") != ((4, 16, 8)))
+      fail("the band reband's recorded banding did not persist")
     if (fitProp() == fit0) fail("the skew refit never fired")
     val compacted = fileSeen.filter { case (_, xs) =>
       xs.zip(xs.drop(1)).exists { case (a, b) => b < a } }.keys.toSeq
