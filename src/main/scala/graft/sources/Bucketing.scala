@@ -159,8 +159,18 @@ object Bucketing {
     // (bounded by true contamination/duplication, never corpus-scale),
     // so Spark broadcasts it under the threshold; past it the anti-join
     // shuffles once — either way the rewrite itself dominates.
+    // COLUMN ORDER IS PART OF THE TABLE'S CONTRACT: a USING join moves
+    // the key to the front, and the swapped-in table would then break —
+    // or, where the displaced neighbor shares the key's type, SILENTLY
+    // CORRUPT — every later positional insertInto append (found by
+    // SoakProbe's delete-under-serving leg: the postings stream died on
+    // a STRING→BIGINT cast the first batch after the purge; the IVF
+    // store's long-beside-long layout would have corrupted without an
+    // error). Re-select the original order before the swap.
+    val cols = spark.table(table).columns
     val survivors = spark.table(table)
       .join(idFrame, Seq(keyCol), "left_anti")
+      .select(cols.head, cols.tail: _*)
       .localCheckpoint(true)
     stagedSwapIn(spark, table, survivors,
       spec.bucketColumnNames.head, spec.numBuckets, props)

@@ -61,6 +61,20 @@ class DeleteSpec extends SparkSpec {
     val served = spark.table("post_del").select("doc_id").distinct()
       .join(condemnedDocIds, Seq("doc_id"), "left_semi").count()
     assert(served == 0L, "purged docs still present in the postings")
+    // the swap preserves the COLUMN ORDER positional appends rely on
+    // (the SoakProbe finding: a USING join fronts the key, and the next
+    // streamed append dies — or silently corrupts — on insertInto)
+    assert(spark.table("post_del").columns.toSeq ==
+      spark.table("post_del_twin").columns.toSeq,
+      "delete reordered the table's columns")
+    import spark.implicits._
+    PostingsIndex.appendDocs("post_del",
+      Seq((777777L, "alpha beta gamma")).toDF("doc_id", "text"))
+    val appended = spark.table("post_del")
+      .filter(col("doc_id") === 777777L)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(appended == Set("alpha", "beta", "gamma"),
+      s"append-after-delete landed misaligned rows: $appended")
   }
 
   test("PostingsIndex.delete is idempotent: re-feeding the condemned set " +
@@ -137,6 +151,12 @@ class DeleteSpec extends SparkSpec {
     val r1 = rows("ann_del")
     AnnIndex.delete(spark, "ann_del", condemnedVecIds)
     assert(rows("ann_del") == r1, "re-fed ANN delete changed the store")
+    // column order preserved for the positional append path
+    assert(spark.table("ann_del").columns.toSeq ==
+      spark.table("ann_del_twin").columns.toSeq,
+      "delete reordered the signature table's columns")
+    AnnIndex.appendVectors("ann_del",
+      graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") === 22L))
   }
 
   test("IvfIndex.delete == rebuild over survivors (float store), fit " +
@@ -155,9 +175,18 @@ class DeleteSpec extends SparkSpec {
     assert(spark.table(IvfIndex.centTableOf("ivf_del"))
       .orderBy("c_id").collect().toSeq == centBefore,
       "delete must not touch the centroid companion")
-    // the fit guard still passes: properties carried through the swap
+    // the fit guard still passes AND the append lands in the RIGHT
+    // columns (cell and vec_id are both longs — a reordered swap would
+    // corrupt SILENTLY here, the SoakProbe finding's worst case: the
+    // cell value would land in vec_id and vice versa, no cast error).
+    // vec 22 was condemned above, so this re-append is a fresh row; a
+    // swapped layout would store (vec_id < 8, cell = 22) instead.
     IvfIndex.appendVectors("ivf_del",
       graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") === 22L))
+    val back = spark.table("ivf_del").filter(col("vec_id") === 22L)
+      .select("cell").collect().map(_.getLong(0)).toSeq
+    assert(back.length == 1 && back.head >= 0L && back.head < 8L,
+      s"append-after-delete landed misaligned IVF columns: $back")
   }
 
   test("IvfIndex.delete works unchanged on the SQ store (payload-blind " +
@@ -197,6 +226,12 @@ class DeleteSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows("band_del") == rows("band_del_twin"),
       "post-delete band probe diverges from the survivor rebuild")
+    // the positional append path still lands after the swap (a fronted
+    // doc_id would die on a STRING→BIGINT cast — the SoakProbe finding)
+    assert(spark.table("band_del").columns.toSeq ==
+      Seq("sig", "band", "doc_id"),
+      "delete reordered the band table's columns")
+    BandIndex.appendDocs("band_del", docs.filter(col("doc_id") === 7L))
   }
 
   test("the full dedup loop closes: sweep names losers, delete purges " +
