@@ -239,13 +239,14 @@ object AnnIndex {
     * (query, table), and shipping qv/qnrm on every expanded row grew
     * the broadcast and the driver collect ~9× at 4×8 banding for a
     * payload that is identical across a query's rows. The query payload
-    * joins back AFTER the pair dedup, one broadcast row per query; the
+    * joins back as ONE broadcast row per query (no exchange); the
     * neighbor payload still rides the index scan row (the
-    * self-contained-single-scan trade), so the cosine also computes
-    * once per UNIQUE pair instead of once per colliding table. Same
-    * fold on the same vectors → identical values, and the pair dedup
-    * (identical rows across tables/probes) plus the (cosine, id) tie
-    * rule keep every output bit-equal to the pre-slim spelling. */
+    * self-contained-single-scan trade); and the pair dedup stays the
+    * narrow groupBy/max — keys plus one cosine double through the
+    * exchange with map-side partial max, never the 64-double vector per
+    * colliding row. Same fold on the same vectors → identical values,
+    * identical tie rule → every output bit-equal to the pre-slim
+    * spelling. */
   private def probeCore(spark: SparkSession, table: String,
       anchorRows: DataFrame, k: Int, crossLabel: Boolean): DataFrame = {
     // read-your-committed-appends: a writer in another session (the
@@ -288,20 +289,25 @@ object AnnIndex {
       else Seq("query_id", "neighbor_id")
     // ONE index scan: bucket-pruned by the literal signature set, hash-
     // probed against the broadcast slim keys on the (tbl, sig)
-    // rendezvous. A (query, neighbor) pair colliding in several tables
-    // (or several multi-probe buckets) yields IDENTICAL rows — the
-    // neighbor's v/nrm ride its one index row — so dropDuplicates on
-    // the pair keys is the deterministic dedup.
-    val cand = spark.table(table)
-      .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
-      .join(broadcast(slim), cond)
-      .select(outKeys :+ col("v") :+ col("nrm"): _*)
-      .dropDuplicates(keyNames)
+    // rendezvous; the query payload joins back BROADCAST (no exchange)
+    // and the cosine computes BEFORE the pair dedup, so the dedup
+    // exchange carries the pair keys plus ONE double with a map-side
+    // partial max — not the 64-double neighbor vector per colliding row
+    // (the dropDuplicates first spelling shuffled ~30× the bytes on the
+    // probe hot path, and multi-probe multiplies collisions). Colliding
+    // (query, neighbor) pairs from multiple tables/probes carry the
+    // identical cosine; max() is the deterministic dedup.
     val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.join(broadcast(payload), Seq("query_id"))
+    spark.table(table)
+      .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
+      .join(broadcast(slim), cond)
+      .select(outKeys :+ col("v") :+ col("nrm"): _*)
+      .join(broadcast(payload), Seq("query_id"))
       .select(keyNames.map(col) :+ cos.as("cosine"): _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")

@@ -152,6 +152,18 @@ object BandIndex {
     }
     val ids = spark.table(table).select("doc_id").distinct()
       .localCheckpoint(true)
+    // completeness guard (the rebuildSq rule, same hazard): store ids the
+    // handed corpus lacks entirely would silently mass-delete through the
+    // swap — refuse loudly. Docs PRESENT but shorter than the NEW shingle
+    // width still drop, which is correct (a fresh build at the new
+    // banding drops them identically).
+    val missing = ids
+      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"$table holds $missing doc_ids the handed corpus lacks — a reband " +
+        "over this corpus would silently delete them; hand the full " +
+        "source corpus (or delete the ids first if removal is intended)")
     val member = docs.select("doc_id", "text")
       .join(ids, Seq("doc_id"), "left_semi")
     val rows = Dedup.bandRowsOn(spark, member, (shingle, hashes, bands))
@@ -256,6 +268,9 @@ object BandIndex {
     // corpus read; SCALING.md round 18).
     val candPairs = candidatesFor(spark, table, qbands)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the collect above is where the store scan executed — refuse a
+    // reband that landed after the banding read (silent-empty guard)
+    requireBandingStable(spark, table, (shingle, hashes, bands))
     val cand = candPairs.toDF("bench_id", "doc_id")
     val candIds = candPairs.map(_._2).distinct
     // candidate-bounded verify: only candidate corpus docs re-shingle;
@@ -293,6 +308,7 @@ object BandIndex {
       corpusDocs: DataFrame, routeLimit: Int): DataFrame = {
     import spark.implicits._
     spark.catalog.refreshTable(table)
+    val bandingAtStart = banding(spark, table)
     // the candidate stage EXECUTES inside the relaxed-co-partition
     // scope (count + collect/checkpoint below) — the returned verify
     // frame carries no self-join, so the conf never leaks into the
@@ -313,9 +329,11 @@ object BandIndex {
         (c, corpusDocs.join(ids, Seq("doc_id"), "left_semi"))
       }
     }
-    // verify at the store's recorded shingle width (the recordedBanding
-    // rule — the candidate pairs collided at that banding)
-    val sh = Dedup.shingleOn(spark, candDocs, banding(spark, table)._1)
+    // the candidate self-join executed above (count + collect /
+    // checkpoint) — refuse a reband that landed mid-sweep, and verify
+    // at the banding the candidates actually collided at
+    requireBandingStable(spark, table, bandingAtStart)
+    val sh = Dedup.shingleOn(spark, candDocs, bandingAtStart._1)
     Dedup.crossVerify(
       pairs.select(col("doc_a").as("bench_id"), col("doc_b").as("doc_id")),
       sh, sh)
@@ -404,8 +422,33 @@ object BandIndex {
     * is the bucket key; insertInto is positional, so build and append
     * share this one definition). */
   private def bandRows(docs: DataFrame): DataFrame =
-    Dedup.bandRowsOn(docs.sparkSession, docs)
+    // band at the SAME constant the build records — one definition, so
+    // moving Banding can never leave rows at one banding and properties
+    // at another (the recordedBanding rule applied to the build itself)
+    Dedup.bandRowsOn(docs.sparkSession, docs, Banding)
       .select("sig", "band", "doc_id")
+
+  /** Re-read the recorded banding AFTER a probe's store scan executed
+    * and refuse a mid-probe change LOUDLY — the non-atomic window a
+    * serving-path probe otherwise has: it reads the banding, spends a
+    * job signing its query side, and scans; a [[reband]] swap landing
+    * in between makes the old-banding signatures collide with NOTHING
+    * (md5 strings of identical shape), i.e. a silently-EMPTY result
+    * where the family's contract promises loud-retry. The store's rows
+    * and banding swap atomically in one table, so if the banding reads
+    * equal before AND after the scan, the scan saw a store consistent
+    * with the signatures probed (a reband round-tripping A→B→A between
+    * the reads is the one theoretical escape; maintenance is
+    * single-writer and compaction-cadence, so it is not a live case). */
+  private def requireBandingStable(spark: SparkSession, table: String,
+      before: (Int, Int, Int)): Unit = {
+    val now = banding(spark, table)
+    if (now != before)
+      throw new IllegalStateException(
+        s"$table was rebanded mid-probe ($before -> $now) — the query side " +
+          "signed at the old banding and its collisions are void; retry " +
+          "the probe (it will sign at the new recorded banding)")
+  }
 
   private def banding(spark: SparkSession, table: String): (Int, Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()

@@ -155,6 +155,16 @@ object Bucketing {
     } ++ extraProps
     val idFrame = ids
       .select(ids(ids.columns.head).as(keyCol)).distinct()
+      .localCheckpoint(true)
+    // no-op short-circuit: the advertised idempotent usage RE-FEEDS a
+    // sweep's whole condemned set, and a purge with nothing left to
+    // remove must not pay the compaction-class rewrite (or the swap
+    // instant's reader outage) — one semi-join existence check, far
+    // cheaper than the rewrite it skips (the PostingsIndex.delete
+    // nDel > 0 rule, hoisted into the shared core for the stat-less
+    // families)
+    if (spark.table(table)
+        .join(idFrame, Seq(keyCol), "left_semi").isEmpty) return
     // left_anti: survivors only. The ids side is sweep-verdict-scale
     // (bounded by true contamination/duplication, never corpus-scale),
     // so Spark broadcasts it under the threshold; past it the anti-join

@@ -299,10 +299,18 @@ class RetrievalSpec extends SparkSpec {
     val want = rows(Retrieval.fuseRrf(lex, vec, 10))
     assert(got == want,
       "dial-on hybrid diverges from the expanded-recompute composition")
+    // the refactor pin: the registered row's client-signed vector half
+    // must equal the PRE-refactor composition (the AnnIndex.topK
+    // self-probe feeding the same fusion) — comparing the registered
+    // function to itself would be a tautology
+    val annTable = graft.sources.AnnIndex.ensureFor(spark, sfDir,
+      tag = "q135")
+    val oldVec = graft.sources.AnnIndex.topK(spark, annTable,
+        nAnchors = 8, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     assert(rows(Retrieval.hybridIndexServed(spark, sfDir,
         multiProbe = false)) ==
-      rows(graft.SparkEntry.queries("q136_hybrid_index_serving")(
-        spark, sfDir)),
-      "dial-off must be exactly the registered row")
+      rows(Retrieval.fuseRrf(lex, oldVec, 10)),
+      "the client-signed vector half diverges from the self-probe composition")
   }
 }

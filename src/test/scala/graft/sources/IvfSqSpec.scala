@@ -194,6 +194,29 @@ class IvfSqSpec extends SparkSpec {
       "the advisory path must only append the batch — never rewrite")
   }
 
+  test("dot_fold_i8 fails loudly on a dimension mismatch — an SQ store's " +
+      "code length is fixed at build, so truncation would be silent " +
+      "corruption, not a ragged-input convenience") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.install(spark)
+    // Seq[Byte], not Array[Byte]: the array form encodes as BinaryType
+    // and dies at type-check instead of exercising the dimension guard
+    val df = Seq((Seq[Byte](1, 2, 3), Seq(1.0, 2.0)))
+      .toDF("codes", "q")
+    val e = intercept[Exception] {
+      df.selectExpr("dot_fold_i8(codes, q)").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(6)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("dims"), s"expected the dimension message: $msgs")
+    // equal dims still fold exactly
+    val ok = Seq((Seq[Byte](1, 2, 3), Seq(1.0, 2.0, 3.0)))
+      .toDF("codes", "q")
+      .selectExpr("dot_fold_i8(codes, q)").head().getDouble(0)
+    assert(ok == 14.0)
+  }
+
   test("a few-anchor SQ probe bucket-prunes, and the store's data files " +
       "are materially smaller than the float store's (the family's point)") {
     IvfIndex.buildSq(spark, sfDir, "ivfsq_small", buckets = 8)

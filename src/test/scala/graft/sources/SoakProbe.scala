@@ -252,10 +252,16 @@ object SoakProbe {
       .filter(_ % epochs == 0).take(60).toSeq
     var deletesRan = false
     var deletedGated = 0L
+    // the leg needs streamed state to purge: with epochs < 2 it would
+    // fire at k = 0 over empty stores, delete nothing, and the final
+    // accounting (which subtracts the condemned counts) would fail for
+    // a configuration artifact, not an engine defect — skip it and the
+    // matching verdict below
+    val maintenanceEpoch = if (epochs >= 2) epochs / 2 else -1
     prober.start()
     try {
       (0 until epochs).foreach { k =>
-        if (k == epochs / 2) {
+        if (k == maintenanceEpoch) {
           // the sweeps' verdicts feed back: purge condemned docs/vectors
           // from all four families, then move the band family's banding
           // (adaptiveBanding's transition applied to MinHash: wider
@@ -330,9 +336,11 @@ object SoakProbe {
       throw new IllegalStateException(s"SOAK FAILED: $msg")
     if (unexpected.get() != 0)
       fail(s"${unexpected.get()} unexpected probe failures")
-    if (!deletesRan) fail("the delete/reband maintenance leg never ran")
+    if (maintenanceEpoch >= 0 && !deletesRan)
+      fail("the delete/reband maintenance leg never ran")
+    val deletedDocs = if (deletesRan) condemnedDocIds.size else 0
     val (nDocs, _) = PostingsIndex.stats(spark, "soak_post")
-    val wantDocs = docsAll.length - condemnedDocIds.size
+    val wantDocs = docsAll.length - deletedDocs
     if (nDocs != wantDocs)
       fail(s"postings n_docs=$nDocs, streamed-minus-deleted=$wantDocs")
     // the gate's closed form: admissions = first instance of each
@@ -356,15 +364,18 @@ object SoakProbe {
     val banding = AnnIndex.recordedBanding(spark, "soak_ann")
     if (banding == ((4, 8))) fail("the adaptive reband never fired")
     val annRows = spark.table("soak_ann").count()
-    val annWant = (baseN + annVecs.length - condemnedAnnIds.size) * banding._1
+    val delAnn = if (deletesRan) condemnedAnnIds.size else 0
+    val annWant = (baseN + annVecs.length - delAnn) * banding._1
     if (annRows != annWant)
       fail(s"ann store rows=$annRows, want $annWant (${banding._1} tables)")
     spark.catalog.refreshTable("soak_ivf")
     val ivfRows = spark.table("soak_ivf").count()
-    val ivfWant = baseN + ivfVecs.length - condemnedIvfIds.size
+    val delIvf = if (deletesRan) condemnedIvfIds.size else 0
+    val ivfWant = baseN + ivfVecs.length - delIvf
     if (ivfRows != ivfWant)
       fail(s"ivf store rows=$ivfRows, want $ivfWant")
-    if (BandIndex.recordedBanding(spark, "soak_band") != ((4, 16, 8)))
+    if (deletesRan &&
+        BandIndex.recordedBanding(spark, "soak_band") != ((4, 16, 8)))
       fail("the band reband's recorded banding did not persist")
     if (fitProp() == fit0) fail("the skew refit never fired")
     val compacted = fileSeen.filter { case (_, xs) =>
