@@ -862,6 +862,32 @@ object Curation {
       sealedFps0.select("fp"), table, "fp", buckets)
   }
 
+  /** UNSEAL — the DELETE verb on the exact-dedup gate's memory (the
+    * round-19 retro-purge applied to the fifth persisted store): purge
+    * `fps` from the sealed set so that content becomes ADMISSIBLE again
+    * — the "we dropped that source for quality, re-crawl it" / "this
+    * seal was a mistake" operation. Same machinery as the index
+    * families ([[graft.sources.Bucketing.deleteByKey]]: idempotent
+    * anti-join staged rewrite, swap-instant outage, compaction-class
+    * cost — batch unseals on the maintenance cadence).
+    *
+    * THE BLOOM NEEDS NO REBUILD, and that is a design property, not an
+    * omission: blooms cannot delete, but the gate only ever uses a
+    * bloom POSITIVE to route into the exact anti-join — after the
+    * unseal the exact check finds the fingerprint absent and ADMITS.
+    * A stale bloom bit is therefore exactly a false positive, the case
+    * the gate absorbs by construction (q81's routing rule); the
+    * unsealed content pays one exact check on re-arrival instead of
+    * the fast-miss path, forever bounded by the bloom's FP arithmetic.
+    * IteratedIngestSpec pins the full loop: seal → reject → unseal →
+    * the SAME bloom re-admits the same content. */
+  def unsealStore(table: String, fps: DataFrame): Unit = {
+    val spark = fps.sparkSession
+    spark.catalog.refreshTable(table)
+    graft.sources.Bucketing.deleteByKey(spark, table, "fp",
+      fps.select(fps(fps.columns.head).as("fp")))
+  }
+
   /** One [[ingestEpoch]] against the STORED sealed set: admit `batch`
     * over the bucketed table, advance the bloom in place (the
     * [[ingestEpoch]] aliasing rule applies), and append the admitted

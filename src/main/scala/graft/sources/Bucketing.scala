@@ -142,7 +142,7 @@ object Bucketing {
     * Returns the surviving snapshot's row frame count change indirectly
     * via the swap — callers needing the removed rows (stats folds) read
     * them BEFORE calling this. */
-  private[sources] def deleteByKey(spark: SparkSession, table: String,
+  private[graft] def deleteByKey(spark: SparkSession, table: String,
       keyCol: String, ids: DataFrame,
       extraProps: Map[String, String] = Map.empty): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(

@@ -171,4 +171,34 @@ class IteratedIngestSpec extends SparkSpec {
     assert(a2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
     assert(a3.select("doc_id").collect().map(_.getLong(0)).toSet == Set(24L))
   }
+
+  test("unsealStore re-opens the gate for purged content — and the SAME " +
+      "bloom keeps working (a stale positive routes to the exact check, " +
+      "which now admits; no rebuild needed by construction)") {
+    val sealed0 = Seq("S", "T").toDF("fp")
+    Curation.sealStore("unseal_store", sealed0, buckets = 8)
+    val bloom = sealed0.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", 100L, 0.01)
+    def ids(df: DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // sealed content is rejected (the bloom positive -> exact hit)
+    assert(ids(Curation.ingestEpochStored("unseal_store",
+      fps(1L -> "S", 2L -> "A"), bloom, 100L)) == Set(2L))
+    // unseal "S": purge it from the store; the bloom still says "maybe"
+    Curation.unsealStore("unseal_store", Seq("S").toDF("fp"))
+    spark.catalog.refreshTable("unseal_store")
+    assert(!spark.table("unseal_store").collect()
+      .map(_.getString(0)).contains("S"), "unseal left the fp sealed")
+    // the SAME bloom re-admits the same content: the stale positive
+    // routes to the exact anti-join, which finds nothing
+    assert(ids(Curation.ingestEpochStored("unseal_store",
+      fps(10L -> "S", 11L -> "T"), bloom, 100L)) == Set(10L),
+      "unsealed content must re-admit through the unchanged bloom")
+    // and the re-admission re-sealed it: a second arrival rejects again
+    assert(ids(Curation.ingestEpochStored("unseal_store",
+      fps(20L -> "S"), bloom, 100L)) == Set.empty,
+      "re-admitted content must be sealed again")
+    // idempotent on absent fps (the deleteByKey contract)
+    Curation.unsealStore("unseal_store", Seq("NEVER").toDF("fp"))
+  }
 }
