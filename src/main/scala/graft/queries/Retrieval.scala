@@ -485,7 +485,7 @@ object Retrieval {
       if (multiProbe) Similarity.multiProbeExpand(anchors0, bits)
       else anchors0
     val vec = graft.sources.AnnIndex.topKFor(spark, annTable, anchors,
-      FuseDepth)
+      FuseDepth, signedAt = Some((tables, bits)))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     fuseRrf(lex, vec, TopK)
   }

@@ -967,7 +967,8 @@ object Similarity {
         signatureRowsOf(
           normedVectors(spark, dir).filter(col("vec_id") < 20),
           tables, bits), bits)
-      graft.sources.AnnIndex.topKFor(spark, table, anchors, 5)
+      graft.sources.AnnIndex.topKFor(spark, table, anchors, 5,
+        signedAt = Some((tables, bits)))
     },
     Some(multiProbeSql),
     headline = true)
@@ -1007,7 +1008,8 @@ object Similarity {
     val anchors0 = signatureRowsOf(
       normedVectors(spark, dir).filter(col("vec_id") < 20), t, b)
     val anchors = if (multiProbe) multiProbeExpand(anchors0, b) else anchors0
-    graft.sources.AnnIndex.hardNegativesFor(spark, table, anchors, 3)
+    graft.sources.AnnIndex.hardNegativesFor(spark, table, anchors, 3,
+      signedAt = Some((t, b)))
   }
 
   private[queries] val q147 = GraftQuery(

@@ -205,10 +205,21 @@ object AnnIndex {
     * nrm) — one row per (query, table), computed at query time by the
     * caller ([[Similarity.signatureRowsOf]] over the query vectors),
     * never read from the index. The index is scanned ONCE, bucket-pruned
-    * by the anchors' signature literals. */
+    * by the anchors' signature literals.
+    * `signedAt` is the banding the caller signed `anchorRows` at (the
+    * [[recordedBanding]] it read): when passed, the probe RE-CHECKS it
+    * against the catalog after the anchor side executes — a [[reband]]
+    * landing between the caller's banding read and the probe (the
+    * signing job is seconds of Spark work — the live window) would make
+    * the old-banding signatures collide with NOTHING, a silently-empty
+    * result where the family's contract promises loud-retry (the
+    * BandIndex.requireBandingStable rule on the serving path). The
+    * residual window — a reband after this check, before the lazy scan
+    * executes — fails LOUD by construction: the swap's DROP deletes the
+    * old table's files, so a stale captured listing dies on read. */
   def topKFor(spark: SparkSession, table: String, anchorRows: DataFrame,
-      k: Int): DataFrame =
-    probeCore(spark, table, anchorRows, k, crossLabel = false)
+      k: Int, signedAt: Option[(Int, Int)] = None): DataFrame =
+    probeCore(spark, table, anchorRows, k, crossLabel = false, signedAt)
 
   /** The CROSS-LABEL serving probe — q125's hard-negative semantics
     * over the persisted store (the training-data shape: for each
@@ -223,8 +234,9 @@ object AnnIndex {
     * (vec_id, label, tbl, sig, v, nrm); sign them at
     * [[recordedBanding]], never a hardcoded pair. */
   def hardNegativesFor(spark: SparkSession, table: String,
-      anchorRows: DataFrame, k: Int): DataFrame =
-    probeCore(spark, table, anchorRows, k, crossLabel = true)
+      anchorRows: DataFrame, k: Int,
+      signedAt: Option[(Int, Int)] = None): DataFrame =
+    probeCore(spark, table, anchorRows, k, crossLabel = true, signedAt)
 
   /** The ONE probe chain both serving entries share (refresh, anchor
     * checkpoint, driver sig collect, isin pruning, broadcast rendezvous,
@@ -248,7 +260,8 @@ object AnnIndex {
     * identical tie rule → every output bit-equal to the pre-slim
     * spelling. */
   private def probeCore(spark: SparkSession, table: String,
-      anchorRows: DataFrame, k: Int, crossLabel: Boolean): DataFrame = {
+      anchorRows: DataFrame, k: Int, crossLabel: Boolean,
+      signedAt: Option[(Int, Int)] = None): DataFrame = {
     // read-your-committed-appends: a writer in another session (the
     // streaming ingestion pattern) cannot invalidate this session's
     // cached file listing — refresh before probing (PostingsIndex rule)
@@ -274,6 +287,20 @@ object AnnIndex {
     // anchor signatures collect to the driver for the pruning predicate
     val probeSigs = slim.select("qsig").distinct()
       .collect().map(_.getString(0)).toSeq
+    // the anchor side has EXECUTED (checkpoint + collect above) — the
+    // caller's signing pipeline included. Refuse a reband that landed
+    // since the caller read the banding it signed at: the old-banding
+    // signatures would collide with nothing (silent-empty, where the
+    // contract promises loud-retry). The residual window past this
+    // check fails loud on its own (the swap deletes the old files).
+    signedAt.foreach { sa =>
+      val now = banding(spark, table)
+      if (now != sa)
+        throw new IllegalStateException(
+          s"$table was rebanded mid-probe ($sa -> $now) — the anchors " +
+            "signed at the old banding and their collisions are void; " +
+            "retry the probe (sign at the new recordedBanding)")
+    }
     val baseCond = col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
       col("vec_id") =!= col("query_id")
     val cond =

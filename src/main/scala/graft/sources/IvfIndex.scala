@@ -577,11 +577,22 @@ object IvfIndex {
     val member = Similarity.normedVectorsOf(spark, embeddings)
       .join(ids, Seq("vec_id"), "left_semi")
     val payload = sqPayload(member).localCheckpoint(true)
-    val missing = ids.count() - payload.count()
+    // completeness guard in the ROBUST anti-join form (the reband rule):
+    // the count-difference spelling (ids.count − payload.count) lets a
+    // DUPLICATE vec_id in the handed corpus cancel a MISSING store id —
+    // the require passes, the swap silently deletes the missing vector
+    // and lands duplicate rows. Check each hazard by name instead.
+    val missing = ids
+      .join(payload.select("vec_id"), Seq("vec_id"), "left_anti").count()
     require(missing == 0L,
       s"$table holds $missing vec_ids the handed corpus lacks — a rebuild " +
         "over this corpus would silently delete them; hand the full source " +
         "corpus (or delete the ids first if removal is intended)")
+    val dup = payload.count() - payload.select("vec_id").distinct().count()
+    require(dup == 0L,
+      s"the handed corpus carries $dup duplicate vec_ids among the store's " +
+        "members — a rebuild would land duplicate rows; dedup the corpus " +
+        "frame first (one embedding per vec_id is the build contract)")
     Bucketing.stagedSwapIn(spark, table,
       assignOf(payload, cent, carry = Seq("qv", "qnrm")),
       "cell", buckets, carried + (FitProp -> version))

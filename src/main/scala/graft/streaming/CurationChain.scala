@@ -667,9 +667,18 @@ object CurationChain {
   * and inspectable so a deployment's scheduler — or a spec — can read
   * what was advised. */
 private[graft] object SqDriftAdvisor {
-  final val MaxAdvisories = 64
+  /** Per-TABLE ring cap (round-19 advice applied): the r19 global
+    * 64-entry lifetime queue meant a loop hammering one drifted store
+    * crowded out every OTHER table's first advisory for the process
+    * lifetime — and kept the 64 oldest messages, whose skew numbers a
+    * scheduler cares least about. Each table now keeps its own bounded
+    * ring of the LATEST advisories; a long-lived driver running many SQ
+    * streams stays O(tables × cap) and never loses a fresh table's
+    * signal. */
+  final val MaxPerTable = 8
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  val advisories = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val byTable = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.ConcurrentLinkedQueue[String]]
 
   /** One occupancy aggregation over the cell key; advises when max
     * occupancy exceeds `skewThreshold` × mean. */
@@ -686,7 +695,28 @@ private[graft] object SqDriftAdvisor {
         "cannot refit in place; schedule IvfIndex.rebuildSq(table, " +
         "sourceCorpus, newFit)"
       log.warn(msg)
-      if (advisories.size < MaxAdvisories) advisories.add(msg)
+      val q = byTable.computeIfAbsent(table,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[String])
+      q.add(msg)
+      while (q.size > MaxPerTable) q.poll() // ring: keep the latest
     }
   }
+
+  /** The advisories currently pending for `table`, oldest first —
+    * the inspection surface (specs; a scheduler that polls). */
+  def advised(table: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(byTable.get(table)).map(_.iterator.asScala.toSeq).getOrElse(Nil)
+  }
+
+  /** Read-AND-CLEAR for `table` — the scheduler verb: act on the batch
+    * of advisories and acknowledge them in one call, so the next drift
+    * detection is a fresh signal, not a re-read. */
+  def drain(table: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(byTable.remove(table)).map(_.iterator.asScala.toSeq).getOrElse(Nil)
+  }
+
+  /** Spec reset. */
+  def clearAll(): Unit = byTable.clear()
 }

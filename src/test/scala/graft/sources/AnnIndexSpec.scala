@@ -95,6 +95,34 @@ class AnnIndexSpec extends SparkSpec {
       "client-computed anchor signatures diverge from the self-probe")
   }
 
+  test("a reband landing between the client's banding read and its probe " +
+      "fails LOUD (signedAt recheck), never a silently-empty result") {
+    import org.apache.spark.sql.functions.col
+    AnnIndex.build(spark, sfDir, "ann_idx_race", tables = 4, bits = 8,
+      buckets = 16)
+    // the client reads the banding and signs its anchors at it...
+    val signedAt = AnnIndex.recordedBanding(spark, "ann_idx_race")
+    val anchors = graft.queries.Similarity.signatureRowsOf(
+      graft.queries.Similarity.normedVectors(spark, sfDir)
+        .filter(col("vec_id") < 8),
+      signedAt._1, signedAt._2)
+    // ...and a maintenance reband lands before the probe runs
+    AnnIndex.reband(spark, "ann_idx_race", tables = 2, bits = 4)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.topKFor(spark, "ann_idx_race", anchors, 5,
+        signedAt = Some(signedAt)).collect()
+    }
+    assert(e.getMessage.contains("rebanded mid-probe"), e.getMessage)
+    // the retry contract: re-reading the banding and re-signing serves
+    val again = AnnIndex.recordedBanding(spark, "ann_idx_race")
+    val fresh = graft.queries.Similarity.signatureRowsOf(
+      graft.queries.Similarity.normedVectors(spark, sfDir)
+        .filter(col("vec_id") < 8),
+      again._1, again._2)
+    assert(AnnIndex.topKFor(spark, "ann_idx_race", fresh, 5,
+      signedAt = Some(again)).collect().nonEmpty)
+  }
+
   test("reband rewrites the store at a new banding without re-reading the " +
       "corpus: equals the fresh build bit-for-bit, the recorded banding " +
       "and the append guard flip atomically, user properties survive") {

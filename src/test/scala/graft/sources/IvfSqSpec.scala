@@ -176,19 +176,22 @@ class IvfSqSpec extends SparkSpec {
     import spark.implicits._
     IvfIndex.buildSq(spark, sfDir, "ivfsq_adv")
     val before = spark.table("ivfsq_adv").count()
-    graft.streaming.SqDriftAdvisor.advisories.clear()
+    graft.streaming.SqDriftAdvisor.clearAll()
     // threshold 1.0: any non-uniform occupancy advises (the q37 fit over
     // the test corpus is never perfectly uniform — 500 vecs, 8 cells)
     graft.streaming.CurationChain.sqCellBatch("ivfsq_adv",
       Seq((100000L, 0, (0 until 64).map(_.toFloat)))
         .toDF("vec_id", "label", "embedding"),
       batchId = 0L, adviseAboveSkew = 1.0, adviseCheckEvery = 1)
-    val msgs = {
-      import scala.jdk.CollectionConverters._
-      graft.streaming.SqDriftAdvisor.advisories.iterator().asScala.toSeq
-    }
+    val msgs = graft.streaming.SqDriftAdvisor.advised("ivfsq_adv")
     assert(msgs.nonEmpty && msgs.head.contains("rebuildSq"),
       s"the advisor must name the rebuild op: $msgs")
+    assert(graft.streaming.SqDriftAdvisor.advised("some_other_table").isEmpty,
+      "advisories must be keyed per table")
+    // the scheduler verb: drain reads and acknowledges in one call
+    assert(graft.streaming.SqDriftAdvisor.drain("ivfsq_adv") == msgs)
+    assert(graft.streaming.SqDriftAdvisor.advised("ivfsq_adv").isEmpty,
+      "drain must clear the table's pending advisories")
     spark.catalog.refreshTable("ivfsq_adv")
     assert(spark.table("ivfsq_adv").count() == before + 1,
       "the advisory path must only append the batch — never rewrite")
