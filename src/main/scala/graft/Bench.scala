@@ -126,9 +126,20 @@ object Bench {
     * shuffle-free; timed cost ≈ q124's with the banding moved from the
     * sweep into the store build — the win is the RECURRING deployment
     * where the store persists across crawls and the sweep alone runs).
-    * New rows earn stability first, per the rule above. */
+    * New rows earn stability first, per the rule above.
+    *
+    * Round-20 demotion pass (the superseded category, applied as the
+    * r18 note prescribed): q138 (near-dup decontam, recompute) demotes
+    * now that q139 — its BandIndex-served spelling against the same
+    * oracle — has a stable round behind it, and q145 (multi-probe
+    * recompute) demotes behind q146 (the store-served spelling, same
+    * oracle). Both tracked passes keep regression-guarding the
+    * recompute kernels every round; the headline total drops by exactly
+    * their r19 medians (judge pair ~2.6 s + ~1.5 s). q148/q149 stay
+    * headline (r19 rows, one stable round earned). */
   private[graft] val demoted: Set[String] = Set(
     "q133_retrieval_decontam",
+    "q138_minhash_decontam", "q145_multiprobe_ann",
     "q102_epoch_shuffle", "q103_packing_efficiency", "q104_repeat_tiers",
     "q106_frame_sample", "q108_snapshot_drift", "q110_classifier_auc",
     "q111_gram_matrix", "q114_calibration_bins", "q117_corpus_profile_approx",

@@ -127,6 +127,29 @@ object AnnIndex {
     Bucketing.deleteByKey(spark, table, "vec_id", vecIds)
   }
 
+  /** UPSERT/re-crawl ([[graft.sources.PostingsIndex.reindex]]'s rule on
+    * the vector family): the SAME vec_id arrives with a CHANGED
+    * embedding (the source re-crawled and re-embedded) — the append
+    * contract's disjoint-ids rule excludes it, and a caller-composed
+    * delete+append pays two rewrites with a neither-version window. One
+    * staged rewrite ([[Bucketing.upsertByKey]]): the batch re-signs at
+    * the RECORDED banding, old signature rows for its ids drop, pending
+    * tombstones fold. Probes after equal a fresh build over the updated
+    * corpus (ReindexSpec). */
+  def reindexVectors(table: String, embeddings: DataFrame): Unit = {
+    val spark = embeddings.sparkSession
+    val (tables, bits) = banding(spark, table)
+    spark.catalog.refreshTable(table)
+    val normed = Similarity.normedVectorsOf(spark, embeddings)
+      .localCheckpoint(true)
+    require(normed.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "reindex batch carries duplicate vec_ids — one embedding per vector " +
+        "is the re-crawl contract (dedupe the batch first)")
+    Bucketing.upsertByKey(spark, table, "vec_id",
+      Similarity.signatureRowsOf(normed, tables, bits),
+      replacedKeys = Some(normed.select("vec_id")))
+  }
+
   private def banding(spark: SparkSession, table: String): (Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

@@ -150,7 +150,12 @@ object BandIndex {
       k.startsWith("spark.") || k.startsWith("transient_") ||
         k == "comment" || k == "owner"
     }
-    val ids = spark.table(table).select("doc_id").distinct()
+    // membership is the store's LIVE truth: tombstoned docs are already
+    // logically deleted, so the re-sign excludes them and the rewrite
+    // folds their tombstones (cleared after the swap, like every full
+    // rewrite)
+    val ids = Bucketing.liveRows(spark, table, "doc_id")
+      .select("doc_id").distinct()
       .localCheckpoint(true)
     // completeness guard (the rebuildSq rule, same hazard): store ids the
     // handed corpus lacks entirely would silently mass-delete through the
@@ -171,6 +176,7 @@ object BandIndex {
     Bucketing.stagedSwapIn(spark, table, rows, "sig", buckets,
       carried ++ Map(ShingleProp -> shingle.toString,
         HashesProp -> hashes.toString, BandsProp -> bands.toString))
+    Bucketing.clearTombstones(spark, table)
   }
 
   /** Past this many probe band rows, the probes stop shipping the
@@ -210,12 +216,29 @@ object BandIndex {
     * collect are metadata-cheap reads of it. */
   private def prunedStore(spark: SparkSession, table: String,
       bandRows: DataFrame): DataFrame =
-    if (bandRows.count() <= PruneSigLimit) {
-      val sigs = bandRows.select("sig").distinct()
-        .collect().map(_.getString(0)).toSeq
-      spark.table(table)
-        .filter(col("sig").isin(sigs: _*)) // bucket pruning happens HERE
-    } else spark.table(table)
+    subtractTombstones(spark, table,
+      if (bandRows.count() <= PruneSigLimit) {
+        val sigs = bandRows.select("sig").distinct()
+          .collect().map(_.getString(0)).toSeq
+        spark.table(table)
+          .filter(col("sig").isin(sigs: _*)) // bucket pruning happens HERE
+      } else spark.table(table))
+
+  /** The DEFERRED-delete subtraction on a store-side frame: pending
+    * tombstones anti-join it (broadcast — verdict-scale by contract),
+    * ABOVE the sig filter so the bucket pruning stays on the scan node.
+    * With nothing pending this is the frame itself — same object, same
+    * plan (the no-Exchange sweep pin is untouched on tombstone-free
+    * stores). */
+  private def subtractTombstones(spark: SparkSession, table: String,
+      frame: DataFrame): DataFrame =
+    Bucketing.pendingTombstones(spark, table) match {
+      case Some(tomb) =>
+        val cols = frame.columns
+        frame.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .select(cols.head, cols.tail: _*)
+      case None => frame
+    }
 
   /** [[appendDocs]] over the documents of `dir` restricted to `pred` —
     * the dir-based epoch-append convenience. */
@@ -365,12 +388,16 @@ object BandIndex {
     * [[withRelaxedCoPartition]] the join plans with zero exchanges
     * below it. */
   private[graft] def pairCandidates(spark: SparkSession,
-      table: String): DataFrame =
-    spark.table(table).as("x")
-      .join(spark.table(table).as("y"),
+      table: String): DataFrame = {
+    // tombstones subtract on BOTH legs of the self-join: a deferred-
+    // deleted doc must neither anchor nor complete a candidate pair
+    val live = subtractTombstones(spark, table, spark.table(table))
+    live.as("x")
+      .join(live.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+  }
 
   /** The lazy candidate frame (bench_id, doc_id) for a probe over
     * materialized `qbands` — the store side size-routed per
@@ -415,6 +442,57 @@ object BandIndex {
     banding(spark, table) // refuse a table this object did not build
     spark.catalog.refreshTable(table)
     Bucketing.deleteByKey(spark, table, "doc_id", docIds)
+  }
+
+  /** DEFERRED delete — the O(condemned) verb
+    * ([[PostingsIndex.deleteDeferred]]'s twin on the other recurring-
+    * sweep family): the condemned doc ids append to the tombstone
+    * side-table and every probe subtracts them as a broadcast anti-join
+    * ([[Bucketing.tombstone]]'s contract) — no store rewrite until the
+    * maintenance cadence folds them ([[Bucketing.compact]], [[reband]],
+    * or any eager [[delete]]/[[reindex]] rewrite). No derived statistics
+    * in this family, so the tombstone append IS the whole operation;
+    * probes after are row-identical to the eager verb's (DeleteSpec).
+    * Idempotent: only ids with live rows tombstone, so a re-fed
+    * condemned set appends nothing. */
+  def deleteDeferred(spark: SparkSession, table: String,
+      docIds: DataFrame): Unit = {
+    banding(spark, table) // refuse a table this object did not build
+    spark.catalog.refreshTable(table)
+    val ids = docIds
+      .select(docIds(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val doomed = Bucketing.liveRows(spark, table, "doc_id")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct().localCheckpoint(true)
+    if (!doomed.isEmpty)
+      Bucketing.tombstone(spark, table, "doc_id", doomed)
+  }
+
+  /** UPSERT/re-crawl ([[PostingsIndex.reindex]]'s twin): the SAME doc_id
+    * arrives with CHANGED text — an append would violate the
+    * disjoint-ids contract and leave the old text's band rows silently
+    * coexisting with the new (phantom collisions forever). One staged
+    * rewrite ([[Bucketing.upsertByKey]]): old rows for the batch's ids
+    * drop, the batch's rows — banded at the RECORDED banding — land,
+    * pending tombstones fold (a re-crawled id that was tombstoned is
+    * alive again). The purge keys are the BATCH ids, not the new rows'
+    * ids: a re-crawled doc now shorter than the shingle width yields
+    * zero band rows and must still lose its old ones, exactly as a
+    * fresh build over the updated corpus would have none. Probes after
+    * equal that fresh build (ReindexSpec). */
+  def reindex(spark: SparkSession, table: String, docs: DataFrame): Unit = {
+    val b = banding(spark, table) // refuse a table this object did not build
+    spark.catalog.refreshTable(table)
+    val batch = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).localCheckpoint(true)
+    require(batch.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "reindex batch carries duplicate doc_ids — one text per doc is the " +
+        "re-crawl contract (dedupe the batch first)")
+    val rows = Dedup.bandRowsOn(spark, batch, b)
+      .select("sig", "band", "doc_id")
+    Bucketing.upsertByKey(spark, table, "doc_id", rows,
+      replacedKeys = Some(batch.select("doc_id")))
   }
 
   /** The store's row pipeline — exactly the recompute path's band

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Bucketed-table layout for co-located joins: writing both sides of a
   * recurring equi-join bucketed by the join key lets every subsequent join
@@ -24,6 +25,21 @@ object Bucketing {
     * bucket count is the parallelism lever at scale. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    dropTableAndDir(spark, table)
+    df.repartition(buckets, df(key))
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** DROP a table and clean its leftover warehouse directory: an
+    * in-memory catalog forgets tables between sessions while their
+    * warehouse directories persist, and saveAsTable refuses a "new"
+    * table whose location already exists. */
+  private def dropTableAndDir(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
     val leftover = new java.io.File(
@@ -33,13 +49,6 @@ object Bucketing {
       java.nio.file.Files.walk(leftover).iterator.asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    df.repartition(buckets, df(key))
-      .write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
   }
 
   /** Join two bucketed tables on their bucket key — with matching bucket
@@ -95,10 +104,24 @@ object Bucketing {
       k.startsWith("spark.") || k.startsWith("transient_") ||
         k == "comment" || k == "owner"
     }
-    val snapshot = spark.table(table).localCheckpoint(true)
+    // the physical tombstone fold rides the compaction it was deferred
+    // TO (the LSM shape): pending condemned keys drop out of the rewrite
+    // for free — the side-table's single column names the delete key,
+    // which need not be the bucket key (postings tombstone by doc_id,
+    // bucket by term)
+    val base = pendingTombstones(spark, table) match {
+      case Some(tomb) =>
+        val cols = spark.table(table).columns
+        spark.table(table)
+          .join(broadcast(tomb), Seq(tomb.columns.head), "left_anti")
+          .select(cols.head, cols.tail: _*)
+      case None => spark.table(table)
+    }
+    val snapshot = base.localCheckpoint(true)
     // bucket alignment (one task per bucket, one file per bucket)
     // happens inside writeBucketed
     stagedSwapIn(spark, table, snapshot, key, spec.numBuckets, props)
+    clearTombstones(spark, table)
   }
 
   /** The staged rewrite-and-swap both compaction paths share
@@ -178,12 +201,153 @@ object Bucketing {
     // store's long-beside-long layout would have corrupted without an
     // error). Re-select the original order before the swap.
     val cols = spark.table(table).columns
+    // any FULL-STORE REWRITE folds the pending tombstone set and clears
+    // it (the one invariant that keeps the eager and deferred verbs
+    // composable): rows already logically deleted via [[tombstone]] are
+    // physically purged here for free — the rewrite is happening anyway
+    // — and the side-table drops, so probes stop paying the anti-join.
+    val purgeKeys = pendingTombstones(spark, table) match {
+      case Some(tomb) => idFrame.union(tomb).distinct()
+      case None => idFrame
+    }
     val survivors = spark.table(table)
-      .join(idFrame, Seq(keyCol), "left_anti")
+      .join(purgeKeys, Seq(keyCol), "left_anti")
       .select(cols.head, cols.tail: _*)
       .localCheckpoint(true)
     stagedSwapIn(spark, table, survivors,
       spec.bucketColumnNames.head, spec.numBuckets, props)
+    // clear AFTER the swap: a crash in between leaves tombstones naming
+    // already-purged keys — the anti-join of an absent key is a no-op,
+    // so the recovery is simply the next rewrite (idempotent, stated)
+    clearTombstones(spark, table)
+  }
+
+  // ---- Deferred (tombstone) deletes -----------------------------------
+  //
+  // The LSM answer to delete economics: [[deleteByKey]] is a full-store
+  // rewrite per purge batch — correct and honestly priced (compaction-
+  // class), but the FREQUENT-delete deployment (a recurring decontam
+  // sweep against a growing benchmark suite) pays O(store) for every
+  // O(condemned) verdict set. A deferred delete appends the condemned
+  // keys to a bucketed side-table `<table>__tombstones` in O(condemned);
+  // probes subtract it as a BROADCAST anti-join (condemned sets are
+  // verdict-scale by the sweep contract — bounded by true contamination
+  // or duplication, never corpus-scale); and the physical purge rides
+  // the maintenance the store already schedules ([[compact]] and every
+  // other full rewrite fold the set and drop the side-table). The
+  // side-table's EXISTENCE is the pending signal: it is created with its
+  // first condemned keys and dropped at every fold, so the probe hot
+  // path pays one driver-side catalog lookup when there is nothing
+  // pending — never a count job.
+
+  private[graft] def tombTableOf(table: String): String =
+    s"${table}__tombstones"
+
+  /** The pending tombstone keys of `table` (one column, the store's
+    * delete key), or None when nothing is pending. Existence ⇒ nonempty:
+    * the side-table is only ever written WITH rows and is dropped whole
+    * at each fold. */
+  private[graft] def pendingTombstones(spark: SparkSession,
+      table: String): Option[DataFrame] = {
+    val t = tombTableOf(table)
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))) {
+      // read-your-committed-deletes: another session's deferred delete
+      // appends to the side-table without invalidating THIS session's
+      // cached listing (the probe refresh rule, applied to the one
+      // table whose staleness would re-serve a deleted document)
+      spark.catalog.refreshTable(t)
+      Some(spark.table(t))
+    } else None
+  }
+
+  /** Append `ids` to the table's tombstone set — O(condemned), never a
+    * store rewrite. `ids` must already be deduplicated against the
+    * pending set AND restricted to keys the store actually holds (the
+    * family's deferred-delete verb does both off its doomed-slice read,
+    * which it needs anyway) — this keeps the side-table's size bounded
+    * by live condemnations, not by how many times a sweep re-feeds its
+    * verdicts. Bucketed by the key like the parent (the fold's anti-join
+    * broadcasts, but the layout keeps the side-table a first-class
+    * citizen of the warehouse: compactable, inspectable, droppable). */
+  private[graft] def tombstone(spark: SparkSession, table: String,
+      keyCol: String, ids: DataFrame): Unit = {
+    val t = tombTableOf(table)
+    val frame = ids.select(ids(ids.columns.head).as(keyCol))
+    if (pendingTombstones(spark, table).isDefined)
+      frame.repartition(1, col(keyCol)).write.mode("append").insertInto(t)
+    else
+      writeBucketed(frame, t, keyCol, buckets = 1)
+  }
+
+  private[graft] def clearTombstones(spark: SparkSession,
+      table: String): Unit =
+    dropTableAndDir(spark, tombTableOf(table))
+
+  /** The store's LIVE rows: everything minus the pending tombstones —
+    * the frame every probe (and every doomed-slice read) consumes.
+    * Column order re-selected (the USING-join fronting hazard); the
+    * tombstone side broadcasts explicitly, so a caller that disables
+    * auto-broadcast for its own join shaping cannot accidentally shuffle
+    * the store against a verdict-scale set. With nothing pending this IS
+    * `spark.table(table)` — same object, same plan, zero overhead. */
+  private[graft] def liveRows(spark: SparkSession, table: String,
+      keyCol: String): DataFrame = {
+    val full = spark.table(table)
+    pendingTombstones(spark, table) match {
+      case Some(tomb) =>
+        val cols = full.columns
+        full.join(broadcast(tomb), Seq(keyCol), "left_anti")
+          .select(cols.head, cols.tail: _*)
+      case None => full
+    }
+  }
+
+  /** UPSERT: replace/insert `newRows` by key in ONE staged rewrite — the
+    * re-crawl verb (same doc_id, changed content) every append path's
+    * disjoint-ids contract excludes and the delete verb only half
+    * handles: a caller-composed delete+append pays TWO full rewrites and
+    * leaves a window where neither version serves. Here the swap is
+    * atomic: old rows for the new keys drop, new rows land, pending
+    * tombstones fold (an upserted key that was tombstoned is ALIVE again
+    * — the new content is a fresh observation, and leaving its tombstone
+    * would hide the new rows from every probe), all in the same
+    * compaction-class rewrite. `newRows` must be in the table's exact
+    * column order (insert-path contract) and materialized by the caller
+    * if derived from the table itself. `replacedKeys` overrides the
+    * purge set when it is WIDER than newRows' own keys — the band
+    * family's re-crawl of a doc now shorter than the shingle width
+    * yields zero new rows but must still drop the old ones (a fresh
+    * build over the updated corpus has no rows for it either). */
+  private[graft] def upsertByKey(spark: SparkSession, table: String,
+      keyCol: String, newRows: DataFrame,
+      extraProps: Map[String, String] = Map.empty,
+      replacedKeys: Option[DataFrame] = None): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"$table is not bucketed — not one of the engine's index stores"))
+    val props = meta.properties.filterNot { case (k, _) =>
+      k.startsWith("spark.") || k.startsWith("transient_") ||
+        k == "comment" || k == "owner"
+    } ++ extraProps
+    val cols = spark.table(table).columns
+    val rows = newRows.select(cols.head, cols.tail: _*).localCheckpoint(true)
+    val replaced = replacedKeys
+      .map(f => f.select(f(f.columns.head).as(keyCol)).distinct())
+      .getOrElse(rows.select(keyCol).distinct())
+    val purgeKeys = pendingTombstones(spark, table) match {
+      case Some(tomb) => replaced.union(tomb).distinct()
+      case None => replaced
+    }
+    val snapshot = spark.table(table)
+      .join(purgeKeys, Seq(keyCol), "left_anti")
+      .select(cols.head, cols.tail: _*)
+      .unionByName(rows)
+      .localCheckpoint(true)
+    stagedSwapIn(spark, table, snapshot,
+      spec.bucketColumnNames.head, spec.numBuckets, props)
+    clearTombstones(spark, table)
   }
 
   /** Shared size-routing limit for probe literals over bucketed stores:

@@ -201,6 +201,36 @@ object IvfIndex {
       .write.mode("append").insertInto(table)
   }
 
+  /** UPSERT/re-crawl on the cell store, storage-routed (one verb for
+    * both the float and SQ layouts, like [[delete]]): the batch
+    * re-assigns against the CURRENT fit (fit-version guard — a
+    * half-completed refit must not mis-cell the batch), old rows for
+    * its vec_ids drop, new rows land, pending tombstones fold — one
+    * staged rewrite ([[Bucketing.upsertByKey]]). The centroid companion
+    * is untouched: a re-crawl changes observations, never the fit
+    * (fit drift is [[refit]]/[[rebuildSq]]'s job). Probes after equal a
+    * fresh build over the updated corpus (ReindexSpec). */
+  def reindexVectors(table: String, embeddings: DataFrame): Unit = {
+    val spark = embeddings.sparkSession
+    val centTable = centTableOf(table)
+    require(spark.catalog.tableExists(centTable),
+      s"$table carries no centroid companion ($centTable) — not built by IvfIndex")
+    requireFitMatch(spark, table)
+    spark.catalog.refreshTable(table)
+    val cent = spark.table(centTable).localCheckpoint(true)
+    val normed = Similarity.normedVectorsOf(spark, embeddings)
+      .localCheckpoint(true)
+    require(normed.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "reindex batch carries duplicate vec_ids — one embedding per vector " +
+        "is the re-crawl contract (dedupe the batch first)")
+    val rows =
+      if (isSqStore(spark, table))
+        assignOf(sqPayload(normed), cent, carry = Seq("qv", "qnrm"))
+      else assignOf(normed, cent)
+    Bucketing.upsertByKey(spark, table, "vec_id", rows,
+      replacedKeys = Some(normed.select("vec_id")))
+  }
+
   /** Self-probe convenience (the AnnIndex.topK rule): anchors are the
     * indexed corpus's own `vec_id < nAnchors` rows — one un-pruned scan
     * to fetch them, then the pruned candidate scan. A point-query

@@ -154,11 +154,16 @@ object PostingsIndex {
     * to "" and Spark's split("", " ") yields [""], so the invariant
     * holds by construction — and dl is constant across a doc's rows. */
   def refreshStats(spark: SparkSession, table: String): Unit = {
-    val r = spark.table(table)
+    // LIVE rows only: a recompute that restated tombstoned docs' stats
+    // would undo their deferred delete's fold — the recovery path must
+    // agree with what probes serve
+    val live = Bucketing.liveRows(spark, table, "doc_id")
+      .localCheckpoint(true)
+    val r = live
       .groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     writeStats(spark, table, (r.getLong(0), r.getLong(1)))
-    Bucketing.writeBucketed(dfOf(spark.table(table)), dfTableOf(table),
+    Bucketing.writeBucketed(dfOf(live), dfTableOf(table),
       "term", bucketCount(spark, table))
   }
 
@@ -187,29 +192,119 @@ object PostingsIndex {
     * path; probes may retry across the swap instant. `docIds` is any
     * one-column frame of doc ids. */
   def delete(spark: SparkSession, table: String, docIds: DataFrame): Unit = {
+    val doomed = doomedSlice(spark, table, docIds)
+    val (nDel, sDel, ids) = doomedStats(doomed)
+    if (nDel > 0L) {
+      Bucketing.deleteByKey(spark, table, "doc_id", ids)
+      foldDown(spark, table, doomed, nDel, sDel)
+    }
+  }
+
+  /** DEFERRED delete — the O(condemned) verb for the frequent-delete
+    * deployment (a recurring decontam sweep whose verdict set is tiny
+    * against the store): where [[delete]] pays the compaction-class
+    * full rewrite per purge batch, this appends the condemned doc ids
+    * to the store's tombstone side-table ([[Bucketing.tombstone]]) and
+    * lets every probe subtract them as a broadcast anti-join — probe
+    * results are BIT-EQUAL to the eager verb's (DeleteSpec pins deferred
+    * ≡ eager ≡ rebuild-over-survivors), because the derived state folds
+    * identically at delete time: negative df deltas append
+    * (O(deleted vocabulary)) and (n_docs, sum_dl) fold down, exactly
+    * [[delete]]'s steps 2–3 — only the physical purge (step 1) defers to
+    * the maintenance cadence ([[compact]] and every full rewrite fold
+    * the tombstones and drop the side-table). Idempotent like the eager
+    * verb: the doomed slice reads LIVE rows only, so a re-fed condemned
+    * set finds nothing to fold. Crash windows mirror eager's: the
+    * tombstone append is the commit point (no deleted doc served past
+    * it); a crash before the deltas/stats leaves them overstated —
+    * damped idf, never inverting, recovered by [[refreshStats]]. */
+  def deleteDeferred(spark: SparkSession, table: String,
+      docIds: DataFrame): Unit = {
+    val doomed = doomedSlice(spark, table, docIds)
+    val (nDel, sDel, _) = doomedStats(doomed)
+    if (nDel > 0L) {
+      Bucketing.tombstone(spark, table, "doc_id",
+        doomed.select("doc_id").distinct())
+      foldDown(spark, table, doomed, nDel, sDel)
+    }
+  }
+
+  /** UPSERT/re-crawl — the production event the append contract's
+    * disjoint-ids rule excludes: the SAME doc_id arrives with CHANGED
+    * text (a re-crawl), and appending without deleting first would leave
+    * the old text's postings silently coexisting with the new (double
+    * df, phantom matches). One composed operation per store pair, never
+    * a caller-composed delete+append (two rewrites, plus a window where
+    * neither version serves): the postings swap is ONE staged rewrite
+    * ([[Bucketing.upsertByKey]]: survivors minus re-crawled ids, plus
+    * the fresh batch's rows, pending tombstones folded — a re-crawled
+    * id that was tombstoned is alive again with the new content), the
+    * df companion gets the old rows' negative deltas and the new rows'
+    * positive deltas in one append, and the stats fold both directions.
+    * Brand-new doc_ids ride along (they replace nothing). Probes after
+    * equal a fresh build over the UPDATED corpus (ReindexSpec). Crash
+    * windows: the swap is the commit point (old text never served past
+    * it); deltas/stats lag a crash like delete's, recovered by
+    * [[refreshStats]]. Single-writer like every maintenance path. */
+  def reindex(spark: SparkSession, table: String, docs: DataFrame): Unit = {
+    val batch = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    require(batch.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "reindex batch carries duplicate doc_ids — one text per doc is the " +
+        "re-crawl contract (dedupe the batch first)")
+    val doomed = doomedSlice(spark, table, batch.select("doc_id"))
+    val (nDel, sDel, _) = doomedStats(doomed)
+    val toks = Retrieval.tokenizedDocsOf(batch).localCheckpoint(true)
+    val post = postingsOf(toks).localCheckpoint(true)
+    val (nNew, sNew) = collectionStats(toks)
+    val buckets = bucketCount(spark, table)
+    Bucketing.upsertByKey(spark, table, "doc_id", post)
+    doomed.groupBy("term").agg((-count(lit(1))).as("df"))
+      .unionByName(dfOf(post))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
+      .repartition(buckets, col("term"))
+      .write.mode("append").insertInto(dfTableOf(table))
+    val (n0, s0) = stats(spark, table)
+    writeStats(spark, table, (n0 - nDel + nNew, s0 - sDel + sNew))
+  }
+
+  /** The LIVE doomed slice for a condemned id frame: rows the store
+    * still serves for those ids — already-tombstoned (or never-indexed,
+    * or eagerly-purged) ids contribute nothing, which is what makes
+    * every delete verb idempotent AND keeps the two verbs composable
+    * (a deferred delete followed by an eager re-feed of the same set
+    * must not fold the stats twice). Materialized BEFORE any purge or
+    * tombstone lands: it feeds the stats decrement and the negative df
+    * deltas, and after the verb commits the rows it aggregates are no
+    * longer visible. */
+  private def doomedSlice(spark: SparkSession, table: String,
+      docIds: DataFrame): DataFrame = {
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(dfTableOf(table))
     stats(spark, table) // refuse a table this object did not build
     val ids = docIds
       .select(docIds(docIds.columns.head).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
-    // the doomed slice materializes BEFORE the purge: it feeds both the
-    // stats decrement and the negative df deltas, and after the swap the
-    // rows it aggregates are gone
-    val doomed = spark.table(table)
+    Bucketing.liveRows(spark, table, "doc_id")
       .join(ids, Seq("doc_id"), "left_semi").localCheckpoint(true)
+  }
+
+  private def doomedStats(doomed: DataFrame): (Long, Long, DataFrame) = {
     val st = doomed.groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    val (nDel, sDel) = (st.getLong(0), st.getLong(1))
-    if (nDel > 0L) {
-      val buckets = bucketCount(spark, table)
-      Bucketing.deleteByKey(spark, table, "doc_id", ids)
-      doomed.groupBy("term").agg((-count(lit(1))).as("df"))
-        .repartition(buckets, col("term"))
-        .write.mode("append").insertInto(dfTableOf(table))
-      val (n0, s0) = stats(spark, table)
-      writeStats(spark, table, (n0 - nDel, s0 - sDel))
-    }
+    (st.getLong(0), st.getLong(1), doomed.select("doc_id").distinct())
+  }
+
+  /** Steps 2–3 of both delete verbs: the batch's negative df deltas
+    * append to the companion and (n_docs, sum_dl) fold down. */
+  private def foldDown(spark: SparkSession, table: String,
+      doomed: DataFrame, nDel: Long, sDel: Long): Unit = {
+    doomed.groupBy("term").agg((-count(lit(1))).as("df"))
+      .repartition(bucketCount(spark, table), col("term"))
+      .write.mode("append").insertInto(dfTableOf(table))
+    val (n0, s0) = stats(spark, table)
+    writeStats(spark, table, (n0 - nDel, s0 - sDel))
   }
 
   /** Compact the index pair — [[Bucketing.compact]] on the postings
@@ -353,7 +448,20 @@ object PostingsIndex {
         spark.table(t).filter(col("term").isin(ts: _*)) // bucket pruning
       case None => spark.table(t).join(broadcast(qvocab), Seq("term"))
     }
-    val slice = restricted(table).select("doc_id", "dl", "term", "tf")
+    // the DEFERRED-delete subtraction: pending tombstones anti-join the
+    // pruned slice (broadcast — condemned sets are verdict-scale), so a
+    // deferred-deleted doc stops being served the instant its tombstone
+    // lands, with df/stats already folded down at delete time — the
+    // probe arithmetic is bit-equal to the eager verb's. With nothing
+    // pending this is the plain pruned scan (one driver-side catalog
+    // lookup, no job).
+    val slice0 = restricted(table).select("doc_id", "dl", "term", "tf")
+    val slice = Bucketing.pendingTombstones(spark, table) match {
+      case Some(tomb) =>
+        slice0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .select("doc_id", "dl", "term", "tf")
+      case None => slice0
+    }
     // the companion's delta rows fold here — exact integer sum, the same
     // df the recompute path counts from its slice
     val dfreq = restricted(dfTableOf(table))

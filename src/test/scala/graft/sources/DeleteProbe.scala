@@ -62,6 +62,32 @@ object DeleteProbe {
       BandIndex.build(spark, dir, "dprobe_band", corpusPred))
     t("DELETE (band: pure purge)")(
       BandIndex.delete(spark, "dprobe_band", condemned))
+
+    // ---- the DEFERRED verb at the same scale: the O(condemned) claim —
+    // tombstone-append cost vs the eager rewrite above, and the probe's
+    // anti-join overhead while tombstones are pending vs after the fold
+    t("postings build (deferred leg)")(
+      PostingsIndex.build(spark, dir, "dprobe_post_t", corpusPred))
+    t("probe before (deferred leg)")(
+      sink(PostingsIndex.topKFor(spark, "dprobe_post_t", bench, 5)))
+    t("DEFERRED DELETE (postings: tombstone append + neg df deltas + stats fold)")(
+      PostingsIndex.deleteDeferred(spark, "dprobe_post_t", condemned))
+    t("probe with pending tombstones")(
+      sink(PostingsIndex.topKFor(spark, "dprobe_post_t", bench, 5)))
+    t("probe with pending tombstones #2")(
+      sink(PostingsIndex.topKFor(spark, "dprobe_post_t", bench, 5)))
+    t("compact folds the tombstones (the deferred physical purge)")(
+      PostingsIndex.compact(spark, "dprobe_post_t"))
+    t("probe after fold")(
+      sink(PostingsIndex.topKFor(spark, "dprobe_post_t", bench, 5)))
+
+    t("band build (deferred leg)")(
+      BandIndex.build(spark, dir, "dprobe_band_t", corpusPred))
+    t("DEFERRED DELETE (band: tombstone append only)")(
+      BandIndex.deleteDeferred(spark, "dprobe_band_t", condemned))
+    t("sweep with pending tombstones")(
+      sink(BandIndex.nearDupPairs(spark, "dprobe_band_t",
+        graft.Tables.documents(spark, dir).filter(corpusPred))))
     spark.stop()
   }
 }

@@ -234,6 +234,142 @@ class DeleteSpec extends SparkSpec {
     BandIndex.appendDocs("band_del", docs.filter(col("doc_id") === 7L))
   }
 
+  // ---- Deferred (tombstone) deletes ----------------------------------
+
+  test("PostingsIndex.deleteDeferred == eager delete == rebuild over " +
+      "survivors on every probe surface — at O(condemned) cost, no rewrite") {
+    PostingsIndex.build(spark, sfDir, "post_tomb")
+    val filesBefore = Bucketing.dataFileCount(spark, "post_tomb")
+    PostingsIndex.deleteDeferred(spark, "post_tomb", condemnedDocIds)
+    // O(condemned): the store itself was NOT rewritten (same data files)
+    assert(Bucketing.dataFileCount(spark, "post_tomb") == filesBefore,
+      "deferred delete must not rewrite the store")
+    assert(Bucketing.pendingTombstones(spark, "post_tomb").isDefined,
+      "deferred delete must land the tombstone side-table")
+    PostingsIndex.build(spark, sfDir, "post_tomb_twin",
+      corpusPred = !condemnedDocPred)
+    assert(PostingsIndex.stats(spark, "post_tomb") ==
+      PostingsIndex.stats(spark, "post_tomb_twin"),
+      "deferred delete must fold stats down like the eager verb")
+    assert(dfTotals("post_tomb") == dfTotals("post_tomb_twin"),
+      "deferred delete must append the same negative df deltas")
+    assert(probeRows("post_tomb") == probeRows("post_tomb_twin"),
+      "deferred-delete probe diverges from the survivor rebuild")
+    // idempotent: a re-fed condemned set folds nothing twice
+    val s1 = PostingsIndex.stats(spark, "post_tomb")
+    PostingsIndex.deleteDeferred(spark, "post_tomb", condemnedDocIds)
+    assert(PostingsIndex.stats(spark, "post_tomb") == s1,
+      "re-fed deferred delete must not decrement stats again")
+    assert(probeRows("post_tomb") == probeRows("post_tomb_twin"))
+    // recovery path agrees with what probes serve (live rows only)
+    PostingsIndex.refreshStats(spark, "post_tomb")
+    assert(PostingsIndex.stats(spark, "post_tomb") ==
+      PostingsIndex.stats(spark, "post_tomb_twin"),
+      "refreshStats must not restate tombstoned docs")
+    assert(probeRows("post_tomb") == probeRows("post_tomb_twin"))
+    // the physical fold rides the maintenance cadence: compact purges
+    // the tombstoned rows and drops the side-table, probes unchanged
+    PostingsIndex.compact(spark, "post_tomb")
+    assert(Bucketing.pendingTombstones(spark, "post_tomb").isEmpty,
+      "compact must fold the tombstones and drop the side-table")
+    assert(spark.table("post_tomb").select("doc_id").distinct()
+      .join(condemnedDocIds, Seq("doc_id"), "left_semi").count() == 0L,
+      "compact must physically purge the tombstoned rows")
+    assert(probeRows("post_tomb") == probeRows("post_tomb_twin"),
+      "the physical fold changed probe results")
+  }
+
+  test("mixed verbs compose: an eager delete re-feeding an overlapping " +
+      "condemned set after a deferred delete folds nothing twice and " +
+      "clears the tombstones with its rewrite") {
+    PostingsIndex.build(spark, sfDir, "post_mixed")
+    PostingsIndex.deleteDeferred(spark, "post_mixed", condemnedDocIds)
+    // eager re-feed of the SAME set plus more: only the new ids fold
+    import spark.implicits._
+    val wider = condemnedDocIds.union(Seq(11L).toDF("doc_id"))
+    PostingsIndex.delete(spark, "post_mixed", wider)
+    PostingsIndex.build(spark, sfDir, "post_mixed_twin",
+      corpusPred = !condemnedDocPred && col("doc_id") =!= 11L)
+    assert(PostingsIndex.stats(spark, "post_mixed") ==
+      PostingsIndex.stats(spark, "post_mixed_twin"),
+      "the overlapping eager re-feed double-folded the stats")
+    assert(probeRows("post_mixed") == probeRows("post_mixed_twin"))
+    assert(Bucketing.pendingTombstones(spark, "post_mixed").isEmpty,
+      "the eager rewrite must fold and clear the pending tombstones")
+    assert(spark.table("post_mixed").select("doc_id").distinct()
+      .join(condemnedDocIds, Seq("doc_id"), "left_semi").count() == 0L,
+      "the eager rewrite must physically purge the tombstoned rows too")
+  }
+
+  test("the q148 lifecycle through the DEFERRED path serves the same rows " +
+      "as the eager path (the registered row's hash is verb-independent)") {
+    val bench = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 100 === 7 && col("doc_id") < 5000)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val pred = col("doc_id") % 100 =!= 7 || col("doc_id") >= 5000
+    def lifecycle(table: String,
+        del: (String, org.apache.spark.sql.DataFrame) => Unit) = {
+      PostingsIndex.build(spark, sfDir, table, corpusPred = pred)
+      val condemned = PostingsIndex.topKFor(spark, table, bench, k = 1)
+        .select("doc_id").distinct().localCheckpoint(true)
+      del(table, condemned)
+      PostingsIndex.topKFor(spark, table, bench, k = 5)
+        .select("query_id", "doc_id", "n_terms", "score", "rank")
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getInt(4))).toSeq
+    }
+    val eager = lifecycle("post_q148_eager",
+      (t, ids) => PostingsIndex.delete(spark, t, ids))
+    val deferred = lifecycle("post_q148_def",
+      (t, ids) => PostingsIndex.deleteDeferred(spark, t, ids))
+    assert(eager.nonEmpty && eager == deferred,
+      "q148's post-purge probe differs between the delete verbs")
+  }
+
+  test("BandIndex.deleteDeferred: probes and the full sweep subtract the " +
+      "tombstones — equal to the eager verb; reband folds them") {
+    import graft.queries.Dedup
+    val docs = graft.Tables.documents(spark, sfDir)
+    val condemned = col("doc_id") % 10 === 3
+    BandIndex.build(spark, sfDir, "band_tomb",
+      corpusPred = Dedup.nearDupCorpusPred)
+    val filesBefore = Bucketing.dataFileCount(spark, "band_tomb")
+    BandIndex.deleteDeferred(spark, "band_tomb",
+      docs.filter(condemned).select("doc_id"))
+    assert(Bucketing.dataFileCount(spark, "band_tomb") == filesBefore,
+      "deferred delete must not rewrite the band store")
+    BandIndex.build(spark, sfDir, "band_tomb_twin",
+      corpusPred = Dedup.nearDupCorpusPred && !condemned)
+    val bench = docs.filter(Dedup.nearDupBenchPred)
+    val corpus = docs.filter(Dedup.nearDupCorpusPred && !condemned)
+    def rows(t: String) =
+      BandIndex.nearDupsFor(spark, t, corpus, bench)
+        .orderBy("bench_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows("band_tomb") == rows("band_tomb_twin"),
+      "deferred-delete band probe diverges from the survivor rebuild")
+    def sweep(t: String) =
+      BandIndex.nearDupPairs(spark, t, corpus)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sweep("band_tomb") == sweep("band_tomb_twin"),
+      "the full sweep must subtract tombstones on both self-join legs")
+    // re-feed: nothing new tombstones (idempotent)
+    BandIndex.deleteDeferred(spark, "band_tomb",
+      docs.filter(condemned).select("doc_id"))
+    assert(rows("band_tomb") == rows("band_tomb_twin"))
+    // reband is a full rewrite: it folds the tombstones (membership is
+    // the LIVE set) and drops the side-table
+    BandIndex.reband(spark, "band_tomb", corpus, 3, 8, 4)
+    assert(Bucketing.pendingTombstones(spark, "band_tomb").isEmpty,
+      "reband must fold the tombstones and drop the side-table")
+    assert(spark.table("band_tomb").select("doc_id").distinct()
+      .join(docs.filter(condemned).select("doc_id"),
+        Seq("doc_id"), "left_semi").count() == 0L,
+      "reband must not re-sign tombstoned docs")
+  }
+
   test("the full dedup loop closes: sweep names losers, delete purges " +
       "them, the re-sweep finds nothing left to dedup") {
     val docs = graft.Tables.documents(spark, sfDir)
