@@ -179,6 +179,50 @@ object BandIndex {
     Bucketing.clearTombstones(spark, table)
   }
 
+  /** RECONCILE the store's live set to exactly `keepDocs` — the
+    * recurring-crawl verb the curation composite runs per crawl: the
+    * persisted store carries every crawl's banding work forward, and
+    * each new run only pays for the DELTA against the current survivor
+    * population. Three tiers, cheapest verb per case:
+    *   - new docs (in keep, not in store): [[appendDocs]] — O(batch),
+    *     banded once at the recorded banding; this is why the store
+    *     exists (a doc bands ONCE ever, not once per crawl);
+    *   - dropped docs (live in store, not in keep): [[deleteDeferred]]
+    *     — O(condemned), folded physically on the maintenance cadence;
+    *   - REVIVALS (in keep but tombstoned — a doc a previous crawl's
+    *     calibration dropped re-qualifies under the new population):
+    *     [[reindex]] of the whole arriving delta — the one full rewrite
+    *     case, because an append would land rows the pending tombstone
+    *     still hides; rare by construction (requires a former drop to
+    *     re-qualify), and the rewrite folds all pending tombstones as
+    *     a bonus.
+    * A reconcile against an unchanged population is a no-op (two
+    * anti-join existence checks, no writes) — re-running the composite
+    * over the same corpus costs the SWEEP alone. Single-writer like
+    * every maintenance path. */
+  def reconcile(spark: SparkSession, table: String,
+      keepDocs: DataFrame): Unit = {
+    banding(spark, table) // refuse a table this object did not build
+    spark.catalog.refreshTable(table)
+    val keep = keepDocs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).localCheckpoint(true)
+    val keepIds = keep.select("doc_id").distinct()
+    val live = Bucketing.liveRows(spark, table, "doc_id")
+      .select("doc_id").distinct().localCheckpoint(true)
+    val toDrop = live.join(keepIds, Seq("doc_id"), "left_anti")
+    if (!toDrop.isEmpty) deleteDeferred(spark, table, toDrop)
+    val toAdd = keepIds.join(live, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!toAdd.isEmpty) {
+      val tombstoned = Bucketing.pendingTombstones(spark, table)
+        .map(t => toAdd.join(t, Seq("doc_id"), "left_semi"))
+      val hasRevivals = tombstoned.exists(r => !r.isEmpty)
+      val arriving = keep.join(toAdd, Seq("doc_id"), "left_semi")
+      if (hasRevivals) reindex(spark, table, arriving)
+      else appendDocs(table, arriving)
+    }
+  }
+
   /** Past this many probe band rows, the probes stop shipping the
     * signatures as an `isin` plan literal and scan the store un-pruned
     * (here the (band, sig) join IS the semantics, so no replacement
