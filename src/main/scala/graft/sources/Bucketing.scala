@@ -361,7 +361,7 @@ object Bucketing {
     * pruning pays exactly for point-query-scale key sets. */
   private[sources] val PruneLiteralLimit = 256
 
-  private val LastBatchProp = "graft.ingest.last_batch"
+  private[sources] val LastBatchProp = "graft.ingest.last_batch"
 
   /** The table's idempotence marker: the id of the last micro-batch a
     * streaming index loop committed into it, or -1 if none was ever

@@ -7,11 +7,18 @@ import org.apache.spark.sql.functions._
   * corpus dir, measures recall@5 against the exact top-5 for the
   * single-probe store serve (q135's shape) and the multi-probe serve
   * (q146's — SAME store, expanded anchors), with probe walls and the
-  * store's pruned-bucket counts. Args: <dir>. Fresh JVM per scale,
-  * per SCALING.md's method (corpora via TileVectors). */
+  * store's pruned-bucket counts. Args: <dir> [tables bits] — the
+  * optional banding override measures the dial at OTHER store layouts
+  * (round 20: the adaptive rule's 16×6 transition banding for ≥590k
+  * vectors, where the operating rule's 4×8-pays / 8×4-hurts bracketing
+  * needed its middle point: a radius-1 flip probes 7/64 of each
+  * table's keyspace — between 4×8's 9/256 and 8×4's 5/16). Fresh JVM
+  * per scale, per SCALING.md's method (corpora via TileVectors). */
 object MultiProbeRecallProbe {
   def main(args: Array[String]): Unit = {
-    val Array(dir) = args
+    val dir = args(0)
+    val (tables, bits) = if (args.length >= 3)
+      (args(1).toInt, args(2).toInt) else (4, 8)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,12 +27,13 @@ object MultiProbeRecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val table = "mprobe_ann"
-    graft.sources.AnnIndex.build(spark, dir, table) // 4x8, q35's banding
+    graft.sources.AnnIndex.build(spark, dir, table, tables, bits)
     val anchors = Similarity.normedVectors(spark, dir)
       .filter(col("vec_id") < 20).localCheckpoint(true)
-    val single = Similarity.signatureRowsOf(anchors, 4, 8)
+    val single = Similarity.signatureRowsOf(anchors, tables, bits)
       .localCheckpoint(true)
-    val multi = Similarity.multiProbeExpand(single, 8).localCheckpoint(true)
+    val multi = Similarity.multiProbeExpand(single, bits)
+      .localCheckpoint(true)
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
@@ -51,7 +59,7 @@ object MultiProbeRecallProbe {
       "SelectedBucketsCount: (\\d+) out of (\\d+)".r
         .findFirstMatchIn(probe(a).queryExecution.executedPlan.toString)
         .map(m => s"${m.group(1)}/${m.group(2)}").getOrElse("?")
-    println(f"[mprobe] dir=$dir " +
+    println(f"[mprobe] dir=$dir banding=${tables}x$bits " +
       f"single: recall=${recall(pSingle)}%.3f wall=$tSingle%.2f buckets=${sel(single)} | " +
       f"multi: recall=${recall(pMulti)}%.3f wall=$tMulti%.2f buckets=${sel(multi)}")
     spark.stop()

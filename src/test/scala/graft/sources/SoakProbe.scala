@@ -258,6 +258,18 @@ object SoakProbe {
     // a configuration artifact, not an engine defect — skip it and the
     // matching verdict below
     val maintenanceEpoch = if (epochs >= 2) epochs / 2 else -1
+    // the RE-CRAWL leg (round 20): a slice of already-streamed docs
+    // re-arrives with changed text at the three-quarter mark — the
+    // upsert verb under serving. Ids disjoint from the condemned set
+    // (% 5 == 1 vs == 3); same ids, so the closed-form doc counts are
+    // unchanged and the verdicts below hold as written; text stays
+    // ≥ shingle width so the band store's distinct-doc count holds too.
+    val recrawlEpoch = if (epochs >= 4) (3 * epochs) / 4 else -1
+    val recrawled = docsAll
+      .filter { case (id, _) => id % epochs == 0 && id % 5 == 1 }
+      .take(50)
+      .map { case (id, t) => (id, s"$t recrawled revision zqx$id") }.toSeq
+    var recrawlRan = false
     prober.start()
     try {
       (0 until epochs).foreach { k =>
@@ -276,7 +288,12 @@ object SoakProbe {
           spark.catalog.refreshTable("soak_gpost")
           deletedGated = spark.table("soak_gpost").select("doc_id")
             .distinct().join(cd, Seq("doc_id"), "left_semi").count()
-          PostingsIndex.delete(spark, "soak_post", cd)
+          // the plain postings store takes the DEFERRED verb (round 20)
+          // — serving probes pay the tombstone anti-join from this
+          // instant until the streaming loop's own compaction trigger
+          // folds it physically, all under continuous probing; the
+          // gated store keeps the eager verb so both paths soak
+          PostingsIndex.deleteDeferred(spark, "soak_post", cd)
           PostingsIndex.delete(spark, "soak_gpost", cd)
           BandIndex.delete(spark, "soak_band", cd)
           AnnIndex.delete(spark, "soak_ann",
@@ -290,6 +307,16 @@ object SoakProbe {
             s"${condemnedDocIds.size} docs / ${condemnedAnnIds.size} ann " +
             s"/ ${condemnedIvfIds.size} ivf vecs; rebanded soak_band -> " +
             s"${BandIndex.recordedBanding(spark, "soak_band")}")
+        }
+        if (k == recrawlEpoch && recrawled.nonEmpty) {
+          // re-crawl under serving: one staged rewrite per family,
+          // probes may land inside the swap instants (retryable)
+          val batch = recrawled.toDF("doc_id", "text")
+          PostingsIndex.reindex(spark, "soak_post", batch)
+          BandIndex.reindex(spark, "soak_band", batch)
+          recrawlRan = true
+          println(s"[soak] epoch=${k + 1} re-crawl: reindexed " +
+            s"${recrawled.size} docs on soak_post + soak_band")
         }
         val docRows = docsAll.filter(_._1 % epochs == k)
           .map(r => (r._1, T0, s"s${r._1 / 20}", r._2))
@@ -381,6 +408,24 @@ object SoakProbe {
     val compacted = fileSeen.filter { case (_, xs) =>
       xs.zip(xs.drop(1)).exists { case (a, b) => b < a } }.keys.toSeq
     if (compacted.isEmpty) fail("no compaction trigger ever fired")
+    if (recrawlEpoch >= 0 && !recrawlRan)
+      fail("the re-crawl (reindex) leg never ran")
+    // the scheduler's page as the closing surface: every soaked store
+    // classifies with its family and post-maintenance identity
+    val inv = StoreHealth.inventory(spark)
+      .filter(col("table").startsWith("soak_"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getLong(7))).toMap
+    inv.foreach { case (t, (f, rec, tp)) =>
+      println(s"[soak] health: $t family=$f $rec tombstones_pending=$tp") }
+    if (inv.keySet != Set("soak_post", "soak_gpost", "soak_band",
+        "soak_ann", "soak_ivf"))
+      fail(s"health inventory missed stores: ${inv.keySet}")
+    if (deletesRan && inv("soak_band")._2 != "shingle=4 hashes=16 bands=8")
+      fail(s"inventory banding diverges: ${inv("soak_band")._2}")
+    if (inv("soak_post")._2 != s"n_docs=$nDocs sum_dl=" +
+        PostingsIndex.stats(spark, "soak_post")._2)
+      fail(s"inventory stats diverge: ${inv("soak_post")._2}")
     println(s"[soak] OK: rows exact on all five stores " +
       s"(post=$nDocs gated=$nGated bandDocs=$bandDocs ann=$annRows ivf=$ivfRows), " +
       s"reband->$banding, refit fired (${fit0.take(8)}->${fitProp().take(8)}), " +
