@@ -267,9 +267,11 @@ object Bucketing {
     * family's deferred-delete verb does both off its doomed-slice read,
     * which it needs anyway) — this keeps the side-table's size bounded
     * by live condemnations, not by how many times a sweep re-feeds its
-    * verdicts. Bucketed by the key like the parent (the fold's anti-join
-    * broadcasts, but the layout keeps the side-table a first-class
-    * citizen of the warehouse: compactable, inspectable, droppable). */
+    * verdicts. Bucketed by the key at ONE bucket: the set is
+    * verdict-scale by contract and is consumed whole as a broadcast
+    * side, so more buckets would only fragment files; the bucketed
+    * layout still makes the side-table a first-class catalog citizen
+    * (inspectable, droppable, appendable via the same insert path). */
   private[graft] def tombstone(spark: SparkSession, table: String,
       keyCol: String, ids: DataFrame): Unit = {
     val t = tombTableOf(table)

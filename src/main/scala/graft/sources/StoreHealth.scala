@@ -51,8 +51,16 @@ object StoreHealth {
     val rows = cat.listTables("default").map(_.table)
       .filterNot(t => Companions.exists(t.endsWith))
       .flatMap { t =>
-        val meta = cat.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(t))
+        // listTables includes TEMP VIEWS (no catalog metadata) and races
+        // with concurrent drops (the inventory polls between batches by
+        // design) — skip anything without persistent metadata instead of
+        // letting one vanished name fail the whole page
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+        if (!cat.tableExists(ident)) None
+        else scala.util.Try(cat.getTableMetadata(ident)).toOption
+      }
+      .flatMap { meta =>
+        val t = meta.identifier.table
         val p = meta.properties
         val family =
           if (p.contains("graft.bm25.n_docs")) Some("postings")
