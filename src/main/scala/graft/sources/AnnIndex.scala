@@ -102,14 +102,18 @@ object AnnIndex {
       k.startsWith("spark.") || k.startsWith("transient_") ||
         k == "comment" || k == "owner"
     }
-    // one row per vector: every vector owns a row in table 0
-    val vecs = spark.table(table).filter(col("tbl") === 0)
+    // one row per vector: every vector owns a row in table 0; LIVE rows
+    // only — a full rewrite re-signs the store's logical membership and
+    // folds the pending tombstones (cleared after the swap)
+    val vecs = Bucketing.liveRows(spark, table, "vec_id")
+      .filter(col("tbl") === 0)
       .select("vec_id", "label", "v", "nrm")
     val resigned = Similarity.signatureRowsOf(vecs, tables, bits)
       .localCheckpoint(true)
     Bucketing.stagedSwapIn(spark, table, resigned, "sig", buckets,
       carried ++ Map("graft.lsh.tables" -> tables.toString,
         "graft.lsh.bits" -> bits.toString))
+    Bucketing.clearTombstones(spark, table)
   }
 
   /** DELETE vectors from the store — the retroactive-removal verb
@@ -125,6 +129,29 @@ object AnnIndex {
     banding(spark, table) // refuse a table this object did not build
     spark.catalog.refreshTable(table)
     Bucketing.deleteByKey(spark, table, "vec_id", vecIds)
+  }
+
+  /** DEFERRED delete — [[graft.sources.PostingsIndex.deleteDeferred]]'s
+    * O(condemned) economics on the vector family: the condemned vec_ids
+    * append to the tombstone side-table; probes subtract them as a
+    * broadcast anti-join; the physical purge rides the next full
+    * rewrite ([[graft.sources.Bucketing.compact]], eager [[delete]],
+    * [[reband]], [[reindexVectors]]). No derived statistics here, so
+    * the append IS the whole operation; probes after are row-identical
+    * to the eager verb's (DeleteSpec). Idempotent: only ids with live
+    * rows tombstone. */
+  def deleteDeferred(spark: SparkSession, table: String,
+      vecIds: DataFrame): Unit = {
+    banding(spark, table) // refuse a table this object did not build
+    spark.catalog.refreshTable(table)
+    val ids = vecIds
+      .select(vecIds(vecIds.columns.head).cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    val doomed = Bucketing.liveRows(spark, table, "vec_id")
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct().localCheckpoint(true)
+    if (!doomed.isEmpty)
+      Bucketing.tombstone(spark, table, "vec_id", doomed)
   }
 
   /** UPSERT/re-crawl ([[graft.sources.PostingsIndex.reindex]]'s rule on
@@ -219,8 +246,12 @@ object AnnIndex {
     // a stale anchor side against a fresh candidate side would make the
     // self-probe internally inconsistent under concurrent appends
     spark.catalog.refreshTable(table)
+    // LIVE anchors only: a tombstoned vector must not probe on behalf
+    // of the more-like-this batch (the candidate side subtracts in
+    // probeCore; the anchor side subtracts here)
     topKFor(spark, table,
-      spark.table(table).filter(col("vec_id") < nAnchors), k)
+      Bucketing.liveRows(spark, table, "vec_id")
+        .filter(col("vec_id") < nAnchors), k)
   }
 
   /** The serving-path probe: `anchors` are the query's OWN signature
@@ -350,8 +381,9 @@ object AnnIndex {
     val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    spark.table(table)
-      .filter(col("sig").isin(probeSigs: _*)) // bucket pruning happens HERE
+    Bucketing.subtractTombstones(spark, table, "vec_id",
+        spark.table(table)
+          .filter(col("sig").isin(probeSigs: _*))) // bucket pruning HERE
       .join(broadcast(slim), cond)
       .select(outKeys :+ col("v") :+ col("nrm"): _*)
       .join(broadcast(payload), Seq("query_id"))

@@ -268,21 +268,14 @@ object BandIndex {
           .filter(col("sig").isin(sigs: _*)) // bucket pruning happens HERE
       } else spark.table(table))
 
-  /** The DEFERRED-delete subtraction on a store-side frame: pending
-    * tombstones anti-join it (broadcast — verdict-scale by contract),
-    * ABOVE the sig filter so the bucket pruning stays on the scan node.
-    * With nothing pending this is the frame itself — same object, same
-    * plan (the no-Exchange sweep pin is untouched on tombstone-free
-    * stores). */
+  /** The DEFERRED-delete subtraction ([[Bucketing.subtractTombstones]]
+    * on this family's doc_id key): applied ABOVE the sig filter so the
+    * bucket pruning stays on the scan node; with nothing pending the
+    * frame comes back unchanged (the no-Exchange sweep pin is untouched
+    * on tombstone-free stores). */
   private def subtractTombstones(spark: SparkSession, table: String,
       frame: DataFrame): DataFrame =
-    Bucketing.pendingTombstones(spark, table) match {
-      case Some(tomb) =>
-        val cols = frame.columns
-        frame.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-          .select(cols.head, cols.tail: _*)
-      case None => frame
-    }
+    Bucketing.subtractTombstones(spark, table, "doc_id", frame)
 
   /** [[appendDocs]] over the documents of `dir` restricted to `pred` —
     * the dir-based epoch-append convenience. */

@@ -305,6 +305,22 @@ object Bucketing {
     }
   }
 
+  /** The DEFERRED-delete subtraction on any store-side frame: pending
+    * tombstones anti-join it (broadcast — verdict-scale by contract),
+    * ABOVE whatever pruning filter the frame carries, so the bucket
+    * pruning stays on the scan node and the plan is unchanged when
+    * nothing is pending (same object back). Column order re-selected
+    * (the USING-join fronting hazard). */
+  private[sources] def subtractTombstones(spark: SparkSession,
+      table: String, keyCol: String, frame: DataFrame): DataFrame =
+    pendingTombstones(spark, table) match {
+      case Some(tomb) =>
+        val cols = frame.columns
+        frame.join(broadcast(tomb), Seq(keyCol), "left_anti")
+          .select(cols.head, cols.tail: _*)
+      case None => frame
+    }
+
   /** UPSERT: replace/insert `newRows` by key in ONE staged rewrite — the
     * re-crawl verb (same doc_id, changed content) every append path's
     * disjoint-ids contract excludes and the delete verb only half

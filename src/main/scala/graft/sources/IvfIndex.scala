@@ -239,8 +239,11 @@ object IvfIndex {
   def topK(spark: SparkSession, table: String, nAnchors: Int,
       k: Int, nProbe: Int = NProbe): DataFrame = {
     spark.catalog.refreshTable(table)
+    // LIVE anchors only (the AnnIndex.topK rule): a tombstoned vector
+    // must not probe on behalf of the more-like-this batch
     topKFor(spark, table,
-      spark.table(table).filter(col("vec_id") < nAnchors)
+      Bucketing.liveRows(spark, table, "vec_id")
+        .filter(col("vec_id") < nAnchors)
         .select(col("vec_id").as("query_id"), col("v"), col("nrm")), k,
       nProbe)
   }
@@ -284,8 +287,10 @@ object IvfIndex {
     val cos = Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    spark.table(table).as("ix")
-      .filter(col("cell").isin(probeCells: _*)) // bucket pruning happens HERE
+    Bucketing.subtractTombstones(spark, table, "vec_id",
+        spark.table(table)
+          .filter(col("cell").isin(probeCells: _*))) // bucket pruning HERE
+      .as("ix")
       .join(broadcast(probes.as("pr")),
         col("ix.cell") === col("pr.cell") &&
           col("ix.vec_id") =!= col("pr.query_id"))
@@ -313,6 +318,31 @@ object IvfIndex {
     spark.catalog.refreshTable(centTableOf(table))
     requireFitMatch(spark, table)
     Bucketing.deleteByKey(spark, table, "vec_id", vecIds)
+  }
+
+  /** DEFERRED delete — the O(condemned) verb on the cell store, both
+    * storages (the tombstone keys on vec_id and never touches the
+    * payload, like [[delete]]): condemned ids append to the side-table,
+    * probes subtract them broadcast, the physical purge rides the next
+    * full rewrite (compact / eager delete / [[refit]] / [[rebuildSq]] /
+    * [[reindexVectors]]). One stated asymmetry: [[cellStats]] keeps
+    * reading PHYSICAL occupancy until the fold — the refit trigger's
+    * skew metric tracks what probes actually scan (tombstoned rows
+    * still occupy the cell files), which is the honest cost signal.
+    * Idempotent: only ids with live rows tombstone (DeleteSpec). */
+  def deleteDeferred(spark: SparkSession, table: String,
+      vecIds: DataFrame): Unit = {
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(centTableOf(table))
+    requireFitMatch(spark, table)
+    val ids = vecIds
+      .select(vecIds(vecIds.columns.head).cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    val doomed = Bucketing.liveRows(spark, table, "vec_id")
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct().localCheckpoint(true)
+    if (!doomed.isEmpty)
+      Bucketing.tombstone(spark, table, "vec_id", doomed)
   }
 
   /** The recorded fit's size (row count of the centroid companion) —
@@ -391,12 +421,15 @@ object IvfIndex {
       k.startsWith("spark.") || k.startsWith("transient_") ||
         k == "comment" || k == "owner"
     }
-    val snapshot = spark.table(table)
+    // LIVE membership: a full rewrite reassigns the store's logical
+    // contents and folds the pending tombstones (cleared after the swap)
+    val snapshot = Bucketing.liveRows(spark, table, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint(true)
     Bucketing.stagedSwapIn(spark, table, assignOf(snapshot, cent),
       "cell", buckets, carried + (FitProp -> version))
     Bucketing.stagedSwapIn(spark, centTableOf(table), cent,
       "c_id", 1, Map(FitProp -> version))
+    Bucketing.clearTombstones(spark, table)
   }
 
   /** [[refit]] with the engine's deterministic fit rule applied to the
@@ -414,9 +447,10 @@ object IvfIndex {
         "vectors reassignment ranks; fit maintenance for an SQ store is a " +
         "rebuild from the source corpus (buildSq at the new fit)")
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-n,
-    // driver merge of nCentroids rows) — never a global sort
+    // driver merge of nCentroids rows) — never a global sort. LIVE rows:
+    // a tombstoned vector must not define the replacement fit.
     refit(spark, table,
-      spark.table(table)
+      Bucketing.liveRows(spark, table, "vec_id")
         .select(col("vec_id"), col("v"), col("nrm"))
         .orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id").as("c_id"), col("v").as("cv"),
@@ -557,8 +591,10 @@ object IvfIndex {
       (col("pr.aqnrm") * col("ix.qnrm"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("qcosine").desc, col("neighbor_id"))
-    spark.table(table).as("ix")
-      .filter(col("cell").isin(probeCells: _*)) // bucket pruning happens HERE
+    Bucketing.subtractTombstones(spark, table, "vec_id",
+        spark.table(table)
+          .filter(col("cell").isin(probeCells: _*))) // bucket pruning HERE
+      .as("ix")
       .join(broadcast(probes.as("pr")),
         col("ix.cell") === col("pr.cell") &&
           col("ix.vec_id") =!= col("pr.query_id"))
@@ -603,7 +639,10 @@ object IvfIndex {
       k.startsWith("spark.") || k.startsWith("transient_") ||
         k == "comment" || k == "owner"
     }
-    val ids = spark.table(table).select("vec_id").localCheckpoint(true)
+    // LIVE membership (the refit rule): the rebuild re-quantizes the
+    // store's logical contents and folds the pending tombstones
+    val ids = Bucketing.liveRows(spark, table, "vec_id")
+      .select("vec_id").localCheckpoint(true)
     val member = Similarity.normedVectorsOf(spark, embeddings)
       .join(ids, Seq("vec_id"), "left_semi")
     val payload = sqPayload(member).localCheckpoint(true)
@@ -628,6 +667,7 @@ object IvfIndex {
       "cell", buckets, carried + (FitProp -> version))
     Bucketing.stagedSwapIn(spark, centTableOf(table), cent,
       "c_id", 1, Map(FitProp -> version))
+    Bucketing.clearTombstones(spark, table)
   }
 
   /** [[rebuildSq]] with the deterministic fit rule ([[refit]]'s Int
@@ -637,7 +677,7 @@ object IvfIndex {
   def rebuildSq(spark: SparkSession, table: String, embeddings: DataFrame,
       nCentroids: Int): Unit = {
     spark.catalog.refreshTable(table)
-    val ids = spark.table(table).select("vec_id")
+    val ids = Bucketing.liveRows(spark, table, "vec_id").select("vec_id")
     rebuildSq(spark, table, embeddings,
       Similarity.normedVectorsOf(spark, embeddings)
         .join(ids, Seq("vec_id"), "left_semi")

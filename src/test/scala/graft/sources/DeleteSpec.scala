@@ -370,6 +370,72 @@ class DeleteSpec extends SparkSpec {
       "reband must not re-sign tombstoned docs")
   }
 
+  test("AnnIndex.deleteDeferred == eager == rebuild over survivors; " +
+      "reband folds the tombstones with its rewrite") {
+    AnnIndex.build(spark, sfDir, "ann_tomb", tables = 4, bits = 8,
+      buckets = 16)
+    val filesBefore = Bucketing.dataFileCount(spark, "ann_tomb")
+    AnnIndex.deleteDeferred(spark, "ann_tomb", condemnedVecIds)
+    assert(Bucketing.dataFileCount(spark, "ann_tomb") == filesBefore,
+      "deferred delete must not rewrite the signature store")
+    AnnIndex.build(spark, survivorDir("anntomb"), "ann_tomb_twin",
+      tables = 4, bits = 8, buckets = 16)
+    def rows(t: String) = AnnIndex.topK(spark, t, nAnchors = 20, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(rows("ann_tomb") == rows("ann_tomb_twin"),
+      "deferred-delete ANN probe diverges from the survivor rebuild")
+    AnnIndex.deleteDeferred(spark, "ann_tomb", condemnedVecIds) // re-feed
+    assert(rows("ann_tomb") == rows("ann_tomb_twin"))
+    // reband is a full rewrite: live membership re-signs, tombstones fold
+    AnnIndex.reband(spark, "ann_tomb", tables = 2, bits = 4)
+    assert(Bucketing.pendingTombstones(spark, "ann_tomb").isEmpty,
+      "reband must fold the tombstones and drop the side-table")
+    assert(spark.table("ann_tomb").select("vec_id").distinct()
+      .join(condemnedVecIds, Seq("vec_id"), "left_semi").count() == 0L,
+      "reband must not re-sign tombstoned vectors")
+  }
+
+  test("IvfIndex.deleteDeferred on BOTH storages == eager == rebuild " +
+      "over survivors; refit and compact fold the tombstones") {
+    val sd = survivorDir("ivftomb")
+    IvfIndex.build(spark, sfDir, "ivf_tomb")
+    IvfIndex.deleteDeferred(spark, "ivf_tomb", condemnedVecIds)
+    IvfIndex.build(spark, sd, "ivf_tomb_twin")
+    def rows(t: String) = IvfIndex.topK(spark, t, nAnchors = 20, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(rows("ivf_tomb") == rows("ivf_tomb_twin"),
+      "deferred-delete IVF probe diverges from the survivor rebuild")
+    // refit over LIVE membership folds the tombstones; condemned ids
+    // are ≥ 20 so the deterministic first-8 fit is unchanged and the
+    // post-refit probe still equals the twin's
+    IvfIndex.refit(spark, "ivf_tomb", nCentroids = 8)
+    assert(Bucketing.pendingTombstones(spark, "ivf_tomb").isEmpty,
+      "refit must fold the tombstones and drop the side-table")
+    assert(rows("ivf_tomb") == rows("ivf_tomb_twin"),
+      "post-refit probe diverges from the survivor rebuild")
+    // the SQ storage: same verb, quantized probe, compact as the fold
+    IvfIndex.buildSq(spark, sfDir, "ivfsq_tomb")
+    IvfIndex.deleteDeferred(spark, "ivfsq_tomb", condemnedVecIds)
+    IvfIndex.buildSq(spark, sd, "ivfsq_tomb_twin")
+    def anchors = graft.queries.Similarity.normedVectors(spark, sfDir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+    def sqRows(t: String) = IvfIndex.topKForSq(spark, t, anchors, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(sqRows("ivfsq_tomb") == sqRows("ivfsq_tomb_twin"),
+      "deferred-delete SQ probe diverges from the survivor rebuild")
+    Bucketing.compact(spark, "ivfsq_tomb")
+    assert(Bucketing.pendingTombstones(spark, "ivfsq_tomb").isEmpty)
+    assert(sqRows("ivfsq_tomb") == sqRows("ivfsq_tomb_twin"),
+      "the physical fold changed SQ probe results")
+  }
+
   test("the full dedup loop closes: sweep names losers, delete purges " +
       "them, the re-sweep finds nothing left to dedup") {
     val docs = graft.Tables.documents(spark, sfDir)
