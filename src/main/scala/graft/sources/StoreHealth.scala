@@ -39,7 +39,8 @@ object StoreHealth {
       data_files: Int,
       companion_files: Int,
       last_batch: Long,
-      tombstones_pending: Long)
+      tombstones_pending: Long,
+      advisories_pending: Int)
 
   /** One row per persisted store in the session catalog's default
     * database. Tables without a graft family identity (a user's own
@@ -95,12 +96,18 @@ object StoreHealth {
             companion,
             p.get(Bucketing.LastBatchProp).map(_.toLong).getOrElse(-1L),
             Bucketing.pendingTombstones(spark, t)
-              .map(_.count()).getOrElse(0L))
+              .map(_.count()).getOrElse(0L),
+            // the drift advisor's backlog rides along — JVM state, not
+            // catalog state, but the page exists FOR the scheduler and
+            // "this SQ store needs a rebuildSq" is exactly what it acts
+            // on (drain via SqDriftAdvisor.drain once scheduled)
+            graft.streaming.SqDriftAdvisor.advised(t).size)
         }
       }
     rows.toDF()
       .select("table", "family", "recorded", "buckets", "data_files",
-        "companion_files", "last_batch", "tombstones_pending")
+        "companion_files", "last_batch", "tombstones_pending",
+        "advisories_pending")
   }
 
   private def fileCountIfExists(spark: SparkSession, table: String): Int =

@@ -29,7 +29,7 @@ class StoreHealthSpec extends SparkSpec {
     val inv = StoreHealth.inventory(spark)
     assert(inv.columns.toSeq == Seq("table", "family", "recorded",
       "buckets", "data_files", "companion_files", "last_batch",
-      "tombstones_pending"))
+      "tombstones_pending", "advisories_pending"))
     val fams = inv.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(fams("health_post") == "postings")
     assert(fams("health_ann") == "ann")
@@ -70,5 +70,37 @@ class StoreHealthSpec extends SparkSpec {
       "shingle=3 hashes=12 bands=4")
     assert(row("health_ann").head.getString(2) == "tables=4 bits=8")
     assert(row("health_ivfsq").head.getString(2).startsWith("fit="))
+
+    // the drift advisor's backlog rides the page: advise, see it, drain
+    graft.streaming.SqDriftAdvisor.clearAll()
+    graft.streaming.SqDriftAdvisor.check(spark, "health_ivfsq",
+      skewThreshold = 0.0)
+    assert(row("health_ivfsq").head.getInt(8) > 0,
+      "a pending drift advisory must surface in the inventory")
+    graft.streaming.SqDriftAdvisor.drain("health_ivfsq")
+    assert(row("health_ivfsq").head.getInt(8) == 0)
+  }
+
+  test("the tombstone probe plan: bucket pruning survives the broadcast " +
+      "anti-join; a tombstone-free store plans with no anti-join at all") {
+    import spark.implicits._
+    PostingsIndex.build(spark, sfDir, "health_plan", buckets = 16)
+    val bench = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def plan() = PostingsIndex.topKFor(spark, "health_plan", bench, 5)
+      .queryExecution.executedPlan.toString
+    val before = plan()
+    assert(before.contains("SelectedBucketsCount"),
+      s"pruning missing before tombstones:\n$before")
+    assert(!before.contains("LeftAnti"),
+      "a tombstone-free probe must not pay an anti-join")
+    PostingsIndex.deleteDeferred(spark, "health_plan",
+      Seq(42L).toDF("doc_id"))
+    val after = plan()
+    assert(after.contains("SelectedBucketsCount"),
+      s"the tombstone anti-join must sit ABOVE the pruned scan:\n$after")
+    assert(after.contains("LeftAnti") && after.contains("Broadcast"),
+      s"pending tombstones must subtract via a broadcast anti-join:\n$after")
   }
 }
