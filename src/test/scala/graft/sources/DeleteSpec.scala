@@ -370,6 +370,30 @@ class DeleteSpec extends SparkSpec {
       "reband must not re-sign tombstoned docs")
   }
 
+  test("the streaming gate primitive subtracts tombstones: a " +
+      "deferred-deleted doc stops gating new arrivals immediately") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    val original = Seq((10L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    BandIndex.buildDocs(spark, "band_gate_tomb", original)
+    // a near-identical re-arrival collides with the stored doc...
+    val arrival = Seq((99L, "alpha beta gamma delta epsilon zeta theta"))
+      .toDF("doc_id", "text")
+    def gateHits: Long = {
+      val b = BandIndex.recordedBanding(spark, "band_gate_tomb")
+      val rows = Dedup.bandRowsOn(spark, arrival, b).localCheckpoint(true)
+      BandIndex.collidingIds(spark, "band_gate_tomb", rows).count()
+    }
+    assert(gateHits == 1L, "fixture must collide before the delete")
+    // ...until the stored doc is deferred-deleted: the gate must admit
+    // from the tombstone instant, not from the physical fold
+    BandIndex.deleteDeferred(spark, "band_gate_tomb",
+      Seq(10L).toDF("doc_id"))
+    assert(gateHits == 0L,
+      "the gate must not reject against a tombstoned doc")
+  }
+
   test("AnnIndex.deleteDeferred == eager == rebuild over survivors; " +
       "reband folds the tombstones with its rewrite") {
     AnnIndex.build(spark, sfDir, "ann_tomb", tables = 4, bits = 8,
