@@ -121,6 +121,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotFoldI8].getName, "dot_fold_i8"),
     (children: Seq[Expression]) => DotFoldI8(children(0), children(1)))
 
+  private[plans] val sortedSumFoldDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_sum_fold"),
+    new ExpressionInfo(classOf[SortedSumFold].getName, "sorted_sum_fold"),
+    (children: Seq[Expression]) => SortedSumFold(children.head))
+
+  private[plans] val termContribFoldDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("term_contrib_fold"),
+    new ExpressionInfo(classOf[TermContribFold].getName, "term_contrib_fold"),
+    (children: Seq[Expression]) => TermContribFold(children.head))
+
   /** Evaluate a foldable literal argument to the expected type with a
     * diagnosable error — a bare asInstanceOf would surface registered-
     * function misuse as an anonymous ClassCastException. */
@@ -287,6 +297,10 @@ object GraftExtensions {
       "dot_fold", children => DotFold(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_fold_i8", children => DotFoldI8(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_sum_fold", children => SortedSumFold(children.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "term_contrib_fold", children => TermContribFold(children.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkShingles, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -756,14 +756,89 @@ object Dedup {
     * filter-count on the frame the round materializes anyway — the old
     * spelling joined each round's labels back against the previous
     * round's (a second keyed shuffle and a second full pass per round,
-    * ~2× the propagation cost at cluster scale). */
+    * ~2× the propagation cost at cluster scale).
+    *
+    * SIZE-ROUTED (round-20 optimization, guide §1.2 "the distributed
+    * algorithm first"): verified near-dup pair sets are DENSITY-scale,
+    * not corpus-scale (every producer — q30's banded verify, the
+    * BandIndex sweep, the composite's stage 4 — emits pairs bounded by
+    * true duplicate density), so the common case is a graph that fits
+    * the driver with room to spare while the iterative propagation pays
+    * 2 Spark jobs + a keyed shuffle PER ROUND on a frame of a few
+    * thousand rows (measured sf0.1: q36 spent ~1.9 s of its 3.0 s
+    * here). At or below [[ResolveCollectLimit]] symmetrized edges
+    * (conf `spark.graft.resolve.collectLimit`, default 1e6 rows ≈ tens
+    * of MB on the driver — the PruneLiteralLimit / centroid-fit collect
+    * class) the edge list collects once and resolves by union-find
+    * (path compression + union-by-min, so the root IS the component
+    * minimum — exactly min-label propagation's fixpoint); above it the
+    * propagation loop stands unchanged (a 100 TB boilerplate
+    * mega-cluster graph is well past any driver). Identical labels by
+    * construction on either route (pinned in DedupRobustnessSpec). */
+  private[graft] val ResolveCollectLimit = "spark.graft.resolve.collectLimit"
+  private[graft] val ResolveCollectLimitDefault = 1000000L
+
   private[graft] def resolveClusters(
       pairs: org.apache.spark.sql.DataFrame,
       maxRounds: Int = 20): org.apache.spark.sql.DataFrame = {
+      val spark = pairs.sparkSession
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .distinct()
         .cache()
+      // one count materializes the cache either route reuses; the row
+      // count is the routing signal (edges are symmetrized, so this is
+      // 2× the undirected pair count)
+      val nEdges = edges.count()
+      val limit = spark.conf.get(ResolveCollectLimit,
+        ResolveCollectLimitDefault.toString).toLong
+      if (nEdges <= limit) {
+        val rows = edges.collect()
+        edges.unpersist()
+        val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        rows.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // union-by-min keeps every root the smallest id seen in its
+          // component, so find() yields the canonical label directly
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val docs = {
+          val it = parent.keySet().iterator()
+          val b = Array.newBuilder[Long]
+          while (it.hasNext) b += it.next()
+          b.result().sorted
+        }
+        val out = docs.map(d => org.apache.spark.sql.Row(d, find(d)))
+        // explicit schema: match the distributed route's (nullable LONG)
+        // so the registered queries' output schema is byte-identical on
+        // either route
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("canonical",
+            org.apache.spark.sql.types.LongType)))
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(out.toSeq.asJava, schema).orderBy("doc_id")
+      } else resolveClustersPropagate(edges, maxRounds)
+  }
+
+  /** The distributed min-label propagation loop — the ABOVE-threshold
+    * route of [[resolveClusters]]; `edges` arrive symmetrized, distinct
+    * and cached (this function owns the unpersist). */
+  private def resolveClustersPropagate(
+      edges: org.apache.spark.sql.DataFrame,
+      maxRounds: Int): org.apache.spark.sql.DataFrame = {
       // backing = the cached/checkpointed frame that owns storage;
       // labels = the (doc_id, canonical) view the next round consumes
       var backing = edges.select(col("doc_a").as("doc_id"))

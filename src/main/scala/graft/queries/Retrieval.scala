@@ -165,6 +165,7 @@ object Retrieval {
     * is unchanged by construction. */
   private[graft] def scoreTail(qterms: DataFrame, postings: DataFrame,
       dfreq: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.install(qterms.sparkSession)
     val qvocab = dfreq.crossJoin(broadcast(stats))
       .withColumn("x",
         lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
@@ -186,15 +187,33 @@ object Retrieval {
       .select(col("doc_id"), col("term"), contrib.as("c"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
+    // ONE exchange for the whole tail (round-20, guide §2.4): hash-
+    // partitioning by query_id alone satisfies BOTH the (query_id,
+    // doc_id) aggregation's clustering and the top-k window's, so the
+    // explicit repartition replaces two planner-inserted exchanges
+    // (agg + window) with one. Partial aggregation lost nothing: pair
+    // rows are ~one-per-group per map partition at any scale (groups =
+    // (query, doc) pairs), so the removed partial pass reduced almost
+    // nothing while the fan-out rows paid a second hash-agg probe. The
+    // explicit count pins the exchange against AQE's byte-based
+    // coalescing (the repo-wide single-file gotcha); query sets are
+    // eval-bounded by contract, and the window already required all of
+    // a query's rows on one partition.
     broadcast(qterms.as("q"))
       .join(scored.as("p"),
         col("p.term") === col("q.term") && col("p.doc_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("p.doc_id"), col("q.term"), col("p.c"))
+      .repartition(qterms.sparkSession.sparkContext.defaultParallelism,
+        col("query_id"))
       .groupBy("query_id", "doc_id")
+      // compiled ordered fold (graft.plans.TermContribFold): identical
+      // element order and IEEE add sequence as the interpreted
+      // aggregate(array_sort(...)) spelling — the HOF ran a lambda frame
+      // per element over ~3.9M pair rows and was ~3× the aggregation's
+      // cost at sf0.1 (R20FoldProbe; round-20 optimization)
       .agg(
-        aggregate(
-          array_sort(collect_list(struct(col("term"), col("c")))),
-          lit(0.0), (acc, t) => acc + t.getField("c")).as("score"),
+        call_function("term_contrib_fold",
+          collect_list(struct(col("term"), col("c")))).as("score"),
         count(lit(1)).as("n_terms"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

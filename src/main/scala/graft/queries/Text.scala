@@ -768,6 +768,7 @@ object Text {
   private val q89 = GraftQuery(
     "q89_lm_familiarity",
     (spark, dir) => {
+      graft.plans.GraftExtensions.install(spark)
       val bigrams = Tables.documents(spark, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -789,8 +790,10 @@ object Text {
         .agg(
           count(lit(1)).as("n_bigrams"),
           sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_oov"),
-          aggregate(array_sort(collect_list(col("p"))), lit(0.0),
-            (a, x) => a + x).as("psum"))
+          // compiled ordered fold — same sorted order, same IEEE adds as
+          // aggregate(array_sort(...)); the interpreted HOF paid a lambda
+          // frame per bigram (round-20 optimization, R20FoldProbe)
+          call_function("sorted_sum_fold", collect_list(col("p"))).as("psum"))
         .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
           (col("n_oov").cast("double") / col("n_bigrams")).as("oov_rate"),
           (col("psum") / col("n_bigrams")).as("familiarity"))

@@ -388,6 +388,13 @@ object AnnIndex {
       .select(outKeys :+ col("v") :+ col("nrm"): _*)
       .join(broadcast(payload), Seq("query_id"))
       .select(keyNames.map(col) :+ cos.as("cosine"): _*)
+      // ONE exchange for the dedup+rank tail (round-20, guide §2.4):
+      // query_id-only hash partitioning satisfies both the pair-dedup
+      // groupBy's clustering and the rank window's, replacing the two
+      // planner exchanges with one; explicit count pins it against AQE
+      // byte-coalescing. Anchor sets are query-scale by contract, and
+      // the window already required a query's rows co-located.
+      .repartition(spark.sparkContext.defaultParallelism, col("query_id"))
       .groupBy(keyNames.map(col): _*)
       .agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -20,18 +20,56 @@ class DedupRobustnessSpec extends SparkSpec {
   test("q36 guard: a chain deeper than the round cap throws, never truncates") {
     import spark.implicits._
     // a 26-node path graph: min-label propagation moves the label one hop
-    // per round, so node 25 needs 25 rounds — past the default cap of 20
-    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val e = intercept[IllegalStateException] {
-      Dedup.resolveClusters(chain).count()
-    }
-    assert(e.getMessage.contains("did not converge"),
-      s"guard must name the failure: ${e.getMessage}")
-    // with a cap past the chain depth it converges to one cluster
-    val resolved = Dedup.resolveClusters(chain, maxRounds = 30).collect()
-    assert(resolved.length == 26)
-    assert(resolved.forall(_.getAs[Long]("canonical") == 0L),
-      "every node must resolve to the minimum label")
+    // per round, so node 25 needs 25 rounds — past the default cap of 20.
+    // Force the DISTRIBUTED route (collectLimit = 0): the guard is a
+    // propagation-loop contract; the driver union-find route is exact and
+    // has no rounds to cap.
+    spark.conf.set(Dedup.ResolveCollectLimit, "0")
+    try {
+      val chain = (0L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val e = intercept[IllegalStateException] {
+        Dedup.resolveClusters(chain).count()
+      }
+      assert(e.getMessage.contains("did not converge"),
+        s"guard must name the failure: ${e.getMessage}")
+      // with a cap past the chain depth it converges to one cluster
+      val resolved = Dedup.resolveClusters(chain, maxRounds = 30).collect()
+      assert(resolved.length == 26)
+      assert(resolved.forall(_.getAs[Long]("canonical") == 0L),
+        "every node must resolve to the minimum label")
+    } finally spark.conf.unset(Dedup.ResolveCollectLimit)
+  }
+
+  test("q36 size route: driver union-find == distributed propagation " +
+      "(labels, schema, order) on a mixed component fixture") {
+    import spark.implicits._
+    // chains, a triangle, singleton-free pairs, shared-min merges — and
+    // ids far from dense so hashing assumptions can't hide
+    val pairs = Seq(
+      (7L, 3L), (3L, 11L), (11L, 7L),          // triangle, min 3
+      (100L, 42L), (42L, 99L),                 // chain, min 42
+      (1000L, 2000L),                          // pair
+      (5L, 6L), (6L, 4L), (4L, 8L), (8L, 2L)   // chain resolving to 2
+    ).toDF("doc_a", "doc_b")
+    val local = Dedup.resolveClusters(pairs).collect().toSeq
+    spark.conf.set(Dedup.ResolveCollectLimit, "0")
+    val dist =
+      try Dedup.resolveClusters(pairs).collect().toSeq
+      finally spark.conf.unset(Dedup.ResolveCollectLimit)
+    assert(local == dist,
+      s"routes must agree row-for-row: local=$local dist=$dist")
+    // names + types must match exactly; nullability is input-derived on
+    // the distributed route (non-nullable here from toDF, nullable from
+    // parquet in the registered queries) and is not persisted by the
+    // verify parquet dump either way
+    val localSchema = Dedup.resolveClusters(pairs).schema
+      .map(f => (f.name, f.dataType))
+    spark.conf.set(Dedup.ResolveCollectLimit, "0")
+    val distSchema =
+      try Dedup.resolveClusters(pairs).schema.map(f => (f.name, f.dataType))
+      finally spark.conf.unset(Dedup.ResolveCollectLimit)
+    assert(localSchema == distSchema,
+      s"column names/types must match: $localSchema vs $distSchema")
   }
 
   test("q33 contract: degenerate cell count fires the engine-side warning") {
