@@ -327,13 +327,30 @@ object Retrieval {
     * for the other. */
   private[queries] def fuseRrf(lex: DataFrame, vec: DataFrame,
       k: Int): DataFrame = {
+    // UNION + one-exchange groupBy instead of a FULL OUTER join
+    // (round-20, guide §2.4): each ranked list is unique-keyed on
+    // (query_id, doc_id) by construction (rank rows), so the full-outer
+    // equi-join is exactly a union + per-key max of the two rank
+    // columns — but the join spelling cost THREE exchanges (Spark's
+    // co-partition rule requires ALL join keys, so both already-
+    // query_id-partitioned inputs re-shuffled by (query_id, doc_id),
+    // then the fused window re-shuffled by query_id), while the union
+    // needs ONE query_id exchange that the groupBy and the window both
+    // reuse. Rank ints and the 1/(60+rank) arithmetic are unchanged, so
+    // every fused score is bit-identical.
+    val rankT = lex.schema("rank").dataType
     val l = lex.select(col("query_id"), col("doc_id"),
-      col("rank").as("lex_rank0"))
+      col("rank").as("lex_rank0"), lit(null).cast(rankT).as("vec_rank0"))
     val v = vec.select(col("query_id"), col("doc_id"),
-      col("rank").as("vec_rank0"))
+      lit(null).cast(rankT).as("lex_rank0"), col("rank").as("vec_rank0"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_score").desc, col("doc_id"))
-    l.join(v, Seq("query_id", "doc_id"), "full_outer")
+    l.unionByName(v)
+      .repartition(lex.sparkSession.sparkContext.defaultParallelism,
+        col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("lex_rank0")).as("lex_rank0"),
+        max(col("vec_rank0")).as("vec_rank0"))
       .select(col("query_id"), col("doc_id"),
         coalesce(col("lex_rank0"), lit(-1)).cast("long").as("lex_rank"),
         coalesce(col("vec_rank0"), lit(-1)).cast("long").as("vec_rank"),
