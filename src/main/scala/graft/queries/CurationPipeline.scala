@@ -170,12 +170,18 @@ object CurationPipeline {
       .drop("fp")
       .transform(barrier)
 
-    // 2 — score + per-source calibration gate (q21 + q99)
-    val qual = Text.qualityScoredOn(admitted)
-      .select(col("doc_id"), col("quality_score"))
+    // 2 — score + per-source calibration gate (q21 + q99). The score is
+    // computed IN PLACE on the checkpointed admitted frame (round-20,
+    // guide §2.4): quality_score is a pure per-row expression of text,
+    // so the old qual-projection + equi-join back on doc_id was a self-
+    // join of the same RDD — two scans and a join rendezvous for zero
+    // information. `carry` threads text/n_tok through the shared kernel
+    // so q21/q99's registered spellings are untouched.
     val wCal = Window.partitionBy("source")
       .orderBy(col("quality_score"), col("doc_id"))
-    val scored = admitted.join(qual, "doc_id")
+    val scored = Text.qualityScoredOn(admitted, carry = Seq("text", "n_tok"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"),
+        col("quality_score"))
       .withColumn("pct", percent_rank().over(wCal))
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
       .filter(col("pct") >= 0.25 || col("n_src") < MinCalibrationDocs)
@@ -240,31 +246,40 @@ object CurationPipeline {
 
     // 5 — decontamination (q29's shared gram8On stage: 8-gram overlap
     // with the benchmark slice)
+    // benchGrams and contaminated are SINGLE-consumer frames in the
+    // registered row (clean's anti-join; accounting has no contaminated
+    // row), so their barriers bought no reuse — two eager jobs whose
+    // only effect was job-launch latency (round-20, guide §1.2 step 1).
+    // Left lazy they fold into clean's one checkpoint; the Stages fields
+    // still expose them (spec consumers re-derive from the checkpointed
+    // fuzzyKept, paying only their own plan).
     val benchGrams = Dedup.gram8On(spark, docs.filter(col("doc_id") % 20 === 7))
       .select("gram").distinct()
-      .transform(barrier)
     val contaminated = Dedup.gram8On(spark, fuzzyKept)
       .join(benchGrams, "gram")
       .select("doc_id").distinct()
-      .transform(barrier)
     val clean = fuzzyKept.join(contaminated, Seq("doc_id"), "left_anti")
       .transform(barrier)
 
-    // 6 — domain caps (q91 keyed on source, ranked by quality)
+    // 6+7 — domain caps (q91 keyed on source, ranked by quality), repeat
+    // tiers (q104, re-calibrated on the capped survivors; no second drop
+    // — the 0× tier is stage 2's gate) and leakage-safe split (q105:
+    // split key = fuzzy-cluster canonical), fused into ONE barrier
+    // (round-20, guide §2.4): both windows partition by source, so the
+    // cap rank and the tier percent_rank share a single exchange
+    // (Exchange(source) → Sort desc → cap → Sort asc → tier) instead of
+    // two checkpoint jobs with an exchange each. `capped` is the
+    // column-projection of the fused frame — same rows by construction
+    // (the labels join is 1:1: doc_ids are unique and labels carries one
+    // row per doc), so accounting and every spec read identical values.
     val wCap = Window.partitionBy("source")
       .orderBy(col("quality_score").desc, col("doc_id"))
-    val capped = clean
+    val wTier = Window.partitionBy("source")
+      .orderBy(col("quality_score"), col("doc_id"))
+    val splitDf = clean
       .withColumn("r", row_number().over(wCap))
       .filter(col("r") <= Cap)
       .drop("r")
-      .transform(barrier)
-
-    // 7 — repeat tiers (q104, re-calibrated on the capped survivors; no
-    // second drop — the 0× tier is stage 2's gate) + leakage-safe split
-    // (q105: split key = fuzzy-cluster canonical)
-    val wTier = Window.partitionBy("source")
-      .orderBy(col("quality_score"), col("doc_id"))
-    val splitDf = capped
       .withColumn("pct2", percent_rank().over(wTier))
       .withColumn("repeats",
         when(col("pct2") >= 0.75, 4L).when(col("pct2") >= 0.5, 2L)
@@ -275,6 +290,7 @@ object CurationPipeline {
       .withColumn("split", Sampling.GroupSplit.splitCol(col("group_key")))
       .drop("canonical")
       .transform(barrier)
+    val capped = splitDf.select(clean.columns.map(col): _*)
 
     Stages(arriving, admitted, scored, exactKept, fuzzyKept, labels,
       contaminated, clean, capped, splitDf)

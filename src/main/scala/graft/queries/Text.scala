@@ -56,7 +56,8 @@ object Text {
     * the composite pipeline (q124) scores each stage's SURVIVORS with the
     * same expression tree the oracle-checked q21/q99/q104 use on the full
     * table. */
-  private[queries] def qualityScoredOn(docs: org.apache.spark.sql.DataFrame) =
+  private[queries] def qualityScoredOn(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil) =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
@@ -68,10 +69,12 @@ object Text {
       .withColumn("len_score",
         least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
       .select(
-        col("doc_id"), col("source"), col("n_tokens"), col("stop_ratio"),
-        col("uniq_ratio"), col("len_score"),
-        (lit(0.3) * col("len_score") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
-          lit(0.3) * col("uniq_ratio")).as("quality_score"))
+        col("doc_id") +: col("source") +: col("n_tokens") +:
+          col("stop_ratio") +: col("uniq_ratio") +: col("len_score") +:
+          (lit(0.3) * col("len_score") +
+            lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * col("uniq_ratio")).as("quality_score") +:
+          carry.map(col): _*)
 
   /** The matching DuckDB CTE chain ending in a `quality` CTE with the same
     * six columns, parameterized over the source relation (q124 feeds it a

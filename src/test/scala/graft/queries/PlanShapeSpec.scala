@@ -704,10 +704,14 @@ class PlanShapeSpec extends SparkSpec {
       s"both q136 index probes must be bucket-pruned:\n$s")
     assert(!s.contains("CartesianProduct"),
       s"q136 degraded to a cartesian product:\n$s")
-    // the fusion is the q128 rule: a keyed full-outer of two anchor-scale
-    // ranked frames
-    assert(s.contains("FullOuter"),
-      s"q136's RRF fusion must be the keyed full-outer:\n$s")
+    // the fusion is the q128 rule: a union of the two anchor-scale ranked
+    // frames folded by one keyed aggregate (round 20 replaced the
+    // full-outer join — three exchanges — with union + per-key max over
+    // a single query_id exchange)
+    assert(s.contains("Union"),
+      s"q136's RRF fusion must be the union + keyed-aggregate fold:\n$s")
+    assert(!s.contains("FullOuter"),
+      s"q136's fusion regressed to the three-exchange full-outer join:\n$s")
   }
 
   test("q130: the curriculum window is keyed on (phase_order, shard) — never a " +
@@ -737,12 +741,17 @@ class PlanShapeSpec extends SparkSpec {
       s"weights must be a literal-array lookup, not a joined table:\n$s")
   }
 
-  test("q128: the fusion is a keyed full-outer of two anchor-scale frames") {
+  test("q128: the fusion is a union + keyed-aggregate fold of two " +
+      "anchor-scale frames over ONE query_id exchange") {
     val s = planString("q128_hybrid_rrf")
     assert(!s.contains("CartesianProduct"), s"q128 went all-pairs:\n$s")
-    val fullOuter = "(?s)Join [^\\n]*FullOuter".r.findFirstIn(s)
-    assert(fullOuter.isDefined, s"expected a FullOuter fusion join:\n$s")
-    assert(fullOuter.get.contains("query_id") && fullOuter.get.contains("doc_id"),
-      s"fusion join must key on (query_id, doc_id): ${fullOuter.get}")
+    // round 20: the full-outer equi-join spelling cost three exchanges
+    // (co-partitioning requires all join keys); the union + per-key max
+    // fold shares a single query_id exchange with the fused window
+    assert(!s.contains("FullOuter"),
+      s"q128's fusion regressed to the three-exchange full-outer join:\n$s")
+    assert(s.contains("Union"), s"expected the union fusion spelling:\n$s")
+    val fuseExchanges = "hashpartitioning\\(query_id".r.findAllIn(s).length
+    assert(fuseExchanges >= 1, s"fusion must exchange by query_id:\n$s")
   }
 }

@@ -35,12 +35,17 @@ object R20PhaseProbe {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        def jobs(): Int =
+          spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+        val j0 = jobs()
         val (tBuild, df) = t(fn(spark, dir))
+        val jBuild = jobs() - j0
         val (tPlan, _) = t(df.queryExecution.executedPlan)
         val (tExec, _) =
           t(df.write.format("noop").mode("overwrite").save())
         println(f"[r20phase] $name pass$i build=$tBuild%.2f " +
-          f"plan=$tPlan%.2f exec=$tExec%.2f total=${tBuild + tPlan + tExec}%.2f")
+          f"plan=$tPlan%.2f exec=$tExec%.2f total=${tBuild + tPlan + tExec}%.2f " +
+          f"buildJobs=$jBuild jobs=${jobs() - j0}")
       }
     }
     spark.stop()
