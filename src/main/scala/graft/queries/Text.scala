@@ -1365,10 +1365,15 @@ object Text {
     * the identical rounds as CTEs. */
   private val PerceptronRounds = 3
 
-  /** q131's checkpointed feature table: (doc_id, y = ±1 by source,
+  /** q131's materialized feature table: (doc_id, y = ±1 by source,
     * bucket = md5-bigram → 256, n). Shared by the training loop and the
-    * final scoring pass; checkpointed because every round reads it
-    * twice. */
+    * final scoring pass; CACHED (not localCheckpoint-ed) because every
+    * round reads it and — round 20, guide §2.4 — InMemoryRelation
+    * preserves the hash(doc_id) outputPartitioning the checkpoint drops
+    * (a LogicalRDD under AQE reports UnknownPartitioning), so the
+    * per-round margin window and the final per-doc aggregation run
+    * exchange-free on the cached layout. The cache lives and dies with
+    * the query: nothing persists across invocations. */
   private[graft] def perceptronDb(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame =
     docs
@@ -1385,7 +1390,7 @@ object Text {
           16, 10).cast("long").as("bucket"))
       .groupBy("doc_id", "y", "bucket")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true)
+      .cache()
 
   private def wCol(w: Array[Long]): Column =
     element_at(typedLit(w), (col("bucket") + 1).cast("int"))
@@ -1402,10 +1407,21 @@ object Text {
       rounds: Int = PerceptronRounds): Array[Long] = {
     val misCond = (col("y") === 1L && col("margin") <= 0L) ||
       (col("y") === -1L && col("margin") > 0L)
+    // Round 20 (guide §2.4/§3): the old round was margins-groupBy →
+    // misclassified set → equi-JOIN back onto db → bucket groupBy — a
+    // join rendezvous and two doc_id-keyed aggregations per round. A
+    // whole-partition window over doc_id attaches each doc's margin to
+    // its own feature rows in place (integer sum — order-independent, so
+    // bit-identical margins), the mis filter runs per row, and only the
+    // ≤256-row bucket aggregation shuffles. On the cached hash(doc_id)
+    // layout the window is exchange-free; per round: one partial-agg'd
+    // 256-key exchange instead of three plus a join.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     var w = Array.fill(256)(0L)
     for (_ <- 1 to rounds) {
-      val mis = marginsWith(db, w).filter(misCond).select("doc_id")
-      val upd = db.join(mis, Seq("doc_id"))
+      val upd = db
+        .withColumn("margin", sum(col("n") * wCol(w)).over(wDoc))
+        .filter(misCond)
         .groupBy("bucket").agg(sum(col("y") * col("n")).as("u"))
         .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
       w = w.zipWithIndex.map { case (v, b) => v + upd.getOrElse(b, 0L) }
