@@ -273,6 +273,29 @@ object GraftExtensions {
       VecGramAgg(children.head)
     })
 
+  private def mkSimhashFp32(children: Seq[Expression]): Expression = {
+    require(children.size == 1,
+      s"simhash_fp32(hashes) takes exactly 1 argument, got ${children.size}")
+    SimhashFp32(children.head)
+  }
+
+  private[plans] val simhashFp32Description = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_fp32"),
+    new ExpressionInfo(classOf[SimhashFp32].getName, "simhash_fp32"),
+    (children: Seq[Expression]) => mkSimhashFp32(children))
+
+  private def mkHammingBits(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      s"hamming_bits(a, b, nBits) takes exactly 3 arguments, got ${children.size}")
+    HammingBits(children(0), children(1),
+      literalAs("hamming_bits", "nBits", children(2)) { case i: Int => i })
+  }
+
+  private[plans] val hammingBitsDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_bits"),
+    new ExpressionInfo(classOf[HammingBits].getName, "hamming_bits"),
+    (children: Seq[Expression]) => mkHammingBits(children))
+
   private def mkCharNgrams(children: Seq[Expression]): Expression = {
     require(children.size == 3 && children(1).foldable && children(2).foldable,
       "char_ngrams(text, n, distinct) requires literal n and distinct")
@@ -323,5 +346,9 @@ object GraftExtensions {
       "mg_candidates", mkMgCandidates, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_gram", vecGramDescription._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_fp32", mkSimhashFp32, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_bits", mkHammingBits, "scala_udf")
   }
 }

@@ -944,7 +944,15 @@ object Dedup {
     * and per-bit columns would each recompute the feature hashes under
     * CollapseProject). Shared by q31 (word-shingle features) and q92
     * (binary content-block features). */
-  private[queries] def simhashFp32(hashes: Column): Column = {
+  private[queries] def simhashFp32(hashes: Column): Column =
+    call_function("simhash_fp32", hashes)
+
+  /** The interpreted higher-order spelling the kernel replaced (round
+    * 20): a 32-int array + a 32-int sequence + 32 lambda frames PER
+    * HASH, then a second fold rendering the bits. Kept as the
+    * equivalence anchor — SimHashKernelSpec pins kernel ≡ this
+    * bit-for-bit over the real corpus and adversarial fixtures. */
+  private[graft] def simhashFp32Interp(hashes: Column): Column = {
     val votes = aggregate(
       hashes,
       array_repeat(lit(0), 32),
@@ -955,8 +963,14 @@ object Dedup {
   }
 
   /** Hamming distance between two `nBits`-long '0'/'1' fingerprint
-    * strings held in columns `a` and `b`. */
+    * strings held in columns `a` and `b` (compiled kernel —
+    * graft.plans.HammingBits; the interpreted twin below is the spec's
+    * equivalence anchor). */
   private[queries] def hammingBits(a: Column, b: Column, nBits: Int): Column =
+    call_function("hamming_bits", a, b, lit(nBits))
+
+  private[graft] def hammingBitsInterp(a: Column, b: Column,
+      nBits: Int): Column =
     aggregate(sequence(lit(1), lit(nBits)), lit(0), (acc, i) =>
       acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
 

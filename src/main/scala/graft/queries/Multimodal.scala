@@ -154,6 +154,7 @@ object Multimodal {
     "q92_media_phash_neardup",
     (spark, dir) => {
       import graft.queries.Dedup.{hammingBits, simhashFp32}
+      graft.plans.GraftExtensions.install(spark)
       val fps = BinaryOps.synthesize(spark, dir).toDF
         .filter(length(col("payload")) > 0)
         .select(col("media_id"), col("payload"))
