@@ -73,9 +73,18 @@ object Relational {
       ORDER BY event_id"""))
 
   /** Q3: 3-way join + grouped aggregation (reference J6 query⇄trace
-    * enrichment generalized). customer/orders shuffle on their keys;
-    * at scale orders⋈lineitem co-partitions on orderkey and AQE handles
-    * skew; revenue summed exactly in decimal. */
+    * enrichment generalized). Round 20 (guide §2.3 "aggregate before you
+    * shuffle"): lineitem is pre-aggregated per orderkey BEFORE any join
+    * — the fact rows partial-aggregate map-side, so the join exchanges
+    * move per-ORDER rows (~¼ the rows, none of the price/discount
+    * columns) instead of raw lineitems, and the per-segment rollup needs
+    * no countDistinct (each surviving order is exactly one row, so the
+    * distinct-aggregation's extra shuffle phase disappears). Identical
+    * results: o_orderkey is unique in orders and c_custkey in customer,
+    * so join rows per order = its lineitems before, = 1 now; decimal
+    * addition is exact and associative, so the two-level revenue sum
+    * casts to the same double. At scale orders⋈lineitem-agg co-partition
+    * on orderkey and AQE handles skew. */
   private val q03 = GraftQuery(
     "q03_segment_revenue",
     (spark, dir) => {
@@ -84,13 +93,15 @@ object Relational {
       val li = Tables.lineitem(spark, dir)
       val rev = col("l_extendedprice").cast("decimal(12,2)") *
         (lit(1) - col("l_discount").cast("decimal(4,2)"))
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(li, o("o_orderkey") === li("l_orderkey"))
+      val liAgg = li.groupBy(col("l_orderkey"))
+        .agg(sum(rev).as("o_rev"), count(lit(1)).as("o_items"))
+      o.join(liAgg, o("o_orderkey") === liAgg("l_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(rev).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_lineitems"))
+          sum(col("o_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_items")).as("n_lineitems"))
         .orderBy("c_mktsegment")
     },
     Some("""
