@@ -728,17 +728,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(rangeEx == 1, s"expected only the presentation range exchange, got $rangeEx:\n$s")
   }
 
-  test("q131: scoring is one keyed aggregation over the checkpointed feature " +
-      "table with the weights as a literal array — no model join, no corpus self-join") {
+  test("q131: scoring is one keyed aggregation over the cached feature " +
+      "table with the weights as a literal array — no model join, no corpus " +
+      "self-join, no exchange below the presentation sort") {
     val s = planString("q131_classifier_train").replaceAll("#\\d+L?", "")
     // the registered query's final frame: margins groupBy + presentation
-    // sort over the checkpointed (doc, y, bucket, n) RDD scan — the
-    // training rounds have already collapsed into the literal weights
+    // sort over the CACHED (doc, y, bucket, n) table — round 20 swapped
+    // the localCheckpoint for cache() precisely because InMemoryRelation
+    // preserves the hash(doc_id) layout (a LogicalRDD under AQE reports
+    // UnknownPartitioning), so the scoring aggregation runs exchange-free
     assert(!s.contains("Join"), s"final scoring must not join:\n$s")
-    assert(s.contains("Scan ExistingRDD") || s.contains("ExistingRDD"),
-      s"scoring must read the checkpointed feature table:\n$s")
+    assert(s.contains("InMemoryTableScan"),
+      s"scoring must read the cached feature table:\n$s")
     assert(s.contains("element_at"),
       s"weights must be a literal-array lookup, not a joined table:\n$s")
+    // exactly ONE exchange in the scoring tail: the presentation sort's
+    // range partitioning — the margin aggregation reuses the cached
+    // hash(doc_id) layout (the exchanges inside the InMemoryRelation's
+    // own build plan don't count; they run once at materialization)
+    val tail = s.split("InMemoryRelation").head
+    assert("rangepartitioning".r.findAllIn(tail.toLowerCase).nonEmpty,
+      s"presentation sort must range-partition:\n$s")
+    assert(!"hashpartitioning".r.findFirstIn(tail.toLowerCase).isDefined,
+      s"margin aggregation must reuse the cached hash(doc_id) layout:\n$s")
   }
 
   test("q128: the fusion is a union + keyed-aggregate fold of two " +
