@@ -131,6 +131,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TermContribFold].getName, "term_contrib_fold"),
     (children: Seq[Expression]) => TermContribFold(children.head))
 
+  private[plans] val rankContribFoldDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("rank_contrib_fold"),
+    new ExpressionInfo(classOf[RankContribFold].getName, "rank_contrib_fold"),
+    (children: Seq[Expression]) => RankContribFold(children.head))
+
   /** Evaluate a foldable literal argument to the expected type with a
     * diagnosable error — a bare asInstanceOf would surface registered-
     * function misuse as an anonymous ClassCastException. */
@@ -324,6 +329,8 @@ object GraftExtensions {
       "sorted_sum_fold", children => SortedSumFold(children.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "term_contrib_fold", children => TermContribFold(children.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rank_contrib_fold", children => RankContribFold(children.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkShingles, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled ordered-fold kernels — the round-20 optimization of the
@@ -103,6 +103,82 @@ case class TermContribFold(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): TermContribFold = copy(child = newChild)
+}
+
+/** Ordered fold of BM25 term contributions keyed by the term's RANK in
+  * the binary-UTF8-sorted query vocabulary instead of the term string
+  * itself (round 20, guide §2.3: the pair stream between the anchor
+  * fan-out and the per-(query, doc) aggregation is the engine's largest
+  * exchange — 3.9 M rows at sf0.1 — and the term string on each row
+  * existed ONLY to fix the IEEE add order; a 4-byte int that sorts
+  * identically carries the same information). Sorting distinct ranks
+  * ascending visits contributions in exactly the order sorting their
+  * distinct terms would — the rank map is order-preserving by
+  * construction — so the left-fold produces bit-identical doubles to
+  * [[TermContribFold]] over the same group. Ties on rank are
+  * unreachable (terms are distinct per group and the rank map is
+  * injective); the c tiebreak mirrors array_sort's struct order for
+  * totality. */
+case class RankContribFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rank_contrib_fold"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == IntegerType &&
+          s(1).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<int,double>>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    RankContribFold.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.RankContribFold.compute($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RankContribFold = copy(child = newChild)
+}
+
+object RankContribFold {
+  def compute(a: ArrayData): Double = {
+    val n = a.numElements()
+    val rs = new Array[Int](n)
+    val cs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        "rank_contrib_fold: null element — the kernel folds collect_list " +
+          "output, which cannot contain nulls; a null means a caller bug")
+      val s = a.getStruct(i, 2)
+      rs(i) = s.getInt(0)
+      cs(i) = s.getDouble(1)
+      i += 1
+    }
+    // insertion sort by (rank, c): groups are query-vocabulary-bounded
+    i = 1
+    while (i < n) {
+      val r = rs(i)
+      val c = cs(i)
+      var j = i - 1
+      while (j >= 0 && (rs(j) > r ||
+          (rs(j) == r && java.lang.Double.compare(cs(j), c) > 0))) {
+        rs(j + 1) = rs(j)
+        cs(j + 1) = cs(j)
+        j -= 1
+      }
+      rs(j + 1) = r
+      cs(j + 1) = c
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += cs(i); i += 1 }
+    acc
+  }
 }
 
 object TermContribFold {

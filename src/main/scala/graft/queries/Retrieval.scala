@@ -166,13 +166,24 @@ object Retrieval {
   private[graft] def scoreTail(qterms: DataFrame, postings: DataFrame,
       dfreq: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftExtensions.install(qterms.sparkSession)
+    // The vocabulary rank `r`: row_number over the binary-UTF8-sorted
+    // query vocabulary (a single-partition window — qvocab is
+    // query-scale by contract, and it is about to be broadcast anyway).
+    // Every pair row downstream carries this 4-byte int INSTEAD of the
+    // term string (round 20, guide §2.3 — the string existed only to
+    // fix the fold's IEEE add order, and the rank map is
+    // order-preserving and injective, so sorting ranks visits the same
+    // contributions in the same order: bit-identical scores, ~half the
+    // bytes through the engine's largest exchange).
+    val wVocab = Window.orderBy("term")
     val qvocab = dfreq.crossJoin(broadcast(stats))
       .withColumn("x",
         lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)))
       .withColumn("idf", DetMath.lnCol(col("x")))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .select("term", "idf", "avgdl")
+      .withColumn("r", row_number().over(wVocab))
+      .select("term", "r", "idf", "avgdl")
     val contrib = col("idf") * (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
@@ -184,7 +195,7 @@ object Retrieval {
     // per-pair spelling, so bit-identical.
     val scored = postings
       .join(broadcast(qvocab), Seq("term"))
-      .select(col("doc_id"), col("term"), contrib.as("c"))
+      .select(col("doc_id"), col("term"), col("r"), contrib.as("c"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     // ONE exchange for the whole tail (round-20, guide §2.4): hash-
@@ -202,18 +213,21 @@ object Retrieval {
     broadcast(qterms.as("q"))
       .join(scored.as("p"),
         col("p.term") === col("q.term") && col("p.doc_id") =!= col("q.query_id"))
-      .select(col("q.query_id"), col("p.doc_id"), col("q.term"), col("p.c"))
+      .select(col("q.query_id"), col("p.doc_id"), col("p.r"), col("p.c"))
       .repartition(qterms.sparkSession.sparkContext.defaultParallelism,
         col("query_id"))
       .groupBy("query_id", "doc_id")
-      // compiled ordered fold (graft.plans.TermContribFold): identical
+      // compiled ordered fold (graft.plans.RankContribFold): identical
       // element order and IEEE add sequence as the interpreted
       // aggregate(array_sort(...)) spelling — the HOF ran a lambda frame
       // per element over ~3.9M pair rows and was ~3× the aggregation's
-      // cost at sf0.1 (R20FoldProbe; round-20 optimization)
+      // cost at sf0.1 (R20FoldProbe), and the term-string key the first
+      // compiled kernel still carried is replaced by the vocabulary
+      // rank int (SortedFoldsSpec pins rank fold ≡ term fold ≡
+      // interpreted, bit-for-bit)
       .agg(
-        call_function("term_contrib_fold",
-          collect_list(struct(col("term"), col("c")))).as("score"),
+        call_function("rank_contrib_fold",
+          collect_list(struct(col("r"), col("c")))).as("score"),
         count(lit(1)).as("n_terms"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -57,6 +57,39 @@ class SortedFoldsSpec extends SparkSpec {
     assert(g.sameElements(w), s"${g.toSeq} vs ${w.toSeq}")
   }
 
+  test("rank_contrib_fold == term_contrib_fold == interpreted, bit-for-bit " +
+      "— the rank map is order-preserving so the IEEE add order is identical") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val rows = Seq(
+      (1L, "zebra", 1.0e16), (1L, "alpha", 1.0), (1L, "beta", 1.0),
+      (1L, "😀", -1.0e16), (1L, "�", 0.25),
+      (2L, "b", -0.0), (2L, "a", 1.0e-17), (2L, "c", 1.0),
+      (3L, "only", 42.0)
+    ).toDF("g", "term", "c")
+    // the rank map exactly as scoreTail builds it: row_number over the
+    // binary-UTF8-sorted distinct vocabulary
+    val w = org.apache.spark.sql.expressions.Window.orderBy("term")
+    val vocab = rows.select("term").distinct()
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+    val ranked = rows.join(vocab, "term")
+    val got = ranked.groupBy("g")
+      .agg(call_function("rank_contrib_fold",
+        collect_list(struct(col("r"), col("c")))).as("s"))
+    val viaTerm = ranked.groupBy("g")
+      .agg(call_function("term_contrib_fold",
+        collect_list(struct(col("term"), col("c")))).as("s"))
+    val interp = ranked.groupBy("g")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (a, t) => a + t.getField("c")).as("s"))
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    val (g, t, i) = (bits(got), bits(viaTerm), bits(interp))
+    assert(g.sameElements(t), s"rank vs term: ${g.toSeq} vs ${t.toSeq}")
+    assert(t.sameElements(i), s"term vs interp: ${t.toSeq} vs ${i.toSeq}")
+  }
+
   test("kernels run compiled in whole-stage codegen (no fallback)") {
     import spark.implicits._
     GraftExtensions.install(spark)
