@@ -75,19 +75,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteXmlValidUdf)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    ext.injectFunction(GraftExtensions.functionDescription)
-    ext.injectFunction(GraftExtensions.minhashDescription)
-    ext.injectFunction(GraftExtensions.dotFoldDescription)
-    ext.injectFunction(GraftExtensions.dotFoldI8Description)
-    ext.injectFunction(GraftExtensions.shinglesDescription)
-    ext.injectFunction(GraftExtensions.sortedIntersectDescription)
-    ext.injectFunction(GraftExtensions.windowHashesDescription)
-    ext.injectFunction(GraftExtensions.winnowDescription)
-    ext.injectFunction(GraftExtensions.sortedHash64Description)
-    ext.injectFunction(GraftExtensions.sortedLongJaccardGeDescription)
-    ext.injectFunction(GraftExtensions.bloomMightContainDescription)
-    ext.injectFunction(GraftExtensions.mgCandidatesDescription)
-    ext.injectFunction(GraftExtensions.vecGramDescription)
+    // round-21 parity fix (ADVICE): the inject path and install() used to
+    // enumerate functions separately, and the round-20 kernels were only
+    // ever added to install() — a cluster session configured with
+    // spark.sql.extensions=graft.plans.GraftExtensions alone failed with
+    // undefined-function for sorted_sum_fold / term_contrib_fold /
+    // rank_contrib_fold / simhash_fp32 / hamming_bits (char_ngrams and
+    // rolling_hash had drifted the same way earlier). Both entry points
+    // now iterate ONE description list, so they cannot diverge again;
+    // GraftExtensionsSpec pins the list against the install-path names.
+    GraftExtensions.allDescriptions.foreach(ext.injectFunction)
   }
 }
 
@@ -309,6 +306,44 @@ object GraftExtensions {
       children(2).eval(InternalRow.empty).asInstanceOf[Boolean])
   }
 
+  private[plans] val charNgramsDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("char_ngrams"),
+    new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+    (children: Seq[Expression]) => mkCharNgrams(children))
+
+  private[plans] val rollingHashDescription = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (children: Seq[Expression]) => RollingHash(children.head))
+
+  /** The ONE list both registration paths iterate (the round-21 parity
+    * fix): a function added here is injectable via spark.sql.extensions
+    * AND installed by [[install]] — it is impossible to add a kernel to
+    * one path and silently miss the other. */
+  private[plans] val allDescriptions: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    functionDescription,
+    minhashDescription,
+    dotFoldDescription,
+    dotFoldI8Description,
+    sortedSumFoldDescription,
+    termContribFoldDescription,
+    rankContribFoldDescription,
+    shinglesDescription,
+    charNgramsDescription,
+    rollingHashDescription,
+    sortedIntersectDescription,
+    windowHashesDescription,
+    winnowDescription,
+    sortedHash64Description,
+    sortedLongJaccardGeDescription,
+    bloomMightContainDescription,
+    mgCandidatesDescription,
+    vecGramDescription,
+    simhashFp32Description,
+    hammingBitsDescription)
+
   /** Imperative install on an existing session. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteXmlValidUdf))
@@ -317,45 +352,9 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "xml_valid_native", children => XmlValid(children.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", mkMinhash, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_fold", children => DotFold(children(0), children(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_fold_i8", children => DotFoldI8(children(0), children(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_sum_fold", children => SortedSumFold(children.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "term_contrib_fold", children => TermContribFold(children.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rank_contrib_fold", children => RankContribFold(children.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", mkShingles, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_ngrams", mkCharNgrams, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", children => RollingHash(children.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count", mkSortedIntersect, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "window_hashes", mkWindowHashes, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_positions", mkWinnow, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_hash64", mkSortedHash64, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_long_jaccard_ge", mkSortedLongJaccardGe, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain", mkBloomMightContain, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mg_candidates", mkMgCandidates, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_gram", vecGramDescription._3, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_fp32", mkSimhashFp32, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming_bits", mkHammingBits, "scala_udf")
+    allDescriptions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
   }
 }

@@ -178,15 +178,27 @@ object Advanced {
       val r = Tables.region(spark, dir)
       val rev = col("l_extendedprice").cast("decimal(12,2)") *
         (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      // Round 21 (guide §2.3 "aggregate before you shuffle" — q03's
+      // pre-aggregation applied to the q76 band, the VERDICT item): the
+      // fact rows partial-aggregate per (orderkey, suppkey) BEFORE any
+      // join, so the two fact-join exchanges move per-(order, supplier)
+      // rows without the price/discount columns instead of raw
+      // lineitems. Identical results: each (orderkey, suppkey) group
+      // joins to exactly one order and one supplier row, decimal
+      // addition is exact and associative (two-level sum = one-level
+      // sum, cast to the same double), and count(*) = sum of the
+      // per-group counts.
+      val liAgg = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(rev).as("p_rev"), count(lit(1)).as("p_n"))
       c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(li, o("o_orderkey") === li("l_orderkey"))
-        .join(s, li("l_suppkey") === s("s_suppkey") &&
+        .join(liAgg, o("o_orderkey") === liAgg("l_orderkey"))
+        .join(s, liAgg("l_suppkey") === s("s_suppkey") &&
           c("c_nationkey") === s("s_nationkey"))
         .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(rev).cast("double").as("revenue"),
-          count(lit(1)).as("n_lineitems"))
+        .agg(sum(col("p_rev")).cast("double").as("revenue"),
+          sum(col("p_n")).as("n_lineitems"))
         .orderBy("r_name", "n_name")
     },
     Some("""

@@ -793,7 +793,15 @@ object Dedup {
       val limit = spark.conf.get(ResolveCollectLimit,
         ResolveCollectLimitDefault.toString).toLong
       if (nEdges <= limit) {
-        val rows = edges.collect()
+        // by-NAME, typed projection before the collect (round-21 ADVICE):
+        // the positional getLong read silently depended on callers
+        // passing (doc_a, doc_b) first and as LongType — the distributed
+        // route resolves columns by name, so the collect route now does
+        // too (the cast also pins IntegerType edge frames to the routes'
+        // shared long semantics instead of a ClassCastException).
+        val rows = edges
+          .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .collect()
         edges.unpersist()
         val parent = new java.util.HashMap[Long, Long](rows.length * 2)
         def find(x: Long): Long = {

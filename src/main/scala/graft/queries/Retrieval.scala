@@ -71,11 +71,22 @@ object Retrieval {
     * into a benchmark slice and the rest. */
   private[queries] def bm25RankedWhere(spark: SparkSession, dir: String,
       queryPred: Column, corpusPred: Column, k: Int): DataFrame = {
-    val allToks = tokenizedDocs(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    // Round 21, guide §2.4: only the CORPUS side rides the explicit
+    // repartition (it feeds the posting explode — the single-file
+    // gotcha). The query side is eval-bounded by contract and its
+    // predicate pushes to the parquet scan, so routing it through the
+    // repartitioned frame paid one whole exchange (and cpus scheduled
+    // tasks) to spread a handful of documents; likewise the one-row
+    // stats aggregate (count + integer token sum, order-independent)
+    // needs no particular partitioning, so it reads the plain scan
+    // instead of shuffling (doc_id, toks) first. Same rows, same
+    // integers, bit-identical scores.
     bm25On(
-      allToks.filter(queryPred)
+      tokenizedDocsOf(docs.filter(queryPred))
         .select(col("doc_id").as("query_id"), col("toks")),
-      allToks.filter(corpusPred), k)
+      tokenizedDocs(spark, dir).filter(corpusPred), k,
+      statsToks = Some(tokenizedDocsOf(docs.filter(corpusPred))))
   }
 
   /** (doc_id, toks) over the corpus dir. Explicit-count repartition: the
@@ -109,8 +120,13 @@ object Retrieval {
     * there the BATCH is the collection side, so stats are batch-local by
     * construction; see that scaladoc). */
   private[graft] def bm25On(queryToks: DataFrame, corpusToks: DataFrame,
-      k: Int): DataFrame = {
-    val stats = corpusToks.agg(
+      k: Int, statsToks: Option[DataFrame] = None): DataFrame = {
+    // `statsToks`: an optional cheaper spelling of the SAME collection
+    // rows for the one-row (n_docs, sum_dl) aggregate — the dir-based
+    // entry passes the un-repartitioned scan so the global aggregate
+    // (order-independent integer arithmetic) skips the posting explode's
+    // repartition exchange. Semantics owner stays corpusToks.
+    val stats = statsToks.getOrElse(corpusToks).agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).as("sum_dl"))
     val qterms = queryToks
@@ -176,7 +192,15 @@ object Retrieval {
     // contributions in the same order: bit-identical scores, ~half the
     // bytes through the engine's largest exchange).
     val wVocab = Window.orderBy("term")
-    val qvocab = dfreq.crossJoin(broadcast(stats))
+    // coalesce(1) below the vocabulary window (round 21, guide §2.4):
+    // the un-partitioned rank window requires AllTuples, which a
+    // one-partition child already satisfies — without the narrow merge
+    // the planner inserted a SinglePartition Exchange here on every
+    // scoreTail consumer. dfreq is vocabulary-scale by contract (the
+    // frame is about to be broadcast whole), so one task is the right
+    // parallelism; in the index-probe path this also collapses the
+    // bucket-pruned df-companion read + delta fold into the same task.
+    val qvocab = dfreq.coalesce(1).crossJoin(broadcast(stats))
       .withColumn("x",
         lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)))
@@ -534,8 +558,11 @@ object Retrieval {
     val anchors =
       if (multiProbe) Similarity.multiProbeExpand(anchors0, bits)
       else anchors0
+    // sorted = false: fuseRrf unions + re-aggregates this list by
+    // query_id, so the probe's final orderBy was a pure range-Sort
+    // exchange the union destroyed (round 21, guide §2.4); rows unchanged
     val vec = graft.sources.AnnIndex.topKFor(spark, annTable, anchors,
-      FuseDepth, signedAt = Some((tables, bits)))
+      FuseDepth, signedAt = Some((tables, bits)), sorted = false)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     fuseRrf(lex, vec, TopK)
   }

@@ -272,8 +272,10 @@ object AnnIndex {
     * executes — fails LOUD by construction: the swap's DROP deletes the
     * old table's files, so a stale captured listing dies on read. */
   def topKFor(spark: SparkSession, table: String, anchorRows: DataFrame,
-      k: Int, signedAt: Option[(Int, Int)] = None): DataFrame =
-    probeCore(spark, table, anchorRows, k, crossLabel = false, signedAt)
+      k: Int, signedAt: Option[(Int, Int)] = None,
+      sorted: Boolean = true): DataFrame =
+    probeCore(spark, table, anchorRows, k, crossLabel = false, signedAt,
+      sorted)
 
   /** The CROSS-LABEL serving probe — q125's hard-negative semantics
     * over the persisted store (the training-data shape: for each
@@ -315,7 +317,8 @@ object AnnIndex {
     * spelling. */
   private def probeCore(spark: SparkSession, table: String,
       anchorRows: DataFrame, k: Int, crossLabel: Boolean,
-      signedAt: Option[(Int, Int)] = None): DataFrame = {
+      signedAt: Option[(Int, Int)] = None,
+      sorted: Boolean = true): DataFrame = {
     // read-your-committed-appends: a writer in another session (the
     // streaming ingestion pattern) cannot invalidate this session's
     // cached file listing — refresh before probing (PostingsIndex rule)
@@ -331,12 +334,24 @@ object AnnIndex {
         Seq(col("tbl").as("qtbl"), col("sig").as("qsig"),
           col("v").as("qv"), col("nrm").as("qnrm")): _*)
       .localCheckpoint(true)
-    val slim = anchors
+    // SINGLE-PARTITION anchor derivations (round 21, guide §2.4): the
+    // slim-key distinct, the payload dedup and the driver signature
+    // collect each planned their own 32-partition hash exchange over a
+    // frame that is query-scale by contract — three shuffles (and
+    // 3 × cpus scheduled tasks) whose only job was deduplicating a few
+    // hundred rows. coalesce(1) over the checkpointed anchor RDD is a
+    // narrow merge, and a one-partition child satisfies every clustering
+    // requirement, so all three aggregations now plan exchange-FREE.
+    // Same rows either way (distinct/dropDuplicates semantics are
+    // partitioning-independent; payload rows are identical per query by
+    // construction, so any representative is the same value).
+    val one = anchors.coalesce(1)
+    val slim = one
       .select(Seq(col("query_id")) ++
         (if (crossLabel) Seq(col("query_label")) else Nil) ++
         Seq(col("qtbl"), col("qsig")): _*)
       .distinct()
-    val payload = anchors.select("query_id", "qv", "qnrm")
+    val payload = one.select("query_id", "qv", "qnrm")
       .dropDuplicates("query_id")
     // anchor signatures collect to the driver for the pruning predicate
     val probeSigs = slim.select("qsig").distinct()
@@ -399,6 +414,11 @@ object AnnIndex {
       .agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+      // `sorted = false` (round 21, guide §2.4): a COMPOSING caller —
+      // q136's RRF fusion, which unions this frame and re-aggregates by
+      // query_id — pays a full range-partitioning Sort exchange here for
+      // an order the union immediately destroys. Registered probe rows
+      // (q135/q146/q147) keep the sorted output; same rows either way.
+      .transform(df => if (sorted) df.orderBy("query_id", "rank") else df)
   }
 }

@@ -439,9 +439,17 @@ object PostingsIndex {
       .select(col("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
     val qvocab = qterms.select("term").distinct().localCheckpoint(true)
+    // ONE job decides the route AND fetches the literals (round 21,
+    // guide §5): collecting limit+1 rows subsumes the old count()-then-
+    // collect() pair — the sample exceeds the limit exactly when the
+    // count does, and under the limit the sample IS the whole
+    // vocabulary. Driver payload stays capped at limit+1 terms on the
+    // over-limit route (the old spelling's count was free but its
+    // under-limit collect was the same full vocabulary).
+    val sample = qvocab.limit(Bucketing.PruneLiteralLimit + 1).collect()
     val lits =
-      if (qvocab.count() <= Bucketing.PruneLiteralLimit)
-        Some(qvocab.collect().map(_.getString(0)).toSeq)
+      if (sample.length <= Bucketing.PruneLiteralLimit)
+        Some(sample.map(_.getString(0)).toSeq)
       else None
     def restricted(t: String): DataFrame = lits match {
       case Some(ts) =>

@@ -61,4 +61,30 @@ class GraftExtensionsSpec extends SparkSpec {
       .count()
     assert(n == 200)
   }
+
+  test("inject/install parity: one description list serves both entry " +
+      "points and covers every engine function (the round-21 ADVICE fix " +
+      "— the round-20 kernels were install-only and a cluster session on " +
+      "spark.sql.extensions alone failed with undefined-function)") {
+    // THE function-name inventory: adding a kernel means adding it here
+    // too, so a description dropped from the shared list fails loudly
+    // instead of silently vanishing from one registration path.
+    val expected = Set(
+      "xml_valid_native", "minhash_sigs", "dot_fold", "dot_fold_i8",
+      "sorted_sum_fold", "term_contrib_fold", "rank_contrib_fold",
+      "word_shingles", "char_ngrams", "rolling_hash",
+      "sorted_intersect_count", "window_hashes", "winnow_positions",
+      "sorted_hash64", "sorted_long_jaccard_ge", "bloom_might_contain",
+      "mg_candidates", "vec_gram", "simhash_fp32", "hamming_bits")
+    val listed = GraftExtensions.allDescriptions.map(_._1.funcName).toSet
+    assert(listed == expected,
+      s"missing: ${expected -- listed}; unexpected: ${listed -- expected}")
+    // and the install path registers exactly that list resolvably
+    GraftExtensions.install(spark)
+    expected.foreach { name =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name did not resolve after install()")
+    }
+  }
 }
