@@ -798,7 +798,11 @@ object Dedup {
         // passing (doc_a, doc_b) first and as LongType — the distributed
         // route resolves columns by name, so the collect route now does
         // too (the cast also pins IntegerType edge frames to the routes'
-        // shared long semantics instead of a ClassCastException).
+        // shared long semantics instead of a ClassCastException). The
+        // projection is ALSO the byte bound the row-count limit assumes:
+        // whatever payload a future producer hangs on its edge frame,
+        // exactly two longs per row cross to the driver (~16 B + row
+        // overhead), so collectLimit rows ≈ tens of MB by construction.
         val rows = edges
           .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
           .collect()

@@ -72,6 +72,22 @@ class DedupRobustnessSpec extends SparkSpec {
       s"column names/types must match: $localSchema vs $distSchema")
   }
 
+  test("q36 registered query: the conf forces the distributed route " +
+      "END-TO-END and the output is row-identical to the collect route " +
+      "(the round-21 VERDICT hardening — not just the unit fixture)") {
+    // the registered row, default route (collect union-find at this SF)
+    val byDefault = graft.SparkEntry.queries("q36_dedup_resolve")(spark, sfDir)
+      .collect().toSeq
+    spark.conf.set(Dedup.ResolveCollectLimit, "0")
+    val byPropagation =
+      try graft.SparkEntry.queries("q36_dedup_resolve")(spark, sfDir)
+        .collect().toSeq
+      finally spark.conf.unset(Dedup.ResolveCollectLimit)
+    assert(byDefault.nonEmpty, "fixture produced no clusters")
+    assert(byDefault == byPropagation,
+      "registered q36 output must not depend on the resolve route")
+  }
+
   test("q33 contract: degenerate cell count fires the engine-side warning") {
     import spark.implicits._
     CellContract.warnings.clear()
