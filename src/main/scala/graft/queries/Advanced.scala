@@ -178,27 +178,25 @@ object Advanced {
       val r = Tables.region(spark, dir)
       val rev = col("l_extendedprice").cast("decimal(12,2)") *
         (lit(1) - col("l_discount").cast("decimal(4,2)"))
-      // Round 21 (guide §2.3 "aggregate before you shuffle" — q03's
-      // pre-aggregation applied to the q76 band, the VERDICT item): the
-      // fact rows partial-aggregate per (orderkey, suppkey) BEFORE any
-      // join, so the two fact-join exchanges move per-(order, supplier)
-      // rows without the price/discount columns instead of raw
-      // lineitems. Identical results: each (orderkey, suppkey) group
-      // joins to exactly one order and one supplier row, decimal
-      // addition is exact and associative (two-level sum = one-level
-      // sum, cast to the same double), and count(*) = sum of the
-      // per-group counts.
-      val liAgg = li.groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(sum(rev).as("p_rev"), count(lit(1)).as("p_n"))
+      // Round 21 examined q03's pre-aggregation here (the VERDICT item)
+      // and MEASURED IT OUT: unlike q03's per-ORDER key (~4 lineitems
+      // collapse per group), this join needs the supplier key in the
+      // group key, and (orderkey, suppkey) is ~unique per lineitem on a
+      // TPC-H-shaped corpus — the extra exchange moved ~every row,
+      // reduced nothing, and widened it (the partial decimal-sum buffer
+      // outweighs the price/discount columns it replaces). Both closing
+      // bench passes regressed +0.75–1.2 s; reverted to the direct join
+      // (guide §2.3 only pays when the pre-aggregation actually
+      // collapses rows).
       c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(liAgg, o("o_orderkey") === liAgg("l_orderkey"))
-        .join(s, liAgg("l_suppkey") === s("s_suppkey") &&
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(s, li("l_suppkey") === s("s_suppkey") &&
           c("c_nationkey") === s("s_nationkey"))
         .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(col("p_rev")).cast("double").as("revenue"),
-          sum(col("p_n")).as("n_lineitems"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
         .orderBy("r_name", "n_name")
     },
     Some("""
